@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table readers over the driver-generated testdata star schema
+  * (see /root/repo/TESTDATA.md).
+  *
+  * The `events` table is the analogue of the reference's date-sharded GA4
+  * export (`/root/reference/extract_bq.py:95-110`): its `ts` column is
+  * parquet TIMESTAMP(NANOS), which Spark only reads as a raw long via
+  * `spark.sql.legacy.parquet.nanosAsLong` — so every session builder in
+  * this project sets that flag, and [[Tables.events]] normalizes to
+  * `ts_us` (epoch MICROSECONDS, bigint). Epoch-micros is exactly the
+  * reference's storage model for `event_timestamp`
+  * (`/root/reference/flask_server.py:66,96,213,256` — BIGINT micros), so
+  * the whole engine standardizes on it.
+  */
+object Tables {
+
+  /** Configs every graft SparkSession needs. Kept in one place so
+    * Verify / Bench / tests can't drift apart.
+    */
+  def sessionConfigs: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    // testdata events.ts is TIMESTAMP(NANOS); read as raw long nanos
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+  )
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events with `ts_us` (epoch micros, bigint) added. `ts` (raw nanos
+    * long) is kept for callers that want it; most queries should use
+    * `ts_us`. Integer `div` keeps the column a bigint (no double round
+    * trip) and matches DuckDB's `epoch_us(ts)` exactly for the
+    * all-positive timestamps in the data.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Epoch-micros literals used by the deterministic query set (UTC).
+    * 2024-01-10 / 2024-01-15 / 2024-01-20 midnight.
+    */
+  val D2024_01_10_US: Long = 1704844800000000L
+  val D2024_01_15_US: Long = 1705276800000000L
+  val D2024_01_20_US: Long = 1705708800000000L
+}

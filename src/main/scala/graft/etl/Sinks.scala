@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.ops.EventOps
+
+/** Sink protocols (SURVEY.md §2.1 S4-S6). Parquet/CSV directories stand
+  * in for the reference's Postgres table; the upsert protocol is the
+  * anti-join-then-append form of `INSERT ... ON CONFLICT DO NOTHING`
+  * (`/root/reference/extract_bq.py:220`) — correct under single-writer,
+  * which the incremental orchestrator guarantees (the reference's
+  * single-flight guard, `/root/reference/flask_server.py:86-90`).
+  */
+object Sinks {
+
+  /** S4 — CSV export (`/root/reference/extract_bq.py:142-185`): write
+    * with header, then re-read with an explicit schema (never inferred —
+    * the reference's schemas are always fixed). Returns the re-read
+    * frame so round-trip fidelity is checkable.
+    */
+  def csvRoundTrip(df: DataFrame, dir: String, schema: StructType): DataFrame = {
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    df.sparkSession.read.schema(schema).option("header", "true").csv(dir)
+  }
+
+  /** S5 — batched append: Spark writes one file per partition per
+    * batch; append mode accumulates (the `execute_batch` analogue,
+    * `/root/reference/extract_bq.py:247-252`).
+    */
+  def append(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+
+  def overwrite(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** S6 — idempotent upsert: append only rows whose natural key is not
+    * already in the sink. Returns the number of rows appended (the
+    * reference's `cursor.rowcount`, `/root/reference/flask_server.py:197`).
+    */
+  def upsertAppend(spark: SparkSession, incoming: DataFrame, dir: String, keys: Seq[String]): Long = {
+    val exists = new java.io.File(dir).exists()
+    val fresh =
+      if (!exists) incoming
+      else EventOps.newKeysOnly(incoming, spark.read.parquet(dir), keys)
+    // Materialize the anti-join BEFORE appending: appending while the
+    // lazy plan still scans the sink dir would race with itself.
+    val staged = fresh.cache()
+    val n = staged.count()
+    if (n > 0) staged.write.mode("append").parquet(dir)
+    staged.unpersist()
+    n
+  }
+}

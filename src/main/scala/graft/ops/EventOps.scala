@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parity-core operators over the event stream — the query semantics of
+  * the reference's extraction pipeline, re-expressed as composable
+  * DataFrame transforms (Catalyst plans, never SQL strings — the
+  * reference builds SQL by f-string interpolation,
+  * `/root/reference/extract_bq.py:92-113`, which we deliberately do not
+  * reproduce).
+  *
+  * Scale notes: every function here is a narrow projection/filter or a
+  * keyed shuffle that Catalyst can push down / prune. Nothing collects
+  * to the driver; nothing is a UDF (all whole-stage-codegen built-ins).
+  */
+object EventOps {
+
+  /** P1 — project exactly the reference's five columns (+ event_id as
+    * the deterministic sort key). Mirrors the 5-column SELECT at
+    * `/root/reference/extract_bq.py:103-108`. Column pruning reaches the
+    * parquet scan (ReadSchema contains only these).
+    */
+  def project(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("ts_us"), col("props"),
+      date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("event_date"))
+
+  /** P2 — drop rows with a missing user, mirroring
+    * `user_id IS NOT NULL AND user_id != ''`
+    * (`/root/reference/extract_bq.py:111-112`). The testdata user_id is
+    * numeric, so the empty-string half of the predicate is applied to
+    * event_type (the string column of the stream).
+    */
+  def filterNonNull(events: DataFrame): DataFrame =
+    events.filter(
+      col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("event_type") =!= "")
+
+  /** P3+P4 — tracked-event IN-list (`/root/reference/extract_bq.py:89-93`);
+    * empty vocabulary means "no filter" (P4, `extract_bq.py:90-93`) —
+    * expressed as conditional plan construction, not a degenerate
+    * predicate.
+    */
+  def filterIn(events: DataFrame, vocabulary: Seq[String]): DataFrame =
+    if (vocabulary.isEmpty) events
+    else events.filter(col("event_type").isin(vocabulary: _*))
+
+  /** P5 — strictly-newer-than-watermark rows
+    * (`/root/reference/flask_server.py:151`).
+    */
+  def newerThan(events: DataFrame, watermarkUs: Long): DataFrame =
+    events.filter(col("ts_us") > lit(watermarkUs))
+
+  /** P6/S2 — inclusive-exclusive time-range restriction; at 100 TB with
+    * a date-partitioned layout this predicate is what partition pruning
+    * keys off (the `_TABLE_SUFFIX BETWEEN` analogue,
+    * `/root/reference/extract_bq.py:110`).
+    */
+  def timeRange(events: DataFrame, loUs: Long, hiUs: Long): DataFrame =
+    events.filter(col("ts_us") >= lit(loUs) && col("ts_us") < lit(hiUs))
+
+  /** N1 on the GA4 array-of-struct shape: extract
+    * `value.string_value` of the LAST element whose `key` matches —
+    * last-match-wins because the reference's row loop keeps overwriting
+    * without break (`/root/reference/extract_bq.py:155-164`,
+    * `/root/reference/flask_server.py:164-172`); missing key → NULL;
+    * null/empty array → NULL (`extract_bq.py:159`).
+    *
+    * Pure built-ins: higher-order `filter` + `try_element_at(-1)` —
+    * null-safe, codegen-friendly, no UDF. (`try_` because ANSI mode is
+    * on and `element_at` over the empty filtered array must yield NULL,
+    * not error.)
+    */
+  def extractParam(params: Column, key: String): Column =
+    try_element_at(filter(params, p => p.getField("key") === key), lit(-1))
+      .getField("value").getField("string_value")
+
+  /** N1 on the testdata shape: `props` is a JSON string (`{"k": 87}`),
+    * so the same capability is JSON scalar extraction.
+    */
+  def extractJsonLong(df: DataFrame, jsonCol: String, key: String, as: String): DataFrame =
+    df.withColumn(as, get_json_object(col(jsonCol), s"$$.$key").cast("long"))
+
+  /** T3 — first-write-wins dedup on a natural key: keep, per key, the
+    * row with the smallest (orderCol, tieBreak). This is the engine
+    * form of `ON CONFLICT (user_id, event_timestamp, event_name) DO
+    * NOTHING` (`/root/reference/flask_server.py:193`) generalized to an
+    * explicit, deterministic keep-rule (Spark's dropDuplicates keeps an
+    * *arbitrary* row — not reproducible, so we don't use it here).
+    *
+    * One hash shuffle on the key; at 100 TB the key (user, type) is
+    * high-cardinality so the shuffle is well spread.
+    */
+  def dedupFirstWrite(df: DataFrame, keys: Seq[String], orderCol: String, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).asc, col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** S6 — upsert-as-anti-join: rows of `incoming` whose natural key is
+    * absent from `existing` (the `ON CONFLICT ... DO NOTHING` insert
+    * set, `/root/reference/extract_bq.py:220`). `existing` is projected
+    * to the key columns only before the join, so at scale the build
+    * side carries no payload; when the sink's key set is small it
+    * should be broadcast by the caller.
+    */
+  def newKeysOnly(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+}
