@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Sim, Text}
+
+/** §7.5 extension semantics on hand-checkable fixtures. */
+class TextSimSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokenFrequencies counts whitespace tokens, ignores empties") {
+    val docs = Seq((0L, "a b a"), (1L, "b  c")).toDF("doc_id", "text")
+    val freq = Text.tokenFrequencies(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("exactDedup groups identical content, keeps smallest id") {
+    val docs = Seq((5L, "same"), (2L, "same"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val out = Text.exactDedup(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 2L, 9L -> 1L))
+  }
+
+  test("exactDedupByHash agrees with exactDedup on keep ids") {
+    val docs = Seq((5L, "same"), (2L, "same"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val byText = Text.exactDedup(docs).collect().map(_.getLong(0)).toSet
+    val byHash = Text.exactDedupByHash(docs).collect().map(_.getLong(0)).toSet
+    assert(byText === byHash)
+  }
+
+  test("dot and cosine behave on known vectors") {
+    val df = Seq(
+      (0, Array(1.0, 0.0), Array(1.0, 0.0)),   // identical → cos 1
+      (1, Array(1.0, 0.0), Array(0.0, 1.0)),   // orthogonal → cos 0
+      (2, Array(1.0, 1.0), Array(2.0, 2.0))    // parallel → cos 1
+    ).toDF("id", "a", "b")
+    val out = df.select(
+      col("id"),
+      round(Sim.dot(col("a"), col("b")) / (Sim.norm(col("a")) * Sim.norm(col("b"))), 6).as("cos"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out === Map(0 -> 1.0, 1 -> 0.0, 2 -> 1.0))
+  }
+
+  test("cosineTopK returns k ranked neighbours per query") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (10L, Array(1.0f, 0.05f)),
+      (11L, Array(0.0f, 1.0f)),
+      (12L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // queries = vec_id < 2 (ids 0 and 1); k = 2
+    val out = Sim.cosineTopK(emb, nQueries = 2, k = 2)
+      .select("q_id", "c_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // for q=0: best is 10 (nearly parallel), then 1
+    assert(out.contains((0L, 10L, 1L)))
+    assert(out.contains((0L, 1L, 2L)))
+    // every query got exactly k rows
+    assert(out.count(_._1 == 0L) === 2)
+    assert(out.count(_._1 == 1L) === 2)
+  }
+}
