@@ -11,6 +11,13 @@ object Bench {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up once (JIT, codegen compiler, Hadoop FS init, parquet
+    // footer cache) so the one-time JVM costs don't land on whichever
+    // query happens to run first.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/events.parquet").limit(1).collect()
+    } catch { case _: Throwable => () }
     // Failures are reported by name, never hidden inside a timing.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
