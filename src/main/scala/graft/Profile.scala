@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc profiling of the minhash pipeline stages. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" zz9 zz9")).as("text")))
+      .repartition(32)
+
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    time("corpus count")(corpus.count())
+    time("docShingles")(println("  shingles=" + graft.ops.Dedup.docShingles(corpus).count()))
+    time("docShingles+md5")(println("  hashed=" + graft.ops.Dedup.docShingles(corpus)
+      .withColumn("h", expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+      .agg(sum("h")).collect().head))
+    val sigs = graft.ops.Dedup.minhashSignatures(corpus, 16)
+    time("signatures")(sigs.count())
+    val cands = graft.ops.Dedup.minhashLshCandidates(corpus, 16, 4)
+    time("lsh candidates")(println("  candidates=" + cands.count()))
+    // bucket size distribution
+    val rows = 4
+    val b = graft.ops.Dedup.minhashSignatures(corpus, 16)
+      .withColumn("band", explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> struct(b as band_id,
+          |              array_join(transform(slice(minhashes, b * 4 + 1, 4),
+          |                                   x -> cast(x as string)), ',') as sig))""".stripMargin)))
+      .select(col("band.band_id"), col("band.sig"))
+    time("bucket histogram") {
+      b.groupBy("band_id", "sig").count()
+        .groupBy().agg(max("count"), avg("count"), count(lit(1)))
+        .show(false)
+    }
+    spark.stop()
+  }
+}

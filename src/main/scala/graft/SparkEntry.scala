@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{EventOps, Relational, Sim, Text, TimeFns}
+import graft.ops.{Dedup, EventOps, Relational, Sim, Text, TimeFns}
 import graft.etl.Sinks
 import graft.Tables._
 
@@ -334,8 +334,100 @@ object SparkEntry {
       Sim.cosineTopK(Tables.embeddings(s, dir), nQueries = 10, k = 5)
         .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ---- batch 4: training-data-pipeline operators --------------------------
+    // The documents corpus has no natural near-duplicates, so the dedup
+    // queries construct them: every doc is unioned with a perturbed
+    // (suffix-appended) or exact copy at doc_id + 100000. The
+    // construction is pure relational algebra, mirrored in the oracle,
+    // so the operators are exercised against known-positive pairs.
+    "q_dedup_ngram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.ngramJaccardPairs(perturbedCorpus(s, dir), threshold = 0.7)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_minhash" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.minhashLshCandidates(perturbedCorpus(s, dir), numHashes = 16, bands = 4)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_simhash" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.simhashClusters(exactDupCorpus(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_embed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), cap = 500, n = 50)
+    }),
+
+    "q_sim_ann" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.cosineTopKIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, nCells = 8)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_lang_id" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.languageId(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_quality_score" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.qualityScore(Tables.documents(s, dir), Seq("the", "a"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_token_count" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tokenCounts(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_media_meta" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        expr("element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1)")
+          .as("kind"),
+        expr("octet_length(cast(text as binary))").cast("long").as("n_bytes"),
+        substring(hex(col("text").cast("binary")), 1, 16).as("head_hex"),
+        expr(
+          """array_join(transform(sequence(0, 2),
+            |  i -> md5(cast(substring(text, 1 + i * (length(text) div 3),
+            |                          (length(text) div 3)) as binary))), '-')""".stripMargin)
+          .as("frames_sig"))
+        .orderBy(col("media_id"))
     })
   )
+
+  /** documents ∪ suffix-perturbed copies (high-Jaccard near-dups).
+    * Repartitioned: the small parquet arrives as 1-2 splits, which
+    * would serialize the hash-heavy map-side work onto 2 cores.
+    */
+  private def perturbedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" zz9 zz9")).as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** documents ∪ exact copies (identical token bags). */
+  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL — same tables, same column names, same row order.
@@ -568,6 +660,187 @@ object SparkEntry {
         |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
         |  FROM pairs)
         |SELECT q_id, c_id, cos_r, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM hx x JOIN hx y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT c.a, c.b, round(c.c / (sa.sz + sb.sz - c.c), 4) AS jaccard
+        |FROM common c
+        |JOIN sizes sa ON sa.doc_id = c.a
+        |JOIN sizes sb ON sb.doc_id = c.b
+        |WHERE round(c.c / (sa.sz + sb.sz - c.c), 4) >= 0.7
+        |ORDER BY c.a, c.b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |mh AS (
+        |  SELECT doc_id, seeds.seed,
+        |         min(((37 + 101 * seeds.seed) * h + 13 + 97 * seeds.seed) % 2147483647) AS mh
+        |  FROM hx, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY doc_id, seeds.seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band_id,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 4)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y
+        |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split(text, ' '), t -> t != ''))) AS token
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bs.b, sum(2 * ((h >> bs.b) & 1) - 1) AS s
+        |  FROM h, (SELECT unnest(generate_series(0, 31)) AS b) bs
+        |  GROUP BY doc_id, bs.b),
+        |fps AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT f.doc_id, f.fp, m.keep_id
+        |FROM fps f
+        |JOIN (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp) m
+        |  ON f.fp = m.fp
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 500),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos_r
+        |FROM n x JOIN n y ON x.vec_id < y.vec_id
+        |ORDER BY cos_r DESC, a, b LIMIT 50""".stripMargin,
+
+    "q_sim_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |           row_number() OVER (
+        |             PARTITION BY n.vec_id
+        |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+        |                      c.cent_id) AS rn
+        |    FROM n, cent c) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM assign
+        |      WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, a.vec_id AS c_id,
+        |         round(list_dot_product(q.qv, a.v) / (q.qn * a.nrm), 4) AS cos_r
+        |  FROM assign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT q_id, c_id, cos_r, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(list_intersect(toks, ['the','a','order','key']))) AS BIGINT)
+        |      AS score_p_article,
+        |    CAST(len(list_distinct(list_intersect(toks, ['spark','query','table','row']))) AS BIGINT)
+        |      AS score_p_query,
+        |    CAST(len(list_distinct(list_intersect(toks, ['batch','stream','window','merge']))) AS BIGINT)
+        |      AS score_p_stream
+        |  FROM t)
+        |SELECT doc_id, score_p_article, score_p_query, score_p_stream,
+        |  CASE WHEN score_p_stream >= score_p_query AND score_p_stream >= score_p_article
+        |         THEN 'p_stream'
+        |       WHEN score_p_query >= score_p_article THEN 'p_query'
+        |       ELSE 'p_article' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_tok,
+        |         len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |       round(n_chars / n_tok, 4) AS avg_tok_len,
+        |       round(n_stop / n_tok, 4) AS stop_ratio,
+        |       round(least(n_tok / 100.0, 1.0) * (1.0 - n_stop / n_tok), 4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_transform(
+        |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')),
+        |    t -> md5(t)))[1:4], '-') AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  substr(hex(CAST(text AS BLOB)), 1, 16) AS head_hex,
+        |  array_to_string(list_transform(generate_series(0, 2),
+        |    i -> md5(substr(text, 1 + i * (length(text) // 3), (length(text) // 3)))), '-')
+        |    AS frames_sig
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -51,4 +51,47 @@ object Sim {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** IVF (inverted-file) approximate nearest neighbour — the 100 TB
+    * scale path for [[cosineTopK]]:
+    *
+    *  1. pick `nCells` coarse centroids (here: the first `nCells`
+    *     vectors, deterministically; a real build k-means them);
+    *  2. assign every vector to its best centroid by cosine — a
+    *     broadcast of nCells tiny vectors, MAP-SIDE, no shuffle of the
+    *     big table;
+    *  3. answer a query by scoring ONLY its own cell — N/nCells of the
+    *     corpus instead of N.
+    *
+    * Assignment uses the score rounded to 6dp with centroid-id
+    * tiebreak so cell boundaries are reproducible across engines.
+    */
+  def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int, nCells: Int): DataFrame = {
+    val asDouble = embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withNorm = asDouble.withColumn("nrm", norm(col("v")))
+    val centroids = withNorm.filter(col("vec_id") < nCells).select(
+      col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cent_id").asc)
+    val assigned = withNorm
+      .join(broadcast(centroids))
+      .withColumn("score",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val scored = assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"), col("vec_id").as("c_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos_r"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

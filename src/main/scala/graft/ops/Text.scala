@@ -61,4 +61,77 @@ object Text {
       concat_ws("-", col("lang"), col("source")).as("tag"),
       length(col("text")).cast("long").as("n_len"),
       substring(col("text"), 1, 20).as("prefix"))
+
+  // --- training-data-pipeline text analysis (all map-side HOFs, no UDFs) ---
+
+  /** Marker-token profiles for the n-gram language-ID heuristic. Tiny
+    * and hard-coded on purpose: real language ID is the same shape with
+    * per-language character-n-gram frequency tables.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "p_article" -> Seq("the", "a", "order", "key"),
+    "p_query" -> Seq("spark", "query", "table", "row"),
+    "p_stream" -> Seq("batch", "stream", "window", "merge"))
+
+  /** Language-ID: score = distinct marker-token overlap per profile,
+    * argmax with profile-name tiebreak. One pass, map-side.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = array_distinct(Dedup.tokens(col("text")))
+    val scored = langProfiles.foldLeft(
+      documents.withColumn("toks", toks)) { case (df, (name, markers)) =>
+      df.withColumn(s"score_$name",
+        size(array_intersect(col("toks"), array(markers.map(lit): _*))).cast("long"))
+    }
+    val best = langProfiles.map { case (name, _) =>
+      struct(col(s"score_$name").as("score"), lit(name).as("profile"))
+    }
+    val outCols = Seq(col("doc_id")) ++
+      langProfiles.map { case (n, _) => col(s"score_$n") } :+
+      greatest(best: _*).getField("profile").as("predicted")
+    scored.select(outCols: _*)
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * and a single [0,1] score — the length/punct/stopword heuristics a
+    * corpus filter runs before training. All arithmetic mirrored in the
+    * oracle.
+    */
+  def qualityScore(documents: DataFrame, stopwords: Seq[String]): DataFrame =
+    documents
+      .withColumn("toks", Dedup.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        round(col("n_chars") / col("n_tok"), 4).as("avg_tok_len"),
+        round(col("n_stop") / col("n_tok"), 4).as("stop_ratio"),
+        round(
+          least(col("n_tok") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - col("n_stop") / col("n_tok")), 4).as("quality"))
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single punctuation) — the
+    * cheap proxy for "how many tokens will the tokenizer emit".
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_ws"),
+      expr("cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) as bigint)")
+        .as("n_bpe"))
+
+  /** Document fingerprint: the 4 lexicographically-smallest md5s of the
+    * distinct token set, dash-joined — a bottom-k sketch; equal
+    * fingerprints ⇒ near-identical token sets. Map-side only.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      expr(
+        """array_join(slice(array_sort(transform(
+          |  array_distinct(filter(split(text, ' '), t -> t != '')),
+          |  t -> md5(cast(t as binary)))), 1, 4), '-')""".stripMargin).as("fingerprint"))
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal}
+
+/** Near-dup + multimodal operator semantics on hand-checkable fixtures. */
+class DedupAdvancedSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today ok"), // near-dup of 1
+    (3L, "completely different words entirely unrelated content here now"),
+    (4L, "the quick brown fox jumps over the lazy dog today")     // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("ngramJaccardPairs finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact dup has Jaccard 1.0") {
+    val j = Dedup.ngramJaccardPairs(corpus, 0.7)
+      .filter($"a" === 1L && $"b" === 4L)
+      .collect().head.getDouble(2)
+    assert(j === 1.0)
+  }
+
+  test("minhash LSH candidates include every high-Jaccard pair") {
+    val exact = Dedup.ngramJaccardPairs(corpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashLshCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands),
+      s"missed: ${exact.diff(cands)}") // J≥0.9 with 16 hashes / 4 bands ⇒ P(miss) ≈ (1-0.9^4)^4 ≈ 0.2%... use identical docs: J=1 pairs can never be missed
+  }
+
+  test("simhash clusters identical token bags together") {
+    val out = Dedup.simhashClusters(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(4L) === 1L)  // exact dup clusters to keeper 1
+    assert(out(1L) === 1L)
+    assert(out(3L) === 3L)  // unrelated doc is its own keeper
+  }
+
+  test("stub media decode: frame counts per kind, deterministic features") {
+    val docs = Seq(
+      (0L, "abcdabcdabcdabcd", "en", "s", 16L),
+      (1L, "zzzz", "en", "s", 4L),
+      (2L, "qqqq", "en", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.decodeFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(0L).kind === "image" && feats(0L).n_frames === 1)
+    assert(feats(1L).kind === "audio" && feats(1L).n_frames === 4)
+    assert(feats(2L).kind === "video" && feats(2L).n_frames === 8)
+    // mean byte of "zzzz" slices is 'z' = 122 in every frame
+    assert(feats(1L).features.forall(_ === 122.0))
+    // decode is deterministic
+    val again = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again === feats.map { case (k, v) => k -> v.features.toSeq })
+  }
+}
