@@ -64,10 +64,19 @@ object SparkEntry {
 
     "q_prune_dates" -> ((s0, dir) => {
       val s = ensure(s0)
-      EventOps.timeRange(Tables.events(s, dir), D2024_01_10_US, D2024_01_20_US)
-        .select(
-          col("event_id"), col("ts_us"),
-          date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("event_date"))
+      // Materialize the date-partitioned layout once (the reference's
+      // sharded events_YYYYMMDD family), then filter on the PARTITION
+      // column: the scan's PartitionFilters prune whole day-directories
+      // at planning time — at 100 TB this is the difference between
+      // reading 10 days and reading 10 years.
+      val part = tmpDir("events_by_date", dir)
+      Sinks.ensurePartitioned(
+        Tables.events(s, dir).withColumn(
+          "event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")),
+        part, "event_date")
+      s.read.parquet(part)
+        .filter(col("event_date") >= "2024-01-10" && col("event_date") < "2024-01-20")
+        .select(col("event_id"), col("ts_us"), col("event_date").cast("string").as("event_date"))
         .orderBy(col("event_id"))
     }),
 

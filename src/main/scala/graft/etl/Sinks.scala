@@ -33,6 +33,20 @@ object Sinks {
   def overwrite(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** Materialize `df` partitioned by `partitionCol` (hive-style
+    * directory layout) if not already present — the engine-side
+    * analogue of the reference's date-sharded `events_YYYYMMDD` table
+    * family (`/root/reference/extract_bq.py:95-110`): one directory per
+    * day, so a date predicate prunes whole directories at planning
+    * time instead of reading and filtering.
+    */
+  def ensurePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    }
+  }
+
   /** S6 — idempotent upsert: append only rows whose natural key is not
     * already in the sink. Returns the number of rows appended (the
     * reference's `cursor.rowcount`, `/root/reference/flask_server.py:197`).

@@ -74,6 +74,32 @@ object Relational {
       .rollup(col("event_type"), col("event_date"))
       .agg(count(lit(1)).as("n"))
 
+  /** Skew-safe equi-join for when the build side is too big to
+    * broadcast AND the probe side has hot keys: each probe row gets a
+    * uniform salt in [0, salt), the build side is replicated once per
+    * salt value, and the join key becomes (key, salt) — a hot key's
+    * rows now spread over `salt` reducers instead of one straggler.
+    *
+    * Spark's AQE skew-join handles the common case automatically
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default); this
+    * explicit form is for deterministic plans, pre-AQE engines, or
+    * skew that AQE's split heuristics miss. The salt assignment is
+    * row-arbitrary on the probe side — join OUTPUT is identical to the
+    * unsalted join regardless of assignment (pinned by spec).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, salt: Int): DataFrame = {
+    val saltedProbe = probe.withColumn(
+      "__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val saltedBuild = build.withColumn(
+      "__salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedProbe
+      .join(saltedBuild,
+        saltedProbe(probeKey) === saltedBuild(buildKey) &&
+          saltedProbe("__salt") === saltedBuild("__salt"))
+      .drop("__salt")
+  }
+
   /** Distinct-user counts per event type. Exact count-distinct shuffles
     * (user_id, event_type) once; at 100 TB prefer
     * `approx_count_distinct` (HLL, no second shuffle) when ±2% is
