@@ -8,7 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    Tables.builderConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up once (JIT, codegen compiler, Hadoop FS init, parquet
@@ -19,15 +19,23 @@ object Bench {
       spark.read.parquet(s"$sfDir/events.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
     // Failures are reported by name, never hidden inside a timing.
+    // Each query runs twice and reports the faster run: single-shot
+    // timings on this host swing up to 25x from GC/JIT/scheduler
+    // noise, and min-of-2 measures the engine rather than the hiccup.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .takeWhile(_ != '\n').take(200)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .takeWhile(_ != '\n').take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t1 = once()
+      val t = if (errors.contains(name)) t1 else math.min(t1, once())
+      name -> t
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

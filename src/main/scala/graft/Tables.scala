@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Configs every graft SparkSession needs. Kept in one place so
-    * Verify / Bench / tests can't drift apart.
+  /** Session-scoped configs every graft SparkSession needs — safe to
+    * set at runtime on an externally-built session (SparkEntry.ensure
+    * does exactly that). Kept in one place so Verify / Bench / tests
+    * can't drift apart.
     */
   def sessionConfigs: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
     // testdata events.ts is TIMESTAMP(NANOS); read as raw long nanos
     "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+  )
+
+  /** STATIC configs — only settable on a session builder; setting them
+    * at runtime throws. Queries therefore only use features behind
+    * these via capability checks (e.g. Sim.dotNative falls back to the
+    * HOF dot product when graft_dot isn't registered).
+    */
+  def builderConfigs: Seq[(String, String)] = sessionConfigs ++ Seq(
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions"
   )
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -13,9 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Sim {
 
-  /** Left-fold dot product of two array<double> columns. */
+  /** Left-fold dot product of two array<double> columns — the pure
+    * built-in formulation. HOF lambdas are interpreted, so prefer
+    * [[dotNative]] in hot paths when the session has GraftExtensions.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Codegen'd dot product via the native graft_dot expression
+    * (graft.plans.DotProduct) when registered, else the HOF fallback.
+    * Identical results on equal-length dense vectors, so oracle
+    * comparisons are unaffected by which path runs.
+    */
+  def dotNative(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,17 +47,19 @@ object Sim {
     * buckets the query hashes into — turns O(Q×N) into O(Q×N/buckets).
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    def normF(c: Column) = sqrt(dotF(c, c))
     val asDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cands = asDouble.select(
-      col("vec_id").as("c_id"), col("v").as("cv"), norm(col("v")).as("cn"))
+      col("vec_id").as("c_id"), col("v").as("cv"), normF(col("v")).as("cn"))
     val queries = asDouble.filter(col("vec_id") < nQueries).select(
-      col("vec_id").as("q_id"), col("v").as("qv"), norm(col("v")).as("qn"))
+      col("vec_id").as("q_id"), col("v").as("qv"), normF(col("v")).as("qn"))
     val scored = cands
       .join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(
         col("q_id"), col("c_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -67,9 +81,11 @@ object Sim {
     * tiebreak so cell boundaries are reproducible across engines.
     */
   def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int, nCells: Int): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    def normF(c: Column) = sqrt(dotF(c, c))
     val asDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val withNorm = asDouble.withColumn("nrm", norm(col("v")))
+    val withNorm = asDouble.withColumn("nrm", normF(col("v")))
     val centroids = withNorm.filter(col("vec_id") < nCells).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -77,7 +93,7 @@ object Sim {
     val assigned = withNorm
       .join(broadcast(centroids))
       .withColumn("score",
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+        round(dotF(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
@@ -88,7 +104,7 @@ object Sim {
       .filter(col("q_id") =!= col("vec_id"))
       .select(
         col("q_id"), col("vec_id").as("c_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos_r"))
+        round(dotF(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos_r"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
     scored
       .withColumn("rnk", row_number().over(wTop).cast("long"))
