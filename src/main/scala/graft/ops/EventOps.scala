@@ -102,6 +102,35 @@ object EventOps {
       .drop("__rn")
   }
 
+  /** The reference's complete extraction pipeline over the GA4 export
+    * shape (`/root/reference/extract_bq.py:86-185`): drop null/empty
+    * users, keep tracked event names (empty vocabulary = no filter,
+    * P4), extract `event_id`/`event_name_detail` from the params array
+    * (N1, last-match-wins), then first-write-wins dedup on the natural
+    * key `(user_id, event_timestamp, event_name)`.
+    *
+    * `arrivalCol` makes "first write" explicit: the reference relies on
+    * row arrival order, which a distributed batch has to name (a file
+    * offset, an ingest sequence, the timestamp itself). Streaming
+    * arrival order is the micro-batch sequence (see
+    * [[graft.streaming.StreamingIncremental]]).
+    */
+  def ga4Pipeline(raw: DataFrame, vocabulary: Seq[String], arrivalCol: String): DataFrame = {
+    val filtered = raw
+      .filter(col("user_id").isNotNull && col("user_id") =!= "")
+      .transform(df =>
+        if (vocabulary.isEmpty) df
+        else df.filter(col("event_name").isin(vocabulary: _*)))
+    val extracted = filtered
+      .withColumn("event_id", extractParam(col("event_params"), "id"))
+      .withColumn("event_name_detail", extractParam(col("event_params"), "name"))
+      .drop("event_params")
+    dedupFirstWrite(
+      extracted,
+      Seq("user_id", "event_timestamp", "event_name"),
+      arrivalCol, arrivalCol)
+  }
+
   /** S6 — upsert-as-anti-join: rows of `incoming` whose natural key is
     * absent from `existing` (the `ON CONFLICT ... DO NOTHING` insert
     * set, `/root/reference/extract_bq.py:220`). `existing` is projected
