@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   * n-gram Jaccard (exact pairwise), MinHash+LSH (approximate, scalable),
   * and SimHash clustering.
   *
+  * Algorithms are the published classics: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * LSH band-bucketing (Indyk & Motwani 1998; the banding analysis in
+  * Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3), and
+  * SimHash fingerprints (Charikar, "Similarity estimation techniques
+  * from rounding algorithms", STOC 2002; used at crawl scale in Manku
+  * et al., WWW 2007). See also PAPERS.md for the retrieved top-k
+  * similarity literature.
+  *
   * Hash choice: md5 of the UTF-8 shingle/token — slower than xxhash64
   * but bit-identical in every engine (the DuckDB oracle reproduces it),
   * which makes the whole pipeline correctness-checkable end to end. At
@@ -57,12 +66,13 @@ object Dedup {
     // carries 8 bytes per row and hash-compares instead of string
     // compares. Collisions (~N²/2³¹ shingles) shift J by a hair — the
     // oracle mirrors the same hash, so results stay exact-comparable.
-    // No .cache(): the three consumers below share the same shuffle
-    // output via ReusedExchange, and holding 3 copies of the corpus
-    // hash set in executor memory just feeds GC at bench time.
+    // cache(): four consumers (both join sides + both size branches)
+    // would otherwise each re-run the shingle pipeline from the scan;
+    // the cached (doc_id, h) set is 16 bytes/row.
     val sh = docShingles(corpus).withColumn("h",
       expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
       .select(col("doc_id"), col("h"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("a"), col("h"))
     val b = sh.select(col("doc_id").as("b"), col("h"))
@@ -118,6 +128,9 @@ object Dedup {
            |              array_join(transform(slice(minhashes, b * $rows + 1, $rows),
            |                                   x -> cast(x as string)), ',') as sig))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.sig"))
+      // both self-join sides read this; cache beats recomputing the
+      // signature aggregation twice (docs × bands rows, tiny)
+      .cache()
     val l = sigs.select(col("band_id"), col("sig"), col("doc_id").as("a"))
     val r = sigs.select(col("band_id"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band_id", "sig"))

@@ -66,8 +66,11 @@ object Sim {
       .filter(col("rnk") <= k)
   }
 
-  /** IVF (inverted-file) approximate nearest neighbour — the 100 TB
-    * scale path for [[cosineTopK]]:
+  /** IVF (inverted-file) approximate nearest neighbour — the coarse
+    * quantizer of Jégou/Douze/Schmid's IVF-PQ family ("Product
+    * quantization for nearest neighbor search", TPAMI 2011) without
+    * the PQ residual codes — and the 100 TB scale path for
+    * [[cosineTopK]]:
     *
     *  1. pick `nCells` coarse centroids (here: the first `nCells`
     *     vectors, deterministically; a real build k-means them);
@@ -97,6 +100,9 @@ object Sim {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      // read twice (query set + candidate set); cache beats re-running
+      // the centroid assignment
+      .cache()
     val queries = assigned.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     val scored = assigned
