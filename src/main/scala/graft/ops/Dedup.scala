@@ -151,14 +151,19 @@ object Dedup {
     val tok = corpus
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
       .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10).cast("long"))
-    val bitSums = tok
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("contrib", expr("2 * ((h >> b) & 1) - 1"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-    val fps = bitSums
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("cast(1 as bigint) << b")).otherwise(0L)).as("fp"))
+    // One groupBy(doc) with 32 conditional-sum aggregates — no ×32 row
+    // explosion, map-side partial aggregation, same math as the
+    // per-(doc,bit) formulation the oracle uses.
+    val bitAggs = (0 until 32).map { b =>
+      sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
+    }
+    val fps = tok.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("fp", (0 until 32).map { b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _))
+      .select(col("doc_id"), col("fp"))
+      .cache() // read twice: fingerprint emit + cluster-keeper lookup
     val byFp = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     fps.join(byFp, "fp").select(col("doc_id"), col("fp"), col("keep_id"))
   }
