@@ -27,6 +27,10 @@ object Profile {
     }
 
     time("corpus count")(corpus.count())
+    (1 to 4).foreach { i =>
+      time(s"ngram run $i")(println("  pairs=" +
+        graft.ops.Dedup.ngramJaccardPairs(corpus, 0.7).count()))
+    }
     time("docShingles")(println("  shingles=" + graft.ops.Dedup.docShingles(corpus).count()))
     time("docShingles+md5")(println("  hashed=" + graft.ops.Dedup.docShingles(corpus)
       .withColumn("h", expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))

@@ -26,9 +26,15 @@ object SparkEntry {
     s
   }
 
+  /** Layout version for materialized scratch dirs: bump whenever the
+    * written schema/partitioning changes so a later round never reads
+    * a stale layout from a previous round's run.
+    */
+  private val qtmpVersion = "v2"
+
   private def tmpDir(tag: String, sfDir: String): String = {
     val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"/root/repo/target/qtmp/${tag}_$sf"
+    s"/root/repo/target/qtmp/$qtmpVersion/${tag}_$sf"
   }
 
   /** Flagship: the reference's core extraction pipeline (SURVEY §7.2) on
@@ -353,7 +359,12 @@ object SparkEntry {
     // so the operators are exercised against known-positive pairs.
     "q_dedup_ngram" -> ((s0, dir) => {
       val s = ensure(s0)
-      Dedup.ngramJaccardPairs(perturbedCorpus(s, dir), threshold = 0.7)
+      // EXACT pairwise Jaccard is the quadratic-cost ground truth — run
+      // on a bounded block (doc_id < 2000, like the embedding-pair
+      // cap). The unbounded scale path is q_dedup_minhash: LSH gives
+      // sub-quadratic candidates, and exact J is then only computed per
+      // candidate pair.
+      Dedup.ngramJaccardPairs(perturbedCorpus(s, dir, cap = 2000), threshold = 0.7)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -402,6 +413,63 @@ object SparkEntry {
       Text.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))
     }),
 
+    "q_cube" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir)
+        .withColumn("event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .cube(col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("event_date").asc_nulls_first)
+    }),
+
+    "q_join_full" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Both sides partially unmatched so the FULL OUTER shape is real:
+      // low custkeys exist only on the customer side, high ones only in
+      // the per-customer order rollup.
+      val a = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 700).select(col("c_custkey"), col("c_name"))
+      val b = Tables.orders(s, dir)
+        .filter(col("o_custkey") >= 300)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      a.join(b, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+        .orderBy(col("custkey"))
+    }),
+
+    "q_window_moving" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        round(avg(col("value")).over(w), 4).as("mov_avg"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    "q_sessionize" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // Gap-based sessionization: a >30-minute silence starts a new
+      // session; session index = running count of session starts. The
+      // streaming twin is session_window(ts, "30 minutes").
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byTime))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("session_idx"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     "q_media_meta" -> ((s0, dir) => {
       val s = ensure(s0)
       Tables.documents(s, dir).select(
@@ -423,8 +491,10 @@ object SparkEntry {
     * Repartitioned: the small parquet arrives as 1-2 splits, which
     * would serialize the hash-heavy map-side work onto 2 cores.
     */
-  private def perturbedCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  private def perturbedCorpus(s: SparkSession, dir: String, cap: Long = Long.MaxValue): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), col("text"))
     d.unionByName(d.select(
       (col("doc_id") + 100000L).as("doc_id"),
       concat(col("text"), lit(" zz9 zz9")).as("text")))
@@ -673,9 +743,10 @@ object SparkEntry {
 
     "q_dedup_ngram" ->
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
         |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents
+        |  WHERE doc_id < 2000),
         |tok AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
         |  FROM corpus),
@@ -841,6 +912,47 @@ object SparkEntry {
         |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')),
         |    t -> md5(t)))[1:4], '-') AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n
+        |FROM events
+        |GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY event_type NULLS FIRST, event_date NULLS FIRST""".stripMargin,
+
+    "q_join_full" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 700),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_custkey >= 300 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
+        |FROM a FULL OUTER JOIN b ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_window_moving" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       round(avg(value) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM g)
+        |SELECT user_id, event_id, ts_us,
+        |       CAST(sum(new_session) OVER (
+        |         PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS session_idx
+        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
