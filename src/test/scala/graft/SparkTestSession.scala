@@ -9,6 +9,10 @@ object SparkTestSession {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // static conf: saveAsTable targets (bucketing spec) land in a
+      // temp warehouse, not the repo working dir
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     Tables.builderConfigs.foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
