@@ -47,6 +47,33 @@ object Sinks {
     }
   }
 
+  /** Real-database upsert (SURVEY §7.4): per-partition batched
+    * `INSERT ... ON CONFLICT (keys) DO NOTHING`, the exact reference
+    * statement (`/root/reference/extract_bq.py:216-258`). Executors
+    * each open one connection and write their partition in batches of
+    * `batchSize` — the reference's `execute_batch(page_size=1000)`
+    * becomes N parallel writers. STUB: this harness has no database to
+    * connect to, so the body is not exercised; the parquet
+    * [[upsertAppend]] below carries the tested semantics.
+    */
+  def jdbcUpsertStub(
+      df: DataFrame, url: String, table: String,
+      keys: Seq[String], batchSize: Int = 1000): Unit = {
+    val cols = df.schema.fieldNames
+    val insert =
+      s"""INSERT INTO $table (${cols.mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})
+         |ON CONFLICT (${keys.mkString(", ")}) DO NOTHING""".stripMargin
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // val conn = java.sql.DriverManager.getConnection(url)
+      // rows.grouped(batchSize).foreach { batch => addBatch per row; executeBatch() }
+      // conn.commit(); conn.close()
+      val _ = (rows, insert) // not exercised: no database in this environment
+      throw new UnsupportedOperationException(
+        "jdbcUpsertStub: wire a real JDBC connection here")
+    }
+  }
+
   /** S6 — idempotent upsert: append only rows whose natural key is not
     * already in the sink. Returns the number of rows appended (the
     * reference's `cursor.rowcount`, `/root/reference/flask_server.py:197`).

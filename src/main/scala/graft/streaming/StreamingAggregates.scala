@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming aggregation surfaces (SURVEY §2.10): watermarked tumbling
+  * windows with append-mode finalization, and custom keyed state via
+  * flatMapGroupsWithState (gap-based sessionization — the streaming
+  * twin of the batch `q_sessionize` query).
+  */
+object StreamingAggregates {
+
+  /** Tumbling-window counts per event type. Append mode: a window's
+    * row is emitted exactly once, when the watermark passes its end —
+    * at scale the state store holds only open windows per shard.
+    */
+  def hourlyCounts(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      checkpointDir: String,
+      sinkDir: String,
+      lateness: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      .groupBy(window(col("__event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  final case class SessionInput(user_id: Long, ts_us: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom keyed state: close a user's session after `gapUs` of
+    * silence (event-time), emit one row per closed session. State per
+    * key is three longs — bounded, sharded by user across executors.
+    * Timeout is event-time based so replays/restarts are deterministic
+    * with the watermark.
+    */
+  def sessionize(
+      events: Dataset[SessionInput],
+      gapUs: Long,
+      lateness: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", lateness)
+      .as[SessionInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.startUs, s.lastUs, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+                  Some(SessionState(s.startUs, e.ts_us, s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.startUs, s.lastUs, s.nEvents)
+                  Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once the watermark passes last+gap
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

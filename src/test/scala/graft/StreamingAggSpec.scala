@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingAggregates
+import graft.streaming.StreamingAggregates.{SessionInput, SessionOut}
+
+class StreamingAggSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("ts_us", LongType)))
+
+  test("watermarked tumbling counts finalize closed windows in append mode") {
+    val base = Files.createTempDirectory("graft-sagg").toString
+    val h = 3600L * 1000000
+    // hour 0: 3 clicks, 1 view; hour 1: 1 click; far-future row pushes
+    // the watermark past both hours so they finalize
+    Seq(
+      ("click", 1L * 1000000), ("click", 2L * 1000000), ("click", 3L * 1000000),
+      ("view", 4L * 1000000), ("click", h + 5L * 1000000),
+      ("tick", 100 * h)
+    ).toDF("event_type", "ts_us").coalesce(1).write.parquet(s"$base/src")
+
+    StreamingAggregates.hourlyCounts(
+      spark, s"$base/src", schema, "ts_us", s"$base/ckpt", s"$base/sink")
+      .awaitTermination()
+
+    val out = spark.read.parquet(s"$base/sink")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("click", 3L)))
+    assert(out.contains(("view", 1L)))
+    assert(out.contains(("click", 1L)))
+    // the far-future 'tick' window is still open — not emitted
+    assert(!out.exists(_._1 == "tick"))
+  }
+
+  test("flatMapGroupsWithState sessionizes by gap and emits closed sessions") {
+    val base = Files.createTempDirectory("graft-sess").toString
+    val m = 60L * 1000000
+    // offset away from epoch 0: a row whose event time equals the
+    // initial watermark (0) is dropped as late
+    val t0 = 1000 * m
+    Seq(
+      SessionInput(1L, t0), SessionInput(1L, t0 + 5 * m), SessionInput(1L, t0 + 10 * m),
+      // > 30 min gap: new session for user 1
+      SessionInput(1L, t0 + 60 * m), SessionInput(1L, t0 + 62 * m),
+      SessionInput(2L, t0),
+      // watermark pusher
+      SessionInput(99L, t0 + 1000 * m)
+    ).toDF().coalesce(1).write.parquet(s"$base/src")
+
+    val src = spark.readStream.schema(
+      StructType(Seq(StructField("user_id", LongType), StructField("ts_us", LongType))))
+      .parquet(s"$base/src").as[SessionInput]
+
+    StreamingAggregates.sessionize(src, gapUs = 30 * m)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+    val out = spark.read.parquet(s"$base/sink").as[SessionOut]
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    assert(out.contains((1L, t0, t0 + 10 * m, 3L)))            // first session of user 1
+    assert(out.contains((1L, t0 + 60 * m, t0 + 62 * m, 2L)))   // second, closed by timeout
+    assert(out.contains((2L, t0, t0, 1L)))                     // single-event session
+  }
+}
