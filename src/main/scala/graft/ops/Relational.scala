@@ -108,4 +108,15 @@ object Relational {
   def distinctUsersPerType(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** The 100 TB form of [[distinctUsersPerType]]: HyperLogLog++ sketch
+    * (`approx_count_distinct`) — one shuffle of fixed-size sketches
+    * instead of a second expand-shuffle on (group, user), at a bounded
+    * relative error (`rsd`, default 5%). Not oracle-checked (sketch
+    * internals differ across engines); the spec pins the error bound
+    * against the exact count.
+    */
+  def approxDistinctUsersPerType(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
 }
