@@ -413,6 +413,28 @@ object SparkEntry {
       Text.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))
     }),
 
+    "q_agg_stats" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(var_samp(col("value")), 4).as("var_value"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_above_avg" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Scalar subquery through Catalyst's subquery rewriting (not a
+      // driver-side collect): events with value above the global mean.
+      Tables.events(s, dir).createOrReplaceTempView("ev_sub")
+      s.sql(
+        """SELECT event_id, round(value, 4) AS value_r FROM ev_sub
+          |WHERE value > (SELECT avg(value) FROM ev_sub)
+          |ORDER BY event_id""".stripMargin)
+    }),
+
     "q_cube" -> ((s0, dir) => {
       val s = ensure(s0)
       Tables.events(s, dir)
@@ -912,6 +934,19 @@ object SparkEntry {
         |    list_distinct(list_filter(string_split(text, ' '), t -> t != '')),
         |    t -> md5(t)))[1:4], '-') AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT event_type,
+        |       round(stddev_samp(value), 4) AS sd_value,
+        |       round(var_samp(value), 4) AS var_value,
+        |       round(min(value), 4) AS min_value,
+        |       round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT event_id, round(value, 4) AS value_r FROM events
+        |WHERE value > (SELECT avg(value) FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "q_cube" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n
