@@ -424,6 +424,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_percentile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Exact interpolated percentiles (both engines use linear
+      // interpolation). At 100 TB swap for approx_percentile
+      // (t-digest-style sketch, single pass, mergeable) — same
+      // substitution contract as approxDistinctUsersPerType.
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_above_avg" -> ((s0, dir) => {
       val s = ensure(s0)
       // Scalar subquery through Catalyst's subquery rewriting (not a
@@ -941,6 +954,12 @@ object SparkEntry {
         |       round(var_samp(value), 4) AS var_value,
         |       round(min(value), 4) AS min_value,
         |       round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_above_avg" ->
