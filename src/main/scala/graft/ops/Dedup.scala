@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * Hash choice: md5 of the UTF-8 shingle/token — slower than xxhash64
   * but bit-identical in every engine (the DuckDB oracle reproduces it),
   * which makes the whole pipeline correctness-checkable end to end. At
-  * 100 TB swap `md5Of` for `xxhash64` — one line, same structure.
+  * 100 TB replace the `md5(...)`-prefix expressions with `xxhash64` —
+  * one line per site, same structure.
   */
 object Dedup {
 
