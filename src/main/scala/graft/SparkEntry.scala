@@ -505,6 +505,35 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    "q_grouping_sets" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir)
+        .withColumn("event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("event_date"))),
+          col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("event_date").asc_nulls_first)
+    }),
+
+    "q_session_window" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Native session_window operator: events merge while gaps stay
+      // under 30 minutes; window end = last event + gap. The oracle
+      // reproduces the same sessions from first principles (lag +
+      // running session index).
+      Tables.events(s, dir)
+        .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          col("n"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
     "q_media_meta" -> ((s0, dir) => {
       val s = ensure(s0)
       Tables.documents(s, dir).select(
@@ -1007,6 +1036,37 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS session_idx
         |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')))
+        |ORDER BY event_type NULLS FIRST, event_date NULLS FIRST""".stripMargin,
+
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(new_session) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f)
+        |SELECT user_id,
+        |       strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |       strftime(make_timestamp(max(ts_us) + 1800000000), '%Y-%m-%d %H:%M:%S')
+        |         AS sess_end,
+        |       count(*) AS n
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
