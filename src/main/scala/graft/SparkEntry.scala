@@ -505,6 +505,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    "q_pivot" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Pivot long→wide: per user, one count column per event type.
+      // The type vocabulary is supplied explicitly — at scale an
+      // unspecified pivot triggers an extra distinct-values job.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy(col("user_id"))
+    }),
+
     "q_grouping_sets" -> ((s0, dir) => {
       val s = ensure(s0)
       Tables.events(s, dir)
@@ -1036,6 +1050,15 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS session_idx
         |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n

@@ -47,6 +47,30 @@ object Sinks {
     }
   }
 
+  /** Small-file compaction: rewrite a directory into `numFiles`
+    * right-sized parquet files. Long-running append pipelines (the
+    * incremental upsert sink) accumulate one file per batch per
+    * partition; at scale the fix is a periodic compaction pass sized
+    * so each file is ~128MB-1GB. Writes to a temp dir then swaps, so a
+    * crash mid-compact never loses the sink.
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+    val tmp = dir + ".compacting"
+    spark.read.parquet(dir).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(dir)
+    val backup = new java.io.File(dir + ".old")
+    if (backup.exists()) delete(backup)
+    target.renameTo(backup)
+    new java.io.File(tmp).renameTo(target)
+    delete(backup)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+  }
+
   /** Real-database upsert (SURVEY §7.4): per-partition batched
     * `INSERT ... ON CONFLICT (keys) DO NOTHING`, the exact reference
     * statement (`/root/reference/extract_bq.py:216-258`). Executors
