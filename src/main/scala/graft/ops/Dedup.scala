@@ -140,6 +140,46 @@ object Dedup {
       .distinct()
   }
 
+  /** The composed production dedup flow: LSH candidates → EXACT
+    * Jaccard verification restricted to candidate pairs → keeper
+    * assignment (each doc keeps the smallest doc_id among itself and
+    * its verified near-dups). This is how the quadratic exact check
+    * becomes affordable at corpus scale: it only ever runs on the
+    * sub-quadratic candidate set.
+    *
+    * Keeper rule is one propagation step (min over direct neighbors),
+    * not full connected components — at scale CC is an iterative
+    * min-propagation loop over this same edge set until fixpoint
+    * (usually ≤5 rounds), or GraphFrames/Pregel.
+    */
+  def lshDedupKeepers(corpus: DataFrame, minJaccard: Double,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minhashLshCandidates(corpus, numHashes, bands)
+    val sh = docShingles(corpus).withColumn("h",
+      expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+      .select(col("doc_id"), col("h"))
+      .cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // exact common-shingle counts, computed ONLY for candidate pairs
+    val common = cands
+      .join(sh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val verified = common
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .filter(round(col("c") / (col("sa") + col("sb") - col("c")), 4) >= minJaccard)
+      .select(col("a"), col("b"))
+    // undirected neighbor set → keeper = min(self, neighbors)
+    val neighbors = verified
+      .unionByName(verified.select(col("b").as("a"), col("a").as("b")))
+    corpus.select(col("doc_id"))
+      .join(neighbors.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(least(col("doc_id"), coalesce(min(col("b")), col("doc_id"))).as("keep_id"))
+  }
+
   /** 32-bit SimHash fingerprint per doc over its distinct-token bag,
     * plus hamming-0 clustering (identical fingerprints share a cluster
     * keeper). The bit width is 32 so the hex→int conversion is exact in
