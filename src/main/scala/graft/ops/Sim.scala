@@ -31,6 +31,28 @@ object Sim {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2-normalize an array<double> embedding (unit length; zero vector
+    * stays zero). After this, dot product IS cosine — normalize once
+    * at ingest, save a sqrt per comparison forever.
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => x / n))
+  }
+
+  /** Symmetric int8 quantization: scale by 127/maxAbs and round —
+    * 4× smaller embeddings for ANN shortlisting; rescore survivors at
+    * full precision. Returns struct(scale, q) so dequantization is
+    * self-contained.
+    */
+  def quantizeInt8(a: Column): Column = {
+    val maxAbs = aggregate(a, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    struct(
+      scale.as("scale"),
+      transform(a, x => round(x / scale).cast("byte")).as("q"))
+  }
+
   /** Brute-force cosine top-k: for each of a SMALL query set (queries
     * broadcast), score against all candidates, keep top `k` per query.
     *
