@@ -511,6 +511,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    "q_profile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Single-pass data-quality profile: one aggregation computes
+      // null counts, ranges, and exact distincts for the whole table —
+      // the intake check a pipeline runs before trusting a new drop.
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+        sum(when(col("props").isNull || col("props") === "", 1L).otherwise(0L)).as("empty_props"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+    }),
+
     "q_pivot" -> ((s0, dir) => {
       val s = ensure(s0)
       // Pivot long→wide: per user, one count column per event type.
@@ -1106,6 +1123,17 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS session_idx
         |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,
+        |  CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS empty_props,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+        |  round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+        |FROM events""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
