@@ -140,6 +140,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Jaccard ESTIMATE from signatures alone: fraction of agreeing
+    * minhash positions. For a candidate pair this costs 16 comparisons
+    * instead of a shingle join — the cheap triage between LSH
+    * candidacy and exact verification (E[est] = J, sd ≈ √(J(1−J)/16)).
+    */
+  def minhashJaccardEstimates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minhashLshCandidates(corpus, numHashes, bands)
+    val sigs = minhashSignatures(corpus, numHashes).cache()
+    cands
+      .join(sigs.select(col("doc_id").as("a"), col("minhashes").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("minhashes").as("sb")), Seq("b"))
+      .select(
+        col("a"), col("b"),
+        round(
+          expr(s"size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p)) / ${numHashes}.0"),
+          4).as("j_est"))
+  }
+
   /** The composed production dedup flow: LSH candidates → EXACT
     * Jaccard verification restricted to candidate pairs → keeper
     * assignment (each doc keeps the smallest doc_id among itself and

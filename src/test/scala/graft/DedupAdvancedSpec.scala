@@ -40,6 +40,15 @@ class DedupAdvancedSpec extends AnyFunSuite {
       s"missed: ${exact.diff(cands)}") // J≥0.9 with 16 hashes / 4 bands ⇒ P(miss) ≈ (1-0.9^4)^4 ≈ 0.2%... use identical docs: J=1 pairs can never be missed
   }
 
+  test("minhash Jaccard estimate is 1.0 for identical docs, sane for near-dups") {
+    val est = Dedup.minhashJaccardEstimates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 4L)) === 1.0) // exact dup: all 16 minhashes agree
+    // near-dup (1,2): true J ≈ 0.9; with 16 hashes the estimate is
+    // coarse but must be high
+    est.get((1L, 2L)).foreach(e => assert(e >= 0.5))
+  }
+
   test("simhash clusters identical token bags together") {
     val out = Dedup.simhashClusters(corpus)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
