@@ -154,7 +154,7 @@ object Dedup {
       .select(
         col("a"), col("b"),
         round(
-          expr(s"size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p)) / ${numHashes}.0"),
+          expr(s"cast(size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p)) as double) / $numHashes"),
           4).as("j_est"))
   }
 
