@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   val defaultSet = Seq(
-    "q_join_inner", "q_join_left", "q_join_semi", "q_upsert_anti",
-    "q_project", "q_prune_dates", "q_sim_cosine_topk", "q_agg_group",
-    "q_topk")
+    "q_join_inner", "q_join_left", "q_join_semi", "q_join_full",
+    "q_upsert_anti", "q_project", "q_prune_dates", "q_sim_cosine_topk",
+    "q_sim_ann", "q_agg_group", "q_topk", "q_dedup_minhash",
+    "q_dedup_pipeline", "q_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -123,6 +123,21 @@ object Text {
       expr("cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) as bigint)")
         .as("n_bpe"))
 
+  /** Heavy hitters: tokens whose frequency exceeds `support` fraction
+    * of all tokens — the "boilerplate/spam token" detector a corpus
+    * pipeline runs before dedup (a page-footer token appearing in 40%
+    * of docs is structure, not content). Exact two-pass form; at
+    * 100 TB substitute a count-min sketch or `DataFrameStatFunctions
+    * .freqItems` (one pass, mergeable) with an exact recount of the
+    * shortlist.
+    */
+  def heavyHitters(documents: DataFrame, support: Double): DataFrame = {
+    val freq = tokenFrequencies(documents)
+    val total = freq.agg(sum(col("freq"))).head().getLong(0)
+    freq.filter(col("freq") >= lit(support * total))
+      .withColumn("share", round(col("freq") / lit(total.toDouble), 4))
+  }
+
   /** Document fingerprint: the 4 lexicographically-smallest md5s of the
     * distinct token set, dash-joined — a bottom-k sketch; equal
     * fingerprints ⇒ near-identical token sets. Map-side only.

@@ -33,6 +33,17 @@ class TextSimSpec extends AnyFunSuite {
     assert(byText === byHash)
   }
 
+  test("heavyHitters finds tokens above the support threshold") {
+    val docs = Seq(
+      (0L, "spam spam spam spam a"),
+      (1L, "spam spam spam b c")
+    ).toDF("doc_id", "text")
+    // 10 tokens total, 'spam' = 7 → share 0.7
+    val hh = Text.heavyHitters(docs, support = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(hh.toSeq === Seq(("spam", 7L, 0.7)))
+  }
+
   test("dot and cosine behave on known vectors") {
     val df = Seq(
       (0, Array(1.0, 0.0), Array(1.0, 0.0)),   // identical → cos 1
