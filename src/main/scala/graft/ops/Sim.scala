@@ -88,6 +88,28 @@ object Sim {
       .filter(col("rnk") <= k)
   }
 
+  /** Random-hyperplane LSH (Charikar, STOC 2002): signature bit i =
+    * sign(v · r_i) for `nPlanes` fixed pseudo-random hyperplanes.
+    * P[bit agrees] = 1 − θ/π, so high-cosine vectors collide into the
+    * same bucket with high probability and the all-pairs search
+    * becomes per-bucket. Planes are generated from a fixed seed, so
+    * bucketing is deterministic across runs and executors. Identical
+    * vectors always share a bucket; recall for near-but-not-identical
+    * pairs is tuned by nPlanes (fewer planes = bigger buckets = higher
+    * recall, more work) and, in production, multi-probe (flip the
+    * lowest-margin bits and search those buckets too).
+    */
+  def hyperplaneLshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val v = col("embedding").cast("array<double>")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p)) > 0.0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), v.as("v"), bucket.as("bucket"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbour — the coarse
     * quantizer of Jégou/Douze/Schmid's IVF-PQ family ("Product
     * quantization for nearest neighbor search", TPAMI 2011) without

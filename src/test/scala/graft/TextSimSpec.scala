@@ -57,6 +57,24 @@ class TextSimSpec extends AnyFunSuite {
     assert(out === Map(0 -> 1.0, 1 -> 0.0, 2 -> 1.0))
   }
 
+  test("hyperplane LSH: identical vectors share a bucket, opposites never do") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val emb = Seq(
+      (0L, base),
+      (1L, base.clone()),          // identical → same bucket, always
+      (2L, base.map(x => -x))      // antipodal → differs on every plane with |dot|>0
+    ).toDF("vec_id", "embedding")
+    val buckets = Sim.hyperplaneLshBuckets(emb, dim = 8, nPlanes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(buckets(0L) === buckets(1L))
+    assert(buckets(0L) !== buckets(2L))
+    // deterministic across invocations
+    val again = Sim.hyperplaneLshBuckets(emb, dim = 8, nPlanes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === buckets)
+  }
+
   test("cosineTopK returns k ranked neighbours per query") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
