@@ -374,6 +374,12 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_dedup_minhash_est" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.minhashJaccardEstimates(perturbedCorpus(s, dir, cap = 2000))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q_dedup_pipeline" -> ((s0, dir) => {
       val s = ensure(s0)
       Dedup.lshDedupKeepers(perturbedCorpus(s, dir, cap = 2000), minJaccard = 0.7)
@@ -902,6 +908,46 @@ object SparkEntry {
         |FROM bands x JOIN bands y
         |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_minhash_est" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents
+        |  WHERE doc_id < 2000),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |mh AS (
+        |  SELECT doc_id, seeds.seed,
+        |         min(((37 + 101 * seeds.seed) * h + 13 + 97 * seeds.seed) % 2147483647) AS mh
+        |  FROM hx, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY doc_id, seeds.seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band_id,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id)
+        |SELECT c.a, c.b,
+        |       round(CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+        |         AS j_est
+        |FROM cands c
+        |JOIN mh ma ON ma.doc_id = c.a
+        |JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+        |GROUP BY c.a, c.b
+        |ORDER BY c.a, c.b""".stripMargin,
 
     "q_dedup_pipeline" ->
       """WITH corpus AS (
