@@ -138,6 +138,21 @@ object Text {
       .withColumn("share", round(col("freq") / lit(total.toDouble), 4))
   }
 
+  /** Polynomial rolling hash over the raw character stream
+    * (Rabin-Karp base 31 mod 2³¹−1) — the classic incremental document
+    * fingerprint. Sequential by definition, so it's an `aggregate`
+    * left fold; fine as a per-document map-side pass, but prefer
+    * [[fingerprints]] (sortable bottom-k sketch) when fingerprints
+    * need to be comparable under edits.
+    */
+  def rollingHash(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      expr(
+        """aggregate(split(text, ''), cast(0 as bigint),
+          |          (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)""".stripMargin)
+        .as("rhash"))
+
   /** Document fingerprint: the 4 lexicographically-smallest md5s of the
     * distinct token set, dash-joined — a bottom-k sketch; equal
     * fingerprints ⇒ near-identical token sets. Map-side only.

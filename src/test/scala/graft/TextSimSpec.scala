@@ -33,6 +33,15 @@ class TextSimSpec extends AnyFunSuite {
     assert(byText === byHash)
   }
 
+  test("rollingHash matches the hand-computed polynomial fold") {
+    val docs = Seq((0L, "ab"), (1L, "ab"), (2L, "ba")).toDF("doc_id", "text")
+    val out = Text.rollingHash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 97L * 31 + 98)  // 'a'=97, 'b'=98 → 3105
+    assert(out(0L) === out(1L))        // content-determined
+    assert(out(0L) !== out(2L))        // order matters (rolling, not bag)
+  }
+
   test("heavyHitters finds tokens above the support threshold") {
     val docs = Seq(
       (0L, "spam spam spam spam a"),
