@@ -110,6 +110,33 @@ object Sim {
     embeddings.select(col("vec_id"), v.as("v"), bucket.as("bucket"))
   }
 
+  /** LSH-bucketed approximate top-k: score a query only against
+    * candidates sharing its hyperplane-LSH bucket. Same shape as
+    * [[cosineTopKIvf]] but the partitioner is data-independent (no
+    * centroid build step) — the right choice when the corpus drifts
+    * faster than you want to re-train centroids. Production recall
+    * comes from multi-probe (also search buckets at hamming distance 1
+    * from the query's signature).
+    */
+  def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val bucketed = hyperplaneLshBuckets(embeddings, dim = 64, nPlanes = nPlanes)
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+      .cache()
+    val queries = bucketed.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = bucketed
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"), col("vec_id").as("c_id"),
+        round(dotF(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF (inverted-file) approximate nearest neighbour — the coarse
     * quantizer of Jégou/Douze/Schmid's IVF-PQ family ("Product
     * quantization for nearest neighbor search", TPAMI 2011) without

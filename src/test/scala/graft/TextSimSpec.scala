@@ -84,6 +84,20 @@ class TextSimSpec extends AnyFunSuite {
     assert(again === buckets)
   }
 
+  test("cosineTopKLsh finds the identical twin through its bucket") {
+    val rnd = new scala.util.Random(11)
+    // query 0 and vec 100 identical (same bucket guaranteed); plus
+    // 50 random 64-dim distractors
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = Seq((0L, base), (100L, base.clone())) ++
+      (1L to 50L).map(i => (100L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Sim.cosineTopKLsh(emb, nQueries = 1, k = 3, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // the identical twin must rank first with cosine 1.0
+    assert(out.exists(r => r._1 == 0L && r._2 == 100L && r._3 == 1.0 && r._4 == 1L))
+  }
+
   test("cosineTopK returns k ranked neighbours per query") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
