@@ -26,6 +26,23 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salted join equals plain join on randomized skews and salt counts") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { _ =>
+      val hot = rnd.nextInt(20).toLong
+      val probe = (0 until 300)
+        .map(i => (if (rnd.nextInt(100) < 70) hot else rnd.nextInt(20).toLong, i))
+        .toDF("k", "payload")
+      val build = (0 until 20).map(i => (i.toLong, s"d$i")).toDF("bk", "attr")
+      val salt = 1 + rnd.nextInt(7)
+      val plain = probe.join(build, $"k" === $"bk")
+        .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+      val salted = Relational.saltedJoin(probe, build, "k", "bk", salt)
+        .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+      assert(salted === plain, s"salt=$salt hot=$hot")
+    }
+  }
+
   test("salted join keeps multiplicity when build side has duplicate keys") {
     val probe = Seq((1L, "a"), (1L, "b")).toDF("k", "payload")
     val build = Seq((1L, "x"), (1L, "y")).toDF("bk", "attr")
