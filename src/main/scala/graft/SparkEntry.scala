@@ -339,6 +339,12 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token"))
     }),
 
+    "q_heavy_hitters" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.heavyHitters(Tables.documents(s, dir), support = 0.02)
+        .orderBy(col("token"))
+    }),
+
     "q_text_stats" -> ((s0, dir) => {
       val s = ensure(s0)
       Text.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"), col("source"))
@@ -822,6 +828,18 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |WHERE token <> ''
         |GROUP BY token ORDER BY freq DESC, token""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH f AS (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  WHERE token <> '' GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f)
+        |SELECT f.token, f.freq,
+        |       round(f.freq / CAST(tot.total AS DOUBLE), 4) AS share
+        |FROM f, tot
+        |WHERE f.freq >= 0.02 * tot.total
+        |ORDER BY f.token""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
