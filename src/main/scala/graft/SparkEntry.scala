@@ -415,6 +415,11 @@ object SparkEntry {
       Text.languageId(Tables.documents(s, dir)).orderBy(col("doc_id"))
     }),
 
+    "q_lang_id_ngram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.languageIdCharNgram(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
     "q_quality_score" -> ((s0, dir) => {
       val s = ensure(s0)
       Text.qualityScore(Tables.documents(s, dir), Seq("the", "a"))
@@ -1098,6 +1103,28 @@ object SparkEntry {
         |         THEN 'p_stream'
         |       WHEN score_p_query >= score_p_article THEN 'p_query'
         |       ELSE 'p_article' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 2, 1)),
+        |    i -> substr(text, i, 3))) AS grams
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(list_intersect(grams, ['the','he ',' th','e t']))) AS BIGINT)
+        |      AS score_c_the,
+        |    CAST(len(list_distinct(list_intersect(grams, ['spa','par','ark','rk ']))) AS BIGINT)
+        |      AS score_c_spk,
+        |    CAST(len(list_distinct(list_intersect(grams, ['que','uer','ery','ry ']))) AS BIGINT)
+        |      AS score_c_qry
+        |  FROM t)
+        |SELECT doc_id, score_c_the, score_c_spk, score_c_qry,
+        |  CASE WHEN score_c_the >= score_c_spk AND score_c_the >= score_c_qry
+        |         THEN 'c_the'
+        |       WHEN score_c_spk >= score_c_qry THEN 'c_spk'
+        |       ELSE 'c_qry' END AS predicted
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->

@@ -92,6 +92,36 @@ object Text {
     scored.select(outCols: _*)
   }
 
+  /** Character-trigram language-ID: score each profile by distinct
+    * char-3-gram overlap with the document, argmax with name tiebreak.
+    * This is the real n-gram LID shape (profiles would be the top-k
+    * trigrams of per-language training text); the profiles here are
+    * tiny fixed sets so the oracle can mirror them.
+    */
+  val charProfiles: Seq[(String, Seq[String])] = Seq(
+    "c_the" -> Seq("the", "he ", " th", "e t"),
+    "c_spk" -> Seq("spa", "par", "ark", "rk "),
+    "c_qry" -> Seq("que", "uer", "ery", "ry "))
+
+  def languageIdCharNgram(documents: DataFrame): DataFrame = {
+    val grams = expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(length(text) - 2, 1)),
+        |  i -> substring(text, i, 3)))""".stripMargin)
+    val scored = charProfiles.foldLeft(documents.withColumn("grams", grams)) {
+      case (df, (name, gs)) =>
+        df.withColumn(s"score_$name",
+          size(array_intersect(col("grams"), array(gs.map(lit): _*))).cast("long"))
+    }
+    val best = charProfiles.map { case (name, _) =>
+      struct(col(s"score_$name").as("score"), lit(name).as("profile"))
+    }
+    val outCols = Seq(col("doc_id")) ++
+      charProfiles.map { case (n, _) => col(s"score_$n") } :+
+      greatest(best: _*).getField("profile").as("predicted")
+    scored.select(outCols: _*)
+  }
+
   /** Quality scoring: token count, mean token length, stopword ratio,
     * and a single [0,1] score — the length/punct/stopword heuristics a
     * corpus filter runs before training. All arithmetic mirrored in the

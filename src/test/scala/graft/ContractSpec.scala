@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 60)
+    assert(SparkEntry.queries.size === 61)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
