@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -11,6 +13,18 @@ object Bench {
     Tables.builderConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Cumulative shuffle-write bytes across all tasks — snapshotted
+    // around each query so shuffle-heavy operators are visible in the
+    // output, not just slow ones. (Listener delivery is async; the
+    // short settle sleep makes per-query deltas approximate but
+    // directionally right.)
+    val shuffleWrite = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     // Warm up once (JIT, codegen compiler, Hadoop FS init, parquet
     // footer cache) so the one-time JVM costs don't land on whichever
     // query happens to run first.
@@ -36,18 +50,23 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val s0 = shuffleWrite.get()
       val t1 = once()
+      Thread.sleep(50) // let listener events drain
+      val sMb = (shuffleWrite.get() - s0) / 1e6
       val t = if (errors.contains(name)) t1 else math.min(t1, once())
-      name -> t
+      (name, t, sMb)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$sh,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
