@@ -54,6 +54,8 @@ object Bench {
       val t1 = once()
       Thread.sleep(50) // let listener events drain
       val sMb = (shuffleWrite.get() - s0) / 1e6
+      // min-of-2: host noise arrives in sustained bursts, so more
+      // samples mostly extend exposure instead of escaping the burst
       val t = if (errors.contains(name)) t1 else math.min(t1, once())
       (name, t, sMb)
     }
