@@ -47,6 +47,15 @@ object Sinks {
     }
   }
 
+  /** Write-once materialization: write `df` to `dir` unless a previous
+    * run already completed there (the _SUCCESS marker). `df` is
+    * by-name so the frame isn't even planned on the hit path.
+    */
+  def ensureWritten(df: => DataFrame, dir: String): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) df.write.mode("overwrite").parquet(dir)
+  }
+
   /** Small-file compaction: rewrite a directory into `numFiles`
     * right-sized parquet files. Long-running append pipelines (the
     * incremental upsert sink) accumulate one file per batch per
@@ -55,15 +64,27 @@ object Sinks {
     * crash mid-compact never loses the sink.
     */
   def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+    import java.nio.file.{Files, Paths}
     val tmp = dir + ".compacting"
     spark.read.parquet(dir).repartition(numFiles)
       .write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(dir)
-    val backup = new java.io.File(dir + ".old")
-    if (backup.exists()) delete(backup)
-    target.renameTo(backup)
-    new java.io.File(tmp).renameTo(target)
-    delete(backup)
+    val target = Paths.get(dir)
+    val backup = Paths.get(dir + ".old")
+    if (Files.exists(backup)) delete(backup.toFile)
+    // Files.move throws on failure (unlike File.renameTo, which returns
+    // false and would let a failed swap fall through to the backup
+    // delete below — losing the only copy of the sink).
+    Files.move(target, backup)
+    try Files.move(Paths.get(tmp), target)
+    catch { case e: Throwable =>
+      Files.move(backup, target) // roll back: restore the original sink
+      throw e
+    }
+    // Only drop the backup once the swapped-in sink is really there.
+    if (!Files.isDirectory(target) || !Files.exists(target.resolve("_SUCCESS")))
+      throw new IllegalStateException(
+        s"compact: swapped target $dir is missing or incomplete; backup kept at $backup")
+    delete(backup.toFile)
   }
 
   private def delete(f: java.io.File): Unit = {
