@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,13 +156,13 @@ object SparkEntry {
           count(lit(1)).as("n"),
           round(sum(col("value")), 4).as("sum_value"),
           round(avg(col("value")), 4).as("avg_value"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_first)
     }),
 
     "q_agg_distinct" -> ((s0, dir) => {
       val s = ensure(s0)
       Relational.distinctUsersPerType(Tables.events(s, dir))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_first)
     }),
 
     "q_rollup" -> ((s0, dir) => {
@@ -176,7 +176,9 @@ object SparkEntry {
       EventOps.dedupFirstWrite(
         Tables.events(s, dir), Seq("user_id", "event_type"), "ts_us", "event_id")
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
-        .orderBy(col("user_id"), col("event_type"))
+        // explicit null placement: Spark asc defaults NULLS FIRST but
+        // DuckDB defaults NULLS LAST — pin both sides (user_id is nullable)
+        .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first)
     }),
 
     "q_upsert_anti" -> ((s0, dir) => {
@@ -265,19 +267,19 @@ object SparkEntry {
     "q_window_rank" -> ((s0, dir) => {
       val s = ensure(s0)
       Relational.rankPerUser(Tables.events(s, dir))
-        .orderBy(col("user_id"), col("rn"))
+        .orderBy(col("user_id").asc_nulls_first, col("rn"))
     }),
 
     "q_window_lag" -> ((s0, dir) => {
       val s = ensure(s0)
       Relational.interEventGap(Tables.events(s, dir))
-        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
     }),
 
     "q_window_tumbling" -> ((s0, dir) => {
       val s = ensure(s0)
       Relational.hourlyCounts(Tables.events(s, dir))
-        .orderBy(col("win_start"), col("event_type"))
+        .orderBy(col("win_start"), col("event_type").asc_nulls_first)
     }),
 
     "q_date_parse" -> ((s0, dir) => {
@@ -444,7 +446,7 @@ object SparkEntry {
           round(var_samp(col("value")), 4).as("var_value"),
           round(min(col("value")), 4).as("min_value"),
           round(max(col("value")), 4).as("max_value"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_first)
     }),
 
     "q_percentile" -> ((s0, dir) => {
@@ -457,7 +459,7 @@ object SparkEntry {
         .agg(
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_first)
     }),
 
     "q_above_avg" -> ((s0, dir) => {
@@ -506,7 +508,7 @@ object SparkEntry {
       Tables.events(s, dir).select(
         col("user_id"), col("event_id"), col("ts_us"),
         round(avg(col("value")).over(w), 4).as("mov_avg"))
-        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
     }),
 
     "q_sessionize" -> ((s0, dir) => {
@@ -525,7 +527,7 @@ object SparkEntry {
         .withColumn("session_idx",
           sum(col("new_session")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("event_id"), col("ts_us"), col("session_idx"))
-        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
     }),
 
     "q_profile" -> ((s0, dir) => {
@@ -556,7 +558,7 @@ object SparkEntry {
         .pivot("event_type", types)
         .agg(count(lit(1)))
         .na.fill(0L, types)
-        .orderBy(col("user_id"))
+        .orderBy(col("user_id").asc_nulls_first)
     }),
 
     "q_grouping_sets" -> ((s0, dir) => {
@@ -585,7 +587,7 @@ object SparkEntry {
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
           date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
           col("n"))
-        .orderBy(col("user_id"), col("sess_start"))
+        .orderBy(col("user_id").asc_nulls_first, col("sess_start"))
     }),
 
     "q_media_meta" -> ((s0, dir) => {
@@ -602,6 +604,36 @@ object SparkEntry {
             |                          (length(text) div 3)) as binary))), '-')""".stripMargin)
           .as("frames_sig"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- batch 5 (round 3): transitive dedup, GA4 nested shape, trained IVF --
+    "q_dedup_cc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.connectedComponentKeepers(chainCorpus(s, dir, cap = 500), minJaccard = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_ga4_extract" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // The reference's real N1 shape, oracle-checked end to end:
+      // ARRAY<STRUCT> scan from parquet → HOF filter + try_element_at(-1)
+      // (last-match-wins, null-array-safe). The oracle states the
+      // expected values from first principles (it knows how the table
+      // was derived), so the nested extraction is independently checked.
+      ga4Table(s, dir)
+        .select(
+          col("event_id"),
+          EventOps.extractParam(col("event_params"), "k").as("param_k"),
+          EventOps.extractParam(col("event_params"), "page").as("page"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_sim_ann_kmeans" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.cosineTopKIvfKmeans(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, nCells = 8, iters = 4, nProbe = 2)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -624,6 +656,78 @@ object SparkEntry {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** documents ∪ two prefix-truncated generations — guaranteed
+    * duplicate CHAINS. Prefix truncation keeps shingle sets nested, so
+    * Jaccards are pure length ratios: B (80% prefix) ~ A at J≈0.8 and
+    * C (64% prefix) ~ B at J≈0.8, but C ~ A only at J≈0.64 < 0.7 —
+    * A-B-C connect transitively, never directly. Exactly the input a
+    * one-hop keeper gets wrong and connected components gets right.
+    */
+  private def chainCorpus(s: SparkSession, dir: String, cap: Long): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"), col("text"))
+    def prefix(frac: Double): Column =
+      array_join(slice(col("toks"), lit(1), ceil(size(col("toks")) * frac).cast("int")), " ")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), prefix(0.80).as("text")))
+      .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"), prefix(0.64).as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** The GA4-shaped nested table (the reference's actual N1 input,
+    * `/root/reference/extract_bq.py:155-164`): `event_params` is
+    * ARRAY<STRUCT<key, value STRUCT<string_value, int_value>>>,
+    * derived deterministically from `events` so the DuckDB oracle can
+    * state the expected extraction from first principles. The five
+    * shapes by event_id % 5: NULL array (0), key among others (1),
+    * DUPLICATE key — last must win (2), key absent (3), key first (4).
+    */
+  private def ga4Frame(events: DataFrame): DataFrame = {
+    val kStr = get_json_object(col("props"), "$.k")
+    val kLong = kStr.cast("long")
+    def p(key: String, sv: Column, iv: Column): Column = struct(
+      lit(key).as("key"),
+      struct(sv.as("string_value"), iv.as("int_value")).as("value"))
+    def pStr(key: String, sv: Column): Column = p(key, sv, lit(null).cast("long"))
+    val m = col("event_id") % 5
+    val params =
+      when(m === 0, lit(null))
+        .when(m === 1, array(pStr("page", lit("home")), p("k", kStr, kLong)))
+        .when(m === 2, array(
+          p("k", kStr, kLong),
+          p("k", (kLong * 2).cast("string"), kLong * 2)))
+        .when(m === 3, array(pStr("page", lit("search"))))
+        .otherwise(array(p("k", kStr, kLong), pStr("page", lit("cart"))))
+    events.select(
+      col("event_id"),
+      col("user_id").cast("string").as("user_id"),
+      col("ts_us").as("event_timestamp"),
+      col("event_type").as("event_name"),
+      params.as("event_params"))
+  }
+
+  private def ga4Table(s: SparkSession, dir: String): DataFrame = {
+    val ga4 = tmpDir("ga4", dir)
+    Sinks.ensureWritten(ga4Frame(Tables.events(s, dir)), ga4)
+    s.read.parquet(ga4)
+  }
+
+  /** One-time scratch materializations (the date-partitioned events
+    * layout, the GA4 nested parquet). Queries run the same ensure*
+    * calls lazily; Bench calls this BEFORE the timed region so layout
+    * construction — an input, like the testdata itself — isn't billed
+    * to whichever query happens to touch it first.
+    */
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
+    val s = ensure(spark)
+    Sinks.ensurePartitioned(
+      Tables.events(s, sfDir).withColumn(
+        "event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")),
+      tmpDir("events_by_date", sfDir), "event_date")
+    Sinks.ensureWritten(ga4Frame(Tables.events(s, sfDir)), tmpDir("ga4", sfDir))
   }
 
   // ---------------------------------------------------------------------------
@@ -688,11 +792,11 @@ object SparkEntry {
     "q_agg_group" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
         |       round(avg(value), 4) AS avg_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q_agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q_rollup" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n
@@ -706,7 +810,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+        |WHERE rn = 1 ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
 
     "q_upsert_anti" ->
       """WITH existing AS (
@@ -770,18 +874,18 @@ object SparkEntry {
       """SELECT user_id, event_id,
         |       CAST(row_number() OVER (PARTITION BY user_id
         |                               ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
-        |FROM events ORDER BY user_id, rn""".stripMargin,
+        |FROM events ORDER BY user_id NULLS FIRST, rn""".stripMargin,
 
     "q_window_lag" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
         |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
-        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+        |FROM events ORDER BY user_id NULLS FIRST, ts_us, event_id""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type NULLS FIRST""".stripMargin,
 
     "q_date_parse" ->
       """WITH raw AS (
@@ -1161,13 +1265,13 @@ object SparkEntry {
         |       round(var_samp(value), 4) AS var_value,
         |       round(min(value), 4) AS min_value,
         |       round(max(value), 4) AS max_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.9), 4) AS p90
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q_above_avg" ->
       """SELECT event_id, round(value, 4) AS value_r FROM events
@@ -1195,7 +1299,7 @@ object SparkEntry {
         |       round(avg(value) OVER (
         |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
-        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+        |FROM events ORDER BY user_id NULLS FIRST, ts_us, event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (
@@ -1213,7 +1317,7 @@ object SparkEntry {
         |         PARTITION BY user_id ORDER BY ts_us, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS session_idx
-        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+        |FROM f ORDER BY user_id NULLS FIRST, ts_us, event_id""".stripMargin,
 
     "q_profile" ->
       """SELECT count(*) AS n_rows,
@@ -1233,7 +1337,7 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n
@@ -1264,7 +1368,7 @@ object SparkEntry {
         |         AS sess_end,
         |       count(*) AS n
         |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, sess_start""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, sess_start""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
@@ -1274,6 +1378,88 @@ object SparkEntry {
         |  array_to_string(list_transform(generate_series(0, 2),
         |    i -> md5(substr(text, 1 + i * (length(text) // 3), (length(text) // 3)))), '-')
         |    AS frames_sig
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Transitive keeper: same LSH→verify pipeline as q_dedup_pipeline but
+    // over the prefix-truncated CHAIN corpus, then a recursive CTE for
+    // reachability — keep_id = min doc_id in the connected component.
+    "q_dedup_cc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |corpus AS (
+        |  SELECT doc_id, array_to_string(toks, ' ') AS text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.80 AS DOUBLE)) AS INT)], ' ')
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.64 AS DOUBLE)) AS INT)], ' ')
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |mh AS (
+        |  SELECT doc_id, seeds.seed,
+        |         min(((37 + 101 * seeds.seed) * h + 13 + 97 * seeds.seed) % 2147483647) AS mh
+        |  FROM hx, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY doc_id, seeds.seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band_id,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.a, c.b, count(*) AS cnt FROM cands c
+        |  JOIN hx xa ON xa.doc_id = c.a
+        |  JOIN hx xb ON xb.doc_id = c.b AND xb.h = xa.h
+        |  GROUP BY c.a, c.b),
+        |verified AS (
+        |  SELECT m.a, m.b FROM common m
+        |  JOIN sizes sa ON sa.doc_id = m.a
+        |  JOIN sizes sb ON sb.doc_id = m.b
+        |  WHERE round(m.cnt / (sa.sz + sb.sz - m.cnt), 4) >= 0.7),
+        |edges AS (
+        |  SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
+        |reach AS (
+        |  SELECT a AS doc_id, b AS r FROM edges
+        |  UNION
+        |  SELECT rc.doc_id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)
+        |SELECT c.doc_id,
+        |       least(c.doc_id, coalesce(min(rc.r), c.doc_id)) AS keep_id
+        |FROM (SELECT doc_id FROM corpus) c
+        |LEFT JOIN reach rc ON rc.doc_id = c.doc_id
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // First-principles expectation for the GA4 nested extraction: the
+    // oracle never touches event_params — it re-states, per event_id % 5
+    // shape, what last-match-wins extraction over the derived
+    // ARRAY<STRUCT> must return (see ga4Frame's shape table).
+    "q_ga4_extract" ->
+      """SELECT event_id,
+        |  CASE
+        |    WHEN event_id % 5 IN (1, 4) THEN json_extract_string(props, '$.k')
+        |    WHEN event_id % 5 = 2
+        |      THEN CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS VARCHAR)
+        |    ELSE NULL END AS param_k,
+        |  CASE event_id % 5
+        |    WHEN 1 THEN 'home' WHEN 3 THEN 'search' WHEN 4 THEN 'cart'
+        |    ELSE NULL END AS page
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope
+
 /** Near-duplicate detection over text corpora — the document-dedup
   * toolbox of a training-data pipeline: exact (see [[Text.exactDedup]]),
   * n-gram Jaccard (exact pairwise), MinHash+LSH (approximate, scalable),
@@ -30,28 +32,25 @@ object Dedup {
 
   /** (doc_id, shingle) pairs: distinct 3-gram token shingles, one row
     * each. Docs shorter than 3 tokens collapse to one partial shingle
-    * (concat_ws skips the NULL leads) — mirrored exactly by the DuckDB
+    * (concat_ws skips the NULL tails) — mirrored exactly by the DuckDB
     * oracle.
     *
-    * Shape: posexplode + windowed `lead(1)/lead(2)` + distinct. A
-    * higher-order-function formulation (transform over sequence with
-    * toks[i] indexing) is prettier but HOF lambdas are interpreted,
-    * not codegen'd — measured 5× slower on this stage. The window
-    * shuffle partitions on doc_id (high cardinality, well spread).
+    * Shape: explode a position sequence and index the token array with
+    * `try_element_at` (codegen'd array access, NOT an interpreted HOF
+    * lambda) — fully map-side, so the only shuffle is the distinct.
+    * The previous posexplode + lead/lead window form paid an extra
+    * full shuffle+sort on doc_id for the same output.
     */
-  def docShingles(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wAll = Window.partitionBy(col("doc_id"))
+  def docShingles(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .filter(col("pos") <= greatest(col("n") - 3, lit(0)))
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 3, lit(0)))).as("pos"))
+      .select(col("doc_id"), concat_ws(" ",
+        try_element_at(col("toks"), col("pos") + 1),
+        try_element_at(col("toks"), col("pos") + 2),
+        try_element_at(col("toks"), col("pos") + 3)).as("shingle"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over
     * 3-gram shingle sets, pairs with J ≥ threshold.
@@ -70,10 +69,10 @@ object Dedup {
     // cache(): four consumers (both join sides + both size branches)
     // would otherwise each re-run the shingle pipeline from the scan;
     // the cached (doc_id, h) set is 16 bytes/row.
-    val sh = docShingles(corpus).withColumn("h",
-      expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
-      .select(col("doc_id"), col("h"))
-      .cache()
+    val sh = CacheScope.cached(
+      docShingles(corpus).withColumn("h",
+        expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+        .select(col("doc_id"), col("h")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("a"), col("h"))
     val b = sh.select(col("doc_id").as("b"), col("h"))
@@ -129,11 +128,11 @@ object Dedup {
            |              array_join(transform(slice(minhashes, b * $rows + 1, $rows),
            |                                   x -> cast(x as string)), ',') as sig))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.sig"))
-      // both self-join sides read this; cache beats recomputing the
-      // signature aggregation twice (docs × bands rows, tiny)
-      .cache()
-    val l = sigs.select(col("band_id"), col("sig"), col("doc_id").as("a"))
-    val r = sigs.select(col("band_id"), col("sig"), col("doc_id").as("b"))
+    // both self-join sides read this; cache beats recomputing the
+    // signature aggregation twice (docs × bands rows, tiny)
+    val cachedSigs = CacheScope.cached(sigs)
+    val l = cachedSigs.select(col("band_id"), col("sig"), col("doc_id").as("a"))
+    val r = cachedSigs.select(col("band_id"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band_id", "sig"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
@@ -147,7 +146,7 @@ object Dedup {
     */
   def minhashJaccardEstimates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val cands = minhashLshCandidates(corpus, numHashes, bands)
-    val sigs = minhashSignatures(corpus, numHashes).cache()
+    val sigs = CacheScope.cached(minhashSignatures(corpus, numHashes))
     cands
       .join(sigs.select(col("doc_id").as("a"), col("minhashes").as("sa")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("minhashes").as("sb")), Seq("b"))
@@ -158,25 +157,18 @@ object Dedup {
           4).as("j_est"))
   }
 
-  /** The composed production dedup flow: LSH candidates → EXACT
-    * Jaccard verification restricted to candidate pairs → keeper
-    * assignment (each doc keeps the smallest doc_id among itself and
-    * its verified near-dups). This is how the quadratic exact check
-    * becomes affordable at corpus scale: it only ever runs on the
-    * sub-quadratic candidate set.
-    *
-    * Keeper rule is one propagation step (min over direct neighbors),
-    * not full connected components — at scale CC is an iterative
-    * min-propagation loop over this same edge set until fixpoint
-    * (usually ≤5 rounds), or GraphFrames/Pregel.
+  /** Verified near-dup edge set: LSH candidates → EXACT Jaccard
+    * verification restricted to candidate pairs (the quadratic check
+    * only ever runs on the sub-quadratic candidate set). Returns
+    * directed pairs (a < b) with J ≥ minJaccard.
     */
-  def lshDedupKeepers(corpus: DataFrame, minJaccard: Double,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  def verifiedNearDupPairs(corpus: DataFrame, minJaccard: Double,
+                           numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val cands = minhashLshCandidates(corpus, numHashes, bands)
-    val sh = docShingles(corpus).withColumn("h",
-      expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
-      .select(col("doc_id"), col("h"))
-      .cache()
+    val sh = CacheScope.cached(
+      docShingles(corpus).withColumn("h",
+        expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+        .select(col("doc_id"), col("h")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // exact common-shingle counts, computed ONLY for candidate pairs
     val common = cands
@@ -184,11 +176,23 @@ object Dedup {
       .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val verified = common
+    common
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
       .filter(round(col("c") / (col("sa") + col("sb") - col("c")), 4) >= minJaccard)
       .select(col("a"), col("b"))
+  }
+
+  /** The composed dedup flow with the ONE-HOP keeper rule: each doc
+    * keeps the smallest doc_id among itself and its DIRECT verified
+    * near-dups. Cheap (no iteration) and correct when duplicate groups
+    * are cliques; duplicate CHAINS (A~B~C with A,C dissimilar) split
+    * into multiple keepers — [[connectedComponentKeepers]] is the
+    * transitive production rule.
+    */
+  def lshDedupKeepers(corpus: DataFrame, minJaccard: Double,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val verified = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
     // undirected neighbor set → keeper = min(self, neighbors)
     val neighbors = verified
       .unionByName(verified.select(col("b").as("a"), col("a").as("b")))
@@ -196,6 +200,58 @@ object Dedup {
       .join(neighbors.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
       .agg(least(col("doc_id"), coalesce(min(col("b")), col("doc_id"))).as("keep_id"))
+  }
+
+  /** TRANSITIVE dedup keeper: connected components over the verified
+    * edge set, each doc keeping the smallest doc_id in its component —
+    * so a duplicate chain A~B~C collapses to ONE keeper even when A
+    * and C are not directly similar.
+    *
+    * Algorithm: iterated min-label propagation to fixpoint
+    * (label(v) ← min(label(v), min over neighbors' labels)), the
+    * standard Pregel/hash-min connected-components formulation. Each
+    * round is one broadcast-or-shuffle join + one partial-aggregated
+    * groupBy; rounds needed = graph diameter in label-hops, ≤ ~5 for
+    * dedup graphs (duplicate clusters are tiny and dense).
+    * Convergence is detected by the label-sum (labels only ever
+    * decrease, so an unchanged sum IS the fixpoint — one cheap scalar
+    * agg per round instead of a change-count join). `localCheckpoint`
+    * truncates the per-round lineage so the plan doesn't grow
+    * exponentially with iterations.
+    *
+    * At 100 TB: identical shape, with the edge set hash-partitioned on
+    * `a`; the label table is docs×16 bytes, and each round's shuffle
+    * carries only (doc, label) pairs. GraphFrames' CC is this same
+    * loop with large-star/small-star optimizations.
+    */
+  def connectedComponentKeepers(corpus: DataFrame, minJaccard: Double,
+                                numHashes: Int = 16, bands: Int = 4,
+                                maxIters: Int = 20): DataFrame = {
+    val verified = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
+    val edges = CacheScope.cached(
+      verified.unionByName(verified.select(col("b").as("a"), col("a").as("b"))))
+    var labels = corpus.select(col("doc_id"), col("doc_id").as("keep_id"))
+      .localCheckpoint()
+    var prevSum = Option.empty[Long]
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("keep_id")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("keep_id")).as("nb_min"))
+        .withColumnRenamed("a", "doc_id")
+      labels = labels
+        .join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keep_id"), coalesce(col("nb_min"), col("keep_id"))).as("keep_id"))
+        .localCheckpoint()
+      val sumRow = labels.agg(sum(col("keep_id"))).head()
+      val labelSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      converged = prevSum.contains(labelSum)
+      prevSum = Some(labelSum)
+      iter += 1
+    }
+    labels
   }
 
   /** 32-bit SimHash fingerprint per doc over its distinct-token bag,
@@ -222,9 +278,10 @@ object Dedup {
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _))
       .select(col("doc_id"), col("fp"))
-      .cache() // read twice: fingerprint emit + cluster-keeper lookup
-    val byFp = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    fps.join(byFp, "fp").select(col("doc_id"), col("fp"), col("keep_id"))
+    // read twice: fingerprint emit + cluster-keeper lookup
+    val cachedFps = CacheScope.cached(fps)
+    val byFp = cachedFps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    cachedFps.join(byFp, "fp").select(col("doc_id"), col("fp"), col("keep_id"))
   }
 
   /** Embedding-cosine near-dup: top `n` most-similar pairs within a

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope
+
 /** Similarity search over the `embeddings` table (SURVEY.md §7.5).
   *
   * The dot product / norm are pure built-in higher-order functions
@@ -63,10 +65,9 @@ object Sim {
     * ROUNDED score with doc-id tiebreak so results are reproducible
     * across engines and runs.
     *
-    * 100 TB path (documented, not needed at test SF): pre-bucket
-    * candidates with LSH (random hyperplane signatures, `hash` on sign
-    * bits) or IVF (k-means coarse centroids), then score only the
-    * buckets the query hashes into — turns O(Q×N) into O(Q×N/buckets).
+    * 100 TB path: pre-bucket candidates with LSH
+    * ([[cosineTopKLsh]]) or IVF ([[cosineTopKIvf]]) and score only the
+    * probed buckets — turns O(Q×N) into O(Q×N/buckets).
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val dotF = dotNative(embeddings.sparkSession) _
@@ -88,6 +89,183 @@ object Sim {
       .filter(col("rnk") <= k)
   }
 
+  // -------------------------------------------------------------------------
+  // Coarse quantizers: driver-resident centroid models + map-side assignment
+  // -------------------------------------------------------------------------
+
+  /** A coarse-quantizer centroid set, resident at the driver — the same
+    * contract as Spark MLlib's KMeansModel: tiny by design (nCells
+    * vectors, not data-sized), shipped to every task inside the plan,
+    * so cell assignment is a pure map-side expression with NO join and
+    * NO shuffle of the vector table.
+    */
+  type Centroids = Seq[(Long, Array[Double])]
+
+  private def l2(v: Array[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  /** Per-centroid cosine as struct(score, -cent_id): `greatest` over
+    * these picks max score with smallest-cent_id tiebreak — the same
+    * (score DESC, cent_id ASC) rule the previous windowed form used,
+    * and the same 6dp rounding, so cell boundaries stay reproducible
+    * across engines. Centroid norms are pre-folded at the driver with
+    * the identical left-fold order, so the doubles match bit-for-bit.
+    */
+  private def cellScoreStructs(
+      dotF: (Column, Column) => Column, cents: Centroids)(
+      v: Column, nrm: Column): Seq[Column] =
+    cents.map { case (id, cv) =>
+      struct(
+        round(dotF(v, typedlit(cv.toSeq)) / (nrm * lit(l2(cv))), 6).as("score"),
+        lit(-id).as("neg_id"))
+    }
+
+  /** Map-side argmax cell assignment — zero joins, zero shuffles. */
+  private def argmaxCell(
+      dotF: (Column, Column) => Column, cents: Centroids)(
+      v: Column, nrm: Column): Column =
+    -greatest(cellScoreStructs(dotF, cents)(v, nrm): _*).getField("neg_id")
+
+  /** Top-`nProbe` cells for a query vector, best first — multi-probe
+    * IVF recovers the neighbors that fell just across a cell boundary.
+    * HOF transform is fine here: it runs on the handful of query rows,
+    * never the candidate table.
+    */
+  private def probeCells(
+      dotF: (Column, Column) => Column, cents: Centroids, nProbe: Int)(
+      v: Column, nrm: Column): Column =
+    transform(
+      slice(
+        sort_array(array(cellScoreStructs(dotF, cents)(v, nrm): _*), asc = false),
+        1, nProbe),
+      s => -s.getField("neg_id"))
+
+  /** Shared IVF search path: map-side cell assignment for the corpus,
+    * multi-probe cell selection for the queries, scoring restricted to
+    * probed cells.
+    */
+  private def searchCells(
+      withNorm: DataFrame, dotF: (Column, Column) => Column,
+      cents: Centroids, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val assigned = CacheScope.cached(
+      withNorm
+        .withColumn("cell", argmaxCell(dotF, cents)(col("v"), col("nrm")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell")))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .withColumn("probe",
+        if (nProbe <= 1) array(col("cell"))
+        else probeCells(dotF, cents, nProbe)(col("v"), col("nrm")))
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(col("probe")).as("cell"))
+    val scored = assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"), col("vec_id").as("c_id"),
+        round(dotF(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos_r"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  private def withNormed(embeddings: DataFrame,
+                         dotF: (Column, Column) => Column): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+
+  /** IVF (inverted-file) approximate nearest neighbour — the coarse
+    * quantizer of Jégou/Douze/Schmid's IVF-PQ family ("Product
+    * quantization for nearest neighbor search", TPAMI 2011) without
+    * the PQ residual codes — and the 100 TB scale path for
+    * [[cosineTopK]]:
+    *
+    *  1. centroids: the first `nCells` vectors, deterministically, so
+    *     the DuckDB oracle can mirror the exact cells (the TRAINED
+    *     model is [[kmeansCentroids]] + [[cosineTopKIvfKmeans]],
+    *     spec-checked by recall instead);
+    *  2. assign every vector to its best centroid by cosine — a pure
+    *     MAP-SIDE argmax over the driver-resident centroid array: no
+    *     join, no Exchange, the vector table never shuffles for
+    *     assignment (the previous row_number-over-expanded-join form
+    *     shuffled an ×nCells-expanded table);
+    *  3. answer a query by scoring ONLY its own cell — N/nCells of the
+    *     corpus instead of N.
+    *
+    * The centroid collect is the MODEL BUILD (nCells tiny rows), not a
+    * per-row driver loop — the standard MLlib KMeansModel shape.
+    */
+  def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int, nCells: Int): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val withNorm = withNormed(embeddings, dotF)
+    val cents: Centroids = withNorm.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    searchCells(withNorm, dotF, cents, nQueries, k, nProbe = 1)
+  }
+
+  /** Deterministic seeded Lloyd's k-means for IVF centroid training —
+    * replaces the first-N placeholder when cells should follow the
+    * data's actual clusters.
+    *
+    *  - init: `k` vectors at evenly-spaced vec_ids (seed-stride
+    *    deterministic, not first-k which over-samples one neighborhood
+    *    when ids correlate with content);
+    *  - assign: the same map-side cosine argmax as search (so training
+    *    optimizes exactly the metric search uses);
+    *  - update: per-cell coordinate means via ONE groupBy with `dim`
+    *    avg aggregates (map-side partial agg; the shuffle carries
+    *    k×dim doubles, not vectors), rounded to 9dp so run-to-run
+    *    float-order jitter can't flip boundary assignments;
+    *  - empty cells keep their previous centroid.
+    *
+    * Each iteration is one Spark job; the model (k×dim doubles) lives
+    * at the driver like MLlib's KMeansModel.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): Centroids = {
+    val spark = embeddings.sparkSession
+    val dotF = dotNative(spark) _
+    val withNorm = CacheScope.cached(withNormed(embeddings, dotF))
+    val n = withNorm.count()
+    val stride = math.max(n / k, 1L)
+    val initIds = (0 until k).map(i => i * stride)
+    var cents: Centroids = withNorm
+      .filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val assigned = withNorm.withColumn(
+        "cell", argmaxCell(dotF, cents)(col("v"), col("nrm")))
+      val aggs = (0 until dim).map(i =>
+        round(avg(col("v").getItem(i)), 9).as(s"c$i"))
+      val rows = assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*).collect()
+      val byCell = rows.map(r =>
+        r.getLong(0) -> (0 until dim).map(i => r.getDouble(1 + i)).toArray).toMap
+      cents = cents.map { case (id, old) => (id, byCell.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  /** IVF search over TRAINED centroids ([[kmeansCentroids]]) with
+    * multi-probe — the production configuration. Not oracle-matched
+    * (k-means in SQL is not worth mirroring); its contract is the
+    * recall spec against [[cosineTopK]] ground truth.
+    */
+  def cosineTopKIvfKmeans(embeddings: DataFrame, nQueries: Int, k: Int,
+                          nCells: Int, iters: Int = 4, nProbe: Int = 2): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val cents = kmeansCentroids(embeddings, nCells, iters)
+    searchCells(withNormed(embeddings, dotF), dotF, cents, nQueries, k, nProbe)
+  }
+
+  // -------------------------------------------------------------------------
+  // Hyperplane LSH
+  // -------------------------------------------------------------------------
+
   /** Random-hyperplane LSH (Charikar, STOC 2002): signature bit i =
     * sign(v · r_i) for `nPlanes` fixed pseudo-random hyperplanes.
     * P[bit agrees] = 1 − θ/π, so high-cosine vectors collide into the
@@ -96,8 +274,8 @@ object Sim {
     * bucketing is deterministic across runs and executors. Identical
     * vectors always share a bucket; recall for near-but-not-identical
     * pairs is tuned by nPlanes (fewer planes = bigger buckets = higher
-    * recall, more work) and, in production, multi-probe (flip the
-    * lowest-margin bits and search those buckets too).
+    * recall, more work) and multi-probe (see [[cosineTopKLsh]]'s
+    * `nProbe`).
     */
   def hyperplaneLshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
@@ -111,20 +289,32 @@ object Sim {
   }
 
   /** LSH-bucketed approximate top-k: score a query only against
-    * candidates sharing its hyperplane-LSH bucket. Same shape as
+    * candidates sharing one of its probed buckets. Same shape as
     * [[cosineTopKIvf]] but the partitioner is data-independent (no
     * centroid build step) — the right choice when the corpus drifts
-    * faster than you want to re-train centroids. Production recall
-    * comes from multi-probe (also search buckets at hamming distance 1
-    * from the query's signature).
+    * faster than you want to re-train centroids.
+    *
+    * `probeHamming1 = true` turns on multi-probe: each query also
+    * searches the `nPlanes` buckets at Hamming distance 1 from its own
+    * signature (the sign bits most likely to have flipped for a true
+    * neighbor). Recall rises at the cost of probing nPlanes+1 buckets —
+    * still N·(nPlanes+1)/2^nPlanes of the corpus, sub-linear for
+    * nPlanes ≥ 4. Candidates live in exactly one bucket and probe
+    * buckets are distinct, so no pair-dedup pass is needed.
     */
-  def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int): DataFrame = {
+  def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int,
+                    probeHamming1: Boolean = false): DataFrame = {
     val dotF = dotNative(embeddings.sparkSession) _
-    val bucketed = hyperplaneLshBuckets(embeddings, dim = 64, nPlanes = nPlanes)
-      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
-      .cache()
+    val bucketed = CacheScope.cached(
+      hyperplaneLshBuckets(embeddings, dim = 64, nPlanes = nPlanes)
+        .withColumn("nrm", sqrt(dotF(col("v"), col("v")))))
+    val probes =
+      if (!probeHamming1) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val queries = bucketed.filter(col("vec_id") < nQueries).select(
-      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+      explode(probes).as("bucket"))
     val scored = bucketed
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -134,57 +324,6 @@ object Sim {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-  }
-
-  /** IVF (inverted-file) approximate nearest neighbour — the coarse
-    * quantizer of Jégou/Douze/Schmid's IVF-PQ family ("Product
-    * quantization for nearest neighbor search", TPAMI 2011) without
-    * the PQ residual codes — and the 100 TB scale path for
-    * [[cosineTopK]]:
-    *
-    *  1. pick `nCells` coarse centroids (here: the first `nCells`
-    *     vectors, deterministically; a real build k-means them);
-    *  2. assign every vector to its best centroid by cosine — a
-    *     broadcast of nCells tiny vectors, MAP-SIDE, no shuffle of the
-    *     big table;
-    *  3. answer a query by scoring ONLY its own cell — N/nCells of the
-    *     corpus instead of N.
-    *
-    * Assignment uses the score rounded to 6dp with centroid-id
-    * tiebreak so cell boundaries are reproducible across engines.
-    */
-  def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int, nCells: Int): DataFrame = {
-    val dotF = dotNative(embeddings.sparkSession) _
-    def normF(c: Column) = sqrt(dotF(c, c))
-    val asDouble = embeddings.select(
-      col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val withNorm = asDouble.withColumn("nrm", normF(col("v")))
-    val centroids = withNorm.filter(col("vec_id") < nCells).select(
-      col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("cent_id").asc)
-    val assigned = withNorm
-      .join(broadcast(centroids))
-      .withColumn("score",
-        round(dotF(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-      // read twice (query set + candidate set); cache beats re-running
-      // the centroid assignment
-      .cache()
-    val queries = assigned.filter(col("vec_id") < nQueries).select(
-      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
-    val scored = assigned
-      .join(broadcast(queries), Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(
-        col("q_id"), col("vec_id").as("c_id"),
-        round(dotF(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos_r"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
   }
 }

@@ -160,12 +160,18 @@ object Text {
     * 100 TB substitute a count-min sketch or `DataFrameStatFunctions
     * .freqItems` (one pass, mergeable) with an exact recount of the
     * shortlist.
+    *
+    * The scalar token total joins back via crossJoin(broadcast(1-row))
+    * — ONE lazy plan, no driver-side action, so the operator composes
+    * into downstream pipelines.
     */
   def heavyHitters(documents: DataFrame, support: Double): DataFrame = {
-    val freq = tokenFrequencies(documents)
-    val total = freq.agg(sum(col("freq"))).head().getLong(0)
-    freq.filter(col("freq") >= lit(support * total))
-      .withColumn("share", round(col("freq") / lit(total.toDouble), 4))
+    val freq = graft.CacheScope.cached(tokenFrequencies(documents))
+    val total = freq.agg(sum(col("freq")).as("__total"))
+    freq.crossJoin(broadcast(total))
+      .filter(col("freq") >= lit(support) * col("__total"))
+      .withColumn("share", round(col("freq") / col("__total").cast("double"), 4))
+      .drop("__total")
   }
 
   /** Polynomial rolling hash over the raw character stream

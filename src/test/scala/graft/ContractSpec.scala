@@ -10,8 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  test("every query has an oracle and vice versa") {
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  test("every oracle names a declared query; only the named exceptions lack one") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // k-means IVF is deliberately oracle-less (Lloyd's in SQL isn't worth
+    // mirroring); its contract is KmeansIvfSpec's recall bound. Driver
+    // records the weaker rows-only check for it.
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
+      Set("q_sim_ann_kmeans"))
   }
 
   test("query names are well-formed") {
@@ -19,7 +24,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 61)
+    assert(SparkEntry.queries.size === 64)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
