@@ -219,10 +219,17 @@ object Dedup {
     * truncates the per-round lineage so the plan doesn't grow
     * exponentially with iterations.
     *
+    * The propagation runs ONLY over edge-participating vertices: a doc
+    * with no verified near-dup is a singleton by definition, so
+    * carrying it through every round would make each iteration
+    * corpus-sized instead of duplicate-set-sized (in a real corpus,
+    * duplicates are a few percent of docs). Singletons fold back in
+    * with one final left join.
+    *
     * At 100 TB: identical shape, with the edge set hash-partitioned on
-    * `a`; the label table is docs×16 bytes, and each round's shuffle
-    * carries only (doc, label) pairs. GraphFrames' CC is this same
-    * loop with large-star/small-star optimizations.
+    * `a`; the label table is dup-docs×16 bytes, and each round's
+    * shuffle carries only (doc, label) pairs. GraphFrames' CC is this
+    * same loop with large-star/small-star optimizations.
     */
   def connectedComponentKeepers(corpus: DataFrame, minJaccard: Double,
                                 numHashes: Int = 16, bands: Int = 4,
@@ -230,7 +237,8 @@ object Dedup {
     val verified = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
     val edges = CacheScope.cached(
       verified.unionByName(verified.select(col("b").as("a"), col("a").as("b"))))
-    var labels = corpus.select(col("doc_id"), col("doc_id").as("keep_id"))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("keep_id", col("doc_id"))
       .localCheckpoint()
     var prevSum = Option.empty[Long]
     var iter = 0
@@ -251,7 +259,10 @@ object Dedup {
       prevSum = Some(labelSum)
       iter += 1
     }
-    labels
+    corpus.select(col("doc_id"))
+      .join(labels.withColumnRenamed("keep_id", "cc_keep"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cc_keep"), col("doc_id")).as("keep_id"))
   }
 
   /** 32-bit SimHash fingerprint per doc over its distinct-token bag,
