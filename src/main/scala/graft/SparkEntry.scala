@@ -634,6 +634,116 @@ object SparkEntry {
         nQueries = 10, k = 5, nCells = 8, iters = 4, nProbe = 2)
         .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ---- batch 6 (round 4): as-of/range joins, reshape, corpus assembly -----
+    "q_asof_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Last purchase at-or-before each click, per user — the
+      // attribution/funnel join. One shuffle + sort (merge-asof form),
+      // never the |clicks|x|purchases-per-user| expansion.
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      Relational.asofJoin(clicks, purchases, "user_id", "ts_us", "event_id",
+          Seq("ts_us", "event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof.ts_us").as("p_ts_us"), col("asof.event_id").as("p_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Events into overlapping 36h maintenance windows (one per day):
+      // bin-equi-join + residual filter, not a nested-loop inequality join.
+      val day = 86400000000L
+      val start = 1704412800000000L // 2024-01-05 00:00 UTC, micros
+      val win = s.range(20).select(
+        col("id").as("win_id"),
+        (lit(start) + col("id") * day).as("lo"),
+        (lit(start) + col("id") * day + 36L * 3600000000L).as("hi"))
+      Relational.rangeJoinBinned(
+          Tables.events(s, dir).select(col("event_id"), col("ts_us")),
+          "ts_us", win, "lo", "hi", day)
+        .select(col("event_id"), col("win_id"), col("ts_us"))
+        .orderBy(col("event_id"), col("win_id"))
+    }),
+
+    "q_unpivot" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Wide→long reshape (melt): stack() emits 4 rows per input row in
+      // one codegen'd projection — no join, no shuffle, no UDF.
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .selectExpr("l_orderkey", "l_linenumber", "l_partkey",
+          """stack(4,
+            |  'discount', round(l_discount, 4),
+            |  'extendedprice', round(l_extendedprice, 4),
+            |  'quantity', round(l_quantity, 4),
+            |  'tax', round(l_tax, 4)) AS (metric, val)""".stripMargin)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("metric"), col("val"))
+    }),
+
+    "q_user_paths" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Per-user ordered journey string: collect_list into an
+      // array_sort'd struct (ts, id, type) — deterministic without a
+      // pre-shuffle sort, one aggregation exchange total.
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_pii_mask" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Deterministic PII is injected (testdata has none), then redacted
+      // by the map-side regex pass — both halves mirrored in the oracle.
+      val raw = concat(substring(col("text"), 1, 120),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.Corpus.piiMask(raw).as("masked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_gopher" -> ((s0, dir) => {
+      val s = ensure(s0)
+      graft.ops.Corpus.gopherSignals(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pack_sequences" -> ((s0, dir) => {
+      val s = ensure(s0)
+      graft.ops.Corpus.packSequences(Tables.documents(s, dir), shardSize = 64, budget = 2048)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_shuffle_shard" -> ((s0, dir) => {
+      val s = ensure(s0)
+      graft.ops.Corpus.shuffleShard(Tables.documents(s, dir), nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_levenshtein" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Edit distance between doc_id-adjacent 40-char prefixes: the
+      // exact string-similarity verifier that runs on LSH candidate
+      // pairs at scale (here on a deterministic 1:1 pairing).
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("s40"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          levenshtein(col("a.s40"), col("b.s40")).cast("long").as("dist"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1460,6 +1570,137 @@ object SparkEntry {
         |  CASE event_id % 5
         |    WHEN 1 THEN 'home' WHEN 3 THEN 'search' WHEN 4 THEN 'cart'
         |    ELSE NULL END AS page
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // The oracle states as-of semantics the direct (quadratic) way:
+    // expand all qualifying purchases per click, keep rank 1 by
+    // (ts DESC, event_id DESC). The engine's union+window plan must
+    // produce exactly this winner.
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us,
+        |         p.ts_us AS p_ts_us, p.event_id AS p_event_id,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts_us <= c.ts_us)
+        |SELECT event_id, user_id, ts_us, p_ts_us, p_event_id
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH win AS (
+        |  SELECT CAST(i AS BIGINT) AS win_id,
+        |         1704412800000000 + i * 86400000000 AS lo,
+        |         1704412800000000 + i * 86400000000 + 129600000000 AS hi
+        |  FROM range(20) t(i))
+        |SELECT e.event_id, w.win_id, epoch_us(e.ts) AS ts_us
+        |FROM events e JOIN win w
+        |  ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+        |ORDER BY e.event_id, w.win_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         'discount' AS metric, round(l_discount, 4) AS val
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         'extendedprice', round(l_extendedprice, 4)
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         'quantity', round(l_quantity, 4)
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         'tax', round(l_tax, 4)
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT l_orderkey, l_linenumber, l_partkey, metric, val
+        |FROM m ORDER BY l_orderkey, l_linenumber, l_partkey, metric, val""".stripMargin,
+
+    "q_user_paths" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      substr(text, 1, 120) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@mail.example.com or +1-555-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, toks, len(toks) AS n_words,
+        |         CASE WHEN len(toks) >= 2 THEN
+        |           list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |         ELSE []::VARCHAR[] END AS bg
+        |  FROM d),
+        |sig AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / n_words, 4)
+        |      ELSE 0.0 END AS mean_wlen,
+        |    CASE WHEN length(text) > 0
+        |      THEN round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |                 / length(text), 4)
+        |      ELSE 0.0 END AS digit_frac,
+        |    CASE WHEN len(bg) > 0
+        |      THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+        |      ELSE 0.0 END AS dup_bigram_frac
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_wlen, digit_frac, dup_bigram_frac,
+        |  CAST(CASE WHEN n_words BETWEEN 10 AND 100000
+        |             AND mean_wlen BETWEEN 2.0 AND 12.0
+        |             AND dup_bigram_frac < 0.3
+        |            THEN 1 ELSE 0 END AS BIGINT) AS gopher_ok
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 64 AS shard,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS tok_cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, tok_cnt,
+        |         sum(tok_cnt) OVER (PARTITION BY shard ORDER BY doc_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, shard, tok_cnt,
+        |       CAST((cum - tok_cnt) // 2048 AS BIGINT) AS seq_id,
+        |       CAST((cum - tok_cnt) % 2048 AS BIGINT) AS offset_in
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_shard" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (
+        |  SELECT doc_id, skey,
+        |         ('0x' || substr(skey, 1, 8))::BIGINT % 8 AS shard
+        |  FROM d)
+        |SELECT doc_id, skey, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS rnk
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_levenshtein" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s40 FROM documents)
+        |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators: the steps between "deduped,
+  * scored documents" and "tensors on a trainer" — deterministic
+  * shuffling/sharding, sequence packing, and PII redaction. All are
+  * map-side or one-window-per-shard: nothing here shuffles more than
+  * once, and nothing depends on nondeterministic state (a re-run of
+  * the pipeline reproduces the same shards byte-for-byte, which is
+  * what makes training-data builds auditable).
+  */
+object Corpus {
+
+  /** Deterministic corpus shuffle + sharding: order by `md5(doc_id)`
+    * — a fixed, seedless permutation that breaks source/time locality
+    * (adjacent doc_ids land far apart) yet reproduces exactly on every
+    * run. `shard` is the top 32 bits of the digest mod `nShards`;
+    * `rnk` is the document's position within its shard.
+    *
+    * Scale: the hash and shard are map-side; the per-shard rank is one
+    * window sorted WITHIN each shard — at 100 TB that is `nShards`
+    * independent sorts (one reducer each, ~corpus/nShards rows), not a
+    * global single-partition sort. Writers then emit one file per
+    * shard with rows in rank order.
+    */
+  def shuffleShard(docs: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(col("doc_id").cast("string"))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    docs
+      .select(col("doc_id"), key.as("skey"), shard.as("shard"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** Sequence packing: concatenate documents in doc_id order within
+    * each shard and split the token stream at `budget`-token
+    * boundaries. Each document is assigned the sequence its FIRST
+    * token lands in (`seq_id`) and its offset within that sequence —
+    * the standard streaming-concat packing used to build fixed-length
+    * training examples (documents may straddle a boundary; the trainer
+    * truncates or wraps at materialization time).
+    *
+    * Scale: one running-sum window PER SHARD (shard = contiguous
+    * doc_id block, embarrassingly parallel) — never a global
+    * single-partition cumulative sum. Token counts are map-side.
+    */
+  def packSequences(docs: DataFrame, shardSize: Int, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col("doc_id"),
+        (col("doc_id") / shardSize).cast("long").as("shard"),
+        size(Dedup.tokens(col("text"))).cast("long").as("tok_cnt"))
+      .withColumn("cum", sum(col("tok_cnt")).over(w))
+      .select(
+        col("doc_id"), col("shard"), col("tok_cnt"),
+        ((col("cum") - col("tok_cnt")) / budget).cast("long").as("seq_id"),
+        ((col("cum") - col("tok_cnt")) % budget).as("offset_in"))
+  }
+
+  /** PII redaction: replace email-like and phone-like spans with typed
+    * placeholder tokens. Pure map-side `regexp_replace` (codegen'd,
+    * streams through the scan). The patterns are deliberately
+    * conservative ASCII shapes that mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB oracle): leftmost-first, greedy,
+    * non-overlapping in both.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  def piiMask(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
+  /** Gopher-style per-document quality signals (Rae et al. 2021,
+    * "Scaling Language Models", app. A1.1): word count, mean word
+    * length, digit fraction, and repeated-bigram fraction, plus the
+    * pass/fail gate. Everything is computed from the token ARRAY
+    * map-side — the bigram list is built by zipping the array with
+    * itself shifted one, so no explode/groupBy round-trip and no
+    * shuffle at any scale.
+    */
+  def gopherSignals(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val d = docs.select(col("doc_id"), col("text"), toks.as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+    val bgLen = greatest(col("n_words").cast("int") - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), bgLen),
+      slice(col("toks"), lit(2), bgLen),
+      (a, b) => concat_ws(" ", a, b))
+    val meanW = when(col("n_words") > 0,
+      round(length(array_join(col("toks"), "")).cast("double") / col("n_words"), 4))
+      .otherwise(lit(0.0))
+    val digitF = when(length(col("text")) > 0,
+      round((length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        length(col("text")), 4))
+      .otherwise(lit(0.0))
+    d.withColumn("bg", bigrams)
+      .withColumn("mean_wlen", meanW)
+      .withColumn("digit_frac", digitF)
+      .withColumn("dup_bigram_frac",
+        when(size(col("bg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("gopher_ok",
+        when(col("n_words").between(10, 100000) &&
+          col("mean_wlen").between(2.0, 12.0) &&
+          col("dup_bigram_frac") < 0.3, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("digit_frac"), col("dup_bigram_frac"), col("gopher_ok"))
+  }
+}

@@ -119,4 +119,71 @@ object Relational {
   def approxDistinctUsersPerType(events: DataFrame, rsd: Double = 0.05): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
+  /** As-of join: for every `left` row, the single most recent `right`
+    * row with the same `key` and `right.ts <= left.ts` (latest ts wins;
+    * ties on ts broken by the largest `tieBreak`). The
+    * last-purchase-before-click / latest-dimension-version-as-of-fact
+    * operator (DuckDB spells it ASOF JOIN; Spark has no built-in).
+    *
+    * Shape: tag both inputs, union them, and run ONE `last(_, ignoreNulls)`
+    * window pass ordered by (ts, side, tieBreak) — right rows sort
+    * before left rows at equal ts, so an exactly-simultaneous right row
+    * is visible to the left row. This is the scalable MERGE_ASOF plan:
+    * one shuffle on `key` and one sort, versus the naive
+    * inequality-join + row_number, which expands |left|x|right-per-key|
+    * rows before filtering (the DuckDB oracle does exactly that —
+    * fine at test scale, quadratic per key at 100 TB).
+    *
+    * Returns all `left` columns plus a nullable `asof` struct of
+    * `rightCols` (null when no right row precedes the left row).
+    * `tieBreak` must make (key, ts, tieBreak) unique on the right, or
+    * the winner is ambiguous. Null keys never match (mirrors equi-join
+    * semantics) — filter them out upstream.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               tieBreak: String, rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(
+      col(key), col(ts),
+      struct(rightCols.map(col): _*).as("__rpay"),
+      lit(0).as("__side"))
+    val l = left.withColumn("__side", lit(1))
+    // left columns absent on the right side arrive as nulls
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc,
+        col("__rpay").getField(tieBreak).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn("asof", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rpay")
+  }
+
+  /** Range (interval) join: match each fact row to every interval with
+    * `lo <= factTs < hi`, via fixed-width binning. Each interval
+    * explodes into the bins it covers; facts compute their bin; the
+    * pair meets on a BIN EQUI-JOIN and the exact range predicate
+    * filters the edges. Spark's planner would otherwise fall back to
+    * BroadcastNestedLoopJoin for a pure inequality join — O(n*m)
+    * comparisons; binning makes it a hash join on bin with only
+    * intra-bin candidates. Choose `binWidth` near the typical interval
+    * length: each interval then covers ~2 bins, so the candidate set is
+    * ~2x the true matches regardless of scale. The interval side is
+    * broadcast when small (the common case: calendars, campaigns,
+    * maintenance windows); at large |intervals| drop the hint and both
+    * sides shuffle on `_bin`.
+    */
+  def rangeJoinBinned(facts: DataFrame, factTs: String,
+                      intervals: DataFrame, lo: String, hi: String,
+                      binWidth: Long): DataFrame = {
+    val fb = facts.withColumn("__bin", (col(factTs) / binWidth).cast("long"))
+    val ib = intervals.withColumn("__bin",
+      explode(sequence((col(lo) / binWidth).cast("long"),
+        ((col(hi) - 1) / binWidth).cast("long"))))
+    fb.join(broadcast(ib), Seq("__bin"))
+      .filter(col(factTs) >= col(lo) && col(factTs) < col(hi))
+      .drop("__bin")
+  }
 }
