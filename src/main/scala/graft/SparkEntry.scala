@@ -781,10 +781,14 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"), col("text"))
     def prefix(frac: Double): Column =
       array_join(slice(col("toks"), lit(1), ceil(size(col("toks")) * frac).cast("int")), " ")
-    d.select(col("doc_id"), col("text"))
-      .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), prefix(0.80).as("text")))
-      .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"), prefix(0.64).as("text")))
-      .repartition(s.sparkContext.defaultParallelism)
+    // cached: the prefix-truncation construction (tokenize + slice per
+    // doc) costs more than a scan, and the dedup pipeline's consumers
+    // would otherwise each recompute it from the raw parquet
+    CacheScope.cached(
+      d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), prefix(0.80).as("text")))
+        .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"), prefix(0.64).as("text")))
+        .repartition(s.sparkContext.defaultParallelism))
   }
 
   /** The GA4-shaped nested table (the reference's actual N1 input,

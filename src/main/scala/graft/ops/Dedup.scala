@@ -69,10 +69,7 @@ object Dedup {
     // cache(): four consumers (both join sides + both size branches)
     // would otherwise each re-run the shingle pipeline from the scan;
     // the cached (doc_id, h) set is 16 bytes/row.
-    val sh = CacheScope.cached(
-      docShingles(corpus).withColumn("h",
-        expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
-        .select(col("doc_id"), col("h")))
+    val sh = CacheScope.cached(hashedShingles(corpus))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("a"), col("h"))
     val b = sh.select(col("doc_id").as("b"), col("h"))
@@ -102,9 +99,21 @@ object Dedup {
     * md5 chain once per seed and drops out of codegen — measured 40×
     * slower; don't go back to it.)
     */
-  def minhashSignatures(corpus: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = docShingles(corpus).withColumn("h",
+  def minhashSignatures(corpus: DataFrame, numHashes: Int): DataFrame =
+    minhashSignaturesFromHashed(hashedShingles(corpus), numHashes)
+
+  /** (doc_id, h) — the 31-bit shingle hashes every stage downstream of
+    * shingling consumes. Factored out so a composed pipeline computes
+    * it (and the corpus feeding it) exactly ONCE and caches it:
+    * signatures, set sizes, and exact-verify then all read the same
+    * 16-byte-per-row frame instead of re-tokenizing the corpus each.
+    */
+  def hashedShingles(corpus: DataFrame): DataFrame =
+    docShingles(corpus).withColumn("h",
       expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+      .select(col("doc_id"), col("h"))
+
+  private def minhashSignaturesFromHashed(hashed: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { s =>
       min(expr(s"((${37 + 101 * s} * h + ${13 + 97 * s}) % 2147483647)")).as(s"mh$s")
     }
@@ -119,9 +128,12 @@ object Dedup {
     * bucket become candidate pairs. One shuffle on the bucket key; the
     * classic sub-quadratic dedup at corpus scale.
     */
-  def minhashLshCandidates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashLshCandidates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshCandidatesFromSigs(minhashSignatures(corpus, numHashes), numHashes, bands)
+
+  private def lshCandidatesFromSigs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(corpus, numHashes)
+    val sigs = signatures
       .withColumn("band", explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
            |  b -> struct(b as band_id,
@@ -145,8 +157,10 @@ object Dedup {
     * candidacy and exact verification (E[est] = J, sd ≈ √(J(1−J)/16)).
     */
   def minhashJaccardEstimates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashLshCandidates(corpus, numHashes, bands)
+    // one signature computation: the candidate join and the estimate
+    // join both read the cached frame
     val sigs = CacheScope.cached(minhashSignatures(corpus, numHashes))
+    val cands = lshCandidatesFromSigs(sigs, numHashes, bands)
     cands
       .join(sigs.select(col("doc_id").as("a"), col("minhashes").as("sa")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("minhashes").as("sb")), Seq("b"))
@@ -164,11 +178,12 @@ object Dedup {
     */
   def verifiedNearDupPairs(corpus: DataFrame, minJaccard: Double,
                            numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashLshCandidates(corpus, numHashes, bands)
-    val sh = CacheScope.cached(
-      docShingles(corpus).withColumn("h",
-        expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
-        .select(col("doc_id"), col("h")))
+    // ONE tokenize+shingle+md5 pass feeds everything: signatures (→ LSH
+    // candidates), set sizes, and the exact verify join all read this
+    // cache instead of re-running the pipeline from the scan.
+    val sh = CacheScope.cached(hashedShingles(corpus))
+    val cands = lshCandidatesFromSigs(
+      minhashSignaturesFromHashed(sh, numHashes), numHashes, bands)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // exact common-shingle counts, computed ONLY for candidate pairs
     val common = cands
