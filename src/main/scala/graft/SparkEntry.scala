@@ -733,6 +733,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sink_json" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Third format surface: newline-delimited JSON out, schema'd read
+      // back (inference would cost an extra pass and can widen types).
+      val out = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value_r", DoubleType)))
+      Sinks.jsonRoundTrip(out, tmpDir("json", dir), schema).orderBy(col("event_id"))
+    }),
+
     "q_levenshtein" -> ((s0, dir) => {
       val s = ensure(s0)
       // Edit distance between doc_id-adjacent 40-char prefixes: the
@@ -1705,6 +1719,14 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s40 FROM documents)
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Like q_sink_csv, the oracle restates the EXPECTED round-trip
+    // content from the source table — an independent check that the
+    // JSON write+read is lossless.
+    "q_sink_json" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |       round(value, 4) AS value_r
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -23,6 +23,16 @@ object Sinks {
     df.sparkSession.read.schema(schema).option("header", "true").csv(dir)
   }
 
+  /** JSON-lines round trip, same contract as [[csvRoundTrip]]: write
+    * newline-delimited JSON, re-read with the explicit schema (never
+    * inferred). Doubles survive exactly — the writer emits the
+    * shortest representation that parses back to the same IEEE double.
+    */
+  def jsonRoundTrip(df: DataFrame, dir: String, schema: StructType): DataFrame = {
+    df.write.mode("overwrite").json(dir)
+    df.sparkSession.read.schema(schema).json(dir)
+  }
+
   /** S5 — batched append: Spark writes one file per partition per
     * batch; append mode accumulates (the `execute_batch` analogue,
     * `/root/reference/extract_bq.py:247-252`).

@@ -69,4 +69,43 @@ object StreamingIncremental {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Same pipeline, relational-database sink — the reference's actual
+    * shape (BigQuery export → Postgres upsert,
+    * `/root/reference/extract_bq.py:216-258`): each micro-batch lands
+    * via [[Sinks.jdbcUpsert]]'s per-partition batched conflict-skip
+    * insert. At-least-once delivery × key-conflict-skip = exactly-once
+    * table contents, even across checkpoint loss (a full replay
+    * re-offers every row and the database skips them all).
+    */
+  def startJdbc(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      keys: Seq[String],
+      checkpointDir: String,
+      url: String,
+      table: String,
+      dialect: (String, Seq[String], Seq[String]) => Sinks.UpsertDialect,
+      lateness: String = "1 hour",
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+    transform(src)
+      .drop("__event_time")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = EventOps.dedupFirstWrite(batch, keys, tsMicrosCol, keys.head)
+        Sinks.jdbcUpsert(deduped, url, table, keys, dialect)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
