@@ -12,7 +12,8 @@ object PlanAudit {
     "q_join_inner", "q_join_left", "q_join_semi", "q_join_full",
     "q_upsert_anti", "q_project", "q_prune_dates", "q_sim_cosine_topk",
     "q_sim_ann", "q_agg_group", "q_topk", "q_dedup_minhash",
-    "q_dedup_pipeline", "q_session_window")
+    "q_dedup_pipeline", "q_session_window",
+    "q_asof_join", "q_range_join", "q_shuffle_shard", "q_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -733,6 +733,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_window_range" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // RANGE frame (value-based, not row-based): trailing 1-hour sum
+      // per user — rows at equal ts share one frame, and gaps in time
+      // shrink the window. Complements the ROWS frames in
+      // q_window_moving.
+      val hourUs = 3600000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        round(sum(col("value")).over(w), 4).as("hour_sum"))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
+    }),
+
+    "q_argmax" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Argmax aggregates: per event type, WHICH event carried the
+      // max/min value (max_by/min_by, one aggregation pass — no
+      // self-join back against the max). Ties broken deterministically
+      // by taking the larger (event_id-tagged) struct.
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id"))).as("max_event_id"),
+          min_by(col("event_id"), struct(col("value"), col("event_id"))).as("min_event_id"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
     "q_sink_json" -> ((s0, dir) => {
       val s = ensure(s0)
       // Third format surface: newline-delimited JSON out, schema'd read
@@ -1720,6 +1751,30 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       round(sum(value) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+        |FROM events
+        |ORDER BY user_id NULLS FIRST, ts_us, event_id""".stripMargin,
+
+    // arg-extrema stated via rank windows (portable form of
+    // max_by/min_by with the same lexicographic tie-break)
+    "q_argmax" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id DESC) AS rmax,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value ASC, event_id ASC) AS rmin
+        |  FROM events)
+        |SELECT event_type,
+        |       max(CASE WHEN rmax = 1 THEN event_id END) AS max_event_id,
+        |       min(CASE WHEN rmin = 1 THEN event_id END) AS min_event_id,
+        |       round(max(value), 4) AS max_value
+        |FROM r GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     // Like q_sink_csv, the oracle restates the EXPECTED round-trip
     // content from the source table — an independent check that the
