@@ -733,6 +733,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_decontaminate" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Benchmark decontamination: the eval set is every 97th doc; the
+      // training set additionally contains a perturbed near-copy of
+      // each eval doc (suffix noise) — exactly the leakage an n-gram
+      // overlap check must catch even though the copies aren't exact.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs
+        .unionByName(bench.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz9 zz9")).as("text")))
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.ops.Corpus.decontaminate(train, bench, minShared = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample_weighted" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Reproducible domain mixing: per-language sampling weights,
+      // hash-threshold draw (no RNG state, same verdict every run);
+      // zh has no weight listed → dropped entirely.
+      graft.ops.Corpus.weightedSample(Tables.documents(s, dir),
+          "lang", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("u_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_window_range" -> ((s0, dir) => {
       val s = ensure(s0)
       import org.apache.spark.sql.expressions.Window
@@ -1751,6 +1779,57 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM bench),
+        |ttok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM train),
+        |tsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM ttok),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM tsh),
+        |btok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM btok),
+        |bh AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM bsh),
+        |shared AS (
+        |  SELECT t.doc_id, count(*) AS n_shared
+        |  FROM th t JOIN bh USING (h) GROUP BY t.doc_id)
+        |SELECT tr.doc_id,
+        |       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(CASE WHEN coalesce(s.n_shared, 0) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS contaminated
+        |FROM train tr LEFT JOIN shared s USING (doc_id)
+        |ORDER BY tr.doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+        |           / 4294967296.0 AS u,
+        |         CAST(CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+        |                        WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
+        |                        ELSE 0.0 END AS DOUBLE) AS w
+        |  FROM documents)
+        |SELECT doc_id, lang, round(u, 6) AS u_r
+        |FROM d WHERE u < w ORDER BY doc_id""".stripMargin,
 
     "q_window_range" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -76,6 +76,55 @@ object Corpus {
   def piiMask(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minShared` 3-gram shingles with any document in the
+    * benchmark/eval set — the standard n-gram-overlap contamination
+    * check run before a training corpus ships. Returns
+    * (doc_id, n_shared, contaminated) for every training doc.
+    *
+    * Scale shape: the benchmark side is always small (an eval suite,
+    * not a corpus), so its DISTINCT shingle-hash set is broadcast and
+    * the training corpus meets it in a map-side hash join — the
+    * corpus never shuffles for the probe; only the matching (doc, h)
+    * rows shuffle for the per-doc count. At 100 TB this is a bloom
+    * filter + exact recheck; here the exact broadcast is already
+    * cheap.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, minShared: Int): DataFrame = {
+    val trainSh = Dedup.hashedShingles(train)
+    val benchSh = Dedup.hashedShingles(bench).select(col("h")).distinct()
+    val shared = trainSh.join(broadcast(benchSh), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) >= minShared, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
+  /** Deterministic weighted (per-domain) sampling: keep a document iff
+    * its hash-derived uniform u(doc_id) ∈ [0,1) falls under its
+    * domain's sampling weight — the reproducible way to mix sources
+    * into a training corpus (the same doc_id always makes the same
+    * cut, runs are comparable, and no RNG state is shuffled around).
+    * Uses md5 hex digits 9-16 so the draw is independent of
+    * [[shuffleShard]]'s digits 1-8. Unknown domains default to
+    * weight 0 (kept out — an unlisted source should never leak in).
+    * Pure map-side: the filter streams through the scan.
+    */
+  def weightedSample(docs: DataFrame, domainCol: String,
+                     weights: Map[String, Double]): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (dom, wt)) =>
+      when(col(domainCol) === dom, wt).otherwise(acc)
+    }
+    docs.withColumn("u_r", round(u, 6)).filter(u < w)
+  }
+
   /** Gopher-style per-document quality signals (Rae et al. 2021,
     * "Scaling Language Models", app. A1.1): word count, mean word
     * length, digit fraction, and repeated-bigram fraction, plus the

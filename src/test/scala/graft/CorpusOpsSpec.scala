@@ -80,6 +80,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ok.getLong(5) === 1L)                // 40 distinct words pass
   }
 
+  test("decontaminate flags exact and near copies, spares disjoint docs") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact copy: 6 shingles shared
+      (2L, "alpha beta gamma delta epsilon zeta XX YY"),       // prefix overlap: 4 shared
+      (3L, "totally different words with no overlap at all"),  // disjoint
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")  // the bench doc itself
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, bench, minShared = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 1L), (2L, 4L, 0L), (3L, 0L, 0L), (100L, 6L, 1L)))
+  }
+
+  test("weightedSample: weight-1 domains all pass, weight-0 and unlisted never do") {
+    val docs = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "keep" else if (i % 3 == 1) "drop" else "unlisted"))
+      .toDF("doc_id", "lang")
+    val kept = Corpus.weightedSample(docs, "lang", Map("keep" -> 1.0, "drop" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.forall(_._2 == "keep"))
+    assert(kept.length === 100) // every weight-1 doc, nothing else
+    // determinism: identical verdict on a re-run
+    val again = Corpus.weightedSample(docs, "lang", Map("keep" -> 1.0, "drop" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet === again.toSet)
+  }
+
+  test("weightedSample keeps roughly the weighted fraction") {
+    val docs = (0L until 2000L).map(i => (i, "web")).toDF("doc_id", "lang")
+    val n = Corpus.weightedSample(docs, "lang", Map("web" -> 0.5)).count()
+    assert(n > 850 && n < 1150, s"kept $n of 2000 at weight 0.5")
+  }
+
   test("gopherSignals survives degenerate docs") {
     val out = Corpus.gopherSignals(
       Seq((1L, ""), (2L, "solo"), (3L, "  ")).toDF("doc_id", "text"))
