@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Corpus, Relational}
+
+/** Scale-regression guards on PHYSICAL PLAN SHAPE: these pin the
+  * properties that make the operators survive 100 TB — which
+  * correctness tests can't see (a single-partition global sort
+  * produces the same rows, just doesn't scale). If a refactor
+  * reintroduces the bad shape, these fail before any benchmark does.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private val docs = (0L until 500L)
+    .map(i => (i, s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 7) % 13} end"))
+    .toDF("doc_id", "text")
+
+  test("packSequences: per-shard windows, never a single-partition global sort") {
+    val p = plan(Corpus.packSequences(docs, shardSize = 64, budget = 128))
+    assert(!p.contains("SinglePartition"), s"global-sort window leaked into:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("shuffleShard: rank windows partition by shard, not global") {
+    val p = plan(Corpus.shuffleShard(docs, nShards = 8))
+    assert(!p.contains("SinglePartition"), s"global-sort window leaked into:\n$p")
+  }
+
+  test("asofJoin: exactly one key shuffle, no join-operator expansion") {
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq((1L, 5L, 9L)).toDF("user_id", "ts_us", "event_id")
+    val p = plan(Relational.asofJoin(left, right, "user_id", "ts_us", "event_id",
+      Seq("ts_us", "event_id")))
+    // the merge-asof form is union+window: any Join operator here means
+    // someone rewrote it into the quadratic per-key expansion
+    assert(!p.contains("Join"), s"asofJoin regressed to a join plan:\n$p")
+    assert(p.contains("Union") && p.contains("Window"), p)
+  }
+
+  test("rangeJoinBinned: broadcast hash join on the bin key, no nested loop") {
+    val facts = (0L until 100L).map(i => (i, i * 10L)).toDF("fact_id", "ts")
+    val ivs = Seq((0L, 0L, 250L), (1L, 500L, 800L)).toDF("iv_id", "lo", "hi")
+    val p = plan(Relational.rangeJoinBinned(facts, "ts", ivs, "lo", "hi", 100L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n$p")
+  }
+
+  test("piiMask and gopherSignals stay shuffle-free (pure map-side)") {
+    val masked = docs.select(Corpus.piiMask($"text"))
+    assert(!plan(masked).contains("Exchange"), plan(masked))
+    val gopher = Corpus.gopherSignals(docs)
+    assert(!plan(gopher).contains("Exchange"), plan(gopher))
+  }
+
+  test("weightedSample is a pushed-down filter, no shuffle") {
+    val p = plan(Corpus.weightedSample(docs, "text", Map("x" -> 0.5)))
+    assert(!p.contains("Exchange"), p)
+  }
+}
