@@ -733,6 +733,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_pipeline" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // The composed corpus build — exact dedup → Gopher gate →
+      // deterministic per-domain sampling → sequence packing, one lazy
+      // plan, two shuffles total. The flagship of the training-data
+      // toolbox; every stage is the same operator the standalone
+      // queries exercise.
+      graft.ops.Corpus.buildCorpus(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang")),
+          "lang", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1),
+          shardSize = 64, budget = 2048)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_decontaminate" -> ((s0, dir) => {
       val s = ensure(s0)
       // Benchmark decontamination: the eval set is every 97th doc; the
@@ -1779,6 +1793,56 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Every stage restated: dedup window, the Gopher expressions, the
+    // hash-threshold draw, and the per-shard packing sums.
+    "q_corpus_pipeline" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) t WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id, text, lang,
+        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM dedup),
+        |sig AS (
+        |  SELECT doc_id, lang, toks, len(toks) AS n_words,
+        |         CASE WHEN len(toks) >= 2 THEN
+        |           list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |         ELSE []::VARCHAR[] END AS bg,
+        |         text
+        |  FROM tok),
+        |gate AS (
+        |  SELECT doc_id, lang, toks FROM sig
+        |  WHERE n_words BETWEEN 10 AND 100000
+        |    AND (CASE WHEN n_words > 0
+        |          THEN round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / n_words, 4)
+        |          ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |    AND (CASE WHEN len(bg) > 0
+        |          THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+        |          ELSE 0.0 END) < 0.3),
+        |samp AS (
+        |  SELECT doc_id, lang, toks FROM gate
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+        |          / 4294967296.0
+        |        < CAST(CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+        |                         WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
+        |                         ELSE 0.0 END AS DOUBLE)),
+        |cnt AS (
+        |  SELECT doc_id, lang, doc_id // 64 AS shard,
+        |         CAST(len(toks) AS BIGINT) AS tok_cnt
+        |  FROM samp),
+        |cum AS (
+        |  SELECT *, sum(tok_cnt) OVER (PARTITION BY shard ORDER BY doc_id
+        |                               ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM cnt)
+        |SELECT doc_id, shard, tok_cnt,
+        |       CAST((c - tok_cnt) // 2048 AS BIGINT) AS seq_id,
+        |       CAST((c - tok_cnt) % 2048 AS BIGINT) AS offset_in,
+        |       lang
+        |FROM cum ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH bench AS (

@@ -47,20 +47,25 @@ object Corpus {
     * doc_id block, embarrassingly parallel) — never a global
     * single-partition cumulative sum. Token counts are map-side.
     */
-  def packSequences(docs: DataFrame, shardSize: Int, budget: Int): DataFrame = {
+  def packSequences(docs: DataFrame, shardSize: Int, budget: Int,
+                    carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(
-        col("doc_id"),
-        (col("doc_id") / shardSize).cast("long").as("shard"),
-        size(Dedup.tokens(col("text"))).cast("long").as("tok_cnt"))
+        Seq(
+          col("doc_id"),
+          (col("doc_id") / shardSize).cast("long").as("shard"),
+          size(Dedup.tokens(col("text"))).cast("long").as("tok_cnt")) ++
+          carry.map(col): _*)
       .withColumn("cum", sum(col("tok_cnt")).over(w))
       .select(
-        col("doc_id"), col("shard"), col("tok_cnt"),
-        ((col("cum") - col("tok_cnt")) / budget).cast("long").as("seq_id"),
-        ((col("cum") - col("tok_cnt")) % budget).as("offset_in"))
+        Seq(
+          col("doc_id"), col("shard"), col("tok_cnt"),
+          ((col("cum") - col("tok_cnt")) / budget).cast("long").as("seq_id"),
+          ((col("cum") - col("tok_cnt")) % budget).as("offset_in")) ++
+          carry.map(col): _*)
   }
 
   /** PII redaction: replace email-like and phone-like spans with typed
@@ -133,9 +138,19 @@ object Corpus {
     * itself shifted one, so no explode/groupBy round-trip and no
     * shuffle at any scale.
     */
-  def gopherSignals(docs: DataFrame): DataFrame = {
-    val toks = Dedup.tokens(col("text"))
-    val d = docs.select(col("doc_id"), col("text"), toks.as("toks"))
+  def gopherSignals(docs: DataFrame): DataFrame =
+    withGopher(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("digit_frac"), col("dup_bigram_frac"), col("gopher_ok"))
+
+  /** All of `docs`' columns plus the signal columns — so a pipeline
+    * can gate on quality without a join back (the signals are pure
+    * row-local expressions; joining a map-side-derivable column would
+    * be a gratuitous shuffle at any scale).
+    */
+  private def withGopher(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("toks", Dedup.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
     val bgLen = greatest(col("n_words").cast("int") - 1, lit(0))
     val bigrams = zip_with(
@@ -161,7 +176,36 @@ object Corpus {
         when(col("n_words").between(10, 100000) &&
           col("mean_wlen").between(2.0, 12.0) &&
           col("dup_bigram_frac") < 0.3, 1L).otherwise(0L))
-      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
-        col("digit_frac"), col("dup_bigram_frac"), col("gopher_ok"))
+  }
+
+  /** Quality gate: `docs` minus every document failing the Gopher
+    * rules — original columns preserved, signals dropped. Map-side.
+    */
+  def gopherPass(docs: DataFrame): DataFrame =
+    withGopher(docs)
+      .filter(col("gopher_ok") === 1L)
+      .drop("toks", "n_words", "bg", "mean_wlen", "digit_frac",
+        "dup_bigram_frac", "gopher_ok")
+
+  /** The composed corpus build — the whole point of the toolbox in
+    * one lazy plan: exact dedup (first doc_id per identical text) →
+    * Gopher quality gate → deterministic per-domain sampling →
+    * sequence packing. Two shuffles end to end (the dedup window by
+    * text, the packing windows by shard); the gate and the sampler
+    * ride along map-side. At 100 TB swap the dedup window key for
+    * `xxhash64(text)` (8-byte shuffle) and the exact dedup for the
+    * MinHash pipeline when near-dups matter.
+    */
+  def buildCorpus(docs: DataFrame, domainCol: String,
+                  weights: Map[String, Double],
+                  shardSize: Int, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val deduped = docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val gated = gopherPass(deduped)
+    val sampled = weightedSample(gated, domainCol, weights).drop("u_r")
+    packSequences(sampled, shardSize, budget, carry = Seq(domainCol))
   }
 }

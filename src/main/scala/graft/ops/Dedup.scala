@@ -252,8 +252,12 @@ object Dedup {
     val verified = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
     val edges = CacheScope.cached(
       verified.unionByName(verified.select(col("b").as("a"), col("a").as("b"))))
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("keep_id", col("doc_id"))
+    // Fused first hop: initialize each edge vertex at min(self, direct
+    // neighbors) instead of self — the same label state round 1 would
+    // produce, for the cost of the groupBy that builds the vertex set
+    // anyway. Saves one full join+checkpoint+converge-probe round.
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
+      .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("keep_id"))
       .localCheckpoint()
     var prevSum = Option.empty[Long]
     var iter = 0
