@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Corpus, Dedup, Relational, Text}
+
+/** Every operator must survive an EMPTY input frame — the situation a
+  * real pipeline hits on the first run of the day, a fully-filtered
+  * partition, or an empty incremental batch. A crash here is a 2 a.m.
+  * page; the contract is zero rows out, never an exception.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyDocsLang = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+
+  test("dedup pipeline ops on an empty corpus") {
+    assert(Dedup.ngramJaccardPairs(emptyDocs, 0.7).count() === 0)
+    assert(Dedup.minhashLshCandidates(emptyDocs).count() === 0)
+    assert(Dedup.lshDedupKeepers(emptyDocs, 0.7).count() === 0)
+    assert(Dedup.connectedComponentKeepers(emptyDocs, 0.7).count() === 0)
+    assert(Dedup.simhashClusters(emptyDocs).count() === 0)
+  }
+
+  test("corpus assembly ops on an empty corpus") {
+    assert(Corpus.packSequences(emptyDocs, 64, 2048).count() === 0)
+    assert(Corpus.shuffleShard(emptyDocs, 8).count() === 0)
+    assert(Corpus.gopherSignals(emptyDocs).count() === 0)
+    assert(Corpus.decontaminate(emptyDocs, emptyDocs, 5).count() === 0)
+    assert(Corpus.weightedSample(emptyDocsLang, "lang", Map("en" -> 1.0)).count() === 0)
+    assert(Corpus.buildCorpus(emptyDocsLang, "lang", Map("en" -> 1.0), 64, 2048).count() === 0)
+  }
+
+  test("text ops on an empty corpus") {
+    assert(Text.exactDedup(emptyDocs).count() === 0)
+    assert(Text.tokenFrequencies(emptyDocs).count() === 0)
+    assert(Text.heavyHitters(emptyDocs, 0.02).count() === 0)
+  }
+
+  test("asof and range joins with both sides empty") {
+    val l = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "ts_us")
+    val r = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")
+    assert(Relational.asofJoin(l, r, "user_id", "ts_us", "event_id", Seq("event_id")).count() === 0)
+    val ivs = Seq.empty[(Long, Long, Long)].toDF("iv_id", "lo", "hi")
+    assert(Relational.rangeJoinBinned(l, "ts_us", ivs, "lo", "hi", 100L).count() === 0)
+  }
+}
