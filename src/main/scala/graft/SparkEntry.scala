@@ -733,6 +733,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_funnel" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // click → view → purchase progression per user: one shuffle +
+      // map-side fold, vs the oracle's per-step self-join form.
+      EventOps.funnelStages(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "ts_us", "event_type", Seq("click", "view", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_corpus_pipeline" -> ((s0, dir) => {
       val s = ensure(s0)
       // The composed corpus build — exact dedup → Gopher gate →
@@ -1793,6 +1803,35 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    // The relational funnel definition: min eligible timestamp per
+    // step, each step restricted to strictly-after the previous — one
+    // aggregation per step (the form whose equivalence with the
+    // engine's single-pass fold is the point of the check).
+    "q_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (
+        |  SELECT user_id, min(ts_us) AS t1 FROM u
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT u.user_id, min(u.ts_us) AS t2 FROM u
+        |  JOIN s1 USING (user_id)
+        |  WHERE u.event_type = 'view' AND u.ts_us > s1.t1 GROUP BY u.user_id),
+        |s3 AS (
+        |  SELECT u.user_id, min(u.ts_us) AS t3 FROM u
+        |  JOIN s2 USING (user_id)
+        |  WHERE u.event_type = 'purchase' AND u.ts_us > s2.t2 GROUP BY u.user_id)
+        |SELECT b.user_id, s1.t1, s2.t2, s3.t3,
+        |       CAST(CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stages
+        |FROM (SELECT DISTINCT user_id FROM u) b
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // Every stage restated: dedup window, the Gopher expressions, the
     // hash-threshold draw, and the per-shard packing sums.

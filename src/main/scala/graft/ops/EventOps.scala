@@ -140,4 +140,44 @@ object EventOps {
     */
   def newKeysOnly(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Funnel analysis: per user, the timestamp at which each ordered
+    * step was first reached — step i counts only STRICTLY AFTER step
+    * i-1 (the greedy funnel: t1 = first 'click', t2 = first 'view'
+    * after t1, ...). `stages` = how deep the user got.
+    *
+    * Scale shape: ONE shuffle (the groupBy), then a map-side fold over
+    * the user's time-sorted event array — never a per-step self-join
+    * (the relational formulation joins the events table once per step,
+    * which is step-count × corpus shuffles at 100 TB; the DuckDB
+    * oracle states exactly that form, so the equivalence is checked).
+    * Per-user event counts bound the array (the same skew contract as
+    * sessionization); the fold is O(events-per-user) with fixed state.
+    */
+  def funnelStages(events: DataFrame, tsCol: String, typeCol: String,
+                   steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.size
+    val init = (1 to n).map(i => s"'t$i', cast(null as bigint)").mkString(", ")
+    val upd = (1 to n).map { i =>
+      val ready = if (i == 1) "true" else s"acc.t${i - 1} is not null"
+      val after = if (i == 1) "true" else s"e.ts > acc.t${i - 1}"
+      s"'t$i', case when acc.t$i is null and $ready and e.et = '${steps(i - 1)}' and $after " +
+        s"then e.ts else acc.t$i end"
+    }.mkString(", ")
+    val fold =
+      s"""aggregate(
+         |  array_sort(collect_list(struct($tsCol as ts, $typeCol as et))),
+         |  named_struct($init),
+         |  (acc, e) -> named_struct($upd))""".stripMargin
+    val stages = (1 to n).map(i => s"(case when f.t$i is not null then 1 else 0 end)")
+      .mkString(" + ")
+    events
+      .groupBy(col("user_id"))
+      .agg(expr(fold).as("f"))
+      .select(
+        col("user_id") +:
+          (1 to n).map(i => col(s"f.t$i").as(s"t$i")) :+
+          expr(s"cast($stages as bigint)").as("stages"): _*)
+  }
 }
