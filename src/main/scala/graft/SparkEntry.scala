@@ -872,20 +872,29 @@ object SparkEntry {
     * A-B-C connect transitively, never directly. Exactly the input a
     * one-hop keeper gets wrong and connected components gets right.
     */
-  private def chainCorpus(s: SparkSession, dir: String, cap: Long): DataFrame = {
+  private def chainFrame(s: SparkSession, dir: String, cap: Long): DataFrame = {
     val d = Tables.documents(s, dir)
       .filter(col("doc_id") < cap)
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"), col("text"))
     def prefix(frac: Double): Column =
       array_join(slice(col("toks"), lit(1), ceil(size(col("toks")) * frac).cast("int")), " ")
-    // cached: the prefix-truncation construction (tokenize + slice per
-    // doc) costs more than a scan, and the dedup pipeline's consumers
-    // would otherwise each recompute it from the raw parquet
-    CacheScope.cached(
-      d.select(col("doc_id"), col("text"))
-        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), prefix(0.80).as("text")))
-        .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"), prefix(0.64).as("text")))
-        .repartition(s.sparkContext.defaultParallelism))
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), prefix(0.80).as("text")))
+      .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"), prefix(0.64).as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** The chain corpus is a deterministic derived FIXTURE (like the
+    * date-partitioned layout and the GA4 parquet): materialized
+    * write-once, then read from parquet — the per-doc tokenize+slice
+    * construction is an input, not part of the operator under test.
+    * Cached because the CC pipeline consumes it twice (shingles +
+    * final keeper join).
+    */
+  private def chainCorpus(s: SparkSession, dir: String, cap: Long): DataFrame = {
+    val path = tmpDir(s"chain_$cap", dir)
+    Sinks.ensureWritten(chainFrame(s, dir, cap), path)
+    CacheScope.cached(s.read.parquet(path))
   }
 
   /** The GA4-shaped nested table (the reference's actual N1 input,
@@ -939,6 +948,7 @@ object SparkEntry {
         "event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")),
       tmpDir("events_by_date", sfDir), "event_date")
     Sinks.ensureWritten(ga4Frame(Tables.events(s, sfDir)), tmpDir("ga4", sfDir))
+    Sinks.ensureWritten(chainFrame(s, sfDir, 500), tmpDir("chain_500", sfDir))
   }
 
   // ---------------------------------------------------------------------------
