@@ -178,10 +178,12 @@ object Relational {
   def rangeJoinBinned(facts: DataFrame, factTs: String,
                       intervals: DataFrame, lo: String, hi: String,
                       binWidth: Long): DataFrame = {
-    val fb = facts.withColumn("__bin", (col(factTs) / binWidth).cast("long"))
+    // floor, not int-cast: cast truncates toward zero, which mis-bins
+    // negative domains (pre-epoch timestamps, signed offsets)
+    val fb = facts.withColumn("__bin", floor(col(factTs) / binWidth).cast("long"))
     val ib = intervals.withColumn("__bin",
-      explode(sequence((col(lo) / binWidth).cast("long"),
-        ((col(hi) - 1) / binWidth).cast("long"))))
+      explode(sequence(floor(col(lo) / binWidth).cast("long"),
+        floor((col(hi) - 1) / binWidth).cast("long"))))
     fb.join(broadcast(ib), Seq("__bin"))
       .filter(col(factTs) >= col(lo) && col(factTs) < col(hi))
       .drop("__bin")

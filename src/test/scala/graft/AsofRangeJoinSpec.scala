@@ -52,10 +52,11 @@ class AsofRangeJoinSpec extends AnyFunSuite {
 
   test("binned range join equals the naive inequality join") {
     val rnd = new scala.util.Random(7)
-    val facts = (0 until 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    // spans negative values: bin assignment must FLOOR, not truncate
+    val facts = (0 until 400).map(i => (i.toLong, rnd.nextInt(1000).toLong - 500L))
       .toDF("fact_id", "ts")
     val ivs = (0 until 30).map { i =>
-      val lo = rnd.nextInt(900).toLong
+      val lo = rnd.nextInt(900).toLong - 450L
       (i.toLong, lo, lo + 1 + rnd.nextInt(150).toLong)
     }.toDF("iv_id", "lo", "hi")
 
