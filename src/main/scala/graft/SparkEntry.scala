@@ -733,6 +733,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_unigram_logprob" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
     "q_funnel" -> ((s0, dir) => {
       val s = ensure(s0)
       // click → view → purchase progression per user: one shuffle +
@@ -1813,6 +1818,18 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM tf)
+        |SELECT t.doc_id,
+        |       count(*) AS n_toks,
+        |       round(avg(ln(tf.freq / tot.total)), 4) AS logprob
+        |FROM tok t JOIN tf USING (token), tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // The relational funnel definition: min eligible timestamp per
     // step, each step restricted to strictly-after the previous — one

@@ -174,6 +174,31 @@ object Text {
       .drop("__total")
   }
 
+  /** Corpus-statistics quality score: mean unigram log-probability per
+    * document under the corpus's own empirical distribution — the
+    * KenLM-style fluency proxy (docs full of corpus-rare tokens score
+    * low; docs of common tokens score high), with the corpus itself
+    * as the language model. Two aggregations: the global term
+    * frequency table, then per-doc averaging after a token-keyed join.
+    * The scalar total rides in as crossJoin(broadcast(1-row)) — one
+    * lazy plan, no driver action. At 100 TB the tf table is the
+    * broadcast candidate (vocab << corpus) and the join flips to
+    * map-side.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+    val tf = graft.CacheScope.cached(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("freq")))
+    val total = tf.agg(sum(col("freq")).cast("double").as("__total"))
+    toks.join(tf, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        round(avg(log(col("freq") / col("__total"))), 4).as("logprob"))
+  }
+
   /** Polynomial rolling hash over the raw character stream
     * (Rabin-Karp base 31 mod 2³¹−1) — the classic incremental document
     * fingerprint. Sequential by definition, so it's an `aggregate`

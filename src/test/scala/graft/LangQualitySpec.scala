@@ -40,4 +40,14 @@ class LangQualitySpec extends AnyFunSuite {
     val r = Text.languageId(docs).collect().head
     assert(r.getLong(1) === 1L) // 'the' counted once
   }
+
+  test("unigramLogProb: hand-computed corpus distribution") {
+    // tf: a=3, b=2, total=5. doc1 [a,a,a,b]: avg(3*ln(0.6)+ln(0.4))/4 =
+    // -0.6122; doc2 [b]: ln(0.4) = -0.9163
+    val out = Text.unigramLogProb(
+      Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((4L, -0.6122)))
+    assert(out(2L) === ((1L, -0.9163)))
+  }
 }
