@@ -98,8 +98,12 @@ object Bench {
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
-      .mkString("{", ",", "}")
+    // cap the error detail so a widespread failure can't blow the
+    // summary line past the harness's output-tail budget — the full
+    // messages are in the log above; the line keeps names + count
+    val errJson = errors.take(3)
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v).take(80) + "\"" }
+      .mkString("{", ",", if (errors.size > 3) s""","__more":${errors.size - 3}}""" else "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Shuffle detail goes on its OWN line: the harness keeps only the
     // tail of the output and parses the final JSON line, so that line

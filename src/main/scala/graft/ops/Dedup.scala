@@ -113,6 +113,23 @@ object Dedup {
       expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
       .select(col("doc_id"), col("h"))
 
+  /** The PRODUCTION hash path: xxhash64 shingle hashes (single 64-bit
+    * mix, whole-stage codegen) folded into the same 31-bit domain the
+    * permutation family expects. Not oracle-mirrorable — DuckDB has no
+    * bit-compatible xxhash64 — so its contract is law-based
+    * (DedupProps: exact duplicates always collide) rather than
+    * value-based. Swapping [[hashedShingles]] → this is the documented
+    * one-line md5→xxhash64 substitution for 100 TB runs.
+    */
+  def hashedShinglesFast(corpus: DataFrame): DataFrame =
+    docShingles(corpus)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(2147483647L)).as("h"))
+
+  /** [[minhashLshCandidates]] on the xxhash64 path. */
+  def minhashLshCandidatesFast(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshCandidatesFromSigs(
+      minhashSignaturesFromHashed(hashedShinglesFast(corpus), numHashes), numHashes, bands)
+
   private def minhashSignaturesFromHashed(hashed: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { s =>
       min(expr(s"((${37 + 101 * s} * h + ${13 + 97 * s}) % 2147483647)")).as(s"mh$s")

@@ -60,6 +60,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan(gopher).contains("Exchange"), plan(gopher))
   }
 
+  test("buildCorpus: exactly the two declared shuffles, none global") {
+    val docs3 = docs.withColumn("lang", lit("en"))
+    val p = plan(Corpus.buildCorpus(docs3, "lang", Map("en" -> 1.0), 64, 128))
+    assert(!p.contains("SinglePartition"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"pipeline grew a third shuffle ($exchanges):\n$p")
+  }
+
   test("weightedSample is a pushed-down filter, no shuffle") {
     val p = plan(Corpus.weightedSample(docs, "text", Map("x" -> 0.5)))
     assert(!p.contains("Exchange"), p)
