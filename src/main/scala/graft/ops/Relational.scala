@@ -161,6 +161,33 @@ object Relational {
       .drop("__side", "__rpay")
   }
 
+  /** Forward as-of join: for every `left` row, the EARLIEST `right`
+    * row with the same `key` and `right.ts >= left.ts` (ties on ts to
+    * the smallest `tieBreak`) — "next maintenance window", "next
+    * price tick". Same union+window shape as [[asofJoin]], with the
+    * scan direction reversed: ordered by ts DESC, right rows first at
+    * equal ts, tieBreak DESC, so the running `last` seen at a left
+    * row is the minimal (ts, tieBreak) at-or-after it.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                      tieBreak: String, rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(
+      col(key), col(ts),
+      struct(rightCols.map(col): _*).as("__rpay"),
+      lit(0).as("__side"))
+    val l = left.withColumn("__side", lit(1))
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__side").asc,
+        col("__rpay").getField(tieBreak).desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn("asof", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rpay")
+  }
+
   /** Range (interval) join: match each fact row to every interval with
     * `lo <= factTs < hi`, via fixed-width binning. Each interval
     * explodes into the bins it covers; facts compute their bin; the
