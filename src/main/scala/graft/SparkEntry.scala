@@ -733,6 +733,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_histogram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Fixed-width binned distribution — the intake profile's
+      // histogram twin. Bin id is computed map-side; one aggregation.
+      Tables.events(s, dir)
+        .select(floor(col("value") / 25.0).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", round(col("bin") * 25.0, 4))
+        .orderBy(col("bin"))
+    }),
+
+    "q_drift" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Distribution drift between two periods, one scan: conditional
+      // counts per type, shares against period totals (broadcast back),
+      // absolute share delta as the drift signal.
+      val side = when(col("ts_us") < D2024_01_10_US, "a")
+        .when(col("ts_us") < D2024_01_20_US, "b")
+      val tagged = Tables.events(s, dir).withColumn("side", side)
+        .filter(col("side").isNotNull)
+      val perType = tagged.groupBy(col("event_type")).agg(
+        sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b"))
+      val totals = perType.agg(
+        sum(col("n_a")).cast("double").as("__ta"),
+        sum(col("n_b")).cast("double").as("__tb"))
+      perType.crossJoin(broadcast(totals))
+        .select(
+          col("event_type"), col("n_a"), col("n_b"),
+          round(col("n_a") / col("__ta"), 4).as("share_a"),
+          round(col("n_b") / col("__tb"), 4).as("share_b"),
+          round(abs(col("n_a") / col("__ta") - col("n_b") / col("__tb")), 4).as("drift"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_tfidf" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     "q_unigram_logprob" -> ((s0, dir) => {
       val s = ensure(s0)
       Text.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -1818,6 +1860,51 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
+        |       round(CAST(floor(value / 25.0) AS BIGINT) * 25.0, 4) AS lo
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_drift" ->
+      """WITH tagged AS (
+        |  SELECT event_type,
+        |         CASE WHEN epoch_us(ts) < 1704844800000000 THEN 'a'
+        |              WHEN epoch_us(ts) < 1705708800000000 THEN 'b' END AS side
+        |  FROM events),
+        |per_type AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM tagged WHERE side IS NOT NULL GROUP BY event_type),
+        |tot AS (
+        |  SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb
+        |  FROM per_type)
+        |SELECT event_type, n_a, n_b,
+        |       round(n_a / tot.ta, 4) AS share_a,
+        |       round(n_b / tot.tb, 4) AS share_b,
+        |       round(abs(n_a / tot.ta - n_b / tot.tb), 4) AS drift
+        |FROM per_type, tot
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+        |         round(tf.tf * ln(n.n_docs / idf.df), 4) AS tfidf
+        |  FROM tf JOIN idf USING (token), n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q_unigram_logprob" ->
       """WITH tok AS (

@@ -199,6 +199,34 @@ object Text {
         round(avg(log(col("freq") / col("__total"))), 4).as("logprob"))
   }
 
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N/df) with df from the same corpus, top `k` terms by score
+    * (ties to the lexicographically first token). Three aggregations
+    * sharing one exploded-token pass: (doc,token) tf, token df derived
+    * FROM tf (already one row per doc-token — no second corpus scan),
+    * and the scalar doc count via crossJoin(broadcast). The final
+    * per-doc rank window partitions by doc_id — scales with docs, not
+    * vocabulary.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.CacheScope.cached(
+      documents
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(countDistinct(col("doc_id")).cast("double").as("__n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
   /** Polynomial rolling hash over the raw character stream
     * (Rabin-Karp base 31 mod 2³¹−1) — the classic incremental document
     * fingerprint. Sequential by definition, so it's an `aggregate`
