@@ -112,9 +112,13 @@ object Bench {
     // set ever grows the line past the budget) — the full-precision
     // per-query detail is in the shuffle/detail line above it.
     println(s"""{"detail":"shuffle_write_mb","queries":$sh,"sf":"$sfDir"}""")
+    // also emit full-precision per-query times on their own detail line
+    println(s"""{"detail":"times_precise","queries":${qJson(4)}}""")
     val head = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","queries":"""
-    val line3 = head + qJson(3) + "}"
-    println(if (line3.length <= 1800) line3 else head + qJson(2) + "}")
+    val line = Seq(3, 2, 1).iterator.map(dp => head + qJson(dp) + "}")
+      .find(_.length <= 1800)
+      .getOrElse(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","queries":{}}""")
+    println(line)
     spark.stop()
   }
 }
