@@ -733,6 +733,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_retention" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Cohort retention: users grouped by first-seen week, counted in
+      // each later week they were active. Two aggregations + one join
+      // on user — the cohort table is groups-sized, so at scale it
+      // broadcasts back against per-user activity.
+      val weekUs = 7L * 86400000000L
+      val base = 1704067200000000L // 2024-01-01
+      val wk = ((col("ts_us") - base) / weekUs).cast("long")
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), wk.as("wk"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val active = ev.distinct()
+      active.join(broadcast(cohorts), Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("wk_offset"))
+    }),
+
     "q_histogram" -> ((s0, dir) => {
       val s = ensure(s0)
       // Fixed-width binned distribution — the intake profile's
@@ -1860,6 +1879,19 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(floor((epoch_us(ts) - 1704067200000000) / 604800000000.0) AS BIGINT) AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cohorts AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, wk FROM ev)
+        |SELECT c.cohort, a.wk - c.cohort AS wk_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohorts c USING (user_id)
+        |GROUP BY c.cohort, a.wk - c.cohort
+        |ORDER BY cohort, wk_offset""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
