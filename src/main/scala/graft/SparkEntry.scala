@@ -733,6 +733,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corr" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Bivariate stats per group: correlation and sample covariance
+      // between the metric and the extracted numeric param — one
+      // partial-aggregated pass (corr/covar state is a fixed tuple of
+      // moments, mergeable like any sketch).
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("value"), col("k")), 4).as("corr_vk"),
+          round(covar_samp(col("value"), col("k")), 4).as("covar_vk"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
     "q_retention" -> ((s0, dir) => {
       val s = ensure(s0)
       // Cohort retention: users grouped by first-seen week, counted in
@@ -1879,6 +1896,17 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corr" ->
+      """WITH d AS (
+        |  SELECT event_type, value,
+        |         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       round(corr(value, k), 4) AS corr_vk,
+        |       round(covar_samp(value, k), 4) AS covar_vk
+        |FROM d WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q_retention" ->
       """WITH ev AS (
