@@ -134,10 +134,13 @@ object Dedup {
     val mins = (0 until numHashes).map { s =>
       min(expr(s"((${37 + 101 * s} * h + ${13 + 97 * s}) % 2147483647)")).as(s"mh$s")
     }
+    // shingle-set size rides in the SAME aggregation — same grouping
+    // key, so exact-verify's |A|,|B| terms cost no second shuffle of
+    // the (much larger) hashed-shingle table
     hashed.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+      .agg(mins.head, mins.tail :+ count(lit(1)).as("sz"): _*)
       .withColumn("minhashes", array((0 until numHashes).map(s => col(s"mh$s")): _*))
-      .select(col("doc_id"), col("minhashes"))
+      .select(col("doc_id"), col("minhashes"), col("sz"))
   }
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
@@ -196,12 +199,13 @@ object Dedup {
   def verifiedNearDupPairs(corpus: DataFrame, minJaccard: Double,
                            numHashes: Int = 16, bands: Int = 4): DataFrame = {
     // ONE tokenize+shingle+md5 pass feeds everything: signatures (→ LSH
-    // candidates), set sizes, and the exact verify join all read this
-    // cache instead of re-running the pipeline from the scan.
+    // candidates), set sizes (fused into the signature aggregation),
+    // and the exact verify join all read these caches instead of
+    // re-running the pipeline from the scan.
     val sh = CacheScope.cached(hashedShingles(corpus))
-    val cands = lshCandidatesFromSigs(
-      minhashSignaturesFromHashed(sh, numHashes), numHashes, bands)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sigs = CacheScope.cached(minhashSignaturesFromHashed(sh, numHashes))
+    val cands = lshCandidatesFromSigs(sigs, numHashes, bands)
+    val sizes = sigs.select(col("doc_id"), col("sz"))
     // exact common-shingle counts, computed ONLY for candidate pairs
     val common = cands
       .join(sh.select(col("doc_id").as("a"), col("h")), Seq("a"))
