@@ -733,6 +733,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_contain" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Containment on the CHAIN corpus: every prefix-truncated copy
+      // has shingles nested inside its original, so cont≈1 while
+      // Jaccard is only the length ratio — exactly the asymmetric
+      // case Jaccard-threshold dedup misses.
+      Dedup.ngramContainmentPairs(chainCorpus(s, dir, cap = 500), threshold = 0.9)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_outliers" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Z-score anomaly flagging: per-type moments once, broadcast
+      // back against the stream — the stats-join-back intake check
+      // (contrast q_above_avg's single global scalar subquery).
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("event_type")).agg(
+        avg(col("value")).as("__mu"), stddev_samp(col("value")).as("__sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("__mu")) / col("__sd"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"), round(col("z"), 4).as("z_r"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_corr" -> ((s0, dir) => {
       val s = ensure(s0)
       // Bivariate stats per group: correlation and sample covariance
@@ -1896,6 +1922,56 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, CAST(levenshtein(a.s40, b.s40) AS BIGINT) AS dist
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_contain" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |corpus AS (
+        |  SELECT doc_id, array_to_string(toks, ' ') AS text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.80 AS DOUBLE)) AS INT)], ' ')
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.64 AS DOUBLE)) AS INT)], ' ')
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM hx x JOIN hx y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT c.a, c.b,
+        |       round(c.c / sa.sz, 4) AS cont_a,
+        |       round(c.c / sb.sz, 4) AS cont_b
+        |FROM common c
+        |JOIN sizes sa ON sa.doc_id = c.a
+        |JOIN sizes sb ON sb.doc_id = c.b
+        |WHERE round(c.c / sa.sz, 4) >= 0.9 OR round(c.c / sb.sz, 4) >= 0.9
+        |ORDER BY c.a, c.b""".stripMargin,
+
+    "q_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value_r,
+        |       round((e.value - st.mu) / st.sd, 4) AS z_r
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((e.value - st.mu) / st.sd) > 2.5
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_corr" ->
       """WITH d AS (

@@ -85,6 +85,31 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder's other resemblance measure):
+    * c(A→B) = |A∩B| / |A| — near 1 when A is (mostly) inside B even if
+    * B is far larger, which Jaccard misses (a quoted paragraph inside
+    * a long page has high containment, low J). Same inverted-index
+    * join as [[ngramJaccardPairs]]; reports both directions, keeps
+    * pairs where either exceeds `threshold`.
+    */
+  def ngramContainmentPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val sh = CacheScope.cached(hashedShingles(corpus))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("a"), col("h"))
+    val b = sh.select(col("doc_id").as("b"), col("h"))
+    val common = a.join(b, "h")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .withColumn("cont_a", round(col("c") / col("sa"), 4))
+      .withColumn("cont_b", round(col("c") / col("sb"), 4))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .select(col("a"), col("b"), col("cont_a"), col("cont_b"))
+  }
+
   /** MinHash signatures via the standard one-hash + permutation
     * scheme: each shingle is md5'd ONCE to a 31-bit base hash, then
     * `numHashes` linear permutations `(a_s·h + b_s) mod (2^31−1)` give
