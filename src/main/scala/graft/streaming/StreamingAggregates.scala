@@ -42,6 +42,41 @@ object StreamingAggregates {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Sliding-window counts: each event lands in `windowLen/slide`
+    * overlapping windows (window() emits one row per covered window —
+    * a bounded, declared expansion). Append-mode finalization as with
+    * tumbling; state = open windows per shard, which at scale is
+    * windowLen/slide times the tumbling footprint — the documented
+    * cost of smoother trend curves.
+    */
+  def slidingCounts(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      checkpointDir: String,
+      sinkDir: String,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      lateness: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      .groupBy(window(col("__event_time"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class SessionInput(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -40,6 +40,28 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == "tick"))
   }
 
+  test("sliding windows count each event once per covered window") {
+    val base = Files.createTempDirectory("graft-slide").toString
+    val h = 3600L * 1000000
+    // one click at minute 45: with 1h windows sliding every 30min it is
+    // covered by windows starting at 00:00 and 00:30 — two rows
+    Seq(
+      ("click", 45L * 60 * 1000000),
+      ("tick", 100 * h) // watermark pusher; its windows stay open
+    ).toDF("event_type", "ts_us").coalesce(1).write.parquet(s"$base/src")
+
+    StreamingAggregates.slidingCounts(
+      spark, s"$base/src", schema, "ts_us", s"$base/ckpt", s"$base/sink")
+      .awaitTermination()
+
+    val clickRows = spark.read.parquet(s"$base/sink")
+      .collect().filter(_.getString(1) == "click")
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime, r.getLong(2)))
+    assert(clickRows.length === 2)
+    assert(clickRows.forall(_._2 === 1L))
+    assert(clickRows.map(_._1).sorted.toSeq === Seq(0L, 30L * 60 * 1000))
+  }
+
   test("flatMapGroupsWithState sessionizes by gap and emits closed sessions") {
     val base = Files.createTempDirectory("graft-sess").toString
     val m = 60L * 1000000
