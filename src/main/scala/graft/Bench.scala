@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.builderConfigs.foreach { case (k, v) => builder.config(k, v) }
+    // experiment hook: SPARK_GRAFT_EXTRA_CONF="key=value;key=value"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Cumulative shuffle-write bytes across all tasks — snapshotted
