@@ -85,6 +85,41 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** The skew-guarded scale form of [[ngramJaccardPairs]]: shingles
+    * whose posting list exceeds `dfCap` documents are dropped BEFORE
+    * the self-join. An ultra-common shingle ("in the of") contributes
+    * k² join rows for k sharers while carrying almost no similarity
+    * signal — at corpus scale one hot shingle can dominate the entire
+    * join. Dropping it bounds per-shingle join fan-out at dfCap².
+    *
+    * Exact-equivalence contract (spec-pinned): with dfCap ≥ max
+    * posting-list size the output is identical to the uncapped form;
+    * with a tight cap, scores shift only for pairs whose overlap
+    * included capped shingles (sizes still count them, so J is
+    * underestimated, never overestimated — safe for a ≥ threshold
+    * dedup gate's precision, at some recall cost).
+    */
+  def ngramJaccardPairsCapped(corpus: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    val sh = CacheScope.cached(hashedShingles(corpus))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+        .select(col("h")),
+      Seq("h"))
+    val a = rare.select(col("doc_id").as("a"), col("h"))
+    val b = rare.select(col("doc_id").as("b"), col("h"))
+    val common = a.join(b, "h")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .withColumn("jaccard", round(col("c") / (col("sa") + col("sb") - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Asymmetric CONTAINMENT pairs (Broder's other resemblance measure):
     * c(A→B) = |A∩B| / |A| — near 1 when A is (mostly) inside B even if
     * B is far larger, which Jaccard misses (a quoted paragraph inside

@@ -75,4 +75,25 @@ class DedupAdvancedSpec extends AnyFunSuite {
     val again = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f.features.toSeq).toMap
     assert(again === feats.map { case (k, v) => k -> v.features.toSeq })
   }
+
+  test("df-capped Jaccard equals the uncapped form when loose, never overestimates when tight") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 common common common"),
+      (2L, "x1 x2 x3 x4 x5 x6 common common common"),
+      (3L, "y1 y2 y3 common common common zz zz zz"),
+      (4L, "unrelated words entirely different here now")
+    ).toDF("doc_id", "text")
+    val uncapped = graft.ops.Dedup.ngramJaccardPairs(corpus, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val loose = graft.ops.Dedup.ngramJaccardPairsCapped(corpus, 0.1, dfCap = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(loose === uncapped)
+    assert(uncapped.contains((1L, 2L))) // the exact-dup pair is found
+    val tight = graft.ops.Dedup.ngramJaccardPairsCapped(corpus, 0.0, dfCap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // capped J never exceeds uncapped J for the same pair (sizes still
+    // count capped shingles; only the overlap can shrink)
+    tight.foreach { case (pair, j) => assert(j <= uncapped.getOrElse(pair, 1.0) + 1e-9) }
+  }
 }
