@@ -1,0 +1,36 @@
+package graft
+
+/** Operator library index — what lives where (full operator → query →
+  * test mapping in /root/repo/COVERAGE.md):
+  *
+  *  - [[graft.ops.EventOps]] — the reference's event pipeline: filters,
+  *    GA4 `event_params` extraction (last-match-wins), first-write-wins
+  *    dedup, upsert-as-anti-join, funnel stages.
+  *  - [[graft.ops.Relational]] — joins (broadcast/semi/anti/full,
+  *    salted-skew, merge-asof both directions, binned range), windows,
+  *    rollup, distinct (exact + HLL).
+  *  - [[graft.ops.TimeFns]] — multi-format date parsing (reference
+  *    fallback order), formatting, arithmetic, epoch-micros bridges.
+  *  - [[graft.ops.Text]] — tokens, corpus stats, exact dedup, language
+  *    ID (marker + char-trigram), quality scores, token counting,
+  *    fingerprints, heavy hitters, TF-IDF, unigram log-prob.
+  *  - [[graft.ops.Dedup]] — shingles, n-gram Jaccard (exact, df-capped,
+  *    containment), MinHash+LSH (md5 oracle path + xxhash64 production
+  *    path), SimHash, embedding near-dup, connected-component keepers.
+  *  - [[graft.ops.Sim]] — cosine top-k (brute force, IVF, trained
+  *    k-means IVF, hyperplane LSH with multi-probe), normalization,
+  *    quantization, the codegen'd `graft_dot` bridge.
+  *  - [[graft.ops.Corpus]] — corpus assembly: deterministic
+  *    shuffle-shard, sequence packing, PII masking, Gopher quality
+  *    signals/gate, decontamination, weighted sampling, and the
+  *    composed `buildCorpus` pipeline.
+  *  - [[graft.ops.Multimodal]] — binary media columns, typed metadata,
+  *    per-partition decode behind a clearly-stubbed codec.
+  *  - [[graft.ops.TypedOps]] — the typed `Dataset[Event]` tier: typed
+  *    aggregators, column-vs-lambda filters, mapGroups.
+  *
+  * Sinks/lifecycle live in `graft.etl` (CSV/JSON round trips, append,
+  * compaction, JDBC conflict-skip upsert, incremental watermark loop);
+  * streaming twins in `graft.streaming`.
+  */
+package object ops
