@@ -288,7 +288,12 @@ object Dedup {
     */
   def lshDedupKeepers(corpus: DataFrame, minJaccard: Double,
                       numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val verified = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
+    // cached: the undirected union reads the verified edge set twice,
+    // and the LSH-candidate + exact-verify joins are the expensive part
+    // of the whole operator — without the cache they run once per
+    // union branch.
+    val verified = CacheScope.cached(
+      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands))
     // undirected neighbor set → keeper = min(self, neighbors)
     val neighbors = verified
       .unionByName(verified.select(col("b").as("a"), col("a").as("b")))
@@ -330,7 +335,13 @@ object Dedup {
   def connectedComponentKeepers(corpus: DataFrame, minJaccard: Double,
                                 numHashes: Int = 16, bands: Int = 4,
                                 maxIters: Int = 20): DataFrame = {
-    val verified = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
+    // Cache the DIRECTED edge set before the undirected union: the
+    // union consumes it twice, and each recomputation would replay the
+    // LSH-candidate join + exact-verify join (the dominant cost of the
+    // operator — measured 3× the whole CC loop). The undirected union
+    // itself is two cache scans, cheap to recompute per round.
+    val verified = CacheScope.cached(
+      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands))
     val edges = CacheScope.cached(
       verified.unionByName(verified.select(col("b").as("a"), col("a").as("b"))))
     // Fused first hop: initialize each edge vertex at min(self, direct

@@ -1,0 +1,32 @@
+#!/usr/bin/env python3
+"""Time each oracle SQL in DuckDB — the per-query half of the bench's
+2x-of-baseline gate. Run graft.Verify first so oracle_sql.json exists;
+pass the sf dir the driver benches (default sf0.1).
+"""
+import sys, json, time
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+times = {}
+for name in sorted(oracle):
+    t0 = time.time()
+    try:
+        con.execute(oracle[name]).fetchall()
+        times[name] = round(time.time() - t0, 3)
+    except Exception as e:
+        times[name] = None
+        print(f"{name:24s} ERROR {str(e)[:120]}")
+total = sum(v for v in times.values() if v is not None)
+for name, v in sorted(times.items(), key=lambda kv: -(kv[1] or 0)):
+    print(f"{name:26s} {v}")
+print(f"TOTAL {total:.2f} over {sum(1 for v in times.values() if v is not None)} queries")
