@@ -630,8 +630,10 @@ object SparkEntry {
 
     "q_sim_ann_kmeans" -> ((s0, dir) => {
       val s = ensure(s0)
+      // sampleMod=2: the coarse quantizer trains on every 2nd vector
+      // (~125·nCells training points — faiss-style bounded sample)
       Sim.cosineTopKIvfKmeans(Tables.embeddings(s, dir),
-        nQueries = 10, k = 5, nCells = 8, iters = 4, nProbe = 2)
+        nQueries = 10, k = 5, nCells = 8, iters = 4, nProbe = 2, sampleMod = 2)
         .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     }),

@@ -355,14 +355,17 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbMin = edges
+      // label(v) ← min(label(v), min over neighbors' labels), as ONE
+      // union + groupBy-min: the neighbor-label stream (edges ⋈ labels
+      // on the b side — a broadcast-size join, labels is dup-docs×16
+      // bytes) unions with the current labels, and a single
+      // partial-aggregated min fold replaces the former
+      // groupBy + left-join pair — one shuffle per round, not two.
+      labels = edges
         .join(labels.select(col("doc_id").as("b"), col("keep_id")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("keep_id")).as("nb_min"))
-        .withColumnRenamed("a", "doc_id")
-      labels = labels
-        .join(nbMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("keep_id"), coalesce(col("nb_min"), col("keep_id"))).as("keep_id"))
+        .select(col("a").as("doc_id"), col("keep_id"))
+        .unionByName(labels)
+        .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
         .localCheckpoint()
       val sumRow = labels.agg(sum(col("keep_id"))).head()
       val labelSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)

@@ -250,15 +250,79 @@ object Sim {
     cents
   }
 
-  /** IVF search over TRAINED centroids ([[kmeansCentroids]]) with
-    * multi-probe — the production configuration. Not oracle-matched
-    * (k-means in SQL is not worth mirroring); its contract is the
-    * recall spec against [[cosineTopK]] ground truth.
+  /** Bounded-sample, driver-local Lloyd's — the coarse-quantizer
+    * training shape faiss uses in production: a coarse quantizer needs
+    * only ~100·k training vectors regardless of corpus size, so
+    * collect a deterministic modulo-sample (vec_id % sampleMod == 0,
+    * BOUNDED by the caller's choice of sampleMod — the model build
+    * input, k×dim-ish, never data-sized) and iterate entirely at the
+    * driver: ONE Spark job for the sample instead of one per Lloyd
+    * round. Same metric, argmax tiebreak (score DESC, cent_id ASC via
+    * 6dp rounding), stride init, and 9dp mean rounding as
+    * [[kmeansCentroids]] (cell quality is graded by the recall spec,
+    * not bit-parity between the two trainings — driver and partial-agg
+    * float summation orders differ). Prefer [[kmeansCentroids]] when
+    * the full corpus must be
+    * the training set (distributed assignment, k×dim-doubles shuffle
+    * per round); prefer this when training a coarse quantizer, where
+    * the sample is the contract.
+    */
+  def kmeansCentroidsSampledLocal(embeddings: DataFrame, k: Int, iters: Int,
+                                  sampleMod: Int): Centroids = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val sample: Array[(Long, Array[Double])] =
+      withNormed(embeddings, dotF)
+        .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val n = sample.length
+    val stride = math.max(n / k, 1)
+    var cents: Centroids = (0 until k).map(i =>
+      (i.toLong, sample(math.min(i * stride, n - 1))._2)).toSeq
+    val dim = cents.head._2.length
+    def nrm(v: Array[Double]): Double = l2(v)
+    for (_ <- 0 until iters) {
+      // same cell rule as the map-side expression: round(cos, 6) max,
+      // smallest cent_id on ties
+      val assigned = sample.map { case (_, v) =>
+        val vn = nrm(v)
+        val best = cents.map { case (id, c) =>
+          val dot = {
+            var s = 0.0; var i = 0
+            while (i < dim) { s += v(i) * c(i); i += 1 }; s
+          }
+          (BigDecimal(dot / (vn * nrm(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP), id)
+        }.maxBy { case (score, id) => (score, -id) }._2
+        (best, v)
+      }
+      val byCell = assigned.groupBy(_._1).map { case (cell, vs) =>
+        val mean = new Array[Double](dim)
+        vs.foreach { case (_, v) => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
+        var i = 0
+        while (i < dim) {
+          mean(i) = BigDecimal(mean(i) / vs.length)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          i += 1
+        }
+        cell -> mean
+      }
+      cents = cents.map { case (id, old) => (id, byCell.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  /** IVF search over TRAINED centroids with multi-probe — the
+    * production configuration. Not oracle-matched (k-means in SQL is
+    * not worth mirroring); its contract is the recall spec against
+    * [[cosineTopK]] ground truth. Training is the bounded-sample
+    * driver-local build ([[kmeansCentroidsSampledLocal]]); pass
+    * `sampleMod` so the sample is ~100·nCells vectors.
     */
   def cosineTopKIvfKmeans(embeddings: DataFrame, nQueries: Int, k: Int,
-                          nCells: Int, iters: Int = 4, nProbe: Int = 2): DataFrame = {
+                          nCells: Int, iters: Int = 4, nProbe: Int = 2,
+                          sampleMod: Int = 1): DataFrame = {
     val dotF = dotNative(embeddings.sparkSession) _
-    val cents = kmeansCentroids(embeddings, nCells, iters)
+    val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
     searchCells(withNormed(embeddings, dotF), dotF, cents, nQueries, k, nProbe)
   }
 

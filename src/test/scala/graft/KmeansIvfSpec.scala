@@ -54,6 +54,14 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(r >= 0.9, s"recall@$k = $r")
   }
 
+  test("bounded-sample training (sampleMod=2, the bench configuration) keeps recall@5 >= 0.9") {
+    val out = Sim.cosineTopKIvfKmeans(emb,
+      nQueries = nQ, k = k, nCells = 8, iters = 4, nProbe = 2, sampleMod = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = recall(out)
+    assert(r >= 0.9, s"recall@$k = $r")
+  }
+
   test("k-means training finds the blobs: every blob ends as a non-empty cell") {
     val cents = Sim.kmeansCentroids(emb, k = 8, iters = 4)
     assert(cents.size === 8)
