@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Dedup, EventOps, Relational, Sim, Text, TimeFns}
+import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Relational, Sim, Text, TimeFns}
 import graft.etl.Sinks
 import graft.Tables._
 
@@ -952,6 +952,67 @@ object SparkEntry {
         .select(col("a.doc_id").as("doc_id"),
           levenshtein(col("a.s40"), col("b.s40")).cast("long").as("dist"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- batch 7 (round 5): LM scoring, vocab training, chunking, ----------
+    // ---- balancing, attribution, media planning, equal-count bands ----------
+    "q_bigram_lm" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_bpe_pairs" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.bpePairCounts(Tables.documents(s, dir), k = 30)
+        .orderBy(col("cnt").desc, col("pair"))
+    }),
+
+    "q_chunk_docs" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.chunkDocs(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          chunkSize = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_id"), col("off"), col("chunk_len"),
+          substring(col("chunk"), 1, 16).as("chunk_head"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q_domain_cap" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // balance the corpus: top-100 docs per source by the same
+      // quality score q_quality_score checks, deterministic tiebreak
+      val q = Text.qualityScore(Tables.documents(s, dir), Seq("the", "a"))
+        .select(col("doc_id"), col("quality"))
+      val withSrc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id"))
+      Corpus.domainCap(withSrc, "source", "quality", cap = 100)
+        .select(col("doc_id"), col("source"), col("quality"), col("rnk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_attribution" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.lastTouchAttribution(
+          Tables.events(s, dir), "ts_us", "event_type",
+          touchType = "click", convType = "purchase")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_media_chunks" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Multimodal.chunkPlan(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF()
+            .select(col("media_id"), col("n_bytes")),
+          chunkBytes = 100L)
+        .orderBy(col("media_id"), col("chunk_idx"))
+    }),
+
+    "q_ntile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.ntileStats(
+          Tables.orders(s, dir), "o_totalprice", "o_orderkey", n = 10)
+        .orderBy(col("tile"))
     })
   )
 
@@ -2216,6 +2277,103 @@ object SparkEntry {
     "q_sink_json" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
         |       round(value, 4) AS value_r
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // ---- batch 7 (round 5) --------------------------------------------------
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS next
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bc AS (SELECT prev, next, count(*) AS bc FROM bi GROUP BY prev, next),
+        |cc AS (SELECT prev, sum(bc) AS cc FROM bc GROUP BY prev)
+        |SELECT bi.doc_id,
+        |       count(*) AS n_bigrams,
+        |       round(avg(ln(bc.bc / CAST(cc.cc AS DOUBLE))), 4) AS bigram_logprob
+        |FROM bi JOIN bc USING (prev, next) JOIN cc USING (prev)
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        |  FROM documents),
+        |p AS (
+        |  SELECT substr(word, i, 2) AS pair
+        |  FROM w, unnest(generate_series(1, length(word) - 1)) AS u(i)
+        |  WHERE length(word) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "q_chunk_docs" ->
+      """SELECT doc_id,
+        |       CAST((off - 1) // 150 AS BIGINT) AS chunk_id,
+        |       CAST(off AS BIGINT) AS off,
+        |       CAST(length(substr(text, off, 200)) AS BIGINT) AS chunk_len,
+        |       substr(substr(text, off, 200), 1, 16) AS chunk_head
+        |FROM documents,
+        |     unnest(generate_series(1, greatest(length(text) - 50, 1), 150)) AS u(off)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |         round(least(len(toks) / 100.0, 1.0) *
+        |               (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) / len(toks)),
+        |               4) AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rnk
+        |  FROM q)
+        |SELECT doc_id, source, quality, rnk FROM r
+        |WHERE rnk <= 100 ORDER BY doc_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |w AS (
+        |  SELECT event_id, user_id, ts_us, event_type,
+        |         max(CASE WHEN event_type = 'click' THEN ts_us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS last_touch_ts
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us, last_touch_ts,
+        |       ts_us - last_touch_ts AS gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_media_chunks" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT media_id,
+        |       CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(i * 100 AS BIGINT) AS offset,
+        |       CAST(least(100, n_bytes - i * 100) AS BIGINT) AS chunk_bytes
+        |FROM m,
+        |     unnest(generate_series(0, greatest(CAST(ceil(n_bytes / 100.0) AS BIGINT) - 1, 0)))
+        |       AS u(i)
+        |ORDER BY media_id, chunk_idx""".stripMargin,
+
+    "q_ntile" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+        |  FROM orders)
+        |SELECT tile, count(*) AS n_rows,
+        |       round(min(o_totalprice), 4) AS lo,
+        |       round(max(o_totalprice), 4) AS hi,
+        |       round(avg(o_totalprice), 4) AS mean
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin
   )
 }

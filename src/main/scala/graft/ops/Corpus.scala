@@ -81,6 +81,50 @@ object Corpus {
   def piiMask(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
 
+  /** Overlapping character chunking — the RAG/context-window document
+    * splitter: fixed `chunkSize`-char windows advancing by
+    * `chunkSize - overlap`, each row carrying (doc_id, chunk_id,
+    * off, chunk, chunk_len). The final chunk may be short; a document
+    * shorter than one stride still emits exactly one chunk.
+    *
+    * Shape: pure map-side — a sequence() of 1-based offsets exploded
+    * per document and a substring per offset; no shuffle at any
+    * scale (chunk rows inherit the document's partition).
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(
+          lit(1), greatest(length(col("text")) - overlap, lit(1)), lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("off"),
+        expr(s"substring(text, col, $chunkSize)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
+  /** Per-domain quota capping — corpus balancing: rank each domain's
+    * documents by (`orderCol` DESC, doc_id ASC) and keep the top
+    * `cap`, so no single source floods the training mix regardless of
+    * its crawl volume.
+    *
+    * Shape: one rank window partitioned by domain — at 100 TB that is
+    * one shuffle on the domain key with per-domain sorts; for skewed
+    * mega-domains, pre-filter with an approximate per-domain
+    * threshold (quantile sketch) so the exact window only sees
+    * borderline rows.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, orderCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col("doc_id").asc)
+    docs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= cap)
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least `minShared` 3-gram shingles with any document in the
     * benchmark/eval set — the standard n-gram-overlap contamination

@@ -180,4 +180,32 @@ object EventOps {
           (1 to n).map(i => col(s"f.t$i").as(s"t$i")) :+
           expr(s"cast($stages as bigint)").as("stages"): _*)
   }
+
+  /** Last-touch attribution: for every `convType` event, the timestamp
+    * of the user's most recent STRICTLY-PRECEDING `touchType` event
+    * (and the gap), NULL when no touch precedes — the marketing
+    * last-click model, and the within-stream form of an as-of join.
+    *
+    * Shape: ONE window over (user, time) — a running conditional max
+    * in a rows-frame ending 1 PRECEDING — then a filter to conversion
+    * rows. The same single shuffle any per-user sessionization pays;
+    * ties in `tsCol` are ordered by `event_id` so the frame boundary
+    * (and therefore the result) is engine-independent.
+    */
+  def lastTouchAttribution(events: DataFrame, tsCol: String, typeCol: String,
+                           touchType: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col(tsCol), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("user_id").isNotNull)
+      .withColumn("last_touch_ts",
+        max(when(col(typeCol) === touchType, col(tsCol))).over(w))
+      .filter(col(typeCol) === convType)
+      .select(
+        col("event_id"), col("user_id"), col(tsCol),
+        col("last_touch_ts"),
+        (col(tsCol) - col("last_touch_ts")).as("gap_us"))
+  }
 }

@@ -72,6 +72,27 @@ object Multimodal {
       lit("utf8-fake").as("format")).as[MediaRow]
   }
 
+  /** Byte-range chunk plan for a media payload: the (media_id,
+    * chunk_idx, offset, n_bytes) rows a distributed decoder would
+    * fetch — ranged reads against an object store, one task per
+    * chunk, without ever moving the payload itself. Pure offset
+    * arithmetic from the LENGTH column (sequence + posexplode,
+    * map-side, no shuffle): planning runs on metadata only, which is
+    * the point at 100 TB — the 8-byte n_bytes column streams through
+    * the planner while the payload bytes stay in the store until a
+    * chunk task actually reads its range.
+    */
+  def chunkPlan(media: DataFrame, chunkBytes: Long): DataFrame =
+    media
+      .select(col("media_id"), col("n_bytes"),
+        posexplode(sequence(lit(0L), greatest(
+          ceil(col("n_bytes") / chunkBytes.toDouble).cast("long") - 1, lit(0L)))))
+      .select(
+        col("media_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("col") * chunkBytes).as("offset"),
+        least(lit(chunkBytes), col("n_bytes") - col("col") * chunkBytes).as("chunk_bytes"))
+
   /** Frame sampling on the RAW payload: cut the byte stream into
     * `nFrames` equal chunks and keep every `stride`-th one — the
     * "sample 1 frame per second" primitive, done with byte arithmetic

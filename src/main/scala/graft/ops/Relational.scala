@@ -215,4 +215,28 @@ object Relational {
       .filter(col(factTs) >= col(lo) && col(factTs) < col(hi))
       .drop("__bin")
   }
+
+  /** Equal-count bucketing (`ntile`) + per-bucket summary — the
+    * decile/percentile-band report. The tile assignment is one global
+    * rank window ordered by (`valueCol`, `keyCol`): ntile is
+    * rank-arithmetic, so the unique-key tiebreak makes bucket
+    * boundaries engine-independent. The per-bucket aggregate is an
+    * ordinary partial-agged groupBy.
+    *
+    * Scale: a single-ORDER window is one global sort — fine into the
+    * billions of rows (Spark range-partitions the sort); past that,
+    * assign tiles from an approx-quantile sketch cut list instead and
+    * keep this exact form for the verification sample.
+    */
+  def ntileStats(df: DataFrame, valueCol: String, keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(valueCol), col(keyCol))
+    df.withColumn("tile", ntile(n).over(w).cast("long"))
+      .groupBy(col("tile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(min(col(valueCol)), 4).as("lo"),
+        round(max(col(valueCol)), 4).as("hi"),
+        round(avg(col(valueCol)), 4).as("mean"))
+  }
 }

@@ -199,6 +199,67 @@ object Text {
         round(avg(log(col("freq") / col("__total"))), 4).as("logprob"))
   }
 
+  /** Bigram conditional log-probability per document — the next step
+    * up from [[unigramLogProb]] on the KenLM-style fluency ladder:
+    * score = mean over the doc's bigram instances of
+    * ln(count(prev,next) / count(prev,*)), with both counts taken from
+    * the corpus itself. A doc whose word ORDER is unusual scores low
+    * even when every individual word is common — exactly what the
+    * unigram model cannot see.
+    *
+    * Shape: one map-side bigram explode (sequence + try_element_at,
+    * same pattern as [[Dedup.docShingles]]), ONE groupBy building the
+    * corpus bigram table (cached — both the context aggregation and
+    * the per-doc join read it), context counts derived FROM the bigram
+    * table (vocab-sized, not corpus-sized), then a bigram-keyed join
+    * back. At 100 TB the bigram table is the broadcast candidate once
+    * pruned to the top vocabulary; docs with < 2 tokens have no bigram
+    * instances and drop out, mirroring any engine's inner-join
+    * semantics.
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val bi = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        try_element_at(col("toks"), col("i")).as("prev"),
+        try_element_at(col("toks"), col("i") + 1).as("next"))
+    val bc = graft.CacheScope.cached(
+      bi.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("bc")))
+    val cc = bc.groupBy(col("prev")).agg(sum(col("bc")).as("cc"))
+    bi.join(bc, Seq("prev", "next"))
+      .join(cc, Seq("prev"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("bc") / col("cc").cast("double"))), 4).as("bigram_logprob"))
+  }
+
+  /** BPE merge-pair counting — iteration zero of byte-pair-encoding
+    * vocabulary training (Sennrich et al. 2016): count adjacent
+    * CHARACTER pairs within each whitespace word across the corpus;
+    * the most frequent pair is the first merge. Returns the top `k`
+    * pairs (count DESC, pair ASC — the deterministic merge-order
+    * tiebreak).
+    *
+    * Shape: two map-side explodes (word, then intra-word position —
+    * both Generators, no shuffle) and ONE count aggregation keyed by
+    * the pair; at 100 TB the pair domain is tiny (alphabet²-ish), so
+    * partial aggregation collapses nearly everything map-side and the
+    * shuffle carries the pair vocabulary, not the corpus.
+    */
+  def bpePairCounts(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(explode(Dedup.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
   /** TF-IDF top terms per document: tf = in-doc term count, idf =
     * ln(N/df) with df from the same corpus, top `k` terms by score
     * (ties to the lexicographically first token). Three aggregations
