@@ -1013,6 +1013,34 @@ object SparkEntry {
       Relational.ntileStats(
           Tables.orders(s, dir), "o_totalprice", "o_orderkey", n = 10)
         .orderBy(col("tile"))
+    }),
+
+    "q_split" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // 90/5/5 deterministic split; emit the per-split counts per lang
+      // so the oracle checks both assignment AND stratum proportions
+      Corpus.assignSplit(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
+        .select(col("doc_id"), col("lang"), col("split"), col("u_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_window_pct" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // distribution-position windows: percent_rank (rank-based) and
+      // cume_dist (inclusive-count based) per event type — the
+      // "where does this value sit" analytics surface q_ntile bands
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2374,6 +2402,28 @@ object SparkEntry {
         |       round(min(o_totalprice), 4) AS lo,
         |       round(max(o_totalprice), 4) AS hi,
         |       round(avg(o_totalprice), 4) AS mean
-        |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+
+    "q_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+        |           / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN u < 0.9 THEN 'train'
+        |            WHEN u < 0.95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       round(u, 6) AS u_r
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_window_pct" ->
+      """SELECT event_id, event_type,
+        |       round(value, 4) AS value_r,
+        |       round(percent_rank() OVER (PARTITION BY event_type
+        |                                  ORDER BY value, event_id), 6) AS pct_rank,
+        |       round(cume_dist() OVER (PARTITION BY event_type
+        |                               ORDER BY value, event_id), 6) AS cume
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

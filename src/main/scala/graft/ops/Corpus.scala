@@ -174,6 +174,28 @@ object Corpus {
     docs.withColumn("u_r", round(u, 6)).filter(u < w)
   }
 
+  /** Deterministic train/validation/test split: the same md5-derived
+    * uniform as [[weightedSample]] cut at cumulative fraction
+    * boundaries — every re-run (and every engine) assigns each doc_id
+    * the same split, docs never migrate between splits when the corpus
+    * grows (assignment depends only on the id, not on corpus order or
+    * size), and expected proportions hold per stratum because the hash
+    * is independent of any document attribute. Map-side, no shuffle.
+    *
+    * `cuts` are (label, upperBound) with ascending bounds, last bound
+    * covering the remainder — e.g. Seq(("train",0.9),("val",0.95),
+    * ("test",1.0)).
+    */
+  def assignSplit(docs: DataFrame, cuts: Seq[(String, Double)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0, "last cut must cover [.., 1.0]")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val expr0: Column = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((label, hi), rest) => when(u < hi, label).otherwise(rest)
+    }
+    docs.withColumn("u_r", round(u, 6)).withColumn("split", expr0)
+  }
+
   /** Gopher-style per-document quality signals (Rae et al. 2021,
     * "Scaling Language Models", app. A1.1): word count, mean word
     * length, digit fraction, and repeated-bigram fraction, plus the

@@ -72,4 +72,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Corpus.weightedSample(docs, "text", Map("x" -> 0.5)))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("chunkDocs and chunkPlan stay shuffle-free (planning is map-side)") {
+    val pc = plan(Corpus.chunkDocs(docs, chunkSize = 10, overlap = 2))
+    assert(!pc.contains("Exchange"), pc)
+    val media = Seq((1L, 250L)).toDF("media_id", "n_bytes")
+    val pm = plan(graft.ops.Multimodal.chunkPlan(media, 100L))
+    assert(!pm.contains("Exchange"), pm)
+  }
+
+  test("lastTouchAttribution: one per-user window shuffle, never global") {
+    val ev = Seq((1L, 10L, 100L, "click")).toDF("event_id", "user_id", "ts_us", "event_type")
+    val p = plan(graft.ops.EventOps.lastTouchAttribution(
+      ev, "ts_us", "event_type", "click", "purchase"))
+    assert(!p.contains("SinglePartition"), s"attribution window went global:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"attribution grew a second shuffle ($exchanges):\n$p")
+  }
+
+  test("domainCap: rank window partitions by the domain key, not global") {
+    val d = docs.withColumn("source", lit("s1")).withColumn("quality", lit(0.5))
+    val p = plan(Corpus.domainCap(d, "source", "quality", cap = 10))
+    assert(!p.contains("SinglePartition"), s"domainCap window went global:\n$p")
+  }
 }

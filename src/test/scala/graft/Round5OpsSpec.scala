@@ -108,6 +108,38 @@ class Round5OpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 40L)))
   }
 
+  test("assignSplit: stable assignment, boundaries honored, roughly proportional") {
+    val docs = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val cuts = Seq(("train", 0.9), ("val", 0.95), ("test", 1.0))
+    val out = Corpus.assignSplit(docs, cuts)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)
+    assert(counts("train") > 850 && counts("train") < 950, counts.toString)
+    // re-running assigns identically (pure function of doc_id)
+    val again = Corpus.assignSplit(docs, cuts)
+    assert(out.select("doc_id", "split").except(again.select("doc_id", "split")).count() === 0)
+    // every u respects its split's boundaries
+    val bad = out.filter(
+      (col("split") === "train" && col("u_r") >= 0.9) ||
+      (col("split") === "val" && (col("u_r") < 0.9 || col("u_r") >= 0.95)) ||
+      (col("split") === "test" && col("u_r") < 0.95)).count()
+    assert(bad === 0)
+  }
+
+  test("assignSplit: membership is independent of corpus size (no migration)") {
+    val cuts = Seq(("train", 0.9), ("test", 1.0))
+    val small = Corpus.assignSplit(
+      (0L until 100L).map(i => (i, "")).toDF("doc_id", "text"), cuts)
+    val large = Corpus.assignSplit(
+      (0L until 500L).map(i => (i, "")).toDF("doc_id", "text"), cuts)
+    val smallMap = small.select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val largeMap = large.select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(smallMap.forall { case (id, s) => largeMap(id) === s })
+  }
+
   test("ntileStats: equal-count bands with deterministic boundaries") {
     val df = (1 to 10).map(i => (i.toLong, i * 10.0)).toDF("k", "v")
     val out = Relational.ntileStats(df, "v", "k", n = 2)
