@@ -5,15 +5,17 @@ package graft
   *
   *  - [[graft.ops.EventOps]] — the reference's event pipeline: filters,
   *    GA4 `event_params` extraction (last-match-wins), first-write-wins
-  *    dedup, upsert-as-anti-join, funnel stages.
+  *    dedup, upsert-as-anti-join, funnel stages, last-touch
+  *    attribution.
   *  - [[graft.ops.Relational]] — joins (broadcast/semi/anti/full,
   *    salted-skew, merge-asof both directions, binned range), windows,
-  *    rollup, distinct (exact + HLL).
+  *    rollup, distinct (exact + HLL), equal-count bands (ntile).
   *  - [[graft.ops.TimeFns]] — multi-format date parsing (reference
   *    fallback order), formatting, arithmetic, epoch-micros bridges.
   *  - [[graft.ops.Text]] — tokens, corpus stats, exact dedup, language
   *    ID (marker + char-trigram), quality scores, token counting,
-  *    fingerprints, heavy hitters, TF-IDF, unigram log-prob.
+  *    fingerprints, heavy hitters, TF-IDF, unigram/bigram log-prob,
+  *    BPE merge-pair counts.
   *  - [[graft.ops.Dedup]] — shingles, n-gram Jaccard (exact, df-capped,
   *    containment), MinHash+LSH (md5 oracle path + xxhash64 production
   *    path), SimHash, embedding near-dup, connected-component keepers.
@@ -22,10 +24,12 @@ package graft
   *    quantization, the codegen'd `graft_dot` bridge.
   *  - [[graft.ops.Corpus]] — corpus assembly: deterministic
   *    shuffle-shard, sequence packing, PII masking, Gopher quality
-  *    signals/gate, decontamination, weighted sampling, and the
-  *    composed `buildCorpus` pipeline.
+  *    signals/gate, decontamination, weighted sampling, overlapping
+  *    chunking, per-domain quota capping, deterministic train/val/test
+  *    splits, and the composed `buildCorpus` pipeline.
   *  - [[graft.ops.Multimodal]] — binary media columns, typed metadata,
-  *    per-partition decode behind a clearly-stubbed codec.
+  *    byte-range chunk planning, per-partition decode behind a
+  *    clearly-stubbed codec.
   *  - [[graft.ops.TypedOps]] — the typed `Dataset[Event]` tier: typed
   *    aggregators, column-vs-lambda filters, mapGroups.
   *

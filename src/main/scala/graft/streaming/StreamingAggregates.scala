@@ -77,6 +77,65 @@ object StreamingAggregates {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  final case class TouchInput(event_id: Long, user_id: Long, ts_us: Long, event_type: String)
+  final case class TouchState(lastTouchUs: Long)
+  final case class TouchOut(event_id: Long, user_id: Long, ts_us: Long,
+                            last_touch_ts: Option[Long], gap_us: Option[Long])
+
+  /** Streaming last-touch attribution — the streaming twin of
+    * `EventOps.lastTouchAttribution`: each `convType` event is
+    * attributed to the user's most recent strictly-preceding
+    * `touchType` event. State per user is ONE long (the latest touch
+    * time), evicted by event-time timeout after `idleUs` of silence —
+    * bounded regardless of stream length.
+    *
+    * Within a micro-batch, rows fold in (ts_us, event_id) order, so a
+    * single-batch run (Trigger.AvailableNow) reproduces the batch
+    * operator exactly. Across batches the usual streaming caveat
+    * applies: a touch that arrives AFTER its conversion's batch cannot
+    * retro-attribute — the conversion row was already emitted
+    * (append-mode results are immutable); the watermark/timeout bound
+    * how long such disorder can matter.
+    */
+  def attribute(
+      events: Dataset[TouchInput],
+      touchType: String,
+      convType: String,
+      idleUs: Long,
+      lateness: String = "1 hour"): Dataset[TouchOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", lateness)
+      .as[TouchInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, TouchOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TouchInput], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var last = state.getOption.map(_.lastTouchUs)
+            val out = Seq.newBuilder[TouchOut]
+            sorted.foreach { e =>
+              if (e.event_type == convType)
+                out += TouchOut(e.event_id, user, e.ts_us, last, last.map(e.ts_us - _))
+              // touch AFTER conversion at the same fold position never
+              // attributes to it (strictly-preceding), so update second
+              if (e.event_type == touchType) last = Some(e.ts_us)
+            }
+            last.foreach { t =>
+              state.update(TouchState(t))
+              state.setTimeoutTimestamp((t + idleUs) / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SessionInput(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

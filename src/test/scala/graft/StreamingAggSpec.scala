@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingAggregates
-import graft.streaming.StreamingAggregates.{SessionInput, SessionOut}
+import graft.streaming.StreamingAggregates.{SessionInput, SessionOut, TouchInput, TouchOut}
 
 class StreamingAggSpec extends AnyFunSuite {
 
@@ -96,5 +96,51 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(out.contains((1L, t0, t0 + 10 * m, 3L)))            // first session of user 1
     assert(out.contains((1L, t0 + 60 * m, t0 + 62 * m, 2L)))   // second, closed by timeout
     assert(out.contains((2L, t0, t0, 1L)))                     // single-event session
+  }
+
+  test("streaming last-touch attribution matches the batch operator on one batch") {
+    val base = Files.createTempDirectory("graft-attr").toString
+    val t0 = 1000L * 60 * 1000000
+    val rows = Seq(
+      // user 10: click@+100, purchase@+200 -> touch, gap 100
+      TouchInput(1L, 10L, t0 + 100, "click"), TouchInput(2L, 10L, t0 + 200, "purchase"),
+      // user 20: purchase@+50 before any click -> unattributed
+      TouchInput(3L, 20L, t0 + 50, "purchase"), TouchInput(4L, 20L, t0 + 60, "click"),
+      // user 30: tie ts, click event_id 6 < purchase event_id 7 -> touch at +7
+      TouchInput(5L, 30L, t0 + 5, "click"), TouchInput(6L, 30L, t0 + 7, "click"),
+      TouchInput(7L, 30L, t0 + 7, "purchase"),
+      // watermark pusher
+      TouchInput(99L, 99L, t0 + 10000L * 60 * 1000000, "view"))
+    rows.toDF().coalesce(1).write.parquet(s"$base/src")
+
+    val src = spark.readStream.schema(
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType))))
+      .parquet(s"$base/src").as[TouchInput]
+
+    StreamingAggregates.attribute(src, "click", "purchase", idleUs = 3600L * 1000000)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(s"$base/sink").as[TouchOut]
+      .collect().map(o => (o.event_id, o.last_touch_ts)).toMap
+
+    val batch = graft.ops.EventOps.lastTouchAttribution(
+        rows.toDF(), "ts_us", "event_type", "click", "purchase")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+
+    assert(streamed === batch)
+    assert(streamed(2L) === Some(t0 + 100))
+    assert(streamed(3L) === None)
+    assert(streamed(7L) === Some(t0 + 7))
   }
 }
