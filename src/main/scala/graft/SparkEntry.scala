@@ -1031,7 +1031,12 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       // distribution-position windows: percent_rank (rank-based) and
       // cume_dist (inclusive-count based) per event type — the
-      // "where does this value sit" analytics surface q_ntile bands
+      // "where does this value sit" analytics surface q_ntile bands.
+      // Scale note: event_type is LOW-cardinality, so each partition
+      // is corpus-sized/|types| — one sort per type. At 100 TB compute
+      // positions from a binned CDF instead (q_histogram's shape:
+      // bin counts + a running sum over the tiny bin table) and keep
+      // this exact window for verification samples.
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value"), col("event_id"))
       Tables.events(s, dir)
@@ -1041,6 +1046,34 @@ object SparkEntry {
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"))
         .orderBy(col("event_id"))
+    }),
+
+    "q_stratified_n" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // exact-40-per-lang unbiased sample (hash-rank) — the fixed-size
+      // eval-set draw; contrast q_sample_weighted (expected-size coin
+      // flips) and q_domain_cap (quality-biased quota)
+      Corpus.stratifiedSampleN(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "lang", n = 40)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_join_right" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // RIGHT outer: every customer appears even without orders in the
+      // date slice — the mirror of q_join_left, kept as its own row so
+      // the join surface is complete left/right/full/semi/anti/inner
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "right")
+        .select(
+          col("c_custkey"), col("c_name"),
+          col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("price_r"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     })
   )
 
@@ -2424,6 +2457,23 @@ object SparkEntry {
         |                                  ORDER BY value, event_id), 6) AS pct_rank,
         |       round(cume_dist() OVER (PARTITION BY event_type
         |                               ORDER BY value, event_id), 6) AS cume
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stratified_n" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |              AS BIGINT) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 40 ORDER BY doc_id""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       round(o_totalprice, 4) AS price_r
+        |FROM (SELECT * FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2000-06-01') o
+        |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin
   )
 }

@@ -196,6 +196,29 @@ object Corpus {
     docs.withColumn("u_r", round(u, 6)).withColumn("split", expr0)
   }
 
+  /** Exact-size stratified sample: `n` docs per stratum, chosen by
+    * md5-hash rank — unbiased w.r.t. every document attribute (the
+    * hash ignores them all), deterministic across runs and engines,
+    * and exact-N where [[weightedSample]]'s independent coin flips
+    * give only expected-N. Complements [[domainCap]], which ranks by
+    * quality (deliberately biased) rather than hash (deliberately
+    * unbiased).
+    *
+    * Shape: one rank window per stratum — same scale story as
+    * domainCap: the shuffle is on the stratum key; skewed mega-strata
+    * pre-filter with an approximate hash-rank threshold before the
+    * exact window.
+    */
+  def stratifiedSampleN(docs: DataFrame, stratumCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("skey"), col("doc_id"))
+    docs.withColumn("skey", key)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+      .drop("skey")
+  }
+
   /** Gopher-style per-document quality signals (Rae et al. 2021,
     * "Scaling Language Models", app. A1.1): word count, mean word
     * length, digit fraction, and repeated-bigram fraction, plus the

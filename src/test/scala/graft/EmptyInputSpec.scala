@@ -40,6 +40,23 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Text.heavyHitters(emptyDocs, 0.02).count() === 0)
   }
 
+  test("round-5 ops on empty inputs") {
+    assert(Text.bigramLogProb(emptyDocs).count() === 0)
+    assert(Text.bpePairCounts(emptyDocs, 10).count() === 0)
+    assert(Corpus.chunkDocs(emptyDocs, 200, 50).count() === 0)
+    assert(Corpus.assignSplit(emptyDocs, Seq(("train", 0.9), ("test", 1.0))).count() === 0)
+    val d = emptyDocsLang.withColumnRenamed("lang", "source").withColumn("quality", lit(0.0))
+    assert(Corpus.domainCap(d, "source", "quality", 10).count() === 0)
+    val ev = Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    assert(graft.ops.EventOps.lastTouchAttribution(
+      ev, "ts_us", "event_type", "click", "purchase").count() === 0)
+    val media = Seq.empty[(Long, Long)].toDF("media_id", "n_bytes")
+    assert(graft.ops.Multimodal.chunkPlan(media, 100L).count() === 0)
+    assert(Relational.ntileStats(
+      Seq.empty[(Long, Double)].toDF("k", "v"), "v", "k", 10).count() === 0)
+  }
+
   test("asof and range joins with both sides empty") {
     val l = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "ts_us")
     val r = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")

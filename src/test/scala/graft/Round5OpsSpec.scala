@@ -140,6 +140,18 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(smallMap.forall { case (id, s) => largeMap(id) === s })
   }
 
+  test("stratifiedSampleN: exact N per stratum, deterministic, undersized strata intact") {
+    val docs = ((0L until 100L).map(i => (i, "en")) ++ (100L until 105L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = Corpus.stratifiedSampleN(docs, "lang", n = 10)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("en" -> 10L, "de" -> 5L))
+    // deterministic: same members on a re-run
+    val again = Corpus.stratifiedSampleN(docs, "lang", n = 10)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() === 0)
+  }
+
   test("ntileStats: equal-count bands with deterministic boundaries") {
     val df = (1 to 10).map(i => (i.toLong, i * 10.0)).toDF("k", "v")
     val out = Relational.ntileStats(df, "v", "k", n = 2)
