@@ -1074,6 +1074,118 @@ object SparkEntry {
           col("o_orderkey"),
           round(col("o_totalprice"), 4).as("price_r"))
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    // ---- batch 8: set ops, spine/fill, diversity ----------------------------
+
+    "q_intersect" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // INTERSECT = distinct set semantics in both engines. Spark plans
+      // this as a left-semi join over pre-aggregated sides — the same
+      // cost bound as q_join_semi, no row explosion.
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(
+          ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
+    "q_except" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // EXCEPT (distinct) — signed-up users who never purchased: the
+      // set-difference completion of the union/intersect surface.
+      // Plans as a left-anti join, mirror of q_upsert_anti.
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "signup").select(col("user_id"))
+        .except(
+          ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
+    "q_cross_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Explicit cartesian of two TINY dims (5×25 rows) — the template
+      // expansion shape (every region × every nation scaffold). Spark
+      // requires crossJoin to be spelled out, which is the right
+      // guard: an accidental cartesian of fact tables at 100 TB is a
+      // job-killer, so the API makes intent explicit and the small
+      // side broadcasts.
+      Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+        .crossJoin(broadcast(
+          Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    "q_window_firstlast" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // Frame-edge value windows: each event annotated with its user's
+      // first, latest-so-far, and second event type. first/nth need the
+      // full frame (UNBOUNDED FOLLOWING for last would be the naive
+      // form — using the growing frame for "latest so far" keeps the
+      // streaming-compatible shape); one shuffle keyed by user_id.
+      val wFull = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wGrow = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          first(col("event_type")).over(wGrow).as("first_type"),
+          last(col("event_type")).over(wGrow).as("latest_type"),
+          nth_value(col("event_type"), 2).over(wFull).as("second_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_gap_fill" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.gapFillDaily(Tables.events(s, dir), "event_type", "ts_us")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q_locf" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Deterministic nulls are injected (every third event "dropped
+      // its reading"), then repaired by forward fill — both halves
+      // mirrored in the oracle. Leading nulls stay null.
+      val withGaps = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .withColumn("v_gap",
+          when(col("event_id") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+      Relational.forwardFill(withGaps, "user_id", Seq("ts_us", "event_id"), "v_gap")
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          round(col("v_gap"), 4).as("v_gap_r"),
+          round(col("v_gap_fill"), 4).as("v_fill_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_entropy" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tokenEntropy(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_regex_extract" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Pattern extraction over the raw props payload: first integer
+      // run, all integer runs, and the match count — the log-scraping
+      // primitive (regexp_extract/_all are codegen'd; no UDF). Empty
+      // matches normalized to NULL so both engines agree on the
+      // no-match representation.
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          nullif(regexp_extract(col("props"), "[0-9]+", 0), lit("")).as("first_num"),
+          array_join(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)), ",")
+            .as("all_nums"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_nums"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2474,6 +2586,84 @@ object SparkEntry {
         |FROM (SELECT * FROM orders
         |      WHERE o_orderdate >= TIMESTAMP '2000-06-01') o
         |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
-        |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  first_value(event_type) OVER w_grow AS first_type,
+        |  last_value(event_type) OVER w_grow AS latest_type,
+        |  nth_value(event_type, 2) OVER w_full AS second_type
+        |FROM events WHERE user_id IS NOT NULL
+        |WINDOW
+        |  w_grow AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_full AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, min(d) AS lo, max(d) AS hi
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span)
+        |SELECT s.event_type, strftime(s.d, '%Y-%m-%d') AS day,
+        |       coalesce(n, 0) AS n
+        |FROM spine s LEFT JOIN daily USING (event_type, d)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_locf" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v_gap
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT event_id, user_id, ts_us,
+        |  round(v_gap, 4) AS v_gap_r,
+        |  round(last_value(v_gap IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_fill_r
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "q_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_r
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT event_id,
+        |  nullif(coalesce(regexp_extract(props, '[0-9]+'), ''), '') AS first_num,
+        |  list_aggregate(regexp_extract_all(props, '[0-9]+'), 'string_agg', ',')
+        |    AS all_nums,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -239,4 +239,56 @@ object Relational {
         round(max(col(valueCol)), 4).as("hi"),
         round(avg(col(valueCol)), 4).as("mean"))
   }
+
+  /** Daily activity per key with a full DATE SPINE: every calendar day
+    * between each key's first and last active day appears, zero-filled
+    * when silent — the gap-fill step every time-series report needs
+    * before charting or rate math (a plain groupBy silently drops the
+    * quiet days).
+    *
+    * Shape: one aggregation to daily counts, one tiny per-key min/max
+    * agg, `sequence()`+`explode` to generate the spine (a Generator on
+    * the POST-aggregation table — |keys|·|days| rows, not the raw
+    * corpus), and a spine⟕daily join. Both join sides are aggregates
+    * (≤ |keys|·|days| rows each), so at 100 TB the join is
+    * broadcast-sized no matter how big the raw event table was; the
+    * only corpus-sized work is the first groupBy, which partial-aggs
+    * map-side to the (key, day) domain.
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsUsCol: String): DataFrame = {
+    val daily = events
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol), to_date(timestamp_micros(col(tsUsCol))).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily
+      .groupBy(col(keyCol))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("d"))
+    spine
+      .join(daily, Seq(keyCol, "d"), "left")
+      .select(
+        col(keyCol),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Forward fill (last observation carried forward): replace NULLs in
+    * `valueCol` with the most recent non-NULL value in the same
+    * `partCol` group under the `ordCols` order; leading NULLs (no prior
+    * observation) stay NULL. The standard sensor/price-series repair.
+    *
+    * `last(_, ignoreNulls = true)` over ROWS UNBOUNDED PRECEDING is
+    * Spark's native LOCF — one window shuffle keyed by the partition
+    * column, no self-join, no driver state. At 100 TB the partition key
+    * (user/device/series id) is high-cardinality, so the single
+    * shuffle-and-sort spreads evenly; that is the same cost bound as
+    * any per-key ordered scan, i.e. optimal for this semantics.
+    */
+  def forwardFill(df: DataFrame, partCol: String, ordCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_fill", last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

@@ -244,19 +244,26 @@ object Text {
     * pairs (count DESC, pair ASC — the deterministic merge-order
     * tiebreak).
     *
-    * Shape: two map-side explodes (word, then intra-word position —
-    * both Generators, no shuffle) and ONE count aggregation keyed by
-    * the pair; at 100 TB the pair domain is tiny (alphabet²-ish), so
-    * partial aggregation collapses nearly everything map-side and the
-    * shuffle carries the pair vocabulary, not the corpus.
+    * Shape: collapse the corpus to its word VOCABULARY first
+    * (groupBy(word).count — partial aggregation shrinks each partition
+    * to its distinct words map-side, so the shuffle carries the
+    * vocabulary, which Heaps' law keeps ≪ corpus), THEN explode the
+    * intra-word positions over that tiny table and sum the word counts
+    * per pair. The expensive per-character Generator runs |vocab|·len
+    * times instead of |corpus|·len — the same answer with the explode
+    * moved to the small side. This is exactly how production BPE
+    * trainers pre-bucket (word-frequency dictionaries in Sennrich's
+    * learn_bpe.py).
     */
   def bpePairCounts(documents: DataFrame, k: Int): DataFrame =
     documents
       .select(explode(Dedup.tokens(col("text"))).as("word"))
       .filter(length(col("word")) >= 2)
-      .select(col("word"), explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
-      .select(expr("substring(word, i, 2)").as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), explode(sequence(lit(1), length(col("word")) - 1)).as("i"),
+        col("word"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("wc"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
@@ -314,4 +321,28 @@ object Text {
         """array_join(slice(array_sort(transform(
           |  array_distinct(filter(split(text, ' '), t -> t != '')),
           |  t -> md5(cast(t as binary)))), 1, 4), '-')""".stripMargin).as("fingerprint"))
+
+  /** Per-document Shannon entropy of the unigram distribution,
+    * H = ln N − (Σ c·ln c)/N over token counts c — the lexical-
+    * diversity signal (low entropy ⇒ repetitive/templated text, a
+    * standard corpus-quality filter next to [[qualityScore]] and the
+    * Gopher rules). Natural log, rounded to 4dp.
+    *
+    * Shape: explode → (doc, token) count → per-doc agg. Both groupBys
+    * partial-aggregate map-side; the second is keyed by doc_id
+    * (high-cardinality ⇒ even shuffle). Zero-token docs vanish at the
+    * explode, matching the oracle's unnest. The identity avoids a
+    * per-token p·ln p join against a per-doc total — one pass, no
+    * self-join.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_toks"),
+        round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+          .as("entropy_r"))
 }
