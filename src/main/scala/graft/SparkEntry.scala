@@ -1170,6 +1170,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_rolling_distinct" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // trailing 7-day active users per day — sketch twin
+      // Relational.rollingDistinctHllDaily is spec-pinned within 2%
+      Relational.rollingDistinctDaily(Tables.events(s, dir), "user_id", "ts_us",
+          windowDays = 7)
+        .orderBy(col("day"))
+    }),
+
     "q_regex_extract" -> ((s0, dir) => {
       val s = ensure(s0)
       // Pattern extraction over the raw props payload: first integer
@@ -2657,6 +2666,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
         |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_r
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |exp AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |                                     INTERVAL 1 DAY)) AS DATE) AS rd
+        |  FROM ud),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS rd
+        |  FROM b)
+        |SELECT strftime(s.rd, '%Y-%m-%d') AS day,
+        |       count(DISTINCT e.user_id) AS n_ids
+        |FROM spine s LEFT JOIN exp e USING (rd)
+        |GROUP BY s.rd ORDER BY day""".stripMargin,
 
     "q_regex_extract" ->
       """SELECT event_id,

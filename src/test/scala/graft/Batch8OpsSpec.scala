@@ -84,6 +84,48 @@ class Batch8OpsSpec extends AnyFunSuite {
     assert(h > 0.0 && h < math.log(2) + 1e-9)
   }
 
+  test("rollingDistinctDaily: multi-day users count once per window") {
+    // user 10 active day0 AND day1 -> day1's trailing window counts it once;
+    // day2 has no events but sits inside the span -> spine row, n=1 (both
+    // day0/day1 users still inside the 7-day window)
+    val ev = Seq(
+      (1L, 10L, 0L), (2L, 10L, 1 * us), (3L, 20L, 1 * us),
+      (4L, 30L, 3 * us)
+    ).toDF("event_id", "user_id", "ts_us")
+    val out = Relational.rollingDistinctDaily(ev, "user_id", "ts_us", windowDays = 7)
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(
+      ("1970-01-01", 1L), ("1970-01-02", 2L), ("1970-01-03", 2L),
+      ("1970-01-04", 3L)))
+  }
+
+  test("rollingDistinctDaily: window slides off — old users age out") {
+    val ev = Seq(
+      (1L, 10L, 0L), (2L, 20L, 9 * us)
+    ).toDF("event_id", "user_id", "ts_us")
+    val out = Relational.rollingDistinctDaily(ev, "user_id", "ts_us", windowDays = 3)
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // user 10 covers days 0-2; days 3-8 are zero; user 20 covers day 9
+    assert(out.take(3) === Array(
+      ("1970-01-01", 1L), ("1970-01-02", 1L), ("1970-01-03", 1L)))
+    assert(out.slice(3, 9).forall(_._2 === 0L))
+    assert(out.last === ("1970-01-10", 1L))
+  }
+
+  test("rollingDistinctHllDaily tracks the exact form within 2% on real data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Relational.rollingDistinctDaily(ev, "user_id", "ts_us", 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Relational.rollingDistinctHllDaily(ev, "user_id", "ts_us", 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (day, n) =>
+      assert(math.abs(est(day) - n) <= math.max(1.0, 0.02 * n), s"$day: $n vs ${est(day)}")
+    }
+  }
+
   test("bpePairCounts after vocab pre-bucketing: repeated words weight pairs") {
     // "ab" x3 (across two docs) + "ba" x1: pair 'ab' = 3, 'ba' = 1
     val docs = Seq((1L, "ab ab"), (2L, "ab ba")).toDF("doc_id", "text")
