@@ -57,6 +57,19 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Double)].toDF("k", "v"), "v", "k", 10).count() === 0)
   }
 
+  test("batch-8 ops on empty inputs") {
+    val ev = Seq.empty[(Long, String, Long)].toDF("event_id", "k", "ts_us")
+    assert(Relational.gapFillDaily(ev, "k", "ts_us").count() === 0)
+    assert(Relational.rollingDistinctDaily(
+      ev.withColumnRenamed("k", "user_id"), "user_id", "ts_us", 7).count() === 0)
+    assert(Relational.rollingDistinctHllDaily(
+      ev.withColumnRenamed("k", "user_id"), "user_id", "ts_us", 7).count() === 0)
+    val vals = Seq.empty[(Long, String, Long, Option[Double])]
+      .toDF("event_id", "k", "ord", "v")
+    assert(Relational.forwardFill(vals, "k", Seq("ord"), "v").count() === 0)
+    assert(Text.tokenEntropy(emptyDocs).count() === 0)
+  }
+
   test("asof and range joins with both sides empty") {
     val l = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "ts_us")
     val r = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")

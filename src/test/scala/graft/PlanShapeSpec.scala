@@ -95,4 +95,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Corpus.domainCap(d, "source", "quality", cap = 10))
     assert(!p.contains("SinglePartition"), s"domainCap window went global:\n$p")
   }
+
+  private val evB8 = (0L until 200L)
+    .map(i => (i, i % 9, (i % 20) * 86400000000L + i))
+    .toDF("event_id", "user_id", "ts_us")
+
+  test("rollingDistinctDaily: equi-join shape, never a nested-loop inequality join") {
+    val p = plan(Relational.rollingDistinctDaily(evB8, "user_id", "ts_us", 7))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"rolling distinct planned a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gapFillDaily: spine join carries aggregates, no nested loop") {
+    val p = plan(Relational.gapFillDaily(evB8.withColumn("k", col("user_id").cast("string")),
+      "k", "ts_us"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"gap fill planned a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("forwardFill: one per-key window shuffle, never global") {
+    val vals = evB8.withColumn("v",
+      when(col("event_id") % 3 === 0, lit(null).cast("double")).otherwise(lit(1.0)))
+    val p = plan(Relational.forwardFill(vals, "user_id", Seq("ts_us", "event_id"), "v"))
+    assert(!p.contains("SinglePartition"), s"forwardFill window went global:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"forwardFill grew a second shuffle ($exchanges):\n$p")
+  }
 }
