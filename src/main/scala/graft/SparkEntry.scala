@@ -1170,6 +1170,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_substring" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.substringDupScores(Tables.documents(s, dir), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_rolling_distinct" -> ((s0, dir) => {
       val s = ensure(s0)
       // trailing 7-day active users per day — sketch twin
@@ -2666,6 +2672,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
         |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_r
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |w AS (SELECT doc_id, cnt,
+        |             sum(cnt) OVER (PARTITION BY gram) AS total
+        |      FROM c)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_pos,
+        |       CAST(sum(CASE WHEN total >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(sum(CASE WHEN total >= 2 THEN cnt ELSE 0 END)
+        |             / CAST(sum(cnt) AS DOUBLE), 4) AS dup_frac
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_rolling_distinct" ->
       """WITH ud AS (

@@ -433,4 +433,43 @@ object Dedup {
       .orderBy(col("cos_r").desc, col("a"), col("b"))
       .limit(n)
   }
+
+  /** Substring-level duplication score — the signal behind EXACT
+    * SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": memorization tracks repeated
+    * spans, not whole-document copies). For every position in every
+    * document, take the `n`-token gram starting there; a position is
+    * DUPLICATED if its gram occurs ≥2 times in the corpus (any doc,
+    * including self-repetition). Returns per doc: total positions,
+    * duplicated positions, and the duplicated fraction — the
+    * "memorization risk" ranking used to pick spans to cut.
+    *
+    * Shape: one position explode (map-side Generator), a (doc, gram)
+    * count, then a window-sum over the gram key for the corpus total —
+    * the per-gram table is the only thing shuffled, and both its
+    * aggregations partial-agg map-side. No join back to the corpus.
+    * At 100 TB, swap the raw gram string for `xxhash64(gram)` (8-byte
+    * shuffle keys; collisions only ever OVERCOUNT duplication, the
+    * safe direction for a filter) — same one-line substitution as
+    * [[hashedShinglesFast]].
+    */
+  def substringDupScores(corpus: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = corpus
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i"), lit(n))).as("gram"))
+    val perDoc = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val withTotal = perDoc.withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("gram"))))
+    withTotal
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_pos"),
+        sum(when(col("total") >= 2, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup") / col("n_pos").cast("double"), 4))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Relational, Text}
+import graft.ops.{Dedup, Relational, Text}
 
 /** Batch-8 operator fixtures: date-spine gap fill, forward fill
   * (LOCF), and unigram-entropy lexical diversity — each pinned by a
@@ -124,6 +124,23 @@ class Batch8OpsSpec extends AnyFunSuite {
     exact.foreach { case (day, n) =>
       assert(math.abs(est(day) - n) <= math.max(1.0, 0.02 * n), s"$day: $n vs ${est(day)}")
     }
+  }
+
+  test("substringDupScores: cross-doc and self repeats flag positions; unique text scores 0") {
+    // n=2 grams. doc 1: "a b c" -> grams "a b", "b c". doc 2: "a b d"
+    // -> "a b", "b d". "a b" occurs twice (cross-doc) -> 1 dup position
+    // in each; "b c"/"b d" unique. doc 3 repeats internally: "x y x y"
+    // -> "x y", "y x", "x y": positions with gram "x y" (2 of 3) dup.
+    // doc 4 all-unique; doc 5 too short (1 token) -> absent.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "x y x y"),
+      (4L, "p q r"), (5L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupScores(docs, n = 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 3L, 2L, 0.6667), (4L, 2L, 0L, 0.0)))
   }
 
   test("bpePairCounts after vocab pre-bucketing: repeated words weight pairs") {
