@@ -9,16 +9,19 @@ package graft
   *    attribution.
   *  - [[graft.ops.Relational]] — joins (broadcast/semi/anti/full,
   *    salted-skew, merge-asof both directions, binned range), windows,
-  *    rollup, distinct (exact + HLL), equal-count bands (ntile).
+  *    rollup, distinct (exact + HLL), equal-count bands (ntile),
+  *    date-spine gap fill, forward fill (LOCF), trailing-window
+  *    rolling distinct (exact + HLL-sketch).
   *  - [[graft.ops.TimeFns]] — multi-format date parsing (reference
   *    fallback order), formatting, arithmetic, epoch-micros bridges.
   *  - [[graft.ops.Text]] — tokens, corpus stats, exact dedup, language
   *    ID (marker + char-trigram), quality scores, token counting,
   *    fingerprints, heavy hitters, TF-IDF, unigram/bigram log-prob,
-  *    BPE merge-pair counts.
+  *    BPE merge-pair counts, unigram Shannon entropy.
   *  - [[graft.ops.Dedup]] — shingles, n-gram Jaccard (exact, df-capped,
   *    containment), MinHash+LSH (md5 oracle path + xxhash64 production
-  *    path), SimHash, embedding near-dup, connected-component keepers.
+  *    path), SimHash, embedding near-dup, connected-component keepers,
+  *    substring-level duplication scores.
   *  - [[graft.ops.Sim]] — cosine top-k (brute force, IVF, trained
   *    k-means IVF, hyperplane LSH with multi-probe), normalization,
   *    quantization, the codegen'd `graft_dot` bridge.
