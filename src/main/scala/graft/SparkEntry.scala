@@ -941,6 +941,20 @@ object SparkEntry {
       Sinks.jsonRoundTrip(out, tmpDir("json", dir), schema).orderBy(col("event_id"))
     }),
 
+    "q_sink_orc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Fourth format surface: ORC out + schema'd read back — same
+      // columnar pushdown class as parquet, different container.
+      val out = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value_r", DoubleType)))
+      Sinks.orcRoundTrip(out, tmpDir("orc", dir), schema).orderBy(col("event_id"))
+    }),
+
     "q_levenshtein" -> ((s0, dir) => {
       val s = ensure(s0)
       // Edit distance between doc_id-adjacent 40-char prefixes: the
@@ -2463,6 +2477,11 @@ object SparkEntry {
     // content from the source table — an independent check that the
     // JSON write+read is lossless.
     "q_sink_json" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |       round(value, 4) AS value_r
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sink_orc" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
         |       round(value, 4) AS value_r
         |FROM events ORDER BY event_id""".stripMargin,

@@ -23,6 +23,15 @@ object Sinks {
     df.sparkSession.read.schema(schema).option("header", "true").csv(dir)
   }
 
+  /** ORC round trip, same contract as [[csvRoundTrip]]: columnar
+    * alternative to parquet (same pushdown/pruning machinery in Spark,
+    * different footer/stripe layout), re-read with the explicit schema.
+    */
+  def orcRoundTrip(df: DataFrame, dir: String, schema: StructType): DataFrame = {
+    df.write.mode("overwrite").orc(dir)
+    df.sparkSession.read.schema(schema).orc(dir)
+  }
+
   /** JSON-lines round trip, same contract as [[csvRoundTrip]]: write
     * newline-delimited JSON, re-read with the explicit schema (never
     * inferred). Doubles survive exactly — the writer emits the
