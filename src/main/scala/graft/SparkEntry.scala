@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Relational, Sim, Text, TimeFns}
+import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Mutations, Relational, Sim, Text, TimeFns}
 import graft.etl.Sinks
 import graft.Tables._
 
@@ -1215,6 +1215,106 @@ object SparkEntry {
           size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
             .cast("long").as("n_nums"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- batch 9: merge/history, index/collocation, intake hygiene ----------
+
+    "q_merge_update" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // MERGE with update-matched semantics: the pre-watermark profile
+      // snapshot merged with the post-watermark re-computation — keys
+      // in both take the NEW values (WHEN MATCHED UPDATE), new keys
+      // insert, untouched keys keep. Completes the upsert surface next
+      // to q_upsert_anti's insert-only conflict-skip.
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      def profile(f: DataFrame): DataFrame = f.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts_us")).as("last_ts_us"),
+        round(sum(col("value")), 4).as("sum_v_r"))
+      Mutations.mergeUpsert(
+          profile(ev.filter(col("ts_us") < D2024_01_15_US)),
+          profile(ev.filter(col("ts_us") >= D2024_01_15_US)),
+          Seq("user_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_scd2" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Type-2 dimension build from the event stream: per user, each
+      // run of consecutive identical event_types is one version row
+      // with [valid_from, valid_to) micros and an is_current flag —
+      // the "keep history" counterpart of q_merge_update's overwrite.
+      Mutations.scd2(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "event_type", "ts_us", "event_id")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    "q_window_median" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // Exact interpolated median over a trailing 5-row frame per user
+      // — the robust-smoothing twin of q_window_moving's mean (a single
+      // spike moves the mean but not the median). percentile() is an
+      // ordered-frame aggregate: per row it sees O(frame)=5 values, so
+      // the cost is one user-keyed sort like every other window here.
+      // At 100 TB with WIDE frames swap in approx_percentile sketches
+      // per tumbling bucket instead (q_window_tumbling's shape).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 4).as("value_r"),
+          round(expr("percentile(value, 0.5)").over(w), 4).as("med_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_safe_cast" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Intake hygiene: a deterministically-dirtied numeric-string
+      // column (N/A markers, empties) re-parsed with try_cast — the
+      // malformed-row triage every external feed needs. try_cast is
+      // the codegen'd, non-throwing form: bad cells become NULL and
+      // are COUNTED per type, never killing the job (ANSI-mode cast
+      // would throw on the first 'N/A' at row 3 billion).
+      val dirty = when(col("event_id") % 7 === 0, lit("N/A"))
+        .when(col("event_id") % 11 === 0, lit(""))
+        .otherwise(col("value").cast("string"))
+      Tables.events(s, dir)
+        .select(col("event_type"), dirty.as("raw"))
+        .select(col("event_type"), col("raw"),
+          expr("try_cast(raw AS double)").as("parsed"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_bad"),
+          round(avg(col("parsed")), 4).as("avg_ok_r"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_text_normalize" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.normalizeText(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_inverted_index" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.invertedIndex(Tables.documents(s, dir), minDf = 2)
+        .orderBy(col("token"))
+    }),
+
+    "q_pmi" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.bigramPmi(Tables.documents(s, dir), minCount = 5)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    "q_url_parse" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.parseUrls(Tables.documents(s, dir)).orderBy(col("doc_id"))
     })
   )
 
@@ -2735,6 +2835,122 @@ object SparkEntry {
         |  list_aggregate(regexp_extract_all(props, '[0-9]+'), 'string_agg', ',')
         |    AS all_nums,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_merge_update" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (
+        |  SELECT user_id, count(*) AS n_events, max(ts_us) AS last_ts_us,
+        |         round(sum(value), 4) AS sum_v_r
+        |  FROM e WHERE ts_us < 1705276800000000 GROUP BY 1),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_events, max(ts_us) AS last_ts_us,
+        |         round(sum(value), 4) AS sum_v_r
+        |  FROM e WHERE ts_us >= 1705276800000000 GROUP BY 1)
+        |SELECT b.user_id,
+        |       CASE WHEN u.user_id IS NOT NULL THEN u.n_events ELSE b.n_events END AS n_events,
+        |       CASE WHEN u.user_id IS NOT NULL THEN u.last_ts_us ELSE b.last_ts_us END AS last_ts_us,
+        |       CASE WHEN u.user_id IS NOT NULL THEN u.sum_v_r ELSE b.sum_v_r END AS sum_v_r,
+        |       CASE WHEN u.user_id IS NOT NULL THEN 'update' ELSE 'keep' END AS merge_action
+        |FROM b LEFT JOIN u ON b.user_id = u.user_id
+        |UNION ALL
+        |SELECT u.user_id, u.n_events, u.last_ts_us, u.sum_v_r, 'insert' AS merge_action
+        |FROM u LEFT JOIN b ON u.user_id = b.user_id WHERE b.user_id IS NULL
+        |ORDER BY user_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, ts_us, event_id, event_type
+        |  FROM t WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, event_type,
+        |       ts_us AS valid_from, lead(ts_us) OVER w AS valid_to,
+        |       (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q_window_median" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       round(value, 4) AS value_r,
+        |       round(quantile_cont(value, 0.5) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med_r
+        |FROM events WHERE user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q_safe_cast" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN 'N/A'
+        |              WHEN event_id % 11 = 0 THEN ''
+        |              ELSE CAST(value AS VARCHAR) END AS raw
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN try_cast(raw AS DOUBLE) IS NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |       round(avg(try_cast(raw AS DOUBLE)), 4) AS avg_ok_r
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_raw,
+        |       CAST(length(norm) AS BIGINT) AS n_norm,
+        |       md5(norm) AS norm_hash,
+        |       substring(norm, 1, 32) AS norm_prefix
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, token FROM tok)
+        |SELECT token, count(*) AS df,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM dt GROUP BY token HAVING count(*) >= 2
+        |ORDER BY token""".stripMargin,
+
+    "q_pmi" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(c_xy) AS c_x FROM bc GROUP BY 1),
+        |r AS (SELECT w2, sum(c_xy) AS c_y FROM bc GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS nn FROM bc)
+        |SELECT w1, w2, c_xy,
+        |       round(ln(c_xy * nn / (c_x * c_y)), 4) AS pmi
+        |FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |WHERE c_xy >= 5
+        |ORDER BY w1, w2""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || source || '.example.com/docs/' ||
+        |         CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        |       regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+        |       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
+        |FROM u ORDER BY doc_id""".stripMargin
   )
 }

@@ -345,4 +345,111 @@ object Text {
         sum(col("c")).cast("long").as("n_toks"),
         round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 4)
           .as("entropy_r"))
+
+  /** Canonical text normalization — the first stage of every corpus
+    * intake pipeline (and the precondition for exact dedup actually
+    * catching near-identical pages): lowercase, fold every non-
+    * alphanumeric run to a single space, trim. Emits the normalized
+    * length and an md5 over the normalized form (the exact-dedup key
+    * post-normalization) plus a short prefix for human inspection —
+    * not the full normalized body, so the result table stays
+    * metadata-sized.
+    *
+    * Map-side only (regexp_replace/lower/md5 are codegen'd); at 100 TB
+    * this is a pure scan-transform with no shuffle.
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      length(norm).cast("long").as("n_norm"),
+      md5(norm.cast("binary")).as("norm_hash"),
+      substring(norm, 1, 32).as("norm_prefix"))
+  }
+
+  /** Inverted index build: token → document-frequency + the sorted
+    * posting list (comma-joined doc_ids) — the retrieval-side data
+    * structure behind keyword search and the decontamination overlap
+    * checks ([[graft.ops.Corpus.decontaminate]]).
+    *
+    * Shape: explode → (doc, token) distinct (partial agg shrinks each
+    * partition to its distinct pairs map-side) → ONE token-keyed
+    * groupBy building df + postings together. At 100 TB the postings
+    * string for a stopword-grade token is unbounded — production
+    * shards the posting list by `pmod(hash(doc_id), nSegments)` so
+    * each segment row stays bounded (the standard segmented/sharded
+    * index layout); `minDf` prunes hapax noise before the heavy
+    * string assembly.
+    */
+  def invertedIndex(documents: DataFrame, minDf: Int): DataFrame =
+    documents
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+      .filter(col("df") >= minDf)
+
+  /** Adjacent-bigram pointwise mutual information over the corpus:
+    * pmi(x,y) = ln(c_xy · N / (c_x · c_y)) with marginals taken from
+    * the bigram table itself (left/right position marginals) — the
+    * classic collocation detector (Church & Hanks 1990): high PMI ⇒
+    * the pair co-occurs far above chance (a phrase), PMI ≈ 0 ⇒
+    * independent. `minCount` drops unstable low-count pairs, as
+    * standard.
+    *
+    * Shape: one map-side bigram explode (same pattern as
+    * [[bigramLogProb]]), ONE groupBy building the bigram table
+    * (cached — marginals and total all derive from it, vocab²-bounded,
+    * not corpus-sized), two vocab-sized marginal joins, scalar total
+    * via crossJoin(broadcast). At 100 TB everything after the first
+    * groupBy operates on the bigram vocabulary, which Heaps' law keeps
+    * orders of magnitude below the corpus.
+    */
+  def bigramPmi(documents: DataFrame, minCount: Int): DataFrame = {
+    val bi = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"), col("toks"))
+      .select(
+        try_element_at(col("toks"), col("i")).as("w1"),
+        try_element_at(col("toks"), col("i") + 1).as("w2"))
+    val bc = graft.CacheScope.cached(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy")))
+    val left = bc.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val right = bc.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+    val total = bc.agg(sum(col("c_xy")).cast("double").as("__n"))
+    bc.filter(col("c_xy") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("w1"), col("w2"), col("c_xy"),
+        round(log(col("c_xy") * col("__n") / (col("c_x") * col("c_y"))), 4).as("pmi"))
+  }
+
+  /** URL decomposition via the built-in `parse_url` (host / path /
+    * one query parameter) — the provenance-analysis primitive (group
+    * by host for domain mixes, path prefixes for site sections, query
+    * params for tracking tags). The synthetic corpus carries no URL
+    * column, so one is derived deterministically from (source, doc_id,
+    * lang) first; a real crawl feeds its `url` column straight in.
+    * Map-side, codegen'd, no shuffle.
+    */
+  def parseUrls(documents: DataFrame): DataFrame = {
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.com/docs/"),
+      col("doc_id").cast("string"), lit("?lang="), col("lang"))
+    documents.select(
+      col("doc_id"),
+      url.as("url"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"))
+  }
 }
