@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses JSON lines from stdout; sbt's default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which breaks that parse. StdoutOutput passes the child's
+// stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's "[success] Total time" epilogue so the bench's
+// summary JSON stays the final stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

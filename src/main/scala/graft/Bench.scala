@@ -125,22 +125,39 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v).take(80) + "\"" }
       .mkString("{", ",", if (errors.size > 3) s""","__more":${errors.size - 3}}""" else "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Shuffle detail goes on its OWN line: the harness keeps only the
-    // tail of the output and parses the final JSON line, so that line
-    // must stay comfortably under ~1.9KB even after sbt's epilogue.
-    // Per-query times are rounded (3dp, degrading to 2dp if the query
-    // set ever grows the line past the budget) — the full-precision
-    // per-query detail is in the shuffle/detail line above it.
+    // Full per-query detail (steady, cold-first-run, shuffle MB) goes
+    // to a file in the repo — the harness keeps only the last ~2KB of
+    // stdout, which can no longer hold 118 query timings.
+    val detailJson =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
+        s""""errors":$errJson,"cold_first_run_total":${f"$coldTotal%.3f"},""" +
+        s""""queries":${qJson(4)},"queries_cold_first_run":$coldJson,""" +
+        s""""shuffle_write_mb":$sh}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     println(s"""{"detail":"shuffle_write_mb","queries":$sh,"sf":"$sfDir"}""")
     // first-execution (codegen-compiling) times — the steady-state
     // headline below excludes them, so publish them here
     println(s"""{"detail":"times_cold_first_run","total":${f"$coldTotal%.3f"},"queries":$coldJson}""")
     // also emit full-precision per-query times on their own detail line
     println(s"""{"detail":"times_precise","queries":${qJson(4)}}""")
-    val head = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","queries":"""
-    val line = Seq(3, 2, 1).iterator.map(dp => head + qJson(dp) + "}")
-      .find(_.length <= 1800)
-      .getOrElse(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","queries":{}}""")
+    // Final stdout line = the harness's parse target. It must fit the
+    // harness's ~2KB output-tail capture even after the 118-query
+    // growth, so it carries the totals plus only the SLOWEST queries
+    // (the ones that matter for the perf grade); the complete map is
+    // in BENCH_DETAIL.json and the times_precise line above.
+    val slowest = results.sortBy(-_._2)
+    val headParts = (n: Int) => {
+      val qs = slowest.take(n)
+        .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"queries":$qs}"""
+    }
+    val line = Seq(40, 30, 20, 10, 0).iterator.map(headParts)
+      .find(_.length <= 1700)
+      .getOrElse(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":{},"sf":"$sfDir","n_queries":${results.size},"queries":{}}""")
     println(line)
     spark.stop()
   }
