@@ -71,7 +71,12 @@ object Bench {
     // line, so both the first-execution and the steady-state totals
     // are in the output.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_ONLY="q_a,q_b" times just those
+    // queries (the full set remains the measured contract).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         // drop the previous sample's operator-internal caches; base
         // pool stays hot
@@ -133,10 +138,12 @@ object Bench {
         s""""errors":$errJson,"cold_first_run_total":${f"$coldTotal%.3f"},""" +
         s""""queries":${qJson(4)},"queries_cold_first_run":$coldJson,""" +
         s""""shuffle_write_mb":$sh}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detailJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // subset runs (SPARK_GRAFT_ONLY) must not clobber the full-run detail
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detailJson + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     println(s"""{"detail":"shuffle_write_mb","queries":$sh,"sf":"$sfDir"}""")
     // first-execution (codegen-compiling) times — the steady-state
     // headline below excludes them, so publish them here

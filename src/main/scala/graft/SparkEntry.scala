@@ -1315,6 +1315,92 @@ object SparkEntry {
     "q_url_parse" -> ((s0, dir) => {
       val s = ensure(s0)
       Text.parseUrls(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // ---- batch 10: warehouse diagnostics + corpus gates ----------------------
+    "q_regression" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Per-type linear trend of value over time (days since the
+      // watermark epoch) — "is this metric drifting, and how fast".
+      Relational.trendPerGroup(
+          Tables.events(s, dir).withColumn(
+            "x", (col("ts_us") - lit(D2024_01_10_US)) / lit(8.64e10)),
+          "event_type", "x", "value")
+        .orderBy(col("event_type"))
+    }),
+
+    "q_markov" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.transitionMatrix(Tables.events(s, dir), "ts_us", "event_type")
+        .orderBy(col("state"), col("next_state"))
+    }),
+
+    "q_cooccur" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ev = Tables.events(s, dir).withColumn(
+        "day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      EventOps.cooccurrence(ev, Seq(col("user_id"), col("day")), "event_type")
+        .orderBy(col("t_a"), col("t_b"))
+    }),
+
+    "q_mad_outliers" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.madOutliers(Tables.events(s, dir), "event_type", "value", 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"),
+          round(col("robust_z"), 4).as("robust_z_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_key_skew" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.keySkewProfile(Tables.events(s, dir), "user_id", 20)
+        .orderBy(col("n").desc, col("user_id").asc)
+    }),
+
+    "q_reconcile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val src = Tables.events(s, dir)
+      // sink simulated with a deterministic loss (every 101st event)
+      EventOps.reconcile(src, src.filter(col("event_id") % 101 =!= 0), "ts_us")
+        .orderBy(col("day"))
+    }),
+
+    "q_ewma" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.ewma(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "ts_us", "event_id", "value", alpha = 0.5, frame = 8)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 4).as("value_r"), col("ewma_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_length_band" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.lengthBand(Tables.documents(s, dir), "lang", "n_chars", 0.05, 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("len_pr"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_winsorize" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.winsorize(Tables.events(s, dir), "event_type", "value", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"), col("clipped_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_boilerplate" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // plant a shared 5-token banner on even docs so the detector has
+      // real chrome to find (the corpus itself is near-collision-free)
+      val withBanner = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("cookie banner terms apply here "), col("text")))
+          .otherwise(col("text")))
+      Corpus.boilerplate(withBanner, segLen = 5, minDocs = 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2951,6 +3037,156 @@ object SparkEntry {
         |       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
         |       regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
         |       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
-        |FROM u ORDER BY doc_id""".stripMargin
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // ---- batch 10 ------------------------------------------------------------
+    "q_regression" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - 1704844800000000) / 86400000000.0 AS x,
+        |         value AS y
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       round(regr_slope(y, x), 4) AS slope_r,
+        |       round(regr_intercept(y, x), 4) AS intercept_r,
+        |       round(regr_r2(y, x), 4) AS r2_r
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (
+        |  SELECT event_type AS state,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, event_id) AS next_state
+        |  FROM e),
+        |c AS (
+        |  SELECT state, next_state, count(*) AS n
+        |  FROM p WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n,
+        |       round(n / sum(n) OVER (PARTITION BY state), 4) AS p_r
+        |FROM c ORDER BY state, next_state""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT event_type AS t, count(*) AS n_t FROM e GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_c FROM (SELECT DISTINCT user_id, day FROM e)),
+        |p AS (
+        |  SELECT a.event_type AS t_a, b.event_type AS t_b, count(*) AS n_ab
+        |  FROM e a JOIN e b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t_a, t_b, n_ab,
+        |       round(n_ab * n_c / (sa.n_t * sb.n_t), 4) AS lift_r
+        |FROM p JOIN s sa ON sa.t = p.t_a JOIN s sb ON sb.t = p.t_b
+        |CROSS JOIN tot
+        |ORDER BY t_a, t_b""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM e JOIN m USING (event_type) GROUP BY event_type)
+        |SELECT event_id, event_type, round(value, 4) AS value_r,
+        |       round((value - med) / (1.4826 * mad), 4) AS robust_z_r
+        |FROM e JOIN m USING (event_type) JOIN d USING (event_type)
+        |WHERE abs((value - med) / (1.4826 * mad)) > 3
+        |ORDER BY event_id""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH k AS (
+        |  SELECT user_id, count(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(n) AS total_n, count(*) AS n_keys FROM k)
+        |SELECT user_id, n,
+        |       round(n / total_n, 6) AS share_r,
+        |       round(n * n_keys / total_n, 4) AS x_avg_r
+        |FROM k CROSS JOIN t
+        |ORDER BY n DESC, user_id ASC LIMIT 20""".stripMargin,
+
+    "q_reconcile" ->
+      """WITH src AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS src_n,
+        |         round(sum(value), 4) AS src_sum_r
+        |  FROM events GROUP BY 1),
+        |dst AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS dst_n,
+        |         round(sum(value), 4) AS dst_sum_r
+        |  FROM events WHERE event_id % 101 <> 0 GROUP BY 1)
+        |SELECT day,
+        |       coalesce(src_n, 0) AS src_n,
+        |       coalesce(dst_n, 0) AS dst_n,
+        |       coalesce(src_n, 0) - coalesce(dst_n, 0) AS missing_n,
+        |       coalesce(src_sum_r, 0) AS src_sum_r,
+        |       coalesce(dst_sum_r, 0) AS dst_sum_r
+        |FROM src FULL OUTER JOIN dst USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        |  FROM e)
+        |SELECT a.event_id, a.user_id, a.ts_us,
+        |       round(a.value, 4) AS value_r,
+        |       round(sum(b.value * power(0.5, a.rn - b.rn)) /
+        |             sum(power(0.5, a.rn - b.rn)), 4) AS ewma_r
+        |FROM r a JOIN r b
+        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+        |GROUP BY a.event_id, a.user_id, a.ts_us, a.value
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q_length_band" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         round(percent_rank() OVER (
+        |           PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS len_pr
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, len_pr,
+        |       (len_pr >= 0.05 AND len_pr <= 0.95) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(value, 4) AS value_r,
+        |       round(least(greatest(value, lo), hi), 4) AS clipped_r
+        |FROM events JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN 'cookie banner terms apply here ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ')) AS seg
+        |  FROM t, unnest(generate_series(0, CAST(len(toks) // 5 AS INT) - 1)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_segs,
+        |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       round(avg(CASE WHEN n_docs >= 2 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac_r
+        |FROM s JOIN df USING (seg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

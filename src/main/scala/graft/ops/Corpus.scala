@@ -219,6 +219,84 @@ object Corpus {
       .drop("skey")
   }
 
+  /** Length-percentile band filter — the "drop the freakishly short
+    * and the freakishly long" corpus gate (C4 and Gopher both apply
+    * absolute length cuts; the percentile form adapts per language, so
+    * a terse-by-nature language isn't gutted by thresholds tuned on
+    * English). percent_rank over `lenCol` within each `byCol` group;
+    * rows keep their position and a boolean verdict so the caller can
+    * audit what a cut WOULD do before applying it.
+    *
+    * One window shuffle keyed by the group column. Skewed mega-groups:
+    * at 100 TB replace the exact window with approx_percentile
+    * thresholds per group (two numbers) broadcast back — same verdict
+    * within sketch error, no global sort per group.
+    */
+  def lengthBand(docs: DataFrame, byCol: String, lenCol: String,
+                 lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(byCol)).orderBy(col(lenCol), col("doc_id"))
+    docs
+      .withColumn("len_pr", round(percent_rank().over(w), 6))
+      .withColumn("keep", col("len_pr") >= lo && col("len_pr") <= hi)
+  }
+
+  /** Winsorization: clip a numeric column to its per-group [pLo, pHi]
+    * percentile band — the standard heavy-tail taming step before a
+    * mean-based statistic or a loss-weighted sampler sees the data
+    * (extreme values saturate, never dominate). Exact percentiles per
+    * group (one aggregation; |groups| rows) broadcast back onto the
+    * fact table, so the data itself never shuffles. At 100 TB swap in
+    * approx_percentile — identical plan shape.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clipped_r",
+        round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 4))
+      .drop("__lo", "__hi")
+  }
+
+  /** Boilerplate detection (the C4 "repeated lines" rule adapted to
+    * segment granularity): split each document into consecutive
+    * non-overlapping `segLen`-token segments, call a segment
+    * boilerplate when it appears in ≥ `minDocs` DISTINCT documents
+    * (navigation chrome, cookie banners, license footers), and report
+    * each document's boilerplate-segment fraction.
+    *
+    * Shape: segments explode map-side; (segment-hash, doc) pairs are
+    * distinct-reduced; the df count comes from ONE segment-keyed
+    * aggregation whose output is segment-vocabulary-sized; the verdict
+    * joins back on the segment hash. Fraction denominators ride the
+    * per-doc aggregation — no second corpus pass. The md5 segment key
+    * makes the oracle bit-compatible; xxhash64 at 100 TB.
+    */
+  def boilerplate(docs: DataFrame, segLen: Int, minDocs: Int): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      // guard BEFORE sequence(): for size < segLen the last index is
+      // -1 and sequence(0, -1) would generate a DESCENDING range, not
+      // an empty one; sub-segLen docs simply have no segments
+      .filter(size(col("toks")) >= segLen)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) div $segLen - 1)")).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("i") * segLen + 1, lit(segLen))).cast("binary")).as("seg"))
+    val segDf = segs.distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("n_docs"))
+    segs
+      .join(segDf, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        round(avg(when(col("n_docs") >= minDocs, 1.0).otherwise(0.0)), 4).as("boiler_frac_r"))
+  }
+
   /** Gopher-style per-document quality signals (Rae et al. 2021,
     * "Scaling Language Models", app. A1.1): word count, mean word
     * length, digit fraction, and repeated-bigram fraction, plus the

@@ -208,4 +208,80 @@ object EventOps {
         col("last_touch_ts"),
         (col(tsCol) - col("last_touch_ts")).as("gap_us"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next = b | current = a), estimated from every adjacent pair.
+    * One (user, time)-sorted window for the `lead`, then a pair-keyed
+    * aggregation; the row-conditional denominator comes from a window
+    * over the TRANSITION table (|states|² rows, trivially small), so
+    * the event table is touched exactly once. The standard "what do
+    * users do next" product-analytics view.
+    */
+  def transitionMatrix(events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col(tsCol), col("event_id"))
+    val pairs = events
+      .filter(col("user_id").isNotNull)
+      .withColumn("next_state", lead(col(typeCol), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col(typeCol).as("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("state"))
+    pairs
+      .withColumn("p_r", round(col("n") / sum(col("n")).over(wRow), 4))
+  }
+
+  /** Within-container event-type co-occurrence with lift: for every
+    * unordered pair of event types seen in the same container (e.g. a
+    * user-day), the number of co-occurring containers and
+    * lift = P(a,b) / (P(a)·P(b)). The container×type table is reduced
+    * to DISTINCT pairs first — the self-join then meets only per-
+    * container type sets (bounded by the type vocabulary, not by event
+    * counts), which is what keeps the market-basket shape safe on an
+    * unbounded event log. Scalar container total via broadcast.
+    */
+  def cooccurrence(events: DataFrame, containerCols: Seq[Column],
+                   typeCol: String): DataFrame = {
+    val ct = events
+      .filter(col("user_id").isNotNull)
+      .select(struct(containerCols: _*).as("c"), col(typeCol).as("t"))
+      .distinct()
+    val single = ct.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val total = ct.select(col("c")).distinct().agg(count(lit(1)).as("n_c"))
+    val a = ct.select(col("c"), col("t").as("t_a"))
+    val b = ct.select(col("c"), col("t").as("t_b"))
+    a.join(b, Seq("c"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy(col("t_a"), col("t_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(single.select(col("t").as("t_a"), col("n_t").as("n_a"))), Seq("t_a"))
+      .join(broadcast(single.select(col("t").as("t_b"), col("n_t").as("n_b"))), Seq("t_b"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("t_a"), col("t_b"), col("n_ab"),
+        round(col("n_ab") * col("n_c") / (col("n_a") * col("n_b")), 4).as("lift_r"))
+  }
+
+  /** Source-vs-sink reconciliation audit — the check every ETL run
+    * should publish (the reference only counts inserted rows,
+    * `/root/reference/extract_bq.py:177`; this is the table you'd
+    * actually want). Both sides aggregate to per-day counts + value
+    * sums FIRST, so the full-outer join touches |days| rows, never
+    * facts — at 100 TB the audit costs two aggregation passes and a
+    * join of two tiny tables.
+    */
+  def reconcile(source: DataFrame, sink: DataFrame, tsCol: String): DataFrame = {
+    def daily(df: DataFrame, pfx: String): DataFrame = df
+      .groupBy(date_format(timestamp_micros(col(tsCol)), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as(s"${pfx}_n"),
+        round(sum(col("value")), 4).as(s"${pfx}_sum_r"))
+    daily(source, "src").join(daily(sink, "dst"), Seq("day"), "full_outer")
+      .select(
+        col("day"),
+        coalesce(col("src_n"), lit(0L)).as("src_n"),
+        coalesce(col("dst_n"), lit(0L)).as("dst_n"),
+        (coalesce(col("src_n"), lit(0L)) - coalesce(col("dst_n"), lit(0L))).as("missing_n"),
+        coalesce(col("src_sum_r"), lit(0.0)).as("src_sum_r"),
+        coalesce(col("dst_sum_r"), lit(0.0)).as("dst_sum_r"))
+  }
 }

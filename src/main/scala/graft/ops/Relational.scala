@@ -352,4 +352,88 @@ object Relational {
       .select(date_format(col("rd"), "yyyy-MM-dd").as("day"),
         coalesce(col("n_est"), lit(0L)).as("n_est"))
   }
+
+  /** Per-group linear trend: OLS slope/intercept/R² of `yCol` against
+    * `xCol` via the built-in regression aggregates. These are plain
+    * algebraic aggregates (sums of x, y, xy, x², y²) — map-side
+    * combinable, one shuffle of |groups| rows, so the trend over 100 TB
+    * of telemetry costs exactly one aggregation pass.
+    */
+  def trendPerGroup(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(regr_slope(col(yCol), col(xCol)), 4).as("slope_r"),
+        round(regr_intercept(col(yCol), col(xCol)), 4).as("intercept_r"),
+        round(regr_r2(col(yCol), col(xCol)), 4).as("r2_r"))
+
+  /** Robust per-group outlier flagging via the median absolute
+    * deviation: robust_z = (x − median) / (1.4826·MAD). Unlike the
+    * z-score form ([[stddev]]-based q_outliers), a handful of extreme
+    * values cannot drag the threshold — the standard intake gate for
+    * heavy-tailed metrics. Two grouped exact-percentile passes over the
+    * fact table; the per-group medians/MADs (|groups| rows) broadcast
+    * back, so the fact side never shuffles. At 100 TB swap the exact
+    * percentile for approx_percentile — same plan shape.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  cutoff: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    df.join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z", (col(valueCol) - col("med")) / (lit(1.4826) * col("mad")))
+      .filter(abs(col("robust_z")) > cutoff)
+  }
+
+  /** Trailing exponentially-weighted moving average per key: over the
+    * last `frame` rows, ewma = Σ αʲ·x₍ₜ₋ⱼ₎ / Σ αʲ (j = rows back).
+    * EWMA's recursive definition doesn't fit a SQL window directly, but
+    * its `frame`-truncated form is an ordered-frame aggregate: collect
+    * the (row_number, value) pairs of the frame, fold the weighted sums
+    * with a HOF. One key-partitioned sort shuffle — identical cost to
+    * any other window here; the truncation error is αᶠʳᵃᵐᵉ (< 0.4% at
+    * α=0.5, frame=8), which is also why the unbounded recursion isn't
+    * worth a custom operator.
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+           valueCol: String, alpha: Double, frame: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val wf = w.rowsBetween(-(frame - 1), Window.currentRow)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("fr", collect_list(struct(col("rn"), col(valueCol).as("v"))).over(wf))
+      .withColumn("num", aggregate(col("fr"), lit(0.0),
+        (acc, e) => acc + e.getField("v") * pow(lit(alpha), col("rn") - e.getField("rn"))))
+      .withColumn("den", aggregate(col("fr"), lit(0.0),
+        (acc, e) => acc + pow(lit(alpha), col("rn") - e.getField("rn"))))
+      .withColumn("ewma_r", round(col("num") / col("den"), 4))
+      .drop("fr", "num", "den", "rn")
+  }
+
+  /** Key-distribution skew profiler — the "do I need to salt this
+    * join?" diagnostic. Per-key counts, each hot key's share of the
+    * table and its multiple of the mean key load; the hottest `topK`
+    * keys returned. One aggregation (map-side combine ⇒ shuffle rows =
+    * |keys|) plus a broadcast of the 1-row global stats; TakeOrdered
+    * for the top-k. A key showing x_avg ≫ 1 is exactly the one
+    * [[saltedJoin]] exists for.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val perKey = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = perKey.agg(
+      sum(col("n")).as("total_n"), count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(totals))
+      .select(
+        col(keyCol),
+        col("n"),
+        round(col("n") / col("total_n"), 6).as("share_r"),
+        round(col("n") * col("n_keys") / col("total_n"), 4).as("x_avg_r"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(topK)
+  }
 }

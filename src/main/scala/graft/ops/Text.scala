@@ -229,8 +229,12 @@ object Text {
     val bc = graft.CacheScope.cached(
       bi.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("bc")))
     val cc = bc.groupBy(col("prev")).agg(sum(col("bc")).as("cc"))
-    bi.join(bc, Seq("prev", "next"))
-      .join(cc, Seq("prev"))
+    // Both lookup tables are VOCABULARY-sized (bigram types / context
+    // types), not corpus-sized — Heaps' law keeps them broadcastable
+    // even at 100 TB (prune to the top-K vocabulary first there), so
+    // the instance stream never shuffles for the probability lookup.
+    bi.join(broadcast(bc), Seq("prev", "next"))
+      .join(broadcast(cc), Seq("prev"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -287,7 +291,9 @@ object Text {
     val nDocs = documents.agg(countDistinct(col("doc_id")).cast("double").as("__n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(df, Seq("token"))
+    // df is vocabulary-sized — broadcast so the (doc, token) table
+    // keeps its doc-keyed layout straight into the rank window.
+    tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
