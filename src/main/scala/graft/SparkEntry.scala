@@ -1401,6 +1401,50 @@ object SparkEntry {
           .otherwise(col("text")))
       Corpus.boilerplate(withBanner, segLen = 5, minDocs = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- batch 11: experimentation + CDC + intake profiling ------------------
+    "q_ab_test" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // conversion = a high-value purchase (plain "any purchase" is
+      // degenerate on this data — every user has one)
+      EventOps.abTest(Tables.events(s, dir),
+        col("event_type") === "purchase" && col("value") > 150)
+    }),
+
+    "q_snapshot_diff" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // old = pre-watermark profile; new = current, with every 53rd
+      // user deterministically retired so `removed` rows exist too
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      def profile(f: DataFrame): DataFrame = f.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_v_r"))
+      Mutations.snapshotDiff(
+          profile(ev.filter(col("ts_us") < D2024_01_15_US)),
+          profile(ev.filter(col("user_id") % 53 =!= 0)),
+          Seq("user_id"), Seq("n_events", "sum_v_r"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_seasonality" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.seasonality(Tables.events(s, dir), "ts_us")
+        .orderBy(col("dow"), col("hod"))
+    }),
+
+    "q_json_keys" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // dirty the feed: every 5th row carries a different shape (extra
+      // tag key, no k), every 11th is malformed and parses to nothing
+      val raw = when(col("event_id") % 11 === 0, lit("{not json"))
+        .when(col("event_id") % 5 === 0,
+          concat(lit("{\"tag\": \""), col("event_type"), lit("\", \"n\": "),
+            (col("event_id") % 7).cast("string"), lit("}")))
+        .otherwise(col("props"))
+      EventOps.jsonKeyProfile(
+          Tables.events(s, dir).select(raw.as("raw")), "raw")
+        .orderBy(col("key"))
     })
   )
 
@@ -3187,6 +3231,82 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
         |       round(avg(CASE WHEN n_docs >= 2 THEN 1.0 ELSE 0.0 END), 4) AS boiler_frac_r
         |FROM s JOIN df USING (seg)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ---- batch 11 ------------------------------------------------------------
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' AND value > 150
+        |                  THEN 1 ELSE 0 END) AS conv,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS bucket
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN bucket = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN bucket = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN bucket = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN bucket = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |       round(conv_a / n_a, 4) AS rate_a_r,
+        |       round(conv_b / n_b, 4) AS rate_b_r,
+        |       CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+        |            THEN round((conv_a / n_a - conv_b / n_b) /
+        |                 sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+        |                      (1 - (conv_a + conv_b) / (n_a + n_b)) *
+        |                      (1.0 / n_a + 1.0 / n_b)), 4)
+        |            END AS z_r
+        |FROM c""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |o AS (
+        |  SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_v_r
+        |  FROM e WHERE ts_us < 1705276800000000 GROUP BY 1),
+        |n AS (
+        |  SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_v_r
+        |  FROM e WHERE user_id % 53 <> 0 GROUP BY 1)
+        |SELECT user_id,
+        |       o.n_events AS old_n_events, o.sum_v_r AS old_sum_v_r,
+        |       n.n_events AS new_n_events, n.sum_v_r AS new_sum_v_r,
+        |       CASE WHEN o.user_id IS NULL THEN 'added'
+        |            WHEN n.user_id IS NULL THEN 'removed'
+        |            WHEN o.n_events IS NOT DISTINCT FROM n.n_events
+        |             AND o.sum_v_r IS NOT DISTINCT FROM n.sum_v_r THEN 'same'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |         CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hod, n,
+        |       round(n / sum(n) OVER (PARTITION BY dow), 4) AS share_r
+        |FROM c ORDER BY dow, hod""".stripMargin,
+
+    "q_json_keys" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN event_id % 11 = 0 THEN '{not json'
+        |              WHEN event_id % 5 = 0 THEN '{"tag": "' || event_type ||
+        |                   '", "n": ' || CAST(event_id % 7 AS VARCHAR) || '}'
+        |              ELSE props END AS raw
+        |  FROM events),
+        |t AS (SELECT count(*) AS total FROM r),
+        |kv AS (
+        |  SELECT k AS key,
+        |         json_extract_string(raw, '$.' || k) AS val
+        |  FROM r, unnest(json_keys(
+        |         CASE WHEN json_valid(raw) THEN raw ELSE '{}' END)) AS u(k))
+        |SELECT key, count(*) AS n_rows,
+        |       CAST(count(DISTINCT val) AS BIGINT) AS n_vals,
+        |       round(count(*) / max(total), 4) AS share_r
+        |FROM kv CROSS JOIN t
+        |GROUP BY key ORDER BY key""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /** Parity-core operators over the event stream — the query semantics of
   * the reference's extraction pipeline, re-expressed as composable
@@ -260,6 +261,78 @@ object EventOps {
       .select(
         col("t_a"), col("t_b"), col("n_ab"),
         round(col("n_ab") * col("n_c") / (col("n_a") * col("n_b")), 4).as("lift_r"))
+  }
+
+  /** Two-proportion A/B z-test: users split into deterministic
+    * buckets, "converted" = has ≥1 `convType` event; reports per-arm
+    * counts/rates and the pooled two-proportion z statistic. One
+    * per-user aggregation (map-side combinable booleans) feeding one
+    * 2-row bucket aggregation folded to a single row with conditional
+    * aggregates — the whole test is two shuffles of |users| then 2
+    * rows, at any scale.
+    */
+  def abTest(events: DataFrame, convPredicate: Column): DataFrame = {
+    val perUser = events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(convPredicate, 1L).otherwise(0L)).as("conv"))
+      .withColumn("bucket", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+    val cell = (b: String, c: Column) => sum(when(col("bucket") === b, c).otherwise(lit(0L)))
+    val z = (col("rate_a") - col("rate_b")) /
+      sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    perUser
+      .agg(
+        cell("A", lit(1L)).as("n_a"), cell("B", lit(1L)).as("n_b"),
+        cell("A", col("conv")).as("conv_a"), cell("B", col("conv")).as("conv_b"))
+      .withColumn("rate_a", col("conv_a") / col("n_a"))
+      .withColumn("rate_b", col("conv_b") / col("n_b"))
+      .withColumn("p_pool", (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+      .select(
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(col("rate_a"), 4).as("rate_a_r"),
+        round(col("rate_b"), 4).as("rate_b_r"),
+        // degenerate experiments (0% or 100% pooled) have no sampling
+        // variance — z is undefined, not infinite (ANSI mode would
+        // otherwise fault the whole job on the 0/0)
+        when(col("p_pool") > 0 && col("p_pool") < 1, round(z, 4)).as("z_r"))
+  }
+
+  /** Day-of-week × hour-of-day activity profile with within-day
+    * shares — the seasonality fingerprint behind load forecasting and
+    * anomaly baselines. One aggregation to ≤168 cells; the share
+    * window runs over those cells, not the events.
+    */
+  def seasonality(events: DataFrame, tsUsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events
+      .select(
+        dayofweek(timestamp_micros(col(tsUsCol))).cast("long").as("dow"),
+        hour(timestamp_micros(col(tsUsCol))).cast("long").as("hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    cells.withColumn("share_r",
+      round(col("n") / sum(col("n")).over(Window.partitionBy(col("dow"))), 4))
+  }
+
+  /** JSON intake profiler: per top-level key, how many rows carry it,
+    * its share of all rows, and the distinct-value count — the "what
+    * is actually in this feed" report run before schema-ing a new
+    * source. The parse is one codegen'd `from_json` to
+    * map<string,string>; keys explode map-side; both aggregates are
+    * key-keyed (vocabulary-sized shuffle). distinct-value counting at
+    * 100 TB: swap count_distinct for approx_count_distinct.
+    */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__total"))
+    df.select(explode(from_json(col(jsonCol), MapType(StringType, StringType))).as(Seq("key", "val")))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("val")).as("n_vals"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"), col("n_vals"),
+        round(col("n_rows") / col("__total"), 4).as("share_r"))
   }
 
   /** Source-vs-sink reconciliation audit — the check every ETL run
