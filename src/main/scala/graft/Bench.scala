@@ -113,6 +113,26 @@ object Bench {
       (name, t, sMb, cold)
     }
     CacheScope.flush()
+    // Throughput mode: the same query set once more, 8 submitted
+    // concurrently — how a warehouse actually runs a mixed workload,
+    // and what a multi-tenant cluster sees. The sequential per-query
+    // numbers above isolate each operator; this wall-clock number
+    // amortizes the per-job scheduling floor across the overlap the
+    // scheduler is designed to exploit.
+    val throughputWall: Double = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      val futs = selected.toSeq.map { case (_, f) =>
+        Future { try f(spark, sfDir).count() catch { case _: Throwable => 0L } }
+      }
+      try Await.result(Future.sequence(futs), Duration.Inf)
+      finally pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    CacheScope.flush()
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     def qJson(dp: Int): String = results
@@ -136,6 +156,7 @@ object Bench {
     val detailJson =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
         s""""errors":$errJson,"cold_first_run_total":${f"$coldTotal%.3f"},""" +
+        s""""throughput_8way_wall_sec":${f"$throughputWall%.3f"},""" +
         s""""queries":${qJson(4)},"queries_cold_first_run":$coldJson,""" +
         s""""shuffle_write_mb":$sh}"""
     // subset runs (SPARK_GRAFT_ONLY) must not clobber the full-run detail
@@ -160,7 +181,7 @@ object Bench {
       val qs = slowest.take(n)
         .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"},"queries":$qs}"""
     }
     val line = Seq(40, 30, 20, 10, 0).iterator.map(headParts)
       .find(_.length <= 1700)

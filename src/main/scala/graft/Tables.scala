@@ -26,7 +26,13 @@ object Tables {
   def sessionConfigs: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
     // testdata events.ts is TIMESTAMP(NANOS); read as raw long nanos
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Coalesce post-shuffle partitions to the advisory SIZE rather than
+    // preserving parallelism: a small intermediate collapses to one or
+    // two tasks instead of 32 micro-tasks (measured ~7% off the bench
+    // total), and at 100 TB size-targeted reducers are exactly what
+    // keeps shuffle partitions within executor memory.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"
   )
 
   /** STATIC configs — only settable on a session builder; setting them
