@@ -277,7 +277,10 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(max(when(convPredicate, 1L).otherwise(0L)).as("conv"))
       .withColumn("bucket", when(col("user_id") % 2 === 0, "A").otherwise("B"))
-    val cell = (b: String, c: Column) => sum(when(col("bucket") === b, c).otherwise(lit(0L)))
+    // coalesce: global aggregates over ZERO rows are NULL, and ANSI
+    // division would then fault — an empty experiment reports zeros
+    val cell = (b: String, c: Column) =>
+      coalesce(sum(when(col("bucket") === b, c).otherwise(lit(0L))), lit(0L))
     val z = (col("rate_a") - col("rate_b")) /
       sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
         (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
@@ -285,17 +288,19 @@ object EventOps {
       .agg(
         cell("A", lit(1L)).as("n_a"), cell("B", lit(1L)).as("n_b"),
         cell("A", col("conv")).as("conv_a"), cell("B", col("conv")).as("conv_b"))
-      .withColumn("rate_a", col("conv_a") / col("n_a"))
-      .withColumn("rate_b", col("conv_b") / col("n_b"))
-      .withColumn("p_pool", (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+      // every division sits behind a positivity guard: empty arms and
+      // degenerate pools (0%/100% conversion — zero sampling variance)
+      // yield NULL statistics, never an ANSI divide-by-zero fault
+      .withColumn("rate_a", when(col("n_a") > 0, col("conv_a") / col("n_a")))
+      .withColumn("rate_b", when(col("n_b") > 0, col("conv_b") / col("n_b")))
+      .withColumn("p_pool", when(col("n_a") + col("n_b") > 0,
+        (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))))
       .select(
         col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
         round(col("rate_a"), 4).as("rate_a_r"),
         round(col("rate_b"), 4).as("rate_b_r"),
-        // degenerate experiments (0% or 100% pooled) have no sampling
-        // variance — z is undefined, not infinite (ANSI mode would
-        // otherwise fault the whole job on the 0/0)
-        when(col("p_pool") > 0 && col("p_pool") < 1, round(z, 4)).as("z_r"))
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("p_pool") > 0 && col("p_pool") < 1, round(z, 4)).as("z_r"))
   }
 
   /** Day-of-week × hour-of-day activity profile with within-day

@@ -77,4 +77,31 @@ class EmptyInputSpec extends AnyFunSuite {
     val ivs = Seq.empty[(Long, Long, Long)].toDF("iv_id", "lo", "hi")
     assert(Relational.rangeJoinBinned(l, "ts_us", ivs, "lo", "hi", 100L).count() === 0)
   }
+
+  test("batch-10/11 ops on empty inputs") {
+    import graft.ops.{EventOps, Mutations}
+    val ev = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    assert(Relational.trendPerGroup(
+      ev.withColumn("x", col("ts_us") / 1e6), "event_type", "x", "value").count() === 0)
+    assert(Relational.madOutliers(ev, "event_type", "value", 3.0).count() === 0)
+    assert(Relational.ewma(ev, "user_id", "ts_us", "event_id", "value", 0.5, 8).count() === 0)
+    assert(Relational.keySkewProfile(ev, "user_id", 20).count() === 0)
+    assert(EventOps.transitionMatrix(ev, "ts_us", "event_type").count() === 0)
+    assert(EventOps.cooccurrence(
+      ev.withColumn("day", lit("d")), Seq(col("user_id"), col("day")), "event_type")
+      .count() === 0)
+    assert(EventOps.reconcile(ev, ev, "ts_us").count() === 0)
+    assert(EventOps.seasonality(ev, "ts_us").count() === 0)
+    assert(EventOps.jsonKeyProfile(ev.select(col("event_type").as("raw")), "raw").count() === 0)
+    // abTest's single summary row exists even over nothing — all cells zero
+    val ab = EventOps.abTest(ev, col("event_type") === "x").collect()
+    assert(ab.length === 1 && ab.head.getLong(0) === 0L)
+    val snap = Seq.empty[(Long, Long)].toDF("k", "n")
+    assert(Mutations.snapshotDiff(snap, snap, Seq("k"), Seq("n")).count() === 0)
+    assert(Corpus.lengthBand(emptyDocsLang.withColumn("n_chars", lit(1L)),
+      "lang", "n_chars", 0.05, 0.95).count() === 0)
+    assert(Corpus.winsorize(ev, "event_type", "value", 0.05, 0.95).count() === 0)
+    assert(Corpus.boilerplate(emptyDocs, 5, 2).count() === 0)
+  }
 }

@@ -122,4 +122,59 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"forwardFill grew a second shuffle ($exchanges):\n$p")
   }
+
+  // ---- batch 10/11 ----------------------------------------------------------
+
+  test("trendPerGroup: algebraic aggregate with map-side partials, one shuffle") {
+    val d = evB8.withColumn("x", col("ts_us") / 1e6).withColumn("y", col("event_id") * 2.0)
+      .withColumn("g", col("user_id").cast("string"))
+    val p = plan(Relational.trendPerGroup(d, "g", "x", "y"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"regression aggregates must shuffle once ($exchanges):\n$p")
+    assert(p.contains("partial_regr_slope") || p.contains("HashAggregate"),
+      s"no partial aggregation before the shuffle:\n$p")
+  }
+
+  test("madOutliers: per-group stats broadcast back, fact side never shuffles") {
+    val d = evB8.withColumn("g", (col("user_id") % 3).cast("string"))
+      .withColumn("v", col("event_id").cast("double"))
+    val p = plan(Relational.madOutliers(d, "g", "v", 3.0))
+    assert(p.contains("BroadcastHashJoin"), s"stats join-back must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table shuffled for the stats join:\n$p")
+  }
+
+  test("ewma: one per-key window shuffle, never global") {
+    val d = evB8.withColumn("v", col("event_id").cast("double"))
+    val p = plan(Relational.ewma(d, "user_id", "ts_us", "event_id", "v", 0.5, 8))
+    assert(!p.contains("SinglePartition"), s"ewma window went global:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"ewma grew a second shuffle ($exchanges):\n$p")
+  }
+
+  test("cooccurrence: self-join meets distinct-reduced sets, no cartesian") {
+    val d = evB8.withColumn("day", lit("d1"))
+      .withColumn("event_type", (col("event_id") % 4).cast("string"))
+    val p = plan(graft.ops.EventOps.cooccurrence(
+      d, Seq(col("user_id"), col("day")), "event_type"))
+    assert(!p.contains("CartesianProduct"), s"co-occurrence went cartesian:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("winsorize: percentile bounds broadcast back, no fact shuffle") {
+    val d = evB8.withColumn("g", (col("user_id") % 3).cast("string"))
+      .withColumn("v", col("event_id").cast("double"))
+    val p = plan(Corpus.winsorize(d, "g", "v", 0.05, 0.95))
+    assert(p.contains("BroadcastHashJoin"), s"bounds join-back must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table shuffled for the bounds join:\n$p")
+  }
+
+  test("seasonality: share window runs over the tiny cell table, post-aggregation") {
+    val d = evB8
+    val p = plan(graft.ops.EventOps.seasonality(d, "ts_us"))
+    // the window must sit ABOVE the aggregation (cells), not over events
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"share window must consume the aggregated cells, not raw events:\n$p")
+  }
 }
