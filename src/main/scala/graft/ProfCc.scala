@@ -15,6 +15,21 @@ object ProfCc {
       println(f"[prof] $label ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
     SparkEntry.prepare(spark, sfDir)
+    if (args.headOption.contains("phases")) {
+      // phase breakdown of the CC operator's parts on the same corpus
+      import org.apache.spark.sql.functions._
+      val chain = graft.ops.Dedup
+      val c = SparkEntry.chainCorpusForProf(spark, sfDir)
+      CacheScope.flush()
+      t("chain corpus read+cache")(c.count())
+      val sh = CacheScope.cached(chain.hashedShingles(c))
+      t("hashedShingles")(sh.count())
+      val verified = CacheScope.cached(chain.verifiedNearDupPairs(c, 0.7))
+      t("verified edges (LSH+verify)")(verified.count())
+      t("full CC op fresh on top of warm base")(chain.connectedComponentKeepers(c, 0.7).count())
+      CacheScope.flush()
+      spark.stop(); return
+    }
     val names = if (args.isEmpty) Array("q_dedup_cc") else args
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

@@ -1495,10 +1495,17 @@ object SparkEntry {
     * Cached because the CC pipeline consumes it twice (shingles +
     * final keeper join).
     */
+  /** ProfCc's phase-profiling entry into the q_dedup_cc corpus. */
+  private[graft] def chainCorpusForProf(s: SparkSession, dir: String): DataFrame =
+    chainCorpus(s, dir, cap = 500)
+
   private def chainCorpus(s: SparkSession, dir: String, cap: Long): DataFrame = {
     val path = tmpDir(s"chain_$cap", dir)
     Sinks.ensureWritten(chainFrame(s, dir, cap), path)
-    CacheScope.cached(s.read.parquet(path))
+    // repartition: the small parquet arrives as one split, which would
+    // serialize the whole shingle+md5 pipeline onto a single core
+    // (profiled at ~2.5 s of the operator's ~3.5 s)
+    CacheScope.cached(s.read.parquet(path).repartition(s.sparkContext.defaultParallelism))
   }
 
   /** The GA4-shaped nested table (the reference's actual N1 input,
