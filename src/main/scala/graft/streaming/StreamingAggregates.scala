@@ -188,4 +188,16 @@ object StreamingAggregates {
           }
       }
   }
+
+  /** Stream-static enrichment: each micro-batch of the event stream
+    * joins the (small) static dimension — the lookup-table pattern
+    * (user→segment, SKU→category). The dimension is broadcast, so the
+    * streaming side keeps its partitioning and NO join state is kept:
+    * unlike a stream-stream join, a static side needs no watermark —
+    * every batch sees the full table. At 100 TB of stream throughput
+    * this stays a map-side join; if the dimension outgrows broadcast,
+    * pre-bucket both sides and drop the hint.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
 }
