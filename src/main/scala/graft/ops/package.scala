@@ -6,12 +6,15 @@ package graft
   *  - [[graft.ops.EventOps]] — the reference's event pipeline: filters,
   *    GA4 `event_params` extraction (last-match-wins), first-write-wins
   *    dedup, upsert-as-anti-join, funnel stages, last-touch
-  *    attribution.
+  *    attribution, Markov transitions, co-occurrence lift, A/B z-test,
+  *    seasonality profile, source/sink reconciliation, JSON key
+  *    profiling.
   *  - [[graft.ops.Relational]] — joins (broadcast/semi/anti/full,
   *    salted-skew, merge-asof both directions, binned range), windows,
   *    rollup, distinct (exact + HLL), equal-count bands (ntile),
   *    date-spine gap fill, forward fill (LOCF), trailing-window
-  *    rolling distinct (exact + HLL-sketch).
+  *    rolling distinct (exact + HLL-sketch), per-group OLS trend,
+  *    MAD outliers, trailing EWMA, key-skew profiling.
   *  - [[graft.ops.TimeFns]] — multi-format date parsing (reference
   *    fallback order), formatting, arithmetic, epoch-micros bridges.
   *  - [[graft.ops.Text]] — tokens, corpus stats, exact dedup, language
@@ -29,7 +32,10 @@ package graft
   *    shuffle-shard, sequence packing, PII masking, Gopher quality
   *    signals/gate, decontamination, weighted sampling, overlapping
   *    chunking, per-domain quota capping, deterministic train/val/test
-  *    splits, and the composed `buildCorpus` pipeline.
+  *    splits, length-percentile banding, winsorization, boilerplate
+  *    detection, and the composed `buildCorpus` pipeline.
+  *  - [[graft.ops.Mutations]] — dimension maintenance: MERGE
+  *    upsert-with-update, SCD2 history build, snapshot CDC diff.
   *  - [[graft.ops.Multimodal]] — binary media columns, typed metadata,
   *    byte-range chunk planning, per-partition decode behind a
   *    clearly-stubbed codec.
