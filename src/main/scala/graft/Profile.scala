@@ -64,6 +64,47 @@ object Profile {
         .groupBy().agg(max("count"), avg("count"), count(lit(1)))
         .show(false)
     }
+
+    // top-k per group: full-sort window vs bounded-state aggregation.
+    // 4M rows, 40k groups of 100, k=5 — the window shuffles and sorts
+    // all 4M; the agg forms shuffle |groups|·k after map-side partials.
+    val tk = spark.range(4000000).select(
+      (col("id") % 40000).cast("string").as("g"),
+      (hash(col("id")) % 100000).cast("double").as("score"),
+      col("id").as("rid"))
+      .cache()
+    tk.count()
+    time("topk window-rank (4M, 40k groups)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("rid").asc)
+      println("  rows=" + tk.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5).count())
+    }
+    time("topk agg collect+slice (4M)") {
+      println("  rows=" + graft.ops.TopK.topKPerGroup(tk, "g", "score", "rid", 5).count())
+    }
+    time("topk typed bounded-state agg (4M)") {
+      println("  rows=" + graft.ops.TopK.topKPerGroupTyped(tk, "g", "score", "rid", 5).count())
+    }
+    tk.unpersist()
+    // same contest on BIG groups (4k groups of 1000) — the shape where
+    // per-group sorting hurts and bounded state shines
+    val tkBig = spark.range(4000000).select(
+      (col("id") % 4000).cast("string").as("g"),
+      (hash(col("id")) % 100000).cast("double").as("score"),
+      col("id").as("rid"))
+      .cache()
+    tkBig.count()
+    time("topk window-rank (4M, 4k groups of 1k)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("rid").asc)
+      println("  rows=" + tkBig.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5).count())
+    }
+    time("topk typed bounded-state agg (4M, 4k groups)") {
+      println("  rows=" + graft.ops.TopK.topKPerGroupTyped(tkBig, "g", "score", "rid", 5).count())
+    }
+    tkBig.unpersist()
     spark.stop()
   }
 }

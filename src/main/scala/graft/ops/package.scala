@@ -41,6 +41,9 @@ package graft
   *    clearly-stubbed codec.
   *  - [[graft.ops.TypedOps]] — the typed `Dataset[Event]` tier: typed
   *    aggregators, column-vs-lambda filters, mapGroups.
+  *  - [[graft.ops.TopK]] — exact top-k per group as a bounded-state
+  *    custom `Aggregator` (shuffle ≤ groups·k rows; 1.7× over window
+  *    rank at 4M×40k-groups) plus the DataFrame collect+slice form.
   *
   * Sinks/lifecycle live in `graft.etl` (CSV/JSON round trips, append,
   * compaction, JDBC conflict-skip upsert, incremental watermark loop);
