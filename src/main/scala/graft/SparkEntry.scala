@@ -1433,6 +1433,22 @@ object SparkEntry {
         .orderBy(col("dow"), col("hod"))
     }),
 
+    "q_topk_groups" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // top-5 events by value per event type, THROUGH the bounded-state
+      // TopKAggregator (ops/TopK.scala) — the custom Aggregator itself
+      // passes the oracle gate; the oracle states the same result the
+      // window-rank way. Ordering on the raw double; rounding is
+      // output-only so tie-breaks agree bit-for-bit across engines.
+      ops.TopK.topKPerGroupTyped(
+          Tables.events(s, dir).select(
+            col("event_type"), col("value"), col("event_id")),
+          "event_type", "value", "event_id", k = 5)
+        .select(col("event_type"), col("rnk"),
+          round(col("value"), 4).as("value_r"), col("event_id"))
+        .orderBy(col("event_type"), col("rnk"))
+    }),
+
     "q_json_keys" -> ((s0, dir) => {
       val s = ensure(s0)
       // dirty the feed: every 5th row carries a different shape (extra
@@ -3296,6 +3312,17 @@ object SparkEntry {
         |SELECT dow, hod, n,
         |       round(n / sum(n) OVER (PARTITION BY dow), 4) AS share_r
         |FROM c ORDER BY dow, hod""".stripMargin,
+
+    "q_topk_groups" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY value DESC, event_id ASC) AS BIGINT) AS rnk
+        |  FROM events)
+        |SELECT event_type, rnk, round(value, 4) AS value_r, event_id
+        |FROM r WHERE rnk <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
 
     "q_json_keys" ->
       """WITH r AS (
