@@ -168,6 +168,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"fact table shuffled for the bounds join:\n$p")
   }
 
+  test("topKPerGroupTyped: partial aggregation BELOW the exchange (the state bound)") {
+    val d = evB8.withColumn("g", (col("user_id") % 3).cast("string"))
+      .withColumn("score", col("event_id").cast("double"))
+    val p = plan(graft.ops.TopK.topKPerGroupTyped(d, "g", "score", "event_id", 5))
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0, s"typed top-k lost its shuffle:\n$p")
+    // an aggregate operator must appear AFTER the exchange in the plan
+    // string (= physically BEFORE it): the map-side partial that caps
+    // state at k per group per task. A flatMapGroups rewrite would
+    // ship every row and silently lose the bound.
+    val below = p.substring(exIdx)
+    assert(below.contains("Aggregate") || below.contains("partial"),
+      s"no map-side partial aggregation below the exchange:\n$p")
+    assert(!p.contains("FlatMapGroups"), s"typed top-k degenerated to flatMapGroups:\n$p")
+  }
+
   test("seasonality: share window runs over the tiny cell table, post-aggregation") {
     val d = evB8
     val p = plan(graft.ops.EventOps.seasonality(d, "ts_us"))
