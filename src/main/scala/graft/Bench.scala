@@ -119,18 +119,25 @@ object Bench {
     // numbers above isolate each operator; this wall-clock number
     // amortizes the per-job scheduling floor across the overlap the
     // scheduler is designed to exploit.
+    // min-of-2, like the sequential samples: a single concurrent pass
+    // has no internal redundancy, so one host-noise burst otherwise
+    // lands directly on the headline.
     val throughputWall: Double = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val t0 = System.nanoTime()
-      val futs = selected.toSeq.map { case (_, f) =>
-        Future { try f(spark, sfDir).count() catch { case _: Throwable => 0L } }
+      def onePass(): Double = {
+        CacheScope.flush()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val t0 = System.nanoTime()
+        val futs = selected.toSeq.map { case (_, f) =>
+          Future { try f(spark, sfDir).count() catch { case _: Throwable => 0L } }
+        }
+        try Await.result(Future.sequence(futs), Duration.Inf)
+        finally pool.shutdown()
+        (System.nanoTime() - t0) / 1e9
       }
-      try Await.result(Future.sequence(futs), Duration.Inf)
-      finally pool.shutdown()
-      (System.nanoTime() - t0) / 1e9
+      math.min(onePass(), onePass())
     }
     CacheScope.flush()
     def esc(s: String): String =
