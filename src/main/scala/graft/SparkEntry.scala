@@ -1433,6 +1433,18 @@ object SparkEntry {
         .orderBy(col("dow"), col("hod"))
     }),
 
+    "q_sim_lsh" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // hyperplane LSH bucket assignment, oracle-checked end to end:
+      // the oracle embeds the same 8×64 Gaussian plane literals (see
+      // Sim.gaussianPlanes) and recomputes every sign. sign(dot) is
+      // float-noise-safe here: |dot| ~ O(√dim), never within 1e-10 of
+      // the boundary on this data.
+      Sim.hyperplaneLshBuckets(Tables.embeddings(s, dir), dim = 64, nPlanes = 8)
+        .select(col("vec_id"), col("bucket"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_topk_groups" -> ((s0, dir) => {
       val s = ensure(s0)
       // top-5 events by value per event type, THROUGH the bounded-state
@@ -3312,6 +3324,20 @@ object SparkEntry {
         |SELECT dow, hod, n,
         |       round(n / sum(n) OVER (PARTITION BY dow), 4) AS share_r
         |FROM c ORDER BY dow, hod""".stripMargin,
+
+    "q_sim_lsh" -> {
+      // generated, not hand-written: the plane matrix must be the
+      // SAME doubles the Spark query uses (Scala's toString is the
+      // shortest round-trip representation, so DuckDB parses back the
+      // identical binary double)
+      val planes = graft.ops.Sim.gaussianPlanes(dim = 64, nPlanes = 8)
+      val terms = planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $lits) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT vec_id, CAST($terms AS BIGINT) AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
 
     "q_topk_groups" ->
       """WITH r AS (

@@ -341,10 +341,19 @@ object Sim {
     * recall, more work) and multi-probe (see [[cosineTopKLsh]]'s
     * `nProbe`).
     */
-  def hyperplaneLshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int, seed: Long = 42L): DataFrame = {
+  /** The deterministic Gaussian hyperplane family behind
+    * [[hyperplaneLshBuckets]] — factored out so the DuckDB oracle for
+    * `q_sim_lsh` can embed the IDENTICAL doubles as SQL literals (the
+    * oracle can't reproduce java.util.Random, but it doesn't need to:
+    * the planes are data, not code).
+    */
+  def gaussianPlanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def hyperplaneLshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int, seed: Long = 42L): DataFrame = {
+    val planes: Seq[Seq[Double]] = gaussianPlanes(dim, nPlanes, seed)
     val v = col("embedding").cast("array<double>")
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, typedlit(p)) > 0.0, lit(1L << i)).otherwise(0L)
