@@ -184,6 +184,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("FlatMapGroups"), s"typed top-k degenerated to flatMapGroups:\n$p")
   }
 
+  test("hyperplaneLshBuckets: pure projection, zero exchanges") {
+    val emb = (0L until 50L)
+      .map(i => (i, Array.tabulate(8)(j => (i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.ops.Sim.hyperplaneLshBuckets(emb, dim = 8, nPlanes = 4))
+    assert(!p.contains("Exchange"), s"LSH bucketing grew a shuffle:\n$p")
+  }
+
   test("seasonality: share window runs over the tiny cell table, post-aggregation") {
     val d = evB8
     val p = plan(graft.ops.EventOps.seasonality(d, "ts_us"))
