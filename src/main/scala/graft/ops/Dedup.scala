@@ -190,6 +190,35 @@ object Dedup {
     lshCandidatesFromSigs(
       minhashSignaturesFromHashed(hashedShinglesFast(corpus), numHashes), numHashes, bands)
 
+  /** MAP-SIDE MinHash signature: the whole signature from the text
+    * column in one projection — no explode, no groupBy, NO SHUFFLE.
+    * Same shingles (distinct 3-grams), same md5→31-bit base hash, same
+    * permutation family as the batch [[minhashSignatures]], so the two
+    * forms produce IDENTICAL arrays (law-tested in DedupProps).
+    *
+    * This is the form Structured Streaming needs (a streaming source
+    * can't pay a per-doc groupBy just to build signatures) and the
+    * right shape whenever signatures are computed at ingest. The md5
+    * chain runs ONCE into a hash array; the per-seed mins then fold
+    * over longs (the measured 40×-slower trap was re-deriving the md5
+    * chain once per seed — this does not).
+    */
+  def minhashSignatureExpr(text: Column, numHashes: Int): Column = {
+    val toks = tokens(text)
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ",
+        try_element_at(toks, i + 1),
+        try_element_at(toks, i + 2),
+        try_element_at(toks, i + 3))))
+    val hashes = transform(shingles, s =>
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % 2147483647L)
+    array((0 until numHashes).map { s =>
+      array_min(transform(hashes, h =>
+        (lit((37 + 101 * s).toLong) * h + lit((13 + 97 * s).toLong)) % 2147483647L))
+    }: _*)
+  }
+
   private def minhashSignaturesFromHashed(hashed: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { s =>
       min(expr(s"((${37 + 101 * s} * h + ${13 + 97 * s}) % 2147483647)")).as(s"mh$s")

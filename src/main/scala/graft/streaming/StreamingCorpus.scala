@@ -1,12 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.etl.Sinks
-import graft.ops.Corpus
+import graft.ops.{Corpus, Dedup}
 
 /** Continuous training-corpus intake — the streaming twin of
   * [[graft.ops.Corpus.buildCorpus]]'s front half: documents arrive as
@@ -53,5 +53,84 @@ object StreamingCorpus {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  final case class BandRow(doc_id: Long, ts_us: Long, band_id: Int, sig: String,
+                           __event_time: java.sql.Timestamp)
+  final case class BucketState(docIds: Seq[Long])
+  final case class CandPair(a: Long, b: Long, band_id: Int)
+
+  /** STREAMING near-duplicate candidates — the batch MinHash+LSH
+    * candidate stage as a continuous operator. Each arriving document
+    * gets its full MinHash signature MAP-SIDE
+    * ([[Dedup.minhashSignatureExpr]] — identical arrays to the batch
+    * form, no shuffle), bands explode map-side, and the only stateful
+    * step is a per-(band, signature) bucket keyed by
+    * `flatMapGroupsWithState`: a new arrival pairs with every document
+    * already in its bucket (and earlier arrivals of the same batch) —
+    * exactly the pairs the batch self-join would emit, but
+    * incrementally.
+    *
+    * State is BOUNDED: one doc_id list per ACTIVE bucket, evicted by
+    * event-time timeout once the watermark passes `lateness` — so
+    * state covers the dedup horizon, not the corpus. Candidates still
+    * need exact verification downstream (same contract as the batch
+    * `minhashLshCandidates`); the same pair may surface from several
+    * bands — dedup at the consumer (a keyed idempotent sink absorbs
+    * it for free).
+    */
+  def lshCandidates(
+      docs: DataFrame,
+      tsMicrosCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      lateness: String = "1 hour"): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val banded = docs
+      .select(col("doc_id"), col(tsMicrosCol).as("ts_us"),
+        Dedup.minhashSignatureExpr(col("text"), numHashes).as("mh"))
+      .select(col("doc_id"), col("ts_us"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> struct(cast(b as int) as band_id,
+           |              array_join(transform(slice(mh, b * $rows + 1, $rows),
+           |                                   x -> cast(x as string)), ',') as sig))""".stripMargin))
+        .as("band"))
+      .select(col("doc_id"), col("ts_us"), col("band.band_id"), col("band.sig"))
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", lateness)
+      // the watermarked column must REACH the stateful operator —
+      // projecting it away disables event-time timeout
+      .as[BandRow]
+    banded
+      .groupByKey(r => (r.band_id, r.sig))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), newRows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var seen = state.getOption.map(_.docIds).getOrElse(Vector.empty)
+            val out = Seq.newBuilder[CandPair]
+            var maxTs = Long.MinValue
+            arrivals.foreach { r =>
+              if (!seen.contains(r.doc_id)) {
+                seen.foreach { d =>
+                  out += CandPair(math.min(d, r.doc_id), math.max(d, r.doc_id), key._1)
+                }
+                seen = seen :+ r.doc_id
+              }
+              maxTs = math.max(maxTs, r.ts_us)
+            }
+            state.update(BucketState(seen))
+            // evict the bucket once the watermark passes the horizon
+            // beyond its newest member
+            state.setTimeoutTimestamp(maxTs / 1000L, lateness)
+            out.result().iterator
+          }
+      }
   }
 }

@@ -66,4 +66,17 @@ object DedupProps extends Properties("Dedup") {
           cluster.forall(_._3 == ids.min)
         }
     }
+
+  property("map-side signature expression equals the batch groupBy signatures") =
+    Prop.forAll(genCorpus) { docs =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val corpus = docs.toDF("doc_id", "text")
+      val batch = Dedup.minhashSignatures(corpus, 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val mapSide = corpus
+        .select(col("doc_id"), Dedup.minhashSignatureExpr(col("text"), 16).as("mh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      batch == mapSide
+    }
 }

@@ -53,4 +53,43 @@ class StreamingCorpusSpec extends AnyFunSuite {
       .awaitTermination()
     assert(spark.read.parquet(sink).collect().length === 3)
   }
+
+  test("streaming LSH candidates: near-dups pair across and within batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Files.createTempDirectory("graft-slsh").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val t0 = System.currentTimeMillis() * 1000L
+    val textA = goodText("x")
+    val textC = goodText("zq") // unrelated content, no shared shingles
+
+    def run(): Unit = {
+      val q = StreamingCorpus.lshCandidates(
+          spark.readStream.schema(schema).parquet(src), "ts_us")
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: A and its same-batch exact dup A2, plus unrelated C
+    Seq((1L, textA, t0 + 1), (2L, textA, t0 + 2), (9L, textC, t0 + 3))
+      .toDF("doc_id", "text", "ts_us").coalesce(1).write.mode("append").parquet(src)
+    run()
+    val p1 = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 === Set((1L, 2L)), "same-batch exact dup must pair; unrelated must not")
+
+    // batch 2: a LATE exact dup of A — pairs with both stored bucket members
+    Seq((3L, textA, t0 + 10))
+      .toDF("doc_id", "text", "ts_us").coalesce(1).write.mode("append").parquet(src)
+    run()
+    val p2 = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "cross-batch dup must pair with every stored bucket member")
+  }
 }
