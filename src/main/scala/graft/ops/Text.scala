@@ -271,6 +271,63 @@ object Text {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
+  /** BPE tokenization — APPLYING a trained merge list (the runtime
+    * counterpart of [[bpePairCounts]]' training): each whitespace word
+    * starts as its character sequence, and the lowest-rank adjacent
+    * merge is applied repeatedly until none applies (Sennrich et al.
+    * 2016, apply_bpe). Returns (doc_id, n_tokens, tokens).
+    *
+    * The merge loop is inherently ITERATIVE per word — not expressible
+    * as a Catalyst expression without unrolling — so this is one of
+    * the two sanctioned `mapPartitions` sites (with the media codec):
+    * per-partition imperative logic over a BROADCAST merge-rank table,
+    * loaded once per task, zero shuffles. Production trick carried
+    * over: tokenization is cached per distinct word within a
+    * partition, so Zipf-heavy text pays the merge loop once per word
+    * TYPE, not per occurrence.
+    */
+  def bpeApply(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        val cache = scala.collection.mutable.HashMap[String, List[String]]()
+        def tokenizeWord(w: String): List[String] = cache.getOrElseUpdate(w, {
+          var parts: Vector[String] = w.map(_.toString).toVector
+          var done = parts.size < 2
+          while (!done) {
+            var bestRank = Int.MaxValue
+            var bestIdx = -1
+            var i = 0
+            while (i < parts.size - 1) {
+              val rank = r.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
+              if (rank < bestRank) { bestRank = rank; bestIdx = i }
+              i += 1
+            }
+            if (bestIdx < 0) done = true
+            else {
+              parts = (parts.take(bestIdx) :+ (parts(bestIdx) + parts(bestIdx + 1))) ++
+                parts.drop(bestIdx + 2)
+              done = parts.size < 2
+            }
+          }
+          parts.toList
+        })
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(tokenizeWord).toSeq
+          (id, toks.size.toLong, toks)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "tokens")
+  }
+
   /** TF-IDF top terms per document: tf = in-doc term count, idf =
     * ln(N/df) with df from the same corpus, top `k` terms by score
     * (ties to the lexicographically first token). Three aggregations

@@ -117,4 +117,34 @@ class TextSimSpec extends AnyFunSuite {
     assert(out.count(_._1 == 0L) === 2)
     assert(out.count(_._1 == 1L) === 2)
   }
+
+  test("bpeApply: merges apply in rank order, lowest rank first") {
+    // merges: (l,o)->"lo" rank 0, (lo,w)->"low" rank 1, (e,r)->"er" rank 2
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val docs = Seq((1L, "lower low wide")).toDF("doc_id", "text")
+    val out = Text.bpeApply(docs, merges).collect().head
+    assert(out.getLong(1) === 7L)
+    assert(out.getSeq[String](2) === Seq(
+      "low", "er",          // l+o -> lo (rank 0 first), lo+w, then e+r
+      "low",                // whole word becomes one token
+      "w", "i", "d", "e"))  // no applicable merges -> characters
+  }
+
+  test("bpeApply: rank order matters — a lower-rank merge can block a higher one") {
+    // word "abc": with (b,c) rank 0, a stays alone: a | bc
+    // with (a,b) rank 0 instead: ab | c
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val bcFirst = Text.bpeApply(docs, Seq(("b", "c"), ("a", "b"))).collect().head
+    assert(bcFirst.getSeq[String](2) === Seq("a", "bc"))
+    val abFirst = Text.bpeApply(docs, Seq(("a", "b"), ("b", "c"))).collect().head
+    assert(abFirst.getSeq[String](2) === Seq("ab", "c"))
+  }
+
+  test("bpeApply: empty merge list = character tokenization; empty corpus survives") {
+    val docs = Seq((1L, "hi yo")).toDF("doc_id", "text")
+    val out = Text.bpeApply(docs, Seq.empty).collect().head
+    assert(out.getSeq[String](2) === Seq("h", "i", "y", "o"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Text.bpeApply(empty, Seq(("a", "b"))).count() === 0)
+  }
 }
