@@ -20,7 +20,8 @@ package graft
   *  - [[graft.ops.Text]] — tokens, corpus stats, exact dedup, language
   *    ID (marker + char-trigram), quality scores, token counting,
   *    fingerprints, heavy hitters, TF-IDF, unigram/bigram log-prob,
-  *    BPE merge-pair counts, unigram Shannon entropy.
+  *    BPE (merge-pair training counts + merge application), unigram
+  *    Shannon entropy.
   *  - [[graft.ops.Dedup]] — shingles, n-gram Jaccard (exact, df-capped,
   *    containment), MinHash+LSH (md5 oracle path + xxhash64 production
   *    path), SimHash, embedding near-dup, connected-component keepers,
