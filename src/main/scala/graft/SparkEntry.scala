@@ -1433,6 +1433,22 @@ object SparkEntry {
         .orderBy(col("dow"), col("hod"))
     }),
 
+    "q_sink_zorder" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // S8 multi-dim layout, oracle-checked for content losslessness:
+      // events written z-ordered on (user_id, ts_us) — the layout that
+      // makes 2-d box predicates prune files via parquet min/max — then
+      // read back; the oracle is the plain table (a layout changes
+      // WHERE bytes live, never WHAT they are). File-locality quality
+      // itself is pinned by ZorderSpec's span assertions.
+      val out = tmpDir("zorder_events", dir)
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Sinks.zorderedWrite(ev, "user_id", "ts_us", out, nFiles = 8)
+      s.read.parquet(out).orderBy(col("event_id"))
+    }),
+
     "q_sim_lsh" -> ((s0, dir) => {
       val s = ensure(s0)
       // hyperplane LSH bucket assignment, oracle-checked end to end:
@@ -3324,6 +3340,11 @@ object SparkEntry {
         |SELECT dow, hod, n,
         |       round(n / sum(n) OVER (PARTITION BY dow), 4) AS share_r
         |FROM c ORDER BY dow, hod""".stripMargin,
+
+    "q_sink_zorder" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |FROM events WHERE user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     "q_sim_lsh" -> {
       // generated, not hand-written: the plane matrix must be the
