@@ -1433,6 +1433,32 @@ object SparkEntry {
         .orderBy(col("dow"), col("hod"))
     }),
 
+    "q_json_intake" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // PERMISSIVE intake of a deliberately-dirty JSONL feed: every
+      // 13th line is broken JSON. Malformed LINES route to
+      // _corrupt_record (the quarantine column) instead of failing the
+      // read; the oracle knows the derivation, so it states the same
+      // bucket counts straight from the clean table.
+      val feed = tmpDir("dirty_jsonl", dir)
+      Sinks.ensureTextWritten(
+        Tables.events(s, dir).select(
+          when(col("event_id") % 13 === 0, lit("{broken json line"))
+            .otherwise(to_json(struct(
+              col("event_id"), col("event_type"),
+              col("user_id"), col("ts_us")))).as("value")),
+        feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType), StructField("ts_us", LongType)))
+      Sinks.jsonPermissiveRead(s, feed, schema)
+        .groupBy(
+          when(col("_corrupt_record").isNotNull, lit("corrupt"))
+            .otherwise(col("event_type")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_sink_zorder" -> ((s0, dir) => {
       val s = ensure(s0)
       // S8 multi-dim layout, oracle-checked for content losslessness:
@@ -3340,6 +3366,12 @@ object SparkEntry {
         |SELECT dow, hod, n,
         |       round(n / sum(n) OVER (PARTITION BY dow), 4) AS share_r
         |FROM c ORDER BY dow, hod""".stripMargin,
+
+    "q_json_intake" ->
+      """SELECT CASE WHEN event_id % 13 = 0 THEN 'corrupt'
+        |            ELSE event_type END AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_sink_zorder" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us

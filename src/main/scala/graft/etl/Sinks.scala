@@ -42,6 +42,27 @@ object Sinks {
     df.sparkSession.read.schema(schema).json(dir)
   }
 
+  /** PERMISSIVE JSON intake with corrupt-record routing — the
+    * real-world dirty-feed contract: malformed LINES (vs q_safe_cast's
+    * malformed CELLS) land in a `_corrupt_record` column instead of
+    * killing the read; good rows parse normally. The caller gets one
+    * frame with both, to count/route/quarantine.
+    *
+    * The cache is REQUIRED, not an optimization: Spark refuses queries
+    * that reference only the internal corrupt-record column of an
+    * unmaterialized JSON scan (SPARK-21610) — persisting first is the
+    * documented pattern.
+    */
+  def jsonPermissiveRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    graft.CacheScope.cached(
+      spark.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir))
+  }
+
   /** S5 — batched append: Spark writes one file per partition per
     * batch; append mode accumulates (the `execute_batch` analogue,
     * `/root/reference/extract_bq.py:247-252`).
@@ -73,6 +94,12 @@ object Sinks {
   def ensureWritten(df: => DataFrame, dir: String): Unit = {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) df.write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[ensureWritten]] for raw text lines (a single `value` column). */
+  def ensureTextWritten(df: => DataFrame, dir: String): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) df.write.mode("overwrite").text(dir)
   }
 
   /** Small-file compaction: rewrite a directory into `numFiles`

@@ -24,7 +24,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 135)
+    assert(SparkEntry.queries.size === 136)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
