@@ -106,6 +106,45 @@ class Batch10Props extends AnyFunSuite {
     }
   }
 
+  test("boilerplate: planted banner flags exactly the planted docs; fractions bounded") {
+    val rnd = new scala.util.Random(59)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val banner = "one two three four five"
+    val docs = (0L until 40L).map { i =>
+      val body = Seq.fill(10 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      // banner as PREFIX on evens: segment 0 is identical across them
+      (i, if (i % 2 == 0) s"$banner $body" else body)
+    }
+    val out = Corpus.boilerplate(docs.toDF("doc_id", "text"), segLen = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_segs")), r.getLong(r.fieldIndex("n_boiler")),
+          r.getDouble(r.fieldIndex("boiler_frac_r"))))
+      .toMap
+    out.foreach { case (id, (nSegs, nBoiler, frac)) =>
+      assert(nBoiler <= nSegs, s"doc $id")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id")
+      if (id % 2 == 0)
+        assert(nBoiler >= 1, s"planted doc $id must flag its banner segment")
+    }
+    // random 2-letter-token segments CAN collide across docs (tiny
+    // vocabulary) — the guarantee is one-sided: planted docs always flag
+  }
+
+  test("lengthBand: keep fraction tracks the band width per group") {
+    val rnd = new scala.util.Random(61)
+    val docs = (1L to 200L).map(i => (i, "g" + (i % 2), 10L + rnd.nextInt(1000)))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Corpus.lengthBand(docs, "lang", "n_chars", 0.1, 0.9)
+      .groupBy(col("lang"))
+      .agg(avg(when(col("keep"), 1.0).otherwise(0.0)).as("kept"), count(lit(1)).as("n"))
+      .collect()
+    out.foreach { r =>
+      val kept = r.getDouble(1)
+      // percent_rank in [0.1, 0.9] keeps ~80% of each group (±ties/edges)
+      assert(kept > 0.7 && kept < 0.9, s"lang ${r.getString(0)} kept $kept")
+    }
+  }
+
   test("keySkewProfile: shares sum to <= 1 and top-k is the true top-k") {
     val rnd = new scala.util.Random(47)
     val df = (0 until 500).map(_ => math.abs(rnd.nextGaussian() * 10).toLong % 30)
