@@ -1630,6 +1630,13 @@ object SparkEntry {
       tmpDir("events_by_date", sfDir), "event_date")
     Sinks.ensureWritten(ga4Frame(Tables.events(s, sfDir)), tmpDir("ga4", sfDir))
     Sinks.ensureWritten(chainFrame(s, sfDir, 500), tmpDir("chain_500", sfDir))
+    Sinks.ensureTextWritten(
+      Tables.events(s, sfDir).select(
+        when(col("event_id") % 13 === 0, lit("{broken json line"))
+          .otherwise(to_json(struct(
+            col("event_id"), col("event_type"),
+            col("user_id"), col("ts_us")))).as("value")),
+      tmpDir("dirty_jsonl", sfDir))
   }
 
   // ---------------------------------------------------------------------------
