@@ -122,18 +122,29 @@ object Bench {
     // min-of-2, like the sequential samples: a single concurrent pass
     // has no internal redundancy, so one host-noise burst otherwise
     // lands directly on the headline.
+    // Failures under concurrency are COUNTED (throughputErrors) so a
+    // query that only breaks when run concurrently flags the headline
+    // instead of silently making it look faster; fatal errors (OOM)
+    // propagate, and the Await is bounded so one hung query can't
+    // stall the whole bench forever.
+    val throughputErrors = new AtomicLong
     val throughputWall: Double = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+      import scala.concurrent.duration._
+      import scala.util.control.NonFatal
       def onePass(): Double = {
         CacheScope.flush()
         val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         val t0 = System.nanoTime()
         val futs = selected.toSeq.map { case (_, f) =>
-          Future { try f(spark, sfDir).count() catch { case _: Throwable => 0L } }
+          Future {
+            try f(spark, sfDir).count()
+            catch { case NonFatal(_) => throughputErrors.incrementAndGet(); 0L }
+          }
         }
-        try Await.result(Future.sequence(futs), Duration.Inf)
+        try Await.result(Future.sequence(futs), 30.minutes)
+        catch { case _: TimeoutException => throughputErrors.incrementAndGet() }
         finally pool.shutdown()
         (System.nanoTime() - t0) / 1e9
       }
@@ -164,6 +175,7 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
         s""""errors":$errJson,"cold_first_run_total":${f"$coldTotal%.3f"},""" +
         s""""throughput_8way_wall_sec":${f"$throughputWall%.3f"},""" +
+        s""""throughput_errors":${throughputErrors.get()},""" +
         s""""queries":${qJson(4)},"queries_cold_first_run":$coldJson,""" +
         s""""shuffle_write_mb":$sh}"""
     // subset runs (SPARK_GRAFT_ONLY) must not clobber the full-run detail
@@ -188,7 +200,9 @@ object Bench {
       val qs = slowest.take(n)
         .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"},"queries":$qs}"""
+      val tpErr =
+        if (throughputErrors.get() > 0) s""","throughput_errors":${throughputErrors.get()}""" else ""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"}$tpErr,"queries":$qs}"""
     }
     val line = Seq(40, 30, 20, 10, 0).iterator.map(headParts)
       .find(_.length <= 1700)

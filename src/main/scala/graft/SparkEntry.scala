@@ -3223,9 +3223,11 @@ object SparkEntry {
         |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
         |  FROM e JOIN m USING (event_type) GROUP BY event_type)
         |SELECT event_id, event_type, round(value, 4) AS value_r,
-        |       round((value - med) / (1.4826 * mad), 4) AS robust_z_r
+        |       round(CASE WHEN mad > 0
+        |                  THEN (value - med) / (1.4826 * mad) END, 4) AS robust_z_r
         |FROM e JOIN m USING (event_type) JOIN d USING (event_type)
-        |WHERE abs((value - med) / (1.4826 * mad)) > 3
+        |WHERE abs(CASE WHEN mad > 0
+        |               THEN (value - med) / (1.4826 * mad) END) > 3
         |ORDER BY event_id""".stripMargin,
 
     "q_key_skew" ->

@@ -385,7 +385,13 @@ object Relational {
       .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
     df.join(broadcast(med), Seq(groupCol))
       .join(broadcast(mad), Seq(groupCol))
-      .withColumn("robust_z", (col(valueCol) - col("med")) / (lit(1.4826) * col("mad")))
+      // a zero-MAD group (≥50% identical values) would put ±Inf/NaN in
+      // robust_z and flag every non-median row; NULL it instead so the
+      // cutoff filter drops the group — the same null-guard pattern as
+      // abTest, and it keeps Spark's NaN ordering out of the result
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          (col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))))
       .filter(abs(col("robust_z")) > cutoff)
   }
 

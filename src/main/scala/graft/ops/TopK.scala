@@ -52,23 +52,19 @@ object TopK {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
   }
 
-  /** DataFrame-level exact top-k per group with bounded-state
-    * aggregation semantics, expressed with built-in aggregates so the
-    * plan keeps whole-stage codegen AND map-side partial aggregation:
-    * rows become (score, id) structs, each partition's partial
-    * aggregate keeps only its k best via sort+slice on the partial
-    * buffers, and the final pass explodes the per-group array.
+  /** DataFrame-level exact top-k per group with built-in aggregates:
+    * rows become (score, id) structs, collect_list gathers each
+    * group's structs, and sort+slice applies ONLY AFTER the final
+    * merge — the partial buffers are NOT bounded; they grow with the
+    * partition's rows for a group. The hard O(k)-state form is the
+    * typed [[TopKAggregator]] (whose reduce/merge cap every partial at
+    * k — that is the 100 TB shape); this expression form is the
+    * DataFrame-friendly middle when groups are modest: codegen-friendly
+    * expressions, one shuffle of per-group arrays, exact results.
     *
     * Built-ins used: struct ordering on (score DESC, id ASC) is
     * expressed by packing (-score, id) so the natural ASC struct sort
     * gives the right order without a custom ordering.
-    *
-    * NOTE on state bound: collect_list's partial buffer grows with the
-    * partition's rows for a group before the slice — the hard O(k)
-    * bound needs the typed [[TopKAggregator]] (Dataset world) or an
-    * ObjectHashAggregate imperative aggregate. This form is the
-    * DataFrame-friendly middle: one shuffle of per-group arrays,
-    * exact results, codegen-friendly expressions.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    idCol: String, k: Int): DataFrame =

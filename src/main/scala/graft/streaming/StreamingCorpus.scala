@@ -127,8 +127,12 @@ object StreamingCorpus {
             }
             state.update(BucketState(seen))
             // evict the bucket once the watermark passes the horizon
-            // beyond its newest member
-            state.setTimeoutTimestamp(maxTs / 1000L, lateness)
+            // beyond its newest member; a bucket fed only rows older
+            // than the watermark would otherwise compute a timeout in
+            // the past, which setTimeoutTimestamp rejects — clamp to
+            // strictly after the current watermark
+            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(base, lateness)
             out.result().iterator
           }
       }

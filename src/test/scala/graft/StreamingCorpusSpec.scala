@@ -92,4 +92,45 @@ class StreamingCorpusSpec extends AnyFunSuite {
     assert(p2 === Set((1L, 2L), (1L, 3L), (2L, 3L)),
       "cross-batch dup must pair with every stored bucket member")
   }
+
+  test("streaming LSH survives a bucket fed only rows older than the watermark") {
+    // A NEW bucket created entirely from rows below the watermark would
+    // compute maxTs+lateness < current watermark, which
+    // setTimeoutTimestamp rejects. Spark 4.x drops such late events
+    // before flatMapGroupsWithState, so the query must simply complete
+    // with no output for them (the timeout clamp in lshCandidates stays
+    // as defense-in-depth for engines/versions that deliver late rows).
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = Files.createTempDirectory("graft-slshlate").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val t0 = System.currentTimeMillis() * 1000L
+
+    def run(): Unit = {
+      val q = StreamingCorpus.lshCandidates(
+          spark.readStream.schema(schema).parquet(src), "ts_us")
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: recent rows push the watermark up to ~t0 − 1 h
+    Seq((1L, goodText("w"), t0))
+      .toDF("doc_id", "text", "ts_us").coalesce(1).write.mode("append").parquet(src)
+    run()
+    // batch 2: a brand-new bucket (different content) whose ONLY rows
+    // are 10 h old — far below the watermark
+    val late = t0 - 10L * 3600 * 1000 * 1000
+    Seq((7L, goodText("lateonly"), late), (8L, goodText("lateonly"), late + 1))
+      .toDF("doc_id", "text", "ts_us").coalesce(1).write.mode("append").parquet(src)
+    run() // must not throw IllegalArgumentException from setTimeoutTimestamp
+    val pairs = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((7L, 8L)),
+      "rows below the watermark are dropped before the stateful operator")
+  }
 }
