@@ -3431,4 +3431,23 @@ object SparkEntry {
         |FROM kv CROSS JOIN t
         |GROUP BY key ORDER BY key""".stripMargin
   )
+
+  /** Oracle SQL whose text depends on an engine-built MODEL (data, not
+    * code): generated at Verify time against the actual sfDir and
+    * merged over [[oracleSql]] into oracle_sql.json. Today that is
+    * `q_sim_ann_kmeans` — the deterministic driver-local k-means
+    * training ([[ops.Sim.kmeansCentroidsSampledLocal]], identical call
+    * to the query's) yields centroid literals the oracle embeds, and
+    * DuckDB independently recomputes the entire multi-probe IVF search
+    * from them (same trick as `q_sim_lsh`'s pinned hyperplanes).
+    * Training QUALITY stays graded by KmeansIvfSpec's recall bound;
+    * this closes the search path's oracle gap.
+    */
+  def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val s = ensure(spark)
+    val cents = ops.Sim.kmeansCentroidsSampledLocal(
+      Tables.embeddings(s, sfDir), k = 8, iters = 4, sampleMod = 2)
+    Map("q_sim_ann_kmeans" ->
+      ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2))
+  }
 }

@@ -41,7 +41,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = only.fold(SparkEntry.oracleSql)(ks => SparkEntry.oracleSql.filter(kv => ks(kv._1)))
+    // model-dependent oracles (pinned-literal SQL generated from the
+    // engine's own deterministic model build); a failure here must not
+    // zero the 135 static oracles
+    val dynamic =
+      try SparkEntry.oracleSqlDynamic(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val all = SparkEntry.oracleSql ++ dynamic
+    val json = only.fold(all)(ks => all.filter(kv => ks(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

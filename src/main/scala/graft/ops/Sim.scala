@@ -326,6 +326,61 @@ object Sim {
     searchCells(withNormed(embeddings, dotF), dotF, cents, nQueries, k, nProbe)
   }
 
+  /** DuckDB oracle SQL for the TRAINED-centroid IVF search — the
+    * [[gaussianPlanes]] trick applied to k-means: the trained model is
+    * DATA, not code, so the oracle embeds the centroid doubles as SQL
+    * literals and independently recomputes the whole search — map-side
+    * argmax cell assignment (6dp round, cent_id tiebreak), top-nProbe
+    * multi-probe cell selection per query, scoring restricted to probed
+    * cells, (cos_r DESC, c_id ASC) ranking. Training quality itself is
+    * graded by the recall spec (KmeansIvfSpec); this makes the SEARCH
+    * oracle-checkable, which the cross-engine float-summation argument
+    * only ever blocked for the training step.
+    *
+    * Mirrors [[searchCells]] stage for stage; `Double.toString` gives
+    * shortest-roundtrip literals so DuckDB parses the identical
+    * doubles.
+    */
+  def ivfSearchOracleSql(cents: Centroids, nQueries: Int, k: Int, nProbe: Int): String = {
+    val centRows = cents.map { case (id, v) =>
+      s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH cent(cent_id, cv) AS (VALUES
+       |       $centRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cn AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+       |sc AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |         round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS score
+       |  FROM n, cn c),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+       |    SELECT vec_id, v, nrm, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY score DESC, cent_id) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY score DESC, cent_id) AS rn
+       |    FROM sc WHERE vec_id < $nQueries) t WHERE rn <= $nProbe),
+       |q AS (SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, p.cell
+       |      FROM assign a JOIN probe p ON p.q_id = a.vec_id),
+       |scored AS (
+       |  SELECT q.q_id, a.vec_id AS c_id,
+       |         round(list_dot_product(q.qv, a.v) / (q.qn * a.nrm), 4) AS cos_r
+       |  FROM assign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos_r,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, c_id, cos_r, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Hyperplane LSH
   // -------------------------------------------------------------------------
