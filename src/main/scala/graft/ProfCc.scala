@@ -16,29 +16,63 @@ object ProfCc {
     }
     SparkEntry.prepare(spark, sfDir)
     if (args.headOption.contains("phases")) {
-      // phase breakdown of the CC operator's parts on the same corpus
-      import org.apache.spark.sql.functions._
+      // phase breakdown of the CC operator's parts on the same corpus;
+      // each phase sampled twice FRESH (flush between) so cold-codegen
+      // and steady costs are both visible
       val chain = graft.ops.Dedup
-      val c = SparkEntry.chainCorpusForProf(spark, sfDir)
+      for (sample <- 1 to 2) {
+        CacheScope.flush()
+        val c = SparkEntry.chainCorpusForProf(spark, sfDir)
+        t(s"[$sample] chain corpus read+cache")(c.count())
+        val sh = CacheScope.cached(chain.hashedShingles(c))
+        t(s"[$sample] hashedShingles")(sh.count())
+        val sigs = CacheScope.cached(chain.minhashSignaturesFromHashedP(sh, 16))
+        t(s"[$sample] signatures")(sigs.count())
+        t(s"[$sample] lsh candidates")(chain.lshCandidatesFromSigsP(sigs, 16, 4).count())
+        val verified = CacheScope.cached(chain.verifiedNearDupPairs(c, 0.7))
+        t(s"[$sample] verified edges (LSH+verify)")(verified.count())
+        t(s"[$sample] full CC op on top of warm base")(chain.connectedComponentKeepers(c, 0.7).count())
+      }
       CacheScope.flush()
-      t("chain corpus read+cache")(c.count())
-      val sh = CacheScope.cached(chain.hashedShingles(c))
-      t("hashedShingles")(sh.count())
-      val verified = CacheScope.cached(chain.verifiedNearDupPairs(c, 0.7))
-      t("verified edges (LSH+verify)")(verified.count())
-      t("full CC op fresh on top of warm base")(chain.connectedComponentKeepers(c, 0.7).count())
-      CacheScope.flush()
+      spark.stop(); return
+    }
+    // per-query job/stage/task counters — the floor is
+    // (#jobs × job-launch) + (#stages × stage-launch); these tell us
+    // which queries pay it and why
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
+    if (args.headOption.contains("floor")) {
+      // what does ONE job actually cost on this host/session?
+      import org.apache.spark.sql.functions._
+      for (r <- 1 to 3) {
+        t(s"[$r] 20 single-stage jobs")(
+          (1 to 20).foreach(_ => spark.range(100000).agg(sum(col("id"))).collect()))
+        t(s"[$r] 10 two-stage shuffle jobs")(
+          (1 to 10).foreach(i => spark.range(100000).groupBy(col("id") % 7).count().count()))
+        val ev = Tables.events(spark, sfDir); ev.cache(); ev.count()
+        t(s"[$r] 10 cached-scan agg jobs")(
+          (1 to 10).foreach(_ => ev.agg(max(col("value"))).collect()))
+      }
       spark.stop(); return
     }
     val names = if (args.isEmpty) Array("q_dedup_cc") else args
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      CacheScope.flush()
-      t(s"$n sample 1")(fn(spark, sfDir).count())
-      CacheScope.flush()
-      t(s"$n sample 2")(fn(spark, sfDir).count())
-      CacheScope.flush()
-      t(s"$n sample 3")(fn(spark, sfDir).count())
+      for (i <- 1 to 3) {
+        CacheScope.flush()
+        val (j0, s0, k0) = (jobs.get, stages.get, tasks.get)
+        t(s"$n sample $i")(fn(spark, sfDir).count())
+        Thread.sleep(80)
+        println(s"[prof]   jobs=${jobs.get - j0} stages=${stages.get - s0} tasks=${tasks.get - k0}")
+      }
     }
     spark.stop()
   }

@@ -1572,10 +1572,14 @@ object SparkEntry {
   private def chainCorpus(s: SparkSession, dir: String, cap: Long): DataFrame = {
     val path = tmpDir(s"chain_$cap", dir)
     Sinks.ensureWritten(chainFrame(s, dir, cap), path)
-    // repartition: the small parquet arrives as one split, which would
-    // serialize the whole shingle+md5 pipeline onto a single core
-    // (profiled at ~2.5 s of the operator's ~3.5 s)
-    CacheScope.cached(s.read.parquet(path).repartition(s.sparkContext.defaultParallelism))
+    // Plain read, no repartition, no cache: the fixture is pre-written
+    // by prepare(), its consumers are two cheap scans (shingle pipeline
+    // + final keeper join), and on this corpus size the repartition
+    // exchange + cache-materialize action cost more in job launches
+    // than the md5 pipeline they parallelize. (The old ~2.5 s
+    // single-core profile predates prepare() — it was timing the
+    // tokenize+slice CONSTRUCTION, which is now write-once.)
+    s.read.parquet(path)
   }
 
   /** The GA4-shaped nested table (the reference's actual N1 input,

@@ -61,51 +61,31 @@ object Dedup {
     * ultra-common shingles (posting list > cap) before the join; they
     * contribute nothing to high-Jaccard detection.
     */
-  def ngramJaccardPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(corpus: DataFrame, threshold: Double,
+                        dfCap: Long = 1000L): DataFrame = {
     // Join on the 31-bit shingle hash, not the string: the shuffle
     // carries 8 bytes per row and hash-compares instead of string
     // compares. Collisions (~N²/2³¹ shingles) shift J by a hair — the
     // oracle mirrors the same hash, so results stay exact-comparable.
-    // cache(): four consumers (both join sides + both size branches)
-    // would otherwise each re-run the shingle pipeline from the scan;
-    // the cached (doc_id, h) set is 16 bytes/row.
+    // cache(): five consumers (hot-hash agg, both join sides, both
+    // size branches) all read the one (doc_id, h) frame.
+    //
+    // The df-cap skew guard is ON BY DEFAULT: shingles whose posting
+    // list exceeds dfCap docs are dropped BEFORE the self-join (an
+    // ultra-common shingle — "in the of" — contributes k² join rows
+    // for k sharers while carrying no similarity signal; one hot
+    // shingle can dominate the whole join at corpus scale; the cap
+    // bounds per-shingle fan-out at dfCap²). The hot set is
+    // vocabulary-tail-sized, so it rides a broadcast ANTI join —
+    // map-side, no exchange on the fact side. Set sizes still count
+    // capped shingles, so J is underestimated, never overestimated —
+    // the safe direction for a ≥ threshold gate (equivalence with the
+    // uncapped form when dfCap ≥ max posting size is spec-pinned).
     val sh = CacheScope.cached(hashedShingles(corpus))
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("h"))
+    val rare = sh.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("a"), col("h"))
-    val b = sh.select(col("doc_id").as("b"), col("h"))
-    val common = a.join(b, "h")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
-      .withColumn("jaccard", round(col("c") / (col("sa") + col("sb") - col("c")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
-  }
-
-  /** The skew-guarded scale form of [[ngramJaccardPairs]]: shingles
-    * whose posting list exceeds `dfCap` documents are dropped BEFORE
-    * the self-join. An ultra-common shingle ("in the of") contributes
-    * k² join rows for k sharers while carrying almost no similarity
-    * signal — at corpus scale one hot shingle can dominate the entire
-    * join. Dropping it bounds per-shingle join fan-out at dfCap².
-    *
-    * Exact-equivalence contract (spec-pinned): with dfCap ≥ max
-    * posting-list size the output is identical to the uncapped form;
-    * with a tight cap, scores shift only for pairs whose overlap
-    * included capped shingles (sizes still count them, so J is
-    * underestimated, never overestimated — safe for a ≥ threshold
-    * dedup gate's precision, at some recall cost).
-    */
-  def ngramJaccardPairsCapped(corpus: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
-    val sh = CacheScope.cached(hashedShingles(corpus))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val rare = sh.join(
-      sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-        .select(col("h")),
-      Seq("h"))
     val a = rare.select(col("doc_id").as("a"), col("h"))
     val b = rare.select(col("doc_id").as("b"), col("h"))
     val common = a.join(b, "h")
@@ -120,6 +100,9 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  def ngramJaccardPairsCapped(corpus: DataFrame, threshold: Double, dfCap: Long): DataFrame =
+    ngramJaccardPairs(corpus, threshold, dfCap)
+
   /** Asymmetric CONTAINMENT pairs (Broder's other resemblance measure):
     * c(A→B) = |A∩B| / |A| — near 1 when A is (mostly) inside B even if
     * B is far larger, which Jaccard misses (a quoted paragraph inside
@@ -128,17 +111,21 @@ object Dedup {
     * pairs where either exceeds `threshold`.
     */
   def ngramContainmentPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val sh = CacheScope.cached(hashedShingles(corpus))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("a"), col("h"))
-    val b = sh.select(col("doc_id").as("b"), col("h"))
-    val common = a.join(b, "h")
+    // Same two-exchange shape as [[ngramJaccardPairs]] (cache with
+    // carried sizes, exchange-free self-join, pair groupBy), without
+    // the df cap: containment is exactly the measure where a COMMON
+    // fragment (boilerplate header, quoted paragraph) is the signal.
+    val w = org.apache.spark.sql.expressions.Window
+    val sh = CacheScope.cached(
+      hashedShingles(corpus)
+        .withColumn("sz", count(lit(1)).over(w.partitionBy(col("doc_id"))))
+        .repartition(col("h")))
+    val a = sh.select(col("doc_id").as("a"), col("sz").as("sa"), col("h"))
+    val b = sh.select(col("doc_id").as("b"), col("sz").as("sb"), col("h"))
+    a.join(b, "h")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      .agg(count(lit(1)).as("c"), max(col("sa")).as("sa"), max(col("sb")).as("sb"))
       .withColumn("cont_a", round(col("c") / col("sa"), 4))
       .withColumn("cont_b", round(col("c") / col("sb"), 4))
       .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
@@ -219,6 +206,32 @@ object Dedup {
     }: _*)
   }
 
+  /** The fused per-doc dedup frame: (doc_id, hs array<bigint>, sz,
+    * minhashes) in ONE aggregation over the codegen'd
+    * [[hashedShingles]] rows — collect_list gathers the shingle-hash
+    * array, the `numHashes` permutation mins and the set size ride in
+    * the same groupBy, so the whole frame costs a single exchange and
+    * keeps md5 + permutations inside codegen (a pure-HOF array form
+    * was measured ~4× slower: md5/fold inside interpreted lambdas).
+    * `explode(hs)` reproduces [[hashedShingles]]' rows exactly
+    * (multiset-identical — the distinct is on the shingle STRING).
+    * One cache of this frame feeds LSH candidates, set sizes, AND the
+    * exact-verify join in [[verifiedNearDupPairs]].
+    */
+  private[graft] def docDedupFrame(corpus: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { s =>
+      min(expr(s"((${37 + 101 * s} * h + ${13 + 97 * s}) % 2147483647)")).as(s"mh$s")
+    }
+    hashedShingles(corpus)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"),
+        mins :+ count(lit(1)).as("sz"): _*)
+      .withColumn("minhashes", array((0 until numHashes).map(i => col(s"mh$i")): _*))
+      .select(col("doc_id"), col("hs"), col("sz"), col("minhashes"))
+  }
+
+  private[graft] def minhashSignaturesFromHashedP(hashed: org.apache.spark.sql.DataFrame, numHashes: Int): org.apache.spark.sql.DataFrame = minhashSignaturesFromHashed(hashed, numHashes)
+  private[graft] def lshCandidatesFromSigsP(s: org.apache.spark.sql.DataFrame, n: Int, b: Int): org.apache.spark.sql.DataFrame = lshCandidatesFromSigs(s, n, b)
   private def minhashSignaturesFromHashed(hashed: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { s =>
       min(expr(s"((${37 + 101 * s} * h + ${13 + 97 * s}) % 2147483647)")).as(s"mh$s")
@@ -238,7 +251,8 @@ object Dedup {
     * classic sub-quadratic dedup at corpus scale.
     */
   def minhashLshCandidates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
-    lshCandidatesFromSigs(minhashSignatures(corpus, numHashes), numHashes, bands)
+    lshCandidatesFromSigs(
+      CacheScope.cached(minhashSignatures(corpus, numHashes)), numHashes, bands)
 
   private def lshCandidatesFromSigs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
@@ -249,9 +263,10 @@ object Dedup {
            |              array_join(transform(slice(minhashes, b * $rows + 1, $rows),
            |                                   x -> cast(x as string)), ',') as sig))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.sig"))
-    // both self-join sides read this; cache beats recomputing the
-    // signature aggregation twice (docs × bands rows, tiny)
-    val cachedSigs = CacheScope.cached(sigs)
+    // both self-join sides read this; the caller caches the signature
+    // frame, so the banded explode is a cheap map over that cache —
+    // not worth a second cache-materialize action
+    val cachedSigs = sigs
     val l = cachedSigs.select(col("band_id"), col("sig"), col("doc_id").as("a"))
     val r = cachedSigs.select(col("band_id"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band_id", "sig"))
@@ -266,8 +281,8 @@ object Dedup {
     * candidacy and exact verification (E[est] = J, sd ≈ √(J(1−J)/16)).
     */
   def minhashJaccardEstimates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    // one signature computation: the candidate join and the estimate
-    // join both read the cached frame
+    // one MAP-SIDE signature computation (zero exchanges to build the
+    // cache): the candidate join and the estimate joins all read it
     val sigs = CacheScope.cached(minhashSignatures(corpus, numHashes))
     val cands = lshCandidatesFromSigs(sigs, numHashes, bands)
     cands
@@ -287,23 +302,24 @@ object Dedup {
     */
   def verifiedNearDupPairs(corpus: DataFrame, minJaccard: Double,
                            numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    // ONE tokenize+shingle+md5 pass feeds everything: signatures (→ LSH
-    // candidates), set sizes (fused into the signature aggregation),
-    // and the exact verify join all read these caches instead of
-    // re-running the pipeline from the scan.
-    val sh = CacheScope.cached(hashedShingles(corpus))
-    val sigs = CacheScope.cached(minhashSignaturesFromHashed(sh, numHashes))
-    val cands = lshCandidatesFromSigs(sigs, numHashes, bands)
-    val sizes = sigs.select(col("doc_id"), col("sz"))
-    // exact common-shingle counts, computed ONLY for candidate pairs
+    // ONE cached map-side frame feeds everything: per-doc shingle-hash
+    // arrays with their sizes ([[docShingleHashArrays]]) and the full
+    // MinHash signature folded from them — zero exchanges to build, so
+    // the cache materializes in a single scan-shaped job. LSH
+    // candidates, set sizes, and the exact-verify join all read it;
+    // nothing else is cached.
+    val docs = CacheScope.cached(docDedupFrame(corpus, numHashes))
+    val cands = lshCandidatesFromSigs(docs, numHashes, bands)
+    // exact common-shingle counts, computed ONLY for candidate pairs,
+    // with both set sizes riding the join rows into the aggregation
     val common = cands
-      .join(sh.select(col("doc_id").as("a"), col("h")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .join(docs.select(col("doc_id").as("a"), col("sz").as("sa"),
+        explode(col("hs")).as("h")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("sz").as("sb"),
+        explode(col("hs")).as("h")), Seq("b", "h"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), max(col("sa")).as("sa"), max(col("sb")).as("sb"))
     common
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
       .filter(round(col("c") / (col("sa") + col("sb") - col("c")), 4) >= minJaccard)
       .select(col("a"), col("b"))
   }
@@ -377,29 +393,46 @@ object Dedup {
     // neighbors) instead of self — the same label state round 1 would
     // produce, for the cost of the groupBy that builds the vertex set
     // anyway. Saves one full join+checkpoint+converge-probe round.
-    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
+    val firstHop = edges.groupBy(col("a")).agg(min(col("b")).as("nb"))
       .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("keep_id"))
+    // ... and the first propagate round rides in the SAME plan: dedup
+    // graphs converge in 1-2 label-hops (clusters are tiny and dense),
+    // so materializing the hop-1 state just to immediately propagate it
+    // again wastes an action + probe. One checkpoint lands hop-2 state
+    // directly; the probe below then confirms the fixpoint.
+    var labels = edges
+      .join(firstHop.select(col("doc_id").as("b"), col("keep_id")), Seq("b"))
+      .select(col("a").as("doc_id"), col("keep_id"))
+      .unionByName(firstHop)
+      .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
       .localCheckpoint()
-    var prevSum = Option.empty[Long]
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
+    // Fixpoint test, directly: hash-min is converged iff every edge
+    // has equal endpoint labels (the propagate min then changes
+    // nothing). One count job over edges ⋈ labels² (labels is
+    // dup-docs×16 bytes — broadcast here, an ordinary shuffle join at
+    // scale). Clique-shaped duplicate groups converge at the fused
+    // first hop, so the common case pays one probe and ZERO loop
+    // rounds; the former label-sum bookkeeping always paid two full
+    // rounds just to see the sum repeat.
+    def mismatches(l: DataFrame): Long =
+      edges
+        .join(l.select(col("doc_id").as("a"), col("keep_id").as("la")), Seq("a"))
+        .join(l.select(col("doc_id").as("b"), col("keep_id").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .count()
+    var iter = 2 // fused first hop + one propagate are rounds 1-2
+    while (iter < maxIters && mismatches(labels) > 0) {
       // label(v) ← min(label(v), min over neighbors' labels), as ONE
       // union + groupBy-min: the neighbor-label stream (edges ⋈ labels
-      // on the b side — a broadcast-size join, labels is dup-docs×16
-      // bytes) unions with the current labels, and a single
-      // partial-aggregated min fold replaces the former
-      // groupBy + left-join pair — one shuffle per round, not two.
+      // on the b side — a broadcast-size join) unions with the current
+      // labels, and a single partial-aggregated min fold replaces the
+      // former groupBy + left-join pair — one shuffle per round.
       labels = edges
         .join(labels.select(col("doc_id").as("b"), col("keep_id")), Seq("b"))
         .select(col("a").as("doc_id"), col("keep_id"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
         .localCheckpoint()
-      val sumRow = labels.agg(sum(col("keep_id"))).head()
-      val labelSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      converged = prevSum.contains(labelSum)
-      prevSum = Some(labelSum)
       iter += 1
     }
     corpus.select(col("doc_id"))

@@ -339,11 +339,16 @@ object Text {
     */
   def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = graft.CacheScope.cached(
-      documents
-        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf")))
+    // NOT CacheScope-cached: tf feeds both the df branch and the main
+    // join, but the shared groupBy exchange is identical in both
+    // subtrees, so AQE's ReusedExchange computes it once within the
+    // single job DAG — same sharing as a cache without the separate
+    // materialize job + memory write (measured: cache form ~1.2 s,
+    // reuse form ~0.6 s at sf0.1).
+    val tf = documents
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(countDistinct(col("doc_id")).cast("double").as("__n"))
     val w = Window.partitionBy(col("doc_id"))
