@@ -25,11 +25,19 @@ object Bench {
     // short settle sleep makes per-query deltas approximate but
     // directionally right.)
     val shuffleWrite = new AtomicLong
+    // ... and cumulative job count: with AQE each exchange materializes
+    // as its own job, and this harness pays a measured ~60-100 ms of
+    // fixed driver cost per job (ProfCc "floor" mode) — so the
+    // per-query job count IS the floor model for the sub-second
+    // queries, published per query in BENCH_DETAIL.json.
+    val jobCount = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
     })
     // Warm up once (JIT, codegen compiler, Hadoop FS init, parquet
     // footer cache) so the one-time JVM costs don't land on whichever
@@ -99,18 +107,31 @@ object Bench {
       // discarded entirely — its error would otherwise misreport a
       // query that measured fine, and its fast-failure time could win
       // the min.
-      val t =
-        if (failedCold) cold
+      // jobs counted over ONE steady sample (deterministic per plan —
+      // the noise-free denominator for the floor model)
+      var jobs = 0L
+      val (t, med3) =
+        if (failedCold) (cold, cold)
         else {
+          val j0 = jobCount.get()
           val t1 = once()
-          if (errors.contains(name)) { errors.remove(name); cold }
+          jobs = math.max(jobCount.get() - j0, 0L)
+          if (errors.contains(name)) { errors.remove(name); (cold, cold) }
           else {
             val t2 = once()
-            if (errors.contains(name)) { errors.remove(name); t1 }
-            else math.min(t1, t2)
+            if (errors.contains(name)) { errors.remove(name); (t1, t1) }
+            else {
+              // third sample: median-of-3 published in the DETAIL file
+              // as the noise-robust second signal (BASELINE.md: this
+              // host swings ±25%); the headline stays min-of-2 so
+              // round-over-round comparisons keep their meaning
+              val t3 = once()
+              if (errors.contains(name)) { errors.remove(name); (math.min(t1, t2), math.min(t1, t2)) }
+              else (math.min(t1, t2), Seq(t1, t2, t3).sorted.apply(1))
+            }
           }
         }
-      (name, t, sMb, cold)
+      (name, t, sMb, cold, med3, jobs)
     }
     CacheScope.flush()
     // Throughput mode: the same query set once more, 8 submitted
@@ -151,15 +172,48 @@ object Bench {
       math.min(onePass(), onePass())
     }
     CacheScope.flush()
+    // Per-query DuckDB oracle seconds (tools/duckdb_sf01_times.json —
+    // generated by tools/time_oracle.py at sf0.1, min-of-2, committed
+    // with the repo): the bench output carries spark-vs-oracle ratio
+    // PER QUERY, so the 2x conversation happens on evidence in the
+    // artifact, not prose. A query is flagged only when BOTH ≥ 0.5 s
+    // AND > 2x its own oracle time — sub-half-second queries sit on
+    // the per-job scheduling floor (see the jobs map), which no data-
+    // size argument can shrink.
+    val duckTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("tools/duckdb_sf01_times.json")), "UTF-8")
+        val body = txt.substring(txt.indexOf("\"times\""))
+        "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val isSf01 = sfDir.contains("sf0.1")
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     def qJson(dp: Int): String = results
-      .map { case (k, v, _, _) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, s, _) => "\"" + k + "\":" + f"$s%.2f" }
+    val sh = results.map { case (k, _, s, _, _, _) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
-    val coldJson = results.map { case (k, _, _, c) => "\"" + k + "\":" + f"$c%.3f" }
+    val coldJson = results.map { case (k, _, _, c, _, _) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
+    val med3Json = results.map { case (k, _, _, _, m, _) => "\"" + k + "\":" + f"$m%.3f" }
+      .mkString("{", ",", "}")
+    val jobsJson = results.map { case (k, _, _, _, _, j) => "\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val duckJson = results.flatMap { case (k, _, _, _, _, _) =>
+      duckTimes.get(k).map(d => "\"" + k + "\":" + f"$d%.3f") }
+      .mkString("{", ",", "}")
+    val ratioJson = results.flatMap { case (k, v, _, _, _, _) =>
+      duckTimes.get(k).filter(_ > 0).map(d => "\"" + k + "\":" + f"${v / d}%.2f") }
+      .mkString("{", ",", "}")
+    val duckTotal = results.flatMap(r => duckTimes.get(r._1)).sum
+    // the flagged set: >= 0.5 s AND > 2x its own oracle (only
+    // meaningful at the sf the oracle times were taken at)
+    val over2x = if (!isSf01) Seq.empty else results.collect {
+      case (k, v, _, _, _, _) if v >= 0.5 && duckTimes.get(k).exists(d => d > 0 && v > 2 * d) => k
+    }
     val coldTotal = results.map(_._4).sum
     // cap the error detail so a widespread failure can't blow the
     // summary line past the harness's output-tail budget — the full
@@ -177,6 +231,10 @@ object Bench {
         s""""throughput_8way_wall_sec":${f"$throughputWall%.3f"},""" +
         s""""throughput_errors":${throughputErrors.get()},""" +
         s""""queries":${qJson(4)},"queries_cold_first_run":$coldJson,""" +
+        s""""queries_median3":$med3Json,"jobs":$jobsJson,""" +
+        s""""duckdb_sec":$duckJson,"ratio_vs_duckdb":$ratioJson,""" +
+        s""""duckdb_total_sec":${f"$duckTotal%.3f"},""" +
+        s""""over_2x_and_ge_half_sec":${over2x.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""shuffle_write_mb":$sh}"""
     // subset runs (SPARK_GRAFT_ONLY) must not clobber the full-run detail
     if (only.isEmpty)
@@ -198,11 +256,15 @@ object Bench {
     val slowest = results.sortBy(-_._2)
     val headParts = (n: Int) => {
       val qs = slowest.take(n)
-        .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+        .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val tpErr =
         if (throughputErrors.get() > 0) s""","throughput_errors":${throughputErrors.get()}""" else ""
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"}$tpErr,"queries":$qs}"""
+      val oracleBit =
+        if (duckTotal > 0 && isSf01)
+          s""","oracle_total_sec":${f"$duckTotal%.2f"},"n_over_2x_and_ge_half_sec":${over2x.size}"""
+        else ""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"}$tpErr$oracleBit,"queries":$qs}"""
     }
     val line = Seq(40, 30, 20, 10, 0).iterator.map(headParts)
       .find(_.length <= 1700)

@@ -218,7 +218,11 @@ object SparkEntry {
 
     "q_sink_csv" -> ((s0, dir) => {
       val s = ensure(s0)
-      val out = EventOps.extractJsonLong(Tables.events(s, dir), "props", "k", "param_k")
+      // repartition BEFORE the json extraction: the cached events table
+      // is one partition, and both the per-row json parse and the CSV
+      // text serialization would otherwise run on a single core
+      val out = EventOps.extractJsonLong(
+          Tables.events(s, dir).repartition(8), "props", "k", "param_k")
         .select(
           col("event_id"), col("user_id"),
           date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("event_date"),
@@ -227,7 +231,8 @@ object SparkEntry {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_date", StringType), StructField("ts_us", LongType),
         StructField("event_type", StringType), StructField("param_k", LongType)))
-      Sinks.csvRoundTrip(out, tmpDir("csv", dir), schema).orderBy(col("event_id"))
+      Sinks.csvRoundTrip(out, tmpDir("csv", dir), schema)
+        .orderBy(col("event_id"))
     }),
 
     "q_sink_append" -> ((s0, dir) => {
