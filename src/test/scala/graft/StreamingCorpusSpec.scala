@@ -93,6 +93,44 @@ class StreamingCorpusSpec extends AnyFunSuite {
       "cross-batch dup must pair with every stored bucket member")
   }
 
+  test("streaming LSH candidates over a static corpus equal the batch operator's") {
+    // The batch-equivalence artifact for the streaming path: drain the
+    // REAL documents corpus (sf0.001) through lshCandidates with
+    // Trigger.AvailableNow and compare the candidate-pair SET to
+    // minhashLshCandidates — same signatures (map-side expression is
+    // law-equal to the batch aggregation), same banding, so the pair
+    // sets must be identical; only the delivery mode differs.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-slsheq").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val t0 = System.currentTimeMillis() * 1000L
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.withColumn("ts_us", lit(t0) + col("doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+
+    val q = StreamingCorpus.lshCandidates(
+        spark.readStream.schema(schema).parquet(src), "ts_us")
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = graft.ops.Dedup.minhashLshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheScope.flush()
+    assert(streamed === batch,
+      s"streaming candidate set must equal batch (stream ${streamed.size}, batch ${batch.size})")
+    assert(batch.nonEmpty, "corpus must actually contain near-dup candidates")
+  }
+
   test("streaming LSH survives a bucket fed only rows older than the watermark") {
     // A NEW bucket created entirely from rows below the watermark would
     // compute maxTs+lateness < current watermark, which
