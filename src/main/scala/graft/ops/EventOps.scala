@@ -235,26 +235,36 @@ object EventOps {
   /** Within-container event-type co-occurrence with lift: for every
     * unordered pair of event types seen in the same container (e.g. a
     * user-day), the number of co-occurring containers and
-    * lift = P(a,b) / (P(a)·P(b)). The container×type table is reduced
-    * to DISTINCT pairs first — the self-join then meets only per-
-    * container type sets (bounded by the type vocabulary, not by event
-    * counts), which is what keeps the market-basket shape safe on an
-    * unbounded event log. Scalar container total via broadcast.
+    * lift = P(a,b) / (P(a)·P(b)).
+    *
+    * Shape: ONE container-keyed aggregation collapses the event log to
+    * per-container sorted type SETS (bounded by the type vocabulary —
+    * collect_set partial-aggregates map-side, so the only corpus-sized
+    * shuffle carries ≤|types| entries per container). Every downstream
+    * quantity is then derived from that one frame with map-side HOFs:
+    * unordered pairs explode from the sorted set (a < b by
+    * construction — no self-join on the container key at all), singles
+    * explode from the same sets, and the container total is a scalar
+    * broadcast. The former c-keyed self-join paid the same exchange
+    * THREE times (distinct + two join sides); this pays it once.
     */
   def cooccurrence(events: DataFrame, containerCols: Seq[Column],
                    typeCol: String): DataFrame = {
-    val ct = events
+    val sets = events
       .filter(col("user_id").isNotNull)
       .select(struct(containerCols: _*).as("c"), col(typeCol).as("t"))
-      .distinct()
-    val single = ct.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
-    val total = ct.select(col("c")).distinct().agg(count(lit(1)).as("n_c"))
-    val a = ct.select(col("c"), col("t").as("t_a"))
-    val b = ct.select(col("c"), col("t").as("t_b"))
-    a.join(b, Seq("c"))
-      .filter(col("t_a") < col("t_b"))
+      .groupBy(col("c")).agg(array_sort(collect_set(col("t"))).as("ts"))
+    val pairs = sets.select(explode(expr(
+      """flatten(transform(ts,
+        |  (x, i) -> transform(slice(ts, i + 2, size(ts)),
+        |            y -> struct(x as t_a, y as t_b))))""".stripMargin)).as("p"))
+      .select(col("p.t_a"), col("p.t_b"))
       .groupBy(col("t_a"), col("t_b"))
       .agg(count(lit(1)).as("n_ab"))
+    val single = sets.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val total = sets.agg(count(lit(1)).as("n_c"))
+    pairs
       .join(broadcast(single.select(col("t").as("t_a"), col("n_t").as("n_a"))), Seq("t_a"))
       .join(broadcast(single.select(col("t").as("t_b"), col("n_t").as("n_b"))), Seq("t_b"))
       .crossJoin(broadcast(total))

@@ -226,15 +226,17 @@ object Text {
       .select(col("doc_id"),
         try_element_at(col("toks"), col("i")).as("prev"),
         try_element_at(col("toks"), col("i") + 1).as("next"))
-    val bc = graft.CacheScope.cached(
-      bi.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("bc")))
-    val cc = bc.groupBy(col("prev")).agg(sum(col("bc")).as("cc"))
-    // Both lookup tables are VOCABULARY-sized (bigram types / context
-    // types), not corpus-sized — Heaps' law keeps them broadcastable
-    // even at 100 TB (prune to the top-K vocabulary first there), so
-    // the instance stream never shuffles for the probability lookup.
-    bi.join(broadcast(bc), Seq("prev", "next"))
-      .join(broadcast(cc), Seq("prev"))
+    // ONE vocabulary-sized lookup table carrying BOTH counts: the
+    // context total cc rides on the bigram table via a prev-partitioned
+    // window (vocab-sized frame — two exchanges inside the one
+    // broadcast build, zero extra jobs), so the corpus-sized instance
+    // stream pays a single broadcast join. Heaps' law keeps the table
+    // broadcastable even at 100 TB (prune to the top-K vocabulary
+    // first there); the instance stream never shuffles for the lookup.
+    val lookup = bi.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("bc"))
+      .withColumn("cc", sum(col("bc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+    bi.join(broadcast(lookup), Seq("prev", "next"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -339,13 +341,17 @@ object Text {
     */
   def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // NOT CacheScope-cached: tf feeds both the df branch and the main
-    // join, but the shared groupBy exchange is identical in both
-    // subtrees, so AQE's ReusedExchange computes it once within the
-    // single job DAG — same sharing as a cache without the separate
-    // materialize job + memory write (measured: cache form ~1.2 s,
-    // reuse form ~0.6 s at sf0.1).
-    val tf = documents
+    // ONE up-front hash partition on doc_id, then the whole per-doc
+    // pipeline is exchange-free: HashPartitioning(doc_id) satisfies the
+    // clustering requirement of the (doc_id, token) aggregation (subset
+    // key), the broadcast joins preserve the streamed side's layout,
+    // and the rank window re-uses it too — so where the old plan paid
+    // three exchanges (tf hash, df hash, window re-hash), this one pays
+    // the doc partition plus only the VOCABULARY-sized df aggregation,
+    // which comes back as a broadcast. Both branches share the one
+    // repartition exchange (ReuseExchange — AQE not required).
+    val byDoc = documents.repartition(col("doc_id"))
+    val tf = byDoc
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -353,8 +359,6 @@ object Text {
     val nDocs = documents.agg(countDistinct(col("doc_id")).cast("double").as("__n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)
-    // df is vocabulary-sized — broadcast so the (doc, token) table
-    // keeps its doc-keyed layout straight into the rank window.
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 4))

@@ -90,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gopher"),
+      new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher"),
+      (children: Seq[Expression]) => GopherStats(children.head)))
   }
 }
