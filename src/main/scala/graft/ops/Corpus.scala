@@ -275,7 +275,10 @@ object Corpus {
     * makes the oracle bit-compatible; xxhash64 at 100 TB.
     */
   def boilerplate(docs: DataFrame, segLen: Int, minDocs: Int): DataFrame = {
-    val segs = docs
+    // CacheScope-cached: the df branch and the probe side both read the
+    // segment stream, and the md5-per-segment explode is the operator's
+    // map-side cost — one pass instead of two.
+    val segs = graft.CacheScope.cached(docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       // guard BEFORE sequence(): for size < segLen the last index is
       // -1 and sequence(0, -1) would generate a DESCENDING range, not
@@ -285,7 +288,7 @@ object Corpus {
         explode(expr(s"sequence(0, size(toks) div $segLen - 1)")).as("i"))
       .select(col("doc_id"),
         md5(concat_ws(" ",
-          slice(col("toks"), col("i") * segLen + 1, lit(segLen))).cast("binary")).as("seg"))
+          slice(col("toks"), col("i") * segLen + 1, lit(segLen))).cast("binary")).as("seg")))
     // one exchange for the whole df branch: hash(seg) satisfies the
     // clustering needs of BOTH the (doc_id, seg) distinct (subset key)
     // and the per-seg count on top of it. NOT broadcast: the df table

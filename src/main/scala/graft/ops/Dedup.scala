@@ -171,7 +171,18 @@ object Dedup {
     * 16-byte-per-row frame instead of re-tokenizing the corpus each.
     */
   def hashedShingles(corpus: DataFrame): DataFrame =
-    docShingles(corpus).withColumn("h",
+    // doc_id partition FIRST: hash(doc_id) satisfies the clustering of
+    // the (doc_id, shingle) distinct (subset key) AND of every
+    // downstream per-doc aggregation (signature fold, set sizes), so
+    // the whole shingle→signature pipeline costs ONE exchange instead
+    // of two. The repartition carries raw (pre-distinct) rows where
+    // the old distinct exchange carried map-side-deduped ones — but
+    // shingles are near-unique within a doc, so the volumes are the
+    // same; the h-keyed consumers (inverted-index join) pay their own
+    // exchange either way.
+    docShingles0(corpus)
+      .repartition(col("doc_id")).distinct()
+      .withColumn("h",
       expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
       .select(col("doc_id"), col("h"))
 
