@@ -977,7 +977,13 @@ object SparkEntry {
     // ---- balancing, attribution, media planning, equal-count bands ----------
     "q_bigram_lm" -> ((s0, dir) => {
       val s = ensure(s0)
-      Text.bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+      // scan fan-out (same rationale as perturbedCorpus): the corpus
+      // parquet is a single split, and the bigram explode runs TWICE
+      // (lookup build + instance stream) before any exchange — spread
+      // it instead of serializing both passes onto one core
+      Text.bigramLogProb(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("doc_id"))
     }),
 
     "q_bpe_pairs" -> ((s0, dir) => {
@@ -1517,8 +1523,11 @@ object SparkEntry {
           concat(lit("{\"tag\": \""), col("event_type"), lit("\", \"n\": "),
             (col("event_id") % 7).cast("string"), lit("}")))
         .otherwise(col("props"))
+      // scan fan-out: the per-row JSON parse is the whole cost and the
+      // events parquet is one split — spread it before parsing
       EventOps.jsonKeyProfile(
-          Tables.events(s, dir).select(raw.as("raw")), "raw")
+          Tables.events(s, dir).select(raw.as("raw"))
+            .repartition(s.sparkContext.defaultParallelism), "raw")
         .orderBy(col("key"))
     })
   )

@@ -259,17 +259,18 @@ object Sinks {
     * IVF centroid build). The min/max agg is one tiny job.
     *
     * File assignment is EQUAL-WIDTH bucketing of the 32-bit curve
-    * (`bucket = z·nFiles >> 32`, routed by an explicit Partitioner):
-    * each file owns one contiguous curve segment, which is the same
-    * contiguity `repartitionByRange` would give — WITHOUT the range
-    * partitioner's full sampling pass over the input. A z-ordered
-    * write at 100 TB then scans its input once, not twice; the
-    * equal-width cut is safe here because the grid coords are min/max
-    * normalized (near-uniform on the curve), and skewed data would
-    * swap in quantile cut points at the same line. The one RDD
-    * round-trip is a write-boundary layout concern (no expression
-    * work rides on it); rows pay one serialized exchange, same as any
-    * repartition.
+    * (`bucket = z·nFiles >> 32`): each file owns one contiguous curve
+    * segment — the same contiguity `repartitionByRange` would give,
+    * WITHOUT the range partitioner's full sampling pass, so a
+    * z-ordered write at 100 TB scans its input once, not twice. The
+    * equal-width cut is safe because the grid coords are min/max
+    * normalized (near-uniform on the curve); skewed data would swap in
+    * quantile cut points at the same line. Buckets ride an ordinary
+    * hash repartition (UnsafeRow shuffle — no RDD round-trip, no row
+    * serialization) through a ROUTING TABLE: for each bucket we pick,
+    * with the engine's own Murmur3Hash, a carrier value that lands in
+    * a distinct partition — a driver-side search over a few dozen
+    * integers — so the n buckets map 1:1 onto the n output files.
     */
   def zorderedWrite(df: DataFrame, c1: String, c2: String, dir: String,
                     nFiles: Int): Unit = {
@@ -286,22 +287,31 @@ object Sinks {
         shiftleft(shiftright(g1, i).bitwiseAND(1), 2 * i)
           .bitwiseOR(shiftleft(shiftright(g2, i).bitwiseAND(1), 2 * i + 1))
       }.reduce(_.bitwiseOR(_))
-    val withZ = df.crossJoin(broadcast(b))
+    // bucket b -> a long whose Murmur3 hash (the exact expression
+    // repartition uses, evaluated here on the driver) pmods to a
+    // partition no other bucket routes to
+    val route: Seq[Long] = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+      val byPartition = scala.collection.mutable.Map[Int, Long]()
+      var v = 0L
+      while (byPartition.size < nFiles) {
+        val h = Murmur3Hash(Seq(Literal(v)), 42).eval(null).asInstanceOf[Int]
+        val p = ((h % nFiles) + nFiles) % nFiles
+        if (!byPartition.contains(p)) byPartition(p) = v
+        v += 1
+      }
+      (0 until nFiles).map(byPartition)
+    }
+    df.crossJoin(broadcast(b))
       .withColumn("__z", interleave(
         grid(col(c1), col("lo1"), col("hi1")),
         grid(col(c2), col("lo2"), col("hi2"))))
-      .drop("lo1", "hi1", "lo2", "hi2")
-    val zIdx = withZ.schema.fieldIndex("__z")
-    val routed = withZ.rdd
-      .map(r => ((r.getLong(zIdx) * nFiles) >>> 32, r))
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = nFiles
-        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
-      })
-      .map(_._2)
-    withZ.sparkSession.createDataFrame(routed, withZ.schema)
+      .withColumn("__route", element_at(
+        array(route.map(lit(_)): _*),
+        (shiftrightunsigned(col("__z") * nFiles, 32) + 1).cast("int")))
+      .repartition(nFiles, col("__route"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__route", "lo1", "hi1", "lo2", "hi2")
       .write.mode("overwrite").parquet(dir)
   }
 }

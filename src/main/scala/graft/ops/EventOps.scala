@@ -250,10 +250,12 @@ object EventOps {
     */
   def cooccurrence(events: DataFrame, containerCols: Seq[Column],
                    typeCol: String): DataFrame = {
-    val sets = events
+    // cached: the pair stream and the marginals both read the per-
+    // container sets; one aggregation pass serves both.
+    val sets = graft.CacheScope.cached(events
       .filter(col("user_id").isNotNull)
       .select(struct(containerCols: _*).as("c"), col(typeCol).as("t"))
-      .groupBy(col("c")).agg(array_sort(collect_set(col("t"))).as("ts"))
+      .groupBy(col("c")).agg(array_sort(collect_set(col("t"))).as("ts")))
     val pairs = sets.select(explode(expr(
       """flatten(transform(ts,
         |  (x, i) -> transform(slice(ts, i + 2, size(ts)),
@@ -261,16 +263,22 @@ object EventOps {
       .select(col("p.t_a"), col("p.t_b"))
       .groupBy(col("t_a"), col("t_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val single = sets.select(explode(col("ts")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
-    val total = sets.agg(count(lit(1)).as("n_c"))
+    // ALL the marginals in ONE broadcast row: cube((t)) yields the
+    // per-type container counts AND (its grand-total row) the overall
+    // container count in a single aggregation, folded to one
+    // type→count map. "__all" is a sentinel key outside the event-type
+    // vocabulary.
+    val srow = sets.select(col("c"), explode(col("ts")).as("t"))
+      .cube(col("t")).agg(count_distinct(col("c")).as("cnt"))
+      .agg(map_from_entries(collect_list(
+        struct(coalesce(col("t"), lit("__all")), col("cnt")))).as("m"))
     pairs
-      .join(broadcast(single.select(col("t").as("t_a"), col("n_t").as("n_a"))), Seq("t_a"))
-      .join(broadcast(single.select(col("t").as("t_b"), col("n_t").as("n_b"))), Seq("t_b"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(srow))
       .select(
         col("t_a"), col("t_b"), col("n_ab"),
-        round(col("n_ab") * col("n_c") / (col("n_a") * col("n_b")), 4).as("lift_r"))
+        round(col("n_ab") * element_at(col("m"), lit("__all")) /
+          (element_at(col("m"), col("t_a")) * element_at(col("m"), col("t_b"))), 4)
+          .as("lift_r"))
   }
 
   /** Two-proportion A/B z-test: users split into deterministic
