@@ -1406,10 +1406,14 @@ object SparkEntry {
       val s = ensure(s0)
       // plant a shared 5-token banner on even docs so the detector has
       // real chrome to find (the corpus itself is near-collision-free)
-      val withBanner = Tables.documents(s, dir).withColumn("text",
-        when(col("doc_id") % 2 === 0,
-          concat(lit("cookie banner terms apply here "), col("text")))
-          .otherwise(col("text")))
+      // scan fan-out: the md5-per-segment explode precedes the first
+      // exchange and the corpus parquet is one split
+      val withBanner = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("cookie banner terms apply here "), col("text")))
+            .otherwise(col("text")))
       Corpus.boilerplate(withBanner, segLen = 5, minDocs = 2)
         .orderBy(col("doc_id"))
     }),
