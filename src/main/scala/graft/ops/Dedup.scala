@@ -359,19 +359,21 @@ object Dedup {
     */
   def lshDedupKeepers(corpus: DataFrame, minJaccard: Double,
                       numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    // cached: the undirected union reads the verified edge set twice,
-    // and the LSH-candidate + exact-verify joins are the expensive part
-    // of the whole operator — without the cache they run once per
-    // union branch.
-    val verified = CacheScope.cached(
-      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands))
-    // undirected neighbor set → keeper = min(self, neighbors)
-    val neighbors = verified
-      .unionByName(verified.select(col("b").as("a"), col("a").as("b")))
+    // Undirected neighbor view via a single explode (a self-union
+    // would re-run the LSH+verify joins once per branch), min-folded
+    // to one row per edge-participating doc BEFORE touching the
+    // corpus: the groupBy shuffles only the dup-edge set, and the
+    // corpus then folds singletons in with a broadcast left join —
+    // the corpus itself never shuffles, at any scale.
+    val minNb = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .groupBy(col("e.a").as("doc_id")).agg(min(col("e.b")).as("nb"))
     corpus.select(col("doc_id"))
-      .join(neighbors.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
-      .groupBy(col("doc_id"))
-      .agg(least(col("doc_id"), coalesce(min(col("b")), col("doc_id"))).as("keep_id"))
+      .join(broadcast(minNb), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nb"), col("doc_id"))).as("keep_id"))
   }
 
   /** TRANSITIVE dedup keeper: connected components over the verified
@@ -406,15 +408,18 @@ object Dedup {
   def connectedComponentKeepers(corpus: DataFrame, minJaccard: Double,
                                 numHashes: Int = 16, bands: Int = 4,
                                 maxIters: Int = 20): DataFrame = {
-    // Cache the DIRECTED edge set before the undirected union: the
-    // union consumes it twice, and each recomputation would replay the
-    // LSH-candidate join + exact-verify join (the dominant cost of the
-    // operator — measured 3× the whole CC loop). The undirected union
-    // itself is two cache scans, cheap to recompute per round.
-    val verified = CacheScope.cached(
-      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands))
+    // ONE cached frame: the undirected edge set, built by exploding
+    // each verified (a,b) pair into both directions in the SAME pass —
+    // a self-union would re-run the LSH-candidate + exact-verify joins
+    // (the dominant cost of the operator) once per branch, and caching
+    // the directed set first just to guard the union costs a second
+    // materialization job. The explode keeps it one plan, one cache.
     val edges = CacheScope.cached(
-      verified.unionByName(verified.select(col("b").as("a"), col("a").as("b"))))
+      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
+        .select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b")))
     // Fused first hop: initialize each edge vertex at min(self, direct
     // neighbors) instead of self — the same label state round 1 would
     // produce, for the cost of the groupBy that builds the vertex set
@@ -427,23 +432,32 @@ object Dedup {
     // again wastes an action + probe. One checkpoint lands hop-2 state
     // directly; the probe below then confirms the fixpoint.
     var labels = edges
-      .join(firstHop.select(col("doc_id").as("b"), col("keep_id")), Seq("b"))
+      .join(broadcast(firstHop.select(col("doc_id").as("b"), col("keep_id"))), Seq("b"))
       .select(col("a").as("doc_id"), col("keep_id"))
       .unionByName(firstHop)
       .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
       .localCheckpoint(false)
     // Fixpoint test, directly: hash-min is converged iff every edge
     // has equal endpoint labels (the propagate min then changes
-    // nothing). One count job over edges ⋈ labels² (labels is
-    // dup-docs×16 bytes — broadcast here, an ordinary shuffle join at
-    // scale). Clique-shaped duplicate groups converge at the fused
-    // first hop, so the common case pays one probe and ZERO loop
-    // rounds; the former label-sum bookkeeping always paid two full
-    // rounds just to see the sum repeat.
+    // nothing). One count job over edges ⋈ labels². Clique-shaped
+    // duplicate groups converge at the fused first hop, so the common
+    // case pays one probe and ZERO loop rounds; the former label-sum
+    // bookkeeping always paid two full rounds just to see the sum
+    // repeat.
+    //
+    // The label side carries EXPLICIT broadcast hints everywhere it is
+    // joined: it is a checkpointed RDD scan with no catalog stats, so
+    // the planner would otherwise pick sort-merge and shuffle the big
+    // side on every probe/round. Labels are dup-subgraph vertices ×16
+    // bytes — LSH-verified duplicate sets are a few percent of the
+    // corpus, well inside executor memory at this engine's operating
+    // envelope. If the duplicate subgraph itself outgrows broadcast
+    // range, drop the hints and let AQE choose (the loop shape is
+    // already shuffle-correct).
     def mismatches(l: DataFrame): Long =
       edges
-        .join(l.select(col("doc_id").as("a"), col("keep_id").as("la")), Seq("a"))
-        .join(l.select(col("doc_id").as("b"), col("keep_id").as("lb")), Seq("b"))
+        .join(broadcast(l.select(col("doc_id").as("a"), col("keep_id").as("la"))), Seq("a"))
+        .join(broadcast(l.select(col("doc_id").as("b"), col("keep_id").as("lb"))), Seq("b"))
         .filter(col("la") =!= col("lb"))
         .count()
     var iter = 2 // fused first hop + one propagate are rounds 1-2
@@ -454,15 +468,18 @@ object Dedup {
       // labels, and a single partial-aggregated min fold replaces the
       // former groupBy + left-join pair — one shuffle per round.
       labels = edges
-        .join(labels.select(col("doc_id").as("b"), col("keep_id")), Seq("b"))
+        .join(broadcast(labels.select(col("doc_id").as("b"), col("keep_id"))), Seq("b"))
         .select(col("a").as("doc_id"), col("keep_id"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
         .localCheckpoint(false)
       iter += 1
     }
+    // Singleton fold-in: broadcast the labels so the corpus side never
+    // shuffles — a map-side left join at any corpus size (labels stay
+    // dup-subgraph-sized; see the broadcast rationale above).
     corpus.select(col("doc_id"))
-      .join(labels.withColumnRenamed("keep_id", "cc_keep"), Seq("doc_id"), "left")
+      .join(broadcast(labels.withColumnRenamed("keep_id", "cc_keep")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cc_keep"), col("doc_id")).as("keep_id"))
   }

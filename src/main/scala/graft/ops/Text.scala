@@ -218,7 +218,17 @@ object Text {
     * semantics.
     */
   def bigramLogProb(documents: DataFrame): DataFrame = {
-    val bi = documents
+    // Collapse the instance stream to per-(doc, bigram) COUNTS first —
+    // the expensive tokenize+explode pass then runs exactly ONCE, and
+    // both consumers (vocabulary lookup build, per-doc fold) read the
+    // collapsed cache. Trade-off, measured: the collapse shuffles a
+    // near-instance-sized (doc, prev, next) table once, where the
+    // two-pass form shuffled only partial-aggregated vocab/doc rows but
+    // tokenized the corpus twice — 2× scan CPU dominated. At 100 TB
+    // flip the trade back (two scans, zero instance shuffle) by
+    // dropping the collapse and joining the raw instance stream against
+    // the broadcast lookup: same algebra, identical results.
+    val docBi = graft.CacheScope.cached(documents
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"),
@@ -226,21 +236,24 @@ object Text {
       .select(col("doc_id"),
         try_element_at(col("toks"), col("i")).as("prev"),
         try_element_at(col("toks"), col("i") + 1).as("next"))
-    // ONE vocabulary-sized lookup table carrying BOTH counts: the
-    // context total cc rides on the bigram table via a prev-partitioned
-    // window (vocab-sized frame — two exchanges inside the one
-    // broadcast build, zero extra jobs), so the corpus-sized instance
-    // stream pays a single broadcast join. Heaps' law keeps the table
-    // broadcastable even at 100 TB (prune to the top-K vocabulary
-    // first there); the instance stream never shuffles for the lookup.
-    val lookup = bi.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("bc"))
+      .groupBy(col("doc_id"), col("prev"), col("next"))
+      .agg(count(lit(1)).as("c")))
+    // ONE vocabulary-sized lookup table carrying BOTH counts: bc folds
+    // from the collapsed table (no second corpus pass), and the context
+    // total cc rides on it via a prev-partitioned window. Heaps' law
+    // keeps the table broadcastable even at 100 TB (prune to the top-K
+    // vocabulary first there); the collapsed stream never shuffles for
+    // the lookup.
+    val lookup = docBi.groupBy(col("prev"), col("next")).agg(sum(col("c")).as("bc"))
       .withColumn("cc", sum(col("bc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
-    bi.join(broadcast(lookup), Seq("prev", "next"))
+    // avg over instances = count-weighted avg over (doc, bigram) types
+    docBi.join(broadcast(lookup), Seq("prev", "next"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("bc") / col("cc").cast("double"))), 4).as("bigram_logprob"))
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("c") * log(col("bc") / col("cc").cast("double"))) /
+          sum(col("c")), 4).as("bigram_logprob"))
   }
 
   /** BPE merge-pair counting — iteration zero of byte-pair-encoding
