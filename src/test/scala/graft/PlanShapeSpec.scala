@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Corpus, Relational}
+import graft.ops.{Corpus, Dedup, Relational}
 
 /** Scale-regression guards on PHYSICAL PLAN SHAPE: these pin the
   * properties that make the operators survive 100 TB — which
@@ -200,5 +200,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val winIdx = p.indexOf("Window")
     assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
       s"share window must consume the aggregated cells, not raw events:\n$p")
+  }
+
+  // Topmost join line of the plan string (the plan prints top-down, so
+  // the first join is the singleton fold-in that decides whether the
+  // CORPUS side shuffles).
+  private def topJoinLine(df: DataFrame): String =
+    plan(df).linesIterator
+      .find(l => l.contains("Join") && !l.contains("BroadcastExchange"))
+      .getOrElse("no-join")
+
+  test("lshDedupKeepers: singleton fold-in is a broadcast left join — corpus never shuffles") {
+    val top = topJoinLine(Dedup.lshDedupKeepers(docs, minJaccard = 0.7))
+    assert(top.contains("BroadcastHashJoin") && top.contains("LeftOuter"),
+      s"fold-in join regressed from broadcast-left: $top")
+  }
+
+  test("connectedComponentKeepers: label fold-in is a broadcast left join — corpus never shuffles") {
+    // checkpointed labels have no catalog stats; without the explicit
+    // hint the planner falls back to sort-merge and shuffles the corpus
+    val top = topJoinLine(Dedup.connectedComponentKeepers(docs, minJaccard = 0.7))
+    assert(top.contains("BroadcastHashJoin") && top.contains("LeftOuter"),
+      s"fold-in join regressed from broadcast-left: $top")
   }
 }

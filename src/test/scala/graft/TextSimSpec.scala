@@ -147,4 +147,21 @@ class TextSimSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Text.bpeApply(empty, Seq(("a", "b"))).count() === 0)
   }
+
+  test("bigramLogProb: count-weighted type fold equals the per-instance average") {
+    // "a a a b" → bigrams (a,a)×2, (a,b); "a b a b" → (a,b)×2, (b,a).
+    // Repeated bigrams within a doc are exactly where the collapsed
+    // (doc, bigram, count) algebra could diverge from a per-instance
+    // avg — pin the hand-computed instance math.
+    val docs = Seq((1L, "a a a b"), (2L, "a b a b")).toDF("doc_id", "text")
+    // corpus type counts: (a,a)=2 (a,b)=3 (b,a)=1; context totals: a=5, b=1
+    val pAA = math.log(2.0 / 5.0); val pAB = math.log(3.0 / 5.0)
+    val pBA = math.log(1.0 / 1.0)
+    val exp = Map(
+      1L -> (3L, BigDecimal((pAA * 2 + pAB) / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      2L -> (3L, BigDecimal((pAB * 2 + pBA) / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val got = Text.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === exp)
+  }
 }
