@@ -454,12 +454,17 @@ object Dedup {
     // envelope. If the duplicate subgraph itself outgrows broadcast
     // range, drop the hints and let AQE choose (the loop shape is
     // already shuffle-correct).
-    def mismatches(l: DataFrame): Long =
+    // Both probe lookups broadcast the SAME frame keyed the same way
+    // (doc_id), so the two BroadcastExchanges canonicalize equal and
+    // ReuseExchange ships one broadcast build, not two.
+    def mismatches(l: DataFrame): Long = {
+      val bl = broadcast(l)
       edges
-        .join(broadcast(l.select(col("doc_id").as("a"), col("keep_id").as("la"))), Seq("a"))
-        .join(broadcast(l.select(col("doc_id").as("b"), col("keep_id").as("lb"))), Seq("b"))
-        .filter(col("la") =!= col("lb"))
+        .join(bl.as("pa"), col("a") === col("pa.doc_id"))
+        .join(bl.as("pb"), col("b") === col("pb.doc_id"))
+        .filter(col("pa.keep_id") =!= col("pb.keep_id"))
         .count()
+    }
     var iter = 2 // fused first hop + one propagate are rounds 1-2
     while (iter < maxIters && mismatches(labels) > 0) {
       // label(v) ← min(label(v), min over neighbors' labels), as ONE
