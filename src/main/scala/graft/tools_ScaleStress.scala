@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: run the scale-critical operators on a SYNTHETIC corpus
+  * 10-100× the sf0.1 bench tables, to check empirically that the
+  * shapes hold as data grows — dup-subgraph broadcasts stay bounded,
+  * LSH stays band-bucketed, CC converges, nothing collects or OOMs.
+  * Generated with `spark.range` (deterministic, no files, no testdata
+  * dependency); NOT part of the bench or verify contracts.
+  *
+  * Corpus design: `nDocs` docs of ~32 tokens drawn from a vocabulary
+  * keyed by doc_id/CLUSTER — every run of `clusterSize` consecutive
+  * doc_ids shares a base text, perturbed by one trailing token per
+  * member, giving known near-dup cliques (J ≈ 29/33 ≈ 0.88 between
+  * members) at a known rate, with the rest of the corpus collision-free.
+  *
+  * Usage: sbt "runMain graft.ScaleStress [nDocs] [dupFrac]"
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 1000000L
+    val dupFrac = if (args.length > 1) args(1).toDouble else 0.02
+    val clusterSize = 4L
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "48g")
+      .config("spark.ui.enabled", "false")
+    Tables.builderConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // dup share: the first `nDocs*dupFrac` ids form clusters of 4
+    // (cluster c = ids 4c..4c+3, sharing base text keyed by c); the
+    // rest are singletons keyed by their own id — distinct everywhere.
+    val nDupDocs = (nDocs * dupFrac).toLong / clusterSize * clusterSize
+    val corpus = spark.range(0, nDocs, 1, 64).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        // 32 base tokens from the content key, then one per-member tail
+        (0 until 32).map(i =>
+          // dup-cluster values live in [0, 1e6), singletons in
+          // [1e6, 2e6) — disjoint ranges, so no accidental cross-dup
+          concat(lit(s"w$i"),
+            when(col("id") < nDupDocs,
+              pmod(expr(s"id div $clusterSize") * 7919L, lit(1000000L)))
+              .otherwise(pmod(col("id") * 104729L, lit(999983L)) + 1000000L))) :+
+          concat(lit("tail"), pmod(col("id"), lit(clusterSize))): _*
+      ).as("text"))
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    println(s"[scale] nDocs=$nDocs dupDocs=$nDupDocs clusterSize=$clusterSize")
+    timed("corpus materialize")(println(s"[scale]   rows=${corpus.count()}"))
+
+    // 1. MinHash+LSH candidates: band-bucketed, never all-pairs
+    timed("minhashLshCandidates") {
+      val n = ops.Dedup.minhashLshCandidatesFast(corpus).count()
+      CacheScope.flush()
+      println(s"[scale]   candidate pairs=$n")
+    }
+    // 2. One-hop keeper: LSH -> exact-verify -> broadcast fold-in.
+    //    (xxhash64 path = the documented 100 TB substitution.)
+    timed("lshDedupKeepers") {
+      val k = ops.Dedup.lshDedupKeepers(corpus, minJaccard = 0.7).filter(
+        col("keep_id") =!= col("doc_id")).count()
+      CacheScope.flush()
+      println(s"[scale]   non-self keepers=$k (expect ~${nDupDocs / 4 * 3})")
+    }
+    // 3. Transitive CC over the dup subgraph: label broadcasts at a
+    //    dup-vertex count 100x the bench's
+    timed("connectedComponentKeepers") {
+      val k = ops.Dedup.connectedComponentKeepers(corpus, minJaccard = 0.7)
+        .filter(col("keep_id") =!= col("doc_id")).count()
+      CacheScope.flush()
+      println(s"[scale]   non-self keepers=$k (expect ~${nDupDocs / 4 * 3})")
+    }
+    // 4. Exact-dedup hash groupBy at full width
+    timed("exactDedup") {
+      println(s"[scale]   keepers=${ops.Text.exactDedup(corpus).count()}")
+    }
+    // 5. Token counting + Gopher gates: map-side only, scan-bound
+    timed("tokenCounts + gopher") {
+      println(s"[scale]   rows=${ops.Corpus.gopherSignals(corpus).count()}")
+    }
+    spark.stop()
+  }
+}
