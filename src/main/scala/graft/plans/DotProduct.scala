@@ -94,5 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_gopher"),
       new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher"),
       (children: Seq[Expression]) => GopherStats(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cell_top"),
+      new ExpressionInfo(classOf[CellTopIds].getName, "graft_cell_top"),
+      (children: Seq[Expression]) => CellTopIds(
+        children(0), children(1), children(2), children(3), children(4))))
   }
 }

@@ -90,6 +90,33 @@ object ScaleStress {
     timed("tokenCounts + gopher") {
       println(s"[scale]   rows=${ops.Corpus.gopherSignals(corpus).count()}")
     }
+
+    // 6. ANN surface at 1M x 64-d: brute top-k vs trained-IVF, plus
+    //    the recall@k overlap between them — the flagship scale claim.
+    //    Deterministic pseudo-random unit-ish vectors from the id.
+    val dim = 64
+    val emb = spark.range(0, nDocs, 1, 64).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        (pmod(col("id") * (2 * j + 7) + j * 2654435761L, lit(100003L))
+          .cast("double") / 100003.0d - 0.5d).cast("float")): _*).as("embedding"))
+      .cache()
+    timed("embeddings materialize")(println(s"[scale]   rows=${emb.count()}"))
+    val nQ = 16; val k = 10
+    val brute = timed("cosineTopK (brute)") {
+      val b = ops.Sim.cosineTopK(emb, nQ, k).cache()
+      println(s"[scale]   rows=${b.count()}")
+      b
+    }
+    val ivf = timed("cosineTopKIvfKmeans") {
+      val r = ops.Sim.cosineTopKIvfKmeans(emb, nQ, k,
+        nCells = 64, iters = 4, nProbe = 4, sampleMod = 100).cache()
+      println(s"[scale]   rows=${r.count()}")
+      r
+    }
+    val hits = brute.select(col("q_id"), col("c_id"))
+      .join(ivf.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
+    println(f"[scale] IVF recall@$k = ${hits.toDouble / (nQ * k)}%.3f (nProbe=4 of 64 cells)")
     spark.stop()
   }
 }
