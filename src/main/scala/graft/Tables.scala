@@ -44,8 +44,21 @@ object Tables {
     "spark.sql.extensions" -> "graft.plans.GraftExtensions"
   )
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet schema per path, inferred once per JVM. A catalog-backed
+    * deployment owns table schemas; re-running footer-based inference
+    * on every query is a per-query driver tax (a footer read, and a
+    * distributed merge job once the table has many files) that buys
+    * nothing on a static table. First read of a path infers and
+    * caches; subsequent reads plan straight from the cached schema.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** events with `ts_us` (epoch micros, bigint) added. `ts` (raw nanos
     * long) is kept for callers that want it; most queries should use
