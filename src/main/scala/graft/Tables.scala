@@ -41,7 +41,14 @@ object Tables {
     * HOF dot product when graft_dot isn't registered).
     */
   def builderConfigs: Seq[(String, String)] = sessionConfigs ++ Seq(
-    "spark.sql.extensions" -> "graft.plans.GraftExtensions"
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    // The default codegen class cache holds 100 entries; a workload of
+    // 136 distinct queries x several codegen units each thrashes it,
+    // so every execution re-compiles Janino even in steady state. A
+    // long-lived warehouse JVM serving a mixed workload wants the
+    // compiled classes resident; entries are class metadata, so the
+    // memory cost is trivial next to executor heap.
+    "spark.sql.codegen.cache.maxEntries" -> "8192"
   )
 
   /** Parquet schema per path, inferred once per JVM. A catalog-backed
