@@ -643,6 +643,18 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "q_dedup_semantic" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // SemDeDup: cluster-bounded embedding near-dup keepers. Same
+      // trained quantizer configuration as q_sim_ann_kmeans; the 0.40
+      // threshold is tuned to this synthetic table's cosine range
+      // (top pairs ~0.5-0.6) so the pair/keeper path is exercised —
+      // production text embeddings use ~0.95+ (the paper's range).
+      Sim.semanticDedupKeepers(Tables.embeddings(s, dir),
+        nCells = 8, iters = 4, sampleMod = 2, minCos = 0.40)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- batch 6 (round 4): as-of/range joins, reshape, corpus assembly -----
     "q_asof_join" -> ((s0, dir) => {
       val s = ensure(s0)
@@ -3469,7 +3481,10 @@ object SparkEntry {
     val s = ensure(spark)
     val cents = ops.Sim.kmeansCentroidsSampledLocal(
       Tables.embeddings(s, sfDir), k = 8, iters = 4, sampleMod = 2)
-    Map("q_sim_ann_kmeans" ->
-      ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2))
+    Map(
+      "q_sim_ann_kmeans" ->
+        ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2),
+      "q_dedup_semantic" ->
+        ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40))
   }
 }

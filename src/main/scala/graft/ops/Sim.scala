@@ -405,6 +405,123 @@ object Sim {
   }
 
   // -------------------------------------------------------------------------
+  // Semantic dedup (SemDeDup)
+  // -------------------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space near-dup detection that bounds the all-pairs
+    * blow-up by k-means clustering — pairwise cosine is computed ONLY
+    * within a cluster, on the theory (and the paper's measurement)
+    * that semantic duplicates land in the same cluster. This is the
+    * semantic complement to [[graft.ops.Dedup.minhashLshCandidates]]:
+    * MinHash catches lexical near-dups, SemDeDup catches paraphrases
+    * and re-encodings that share no shingles.
+    *
+    * Returns one row per vector: (vec_id, cell, keep_id) where
+    * keep_id = min(vec_id, smallest within-cell neighbor with
+    * cosine ≥ `minCos`) — the same deterministic min-id keeper rule as
+    * [[graft.ops.Dedup.lshDedupKeepers]], so `keep_id <> vec_id` IS
+    * the paper's "discard" set and downstream can
+    * `filter(col("keep_id") === col("vec_id"))` to dedup.
+    *
+    * Shape, stage by stage:
+    *  1. coarse centroids from a bounded driver-local sample
+    *     ([[kmeansCentroidsSampledLocal]] — faiss-style: a coarse
+    *     quantizer needs ~100·k training points regardless of corpus
+    *     size);
+    *  2. cell assignment is a pure MAP-SIDE argmax over the
+    *     driver-resident model (native kernel when registered) — the
+    *     vector table is never shuffled for assignment;
+    *  3. ONE hash shuffle on `cell` co-locates each cluster, and the
+    *     within-cell self-join scores Σ|cell|² pairs instead of N² —
+    *     the paper's bound: with k clusters of even size that is
+    *     N²/k work, and k is chosen to make each cluster
+    *     executor-sized (they run k≈11k over 100M+ embeddings);
+    *  4. the neighbor-min fold and singleton fold-in reuse the
+    *     lshDedupKeepers pattern: the min-neighbor table is
+    *     dup-set-sized, so it broadcasts and the corpus never
+    *     shuffles again.
+    *
+    * At 100 TB: the only data-sized exchange is the single hash
+    * partition on `cell`. Skewed (oversized) clusters are the known
+    * failure mode — the mitigations are raising `nCells` (the paper's
+    * lever) or LSH-bucketing within the hot cell; both preserve this
+    * operator's output contract. Cosine is rounded to 4dp BEFORE the
+    * threshold compare (and the cell argmax to 6dp, matching
+    * [[ivfSearchOracleSql]]) so the pair set is reproducible across
+    * engines and float-summation orders.
+    */
+  def semanticDedupKeepers(embeddings: DataFrame, nCells: Int, iters: Int,
+                           sampleMod: Int, minCos: Double): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
+    val assigned = CacheScope.cached(
+      withNormed(embeddings, dotF)
+        .withColumn("cell", argmaxCell(dotF, cents)(col("v"), col("nrm")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell")))
+    val pairs = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(dotF(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4)
+        >= minCos)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    // Undirected neighbor view in one explode, min-folded to one row
+    // per dup-participating vector (dup-set-sized → broadcast), then a
+    // single broadcast left join folds singletons in — the corpus
+    // never shuffles after the cell co-location.
+    val minNb = pairs
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .groupBy(col("e.a").as("vec_id")).agg(min(col("e.b")).as("nb"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(minNb), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        least(col("vec_id"), coalesce(col("nb"), col("vec_id"))).as("keep_id"))
+  }
+
+  /** DuckDB oracle for [[semanticDedupKeepers]] — the pinned-model
+    * trick of [[ivfSearchOracleSql]]: the trained centroids are DATA,
+    * so the oracle embeds them as literals and independently
+    * recomputes assignment (6dp round, cent_id tiebreak), the
+    * within-cell pair set (4dp round vs `minCos`), the undirected
+    * min-neighbor fold, and the keeper rule.
+    */
+  def semanticDedupOracleSql(cents: Centroids, minCos: Double): String = {
+    val centRows = cents.map { case (id, v) =>
+      s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH cent(cent_id, cv) AS (VALUES
+       |       $centRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cn AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+       |sc AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |         round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS score
+       |  FROM n, cn c),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, CAST(cell AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, v, nrm, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY score DESC, cent_id) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM assign x JOIN assign y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= $minCos),
+       |und AS (SELECT a AS vec_id, b AS nb FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |mn AS (SELECT vec_id, min(nb) AS nb FROM und GROUP BY vec_id)
+       |SELECT s.vec_id, s.cell,
+       |       least(s.vec_id, coalesce(mn.nb, s.vec_id)) AS keep_id
+       |FROM assign s LEFT JOIN mn USING (vec_id)
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
   // Hyperplane LSH
   // -------------------------------------------------------------------------
 

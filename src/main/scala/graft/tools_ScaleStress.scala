@@ -117,6 +117,22 @@ object ScaleStress {
     val hits = brute.select(col("q_id"), col("c_id"))
       .join(ivf.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
     println(f"[scale] IVF recall@$k = ${hits.toDouble / (nQ * k)}%.3f (nProbe=4 of 64 cells)")
+
+    // 7. SemDeDup at 100x the bench's embeddings table: the
+    //    cluster-bounded pairwise search must stay Σ|cell|²/2, never
+    //    N²/2 — nCells is the paper's lever, scaled here so cells hold
+    //    ~1.5k vectors (≈ N·|cell|/2 dots total). Random vectors →
+    //    essentially no pairs ≥ 0.95; the cost being measured is the
+    //    one cell shuffle + the bounded pair scan itself.
+    val nSem = math.min(nDocs, 200000L)
+    timed("semanticDedupKeepers") {
+      val d = ops.Sim.semanticDedupKeepers(
+          emb.filter(col("vec_id") < nSem), nCells = 128, iters = 2,
+          sampleMod = math.max(nSem / 12800L, 1L).toInt, minCos = 0.95)
+        .filter(col("keep_id") =!= col("vec_id")).count()
+      CacheScope.flush()
+      println(s"[scale]   non-self keepers=$d over $nSem vectors (random -> expect ~0)")
+    }
     spark.stop()
   }
 }

@@ -12,11 +12,17 @@ class ContractSpec extends AnyFunSuite {
 
   test("every oracle names a declared query; only the named exceptions lack one") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // k-means IVF is deliberately oracle-less (Lloyd's in SQL isn't worth
-    // mirroring); its contract is KmeansIvfSpec's recall bound. Driver
-    // records the weaker rows-only check for it.
+    // The trained-centroid queries have DYNAMIC oracles (generated at
+    // Verify time from the actual model via oracleSqlDynamic — pinned
+    // centroid literals), so they are absent from the static map only.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("q_sim_ann_kmeans"))
+      Set("q_sim_ann_kmeans", "q_dedup_semantic"))
+  }
+
+  test("dynamic oracles cover exactly the static-map gaps") {
+    val spark = SparkTestSession.spark
+    val dyn = SparkEntry.oracleSqlDynamic(spark, "/root/testdata/sf0.001").keySet
+    assert(dyn === SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
   }
 
   test("query names are well-formed") {
@@ -24,7 +30,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 136)
+    assert(SparkEntry.queries.size === 137)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
