@@ -223,4 +223,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(top.contains("BroadcastHashJoin") && top.contains("LeftOuter"),
       s"fold-in join regressed from broadcast-left: $top")
   }
+
+  test("semanticDedupKeepers: broadcast-left fold-in; ONE cell shuffle; map-side assignment") {
+    val emb = (0L until 200L)
+      .map(i => (i, Array.tabulate(8)(j => ((i % 5) * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.Sim.semanticDedupKeepers(
+      emb, nCells = 4, iters = 2, sampleMod = 2, minCos = 0.9)
+    val top = topJoinLine(df)
+    assert(top.contains("BroadcastHashJoin") && top.contains("LeftOuter"),
+      s"singleton fold-in regressed from broadcast-left: $top")
+    // cell assignment is a map-side argmax over driver-resident
+    // centroids: the only data-sized exchange in the whole plan is the
+    // hash partition on `cell` for the within-cluster self-join (plus
+    // the pair-side groupBy, which is dup-set-sized)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"within-cell join or fold-in shuffled the corpus via sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair search degenerated to all-pairs:\n$p")
+  }
 }
