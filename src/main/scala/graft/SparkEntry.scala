@@ -643,6 +643,20 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "q_sim_ann_pq" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // IVF-PQ: trained cells + per-subspace product quantization —
+      // the billion-scale ANN configuration (candidates scored against
+      // m-byte code reconstructions, not raw vectors). dim 64, m=8 →
+      // 8-dim subspaces × 16 codes; same coarse quantizer as
+      // q_sim_ann_kmeans.
+      Sim.cosineTopKIvfPq(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, nCells = 8, m = 8, ks = 16, iters = 4,
+        nProbe = 2, sampleMod = 2)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "q_dedup_semantic" -> ((s0, dir) => {
       val s = ensure(s0)
       // SemDeDup: cluster-bounded embedding near-dup keepers. Same
@@ -3479,12 +3493,18 @@ object SparkEntry {
     */
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] = {
     val s = ensure(spark)
-    val cents = ops.Sim.kmeansCentroidsSampledLocal(
-      Tables.embeddings(s, sfDir), k = 8, iters = 4, sampleMod = 2)
+    // pqTrainLocal re-runs the identical deterministic centroid build
+    // internally, so `cents` serves all three oracles consistently.
+    val (cents, cbs) = ops.Sim.pqTrainLocal(
+      Tables.embeddings(s, sfDir), nCells = 8, m = 8, ks = 16,
+      iters = 4, sampleMod = 2)
     Map(
       "q_sim_ann_kmeans" ->
         ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2),
       "q_dedup_semantic" ->
-        ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40))
+        ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40),
+      "q_sim_ann_pq" ->
+        ops.Sim.ivfPqSearchOracleSql(cents, cbs, nQueries = 10, k = 5,
+          nProbe = 2))
   }
 }

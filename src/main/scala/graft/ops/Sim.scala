@@ -522,6 +522,282 @@ object Sim {
   }
 
   // -------------------------------------------------------------------------
+  // IVF-PQ: product-quantized ANN
+  // -------------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: `codebooks(j)(c)` is code `c`'s
+    * (dim/m)-double reproduction vector for subspace `j`. Like
+    * [[Centroids]], a driver-resident model shipped inside the plan.
+    */
+  type Codebooks = Seq[Seq[Array[Double]]]
+
+  /** Squared L2 via an in-order left fold — the ONE shared definition
+    * both the Spark literal and the oracle literal derive from, so the
+    * `bn2` doubles embedded in the two plans are bit-identical.
+    */
+  private def l2sq(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }; s
+  }
+
+  /** Driver-local L2 Lloyd's over a point array — PQ codebook
+    * training. Same determinism discipline as
+    * [[kmeansCentroidsSampledLocal]]: stride init, 6dp-rounded
+    * distances with smallest-code tiebreak, 9dp-rounded means, empty
+    * cells keep their centroid. L2 (not cosine) because PQ minimizes
+    * RECONSTRUCTION error — the reproduction vectors approximate the
+    * subvector itself, not its direction (Jégou/Douze/Schmid, TPAMI
+    * 2011, §II).
+    */
+  private def lloydL2Local(points: Array[Array[Double]], k: Int,
+                           iters: Int): Seq[Array[Double]] = {
+    val n = points.length
+    val dim = points.head.length
+    val stride = math.max(n / k, 1)
+    var cents: Seq[Array[Double]] =
+      (0 until k).map(i => points(math.min(i * stride, n - 1)))
+    for (_ <- 0 until iters) {
+      val assigned = points.map { v =>
+        val best = cents.zipWithIndex.map { case (c, ci) =>
+          var s = 0.0; var i = 0
+          while (i < dim) { val dl = v(i) - c(i); s += dl * dl; i += 1 }
+          (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP), ci)
+        }.minBy(identity)._2
+        (best, v)
+      }
+      val byCode = assigned.groupBy(_._1).map { case (code, vs) =>
+        val mean = new Array[Double](dim)
+        vs.foreach { case (_, v) =>
+          var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
+        var i = 0
+        while (i < dim) {
+          mean(i) = BigDecimal(mean(i) / vs.length)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          i += 1
+        }
+        code -> mean
+      }
+      cents = cents.zipWithIndex.map { case (old, ci) => byCode.getOrElse(ci, old) }
+    }
+    cents
+  }
+
+  /** Train the full IVF-PQ model on the bounded modulo sample: coarse
+    * centroids (cosine Lloyd's, shared with [[cosineTopKIvfKmeans]])
+    * plus one L2 codebook of `ks` codes per each of the `m` subspaces.
+    * Two bounded collects (the sample is the contract, as in faiss);
+    * both are model builds, never data-sized.
+    */
+  def pqTrainLocal(embeddings: DataFrame, nCells: Int, m: Int, ks: Int,
+                   iters: Int, sampleMod: Int): (Centroids, Codebooks) = {
+    val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d = dim / m
+    val dotF = dotNative(embeddings.sparkSession) _
+    val sample = withNormed(embeddings, dotF)
+      .filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val cbs = (0 until m).map { j =>
+      lloydL2Local(
+        sample.map(v => java.util.Arrays.copyOfRange(v, j * d, (j + 1) * d)),
+        ks, iters)
+    }
+    (cents, cbs)
+  }
+
+  /** Map-side PQ encoding: for each subspace, the code minimizing
+    * round(‖sv‖² − 2·sv·bv + ‖bv‖², 6) with smallest-code tiebreak —
+    * that exact expansion (NOT a fused Σ(x−y)² fold) because both
+    * factors are then computed by the already-oracle-proven dot fold
+    * and a driver literal, so DuckDB reproduces the argmin bit-for-bit.
+    * Yields `array<int>` of m codes: dim×8 bytes → m bytes per vector,
+    * the memory story that makes billion-vector ANN fit
+    * (64-d doubles = 512 B → 8 B at m=8).
+    *
+    * Declarative struct-min form, deliberately: at m=8, ks=16 each
+    * `least` folds 16 structs over 8-dim sub-dots — inside Janino's
+    * method budget (the k=64 full-dim case that overran it is why
+    * [[cellTopNative]] exists; a `graft_pq_encode` kernel is the same
+    * one-evening extension if a profile ever demands it).
+    */
+  private def pqCodes(dotF: (Column, Column) => Column, cb: Codebooks,
+                      d: Int)(v: Column): Column =
+    array(cb.zipWithIndex.map { case (codes, j) =>
+      val sub = slice(v, j * d + 1, d)
+      codes.zipWithIndex.map { case (bv, ci) =>
+        struct(
+          round(dotF(sub, sub) - lit(2.0) * dotF(sub, typedlit(bv.toSeq))
+            + lit(l2sq(bv)), 6).as("dist"),
+          lit(ci).as("code"))
+      }.reduce(least(_, _)).getField("code")
+    }: _*)
+
+  /** Reconstruction from codes: concatenate each subspace's looked-up
+    * reproduction vector. A pure projection over the m-byte codes —
+    * the full vector column is NOT needed at scoring time, which is
+    * the point of PQ.
+    */
+  private def pqRecon(cb: Codebooks)(codes: Column): Column =
+    concat(cb.zipWithIndex.map { case (cbj, j) =>
+      element_at(typedlit(cbj.map(_.toSeq)), element_at(codes, j + 1) + 1)
+    }: _*)
+
+  /** IVF-PQ approximate top-k (Jégou/Douze/Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011) — the
+    * standard billion-scale ANN configuration, completing the family
+    * after [[cosineTopKIvf]] (cells only) and [[cosineTopKIvfKmeans]]
+    * (trained cells): coarse cells bound WHICH vectors are scored;
+    * PQ codes bound WHAT is read to score them.
+    *
+    *  - encode: map-side cell argmax + per-subspace code argmin — the
+    *    corpus never shuffles; the "index" is (cell, m codes) = a few
+    *    bytes per vector;
+    *  - search: queries keep their full vector (asymmetric distance —
+    *    ADC — is the accurate variant, TPAMI 2011 §III.B) and score
+    *    candidates in probed cells against their RECONSTRUCTIONS;
+    *  - PQ here encodes the raw vector, not the cell residual
+    *    (faiss `by_residual=false`): residual encoding couples the
+    *    codebooks to the coarse quantizer and complicates the oracle
+    *    for ~1 extra bit of accuracy at this m; the flag is the
+    *    documented production knob.
+    *
+    * At 100 TB: the scored payload per candidate is m bytes + the
+    * broadcast codebooks (m·ks·d doubles, model-sized); everything
+    * else is the [[searchCells]] shape — one cell-key join against
+    * broadcast queries, no corpus shuffle.
+    */
+  def cosineTopKIvfPq(embeddings: DataFrame, nQueries: Int, k: Int,
+                      nCells: Int, m: Int, ks: Int, iters: Int = 4,
+                      nProbe: Int = 2, sampleMod: Int = 1,
+                      refine: Int = 0): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val (cents, cb) = pqTrainLocal(embeddings, nCells, m, ks, iters, sampleMod)
+    val d = cents.head._2.length / m
+    val assigned = CacheScope.cached(
+      withNormed(embeddings, dotF)
+        .withColumn("cell", argmaxCell(dotF, cents)(col("v"), col("nrm")))
+        .withColumn("codes", pqCodes(dotF, cb, d)(col("v")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("codes")))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .withColumn("probe",
+        if (nProbe <= 1) array(col("cell"))
+        else probeCells(dotF, cents, nProbe)(col("v"), col("nrm")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(col("probe")).as("cell"))
+    val scored = assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("rv", pqRecon(cb)(col("codes")))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(dotF(col("qv"), col("rv"))
+          / (col("qn") * sqrt(dotF(col("rv"), col("rv")))), 4).as("cos_r"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
+    val pqRanked = scored
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+    if (refine <= 0) pqRanked.filter(col("rnk") <= k)
+    else {
+      // Refine stage (faiss's IndexRefine — two-stage retrieval): the
+      // PQ scan only SHORTLISTS `refine` candidates per query; the
+      // shortlist (queries×refine rows, model-sized) broadcasts back
+      // against the corpus for a full-precision rescore of just those
+      // rows. Codes decide WHO gets read; full vectors decide the
+      // final order — how production PQ recovers exact ranking when
+      // code resolution ties out within a cluster.
+      val short = pqRanked.filter(col("rnk") <= refine)
+        .select(col("q_id"), col("c_id"))
+      val qv = assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      assigned
+        .join(broadcast(short), col("vec_id") === col("c_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          round(dotF(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
+            .as("cos_r"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= k)
+    }
+  }
+
+  /** DuckDB oracle for [[cosineTopKIvfPq]] — pinned-model trick, third
+    * application: centroids AND codebooks (with their pre-folded
+    * ‖bv‖², the same [[l2sq]] doubles the Spark plan embeds) become
+    * SQL literals, and DuckDB independently recomputes assignment,
+    * per-subspace code argmin, reconstruction, ADC scoring, and
+    * ranking. Training quality is graded by the recall spec.
+    */
+  def ivfPqSearchOracleSql(cents: Centroids, cb: Codebooks,
+                           nQueries: Int, k: Int, nProbe: Int): String = {
+    val dim = cents.head._2.length
+    val m = cb.size
+    val d = dim / m
+    val centRows = cents.map { case (id, v) =>
+      s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    val cbRows = cb.zipWithIndex.flatMap { case (cbj, j) =>
+      cbj.zipWithIndex.map { case (bv, ci) =>
+        s"($j, $ci, [${bv.map(_.toString).mkString(", ")}]::DOUBLE[], " +
+          s"${l2sq(bv).toString})"
+      }
+    }.mkString(",\n       ")
+    val sv = s"list_slice(a.v, cb.j*$d + 1, (cb.j+1)*$d)"
+    s"""WITH cent(cent_id, cv) AS (VALUES
+       |       $centRows),
+       |cb(j, code, bv, bn2) AS (VALUES
+       |       $cbRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cn AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+       |sc AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |         round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS score
+       |  FROM n, cn c),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+       |    SELECT vec_id, v, nrm, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY score DESC, cent_id) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |enc AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT a.vec_id, cb.j, cb.code,
+       |           row_number() OVER (PARTITION BY a.vec_id, cb.j
+       |             ORDER BY round(list_dot_product($sv, $sv)
+       |                            - 2*list_dot_product($sv, cb.bv)
+       |                            + cb.bn2, 6),
+       |                      cb.code) AS rn
+       |    FROM assign a, cb) t WHERE rn = 1),
+       |recon AS (
+       |  SELECT enc.vec_id, flatten(list(cb.bv ORDER BY enc.j)) AS rv
+       |  FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+       |  GROUP BY enc.vec_id),
+       |probe AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY score DESC, cent_id) AS rn
+       |    FROM sc WHERE vec_id < $nQueries) t WHERE rn <= $nProbe),
+       |q AS (SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, p.cell
+       |      FROM assign a JOIN probe p ON p.q_id = a.vec_id),
+       |scored AS (
+       |  SELECT q.q_id, a.vec_id AS c_id,
+       |         round(list_dot_product(q.qv, r.rv)
+       |               / (q.qn * sqrt(list_dot_product(r.rv, r.rv))), 4) AS cos_r
+       |  FROM assign a
+       |  JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id
+       |  JOIN recon r ON r.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos_r,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, c_id, cos_r, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
   // Hyperplane LSH
   // -------------------------------------------------------------------------
 

@@ -121,17 +121,38 @@ object ScaleStress {
     // 7. SemDeDup at 100x the bench's embeddings table: the
     //    cluster-bounded pairwise search must stay Σ|cell|²/2, never
     //    N²/2 — nCells is the paper's lever, scaled here so cells hold
-    //    ~1.5k vectors (≈ N·|cell|/2 dots total). Random vectors →
-    //    essentially no pairs ≥ 0.95; the cost being measured is the
-    //    one cell shuffle + the bounded pair scan itself.
+    //    ~1.5k vectors (≈ N·|cell|/2 dots total). Own fixture, NOT the
+    //    lattice `emb` above: that generator's harmonic correlations
+    //    make most vectors near-parallel (measured once: 195,605 of
+    //    200,000 collapsed at 0.95 in ~85 s with no spill — a useful
+    //    adversarial bound, but no calibrated expectation). Here:
+    //    xxhash64-decorrelated coordinates with planted dup cliques of
+    //    4 (base keyed by clique, ±1% member perturbation) at `dupFrac`
+    //    — same design as the text corpus, so keeper counts have a
+    //    known target (~3/4 of dup vectors) and everything else is
+    //    isotropic noise with pairwise |cos| ~ 1/8.
     val nSem = math.min(nDocs, 200000L)
+    val nDupVecs = (nSem * dupFrac).toLong / clusterSize * clusterSize
+    def coord(key: org.apache.spark.sql.Column, salt: Int, scale: Double) =
+      (pmod(xxhash64(key, lit(salt)), lit(100003L)).cast("double") / 100003.0d
+        - 0.5d) * scale
+    val semEmb = spark.range(0, nSem, 1, 64).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map { j =>
+        val key = when(col("id") < nDupVecs, expr(s"id div $clusterSize"))
+          .otherwise(col("id") + 1000000000L)
+        (coord(key, j, 1.0) +
+          when(col("id") < nDupVecs, coord(col("id"), j + dim, 0.02))
+            .otherwise(lit(0.0d))).cast("float")
+      }: _*).as("embedding"))
     timed("semanticDedupKeepers") {
       val d = ops.Sim.semanticDedupKeepers(
-          emb.filter(col("vec_id") < nSem), nCells = 128, iters = 2,
+          semEmb, nCells = 128, iters = 2,
           sampleMod = math.max(nSem / 12800L, 1L).toInt, minCos = 0.95)
         .filter(col("keep_id") =!= col("vec_id")).count()
       CacheScope.flush()
-      println(s"[scale]   non-self keepers=$d over $nSem vectors (random -> expect ~0)")
+      println(s"[scale]   non-self keepers=$d over $nSem vectors " +
+        s"(expect ~${nDupVecs / clusterSize * 3})")
     }
     spark.stop()
   }

@@ -16,7 +16,7 @@ class ContractSpec extends AnyFunSuite {
     // Verify time from the actual model via oracleSqlDynamic — pinned
     // centroid literals), so they are absent from the static map only.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("q_sim_ann_kmeans", "q_dedup_semantic"))
+      Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -30,7 +30,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 137)
+    assert(SparkEntry.queries.size === 138)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -74,6 +74,45 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(dirs.distinct.size === 8)
   }
 
+  test("IVF-PQ pure ADC preserves CLUSTER structure: top-5 stays in the query's blob") {
+    // 32-bit codes (m=8 × 4 bits) cannot rank WITHIN a tight blob —
+    // every member reconstructs to ~the blob center, cos_r ties to
+    // 4dp, and the id tiebreak decides (exact-neighbor recall ~0.2,
+    // measured). What codes DO preserve is which cluster a candidate
+    // belongs to; that is the property pure ADC is used for, so that
+    // is what this pins.
+    val out = Sim.cosineTopKIvfPq(emb,
+      nQueries = nQ, k = k, nCells = 8, m = 8, ks = 16, iters = 4,
+      nProbe = 2, sampleMod = 2).collect()
+    val inBlob = out.count(r => r.getLong(1) % 8 === r.getLong(0) % 8)
+    val frac = inBlob.toDouble / out.length
+    assert(frac >= 0.9, s"cluster-level recall = $frac")
+  }
+
+  test("IVF-PQ + full-precision refine (shortlist 64) recovers exact recall@5 >= 0.9") {
+    // The production two-stage shape: codes shortlist (cheap, m bytes
+    // per candidate), full vectors rescore only the shortlist. With
+    // the shortlist sized to the blob, exact ranking comes back.
+    val out = Sim.cosineTopKIvfPq(emb,
+      nQueries = nQ, k = k, nCells = 8, m = 8, ks = 16, iters = 4,
+      nProbe = 2, sampleMod = 2, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = recall(out)
+    assert(r >= 0.9, s"refined PQ recall@$k = $r")
+    info(f"IVF-PQ+refine recall@$k = $r%.2f")
+  }
+
+  test("PQ model shapes: m codebooks of ks reproduction vectors, dim/m wide") {
+    val (cents, cbs) = Sim.pqTrainLocal(emb, nCells = 8, m = 8, ks = 16,
+      iters = 2, sampleMod = 2)
+    assert(cents.size === 8)
+    assert(cbs.size === 8)
+    assert(cbs.forall(_.size === 16))
+    assert(cbs.forall(_.forall(_.length === 8)))
+    // codebooks must actually differentiate (no stale-init collapse)
+    assert(cbs.forall(cbj => cbj.map(_.toSeq).distinct.size > 1))
+  }
+
   test("multi-probe (hamming-1) LSH recall dominates single-bucket at fixed nPlanes") {
     val single = recall(
       Sim.cosineTopKLsh(emb, nQ, k, nPlanes = 6)
