@@ -558,11 +558,20 @@ object Sim {
       (0 until k).map(i => points(math.min(i * stride, n - 1)))
     for (_ <- 0 until iters) {
       val assigned = points.map { v =>
-        val best = cents.zipWithIndex.map { case (c, ci) =>
+        // argmin over 6dp-ROUNDED distances with smallest-code
+        // tiebreak, via the monotone-round shortcut (see
+        // plans/PqEncode.compute — identical winner, BigDecimal only
+        // for the near-ties of the minimum instead of every code)
+        val dists = cents.map { c =>
           var s = 0.0; var i = 0
           while (i < dim) { val dl = v(i) - c(i); s += dl * dl; i += 1 }
-          (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP), ci)
-        }.minBy(identity)._2
+          s
+        }.toArray
+        val dmin = dists.min
+        def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val r = r6(dmin)
+        val best = dists.indexWhere(dc => dc <= dmin + 1.0000001e-6 && r6(dc) == r)
         (best, v)
       }
       val byCode = assigned.groupBy(_._1).map { case (code, vs) =>
@@ -624,16 +633,27 @@ object Sim {
     * one-evening extension if a profile ever demands it).
     */
   private def pqCodes(dotF: (Column, Column) => Column, cb: Codebooks,
-                      d: Int)(v: Column): Column =
-    array(cb.zipWithIndex.map { case (codes, j) =>
-      val sub = slice(v, j * d + 1, d)
-      codes.zipWithIndex.map { case (bv, ci) =>
-        struct(
-          round(dotF(sub, sub) - lit(2.0) * dotF(sub, typedlit(bv.toSeq))
-            + lit(l2sq(bv)), 6).as("dist"),
-          lit(ci).as("code"))
-      }.reduce(least(_, _)).getField("code")
-    }: _*)
+                      d: Int)(v: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("graft_pq_encode"))
+      // compiled kernel (plans/PqEncode.scala): primitive loops +
+      // monotone-round shortcut — Spark round() on double allocates a
+      // BigDecimal per evaluation, and the declarative form below pays
+      // m·ks of them per row
+      call_function("graft_pq_encode", v,
+        typedlit(cb.flatMap(_.flatMap(_.toSeq))), lit(cb.size),
+        lit(cb.head.size))
+    else
+      array(cb.zipWithIndex.map { case (codes, j) =>
+        val sub = slice(v, j * d + 1, d)
+        codes.zipWithIndex.map { case (bv, ci) =>
+          struct(
+            round(dotF(sub, sub) - lit(2.0) * dotF(sub, typedlit(bv.toSeq))
+              + lit(l2sq(bv)), 6).as("dist"),
+            lit(ci).as("code"))
+        }.reduce(least(_, _)).getField("code")
+      }: _*)
+  }
 
   /** Reconstruction from codes: concatenate each subspace's looked-up
     * reproduction vector. A pure projection over the m-byte codes —

@@ -99,5 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CellTopIds].getName, "graft_cell_top"),
       (children: Seq[Expression]) => CellTopIds(
         children(0), children(1), children(2), children(3), children(4))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => PqEncode(
+        children(0), children(1), children(2), children(3))))
   }
 }

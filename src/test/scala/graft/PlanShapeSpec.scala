@@ -243,4 +243,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair search degenerated to all-pairs:\n$p")
   }
+
+  test("cosineTopKIvfPq: queries broadcast into the candidate scan; corpus never sort-merges") {
+    val emb = (0L until 200L)
+      .map(i => (i, Array.tabulate(16)(j => ((i % 5) * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.Sim.cosineTopKIvfPq(
+      emb, nQueries = 4, k = 3, nCells = 4, m = 4, ks = 8, iters = 2,
+      sampleMod = 2, refine = 16)
+    val p = plan(df)
+    // both the cell-probe join and the refine rescore must broadcast
+    // the tiny side (queries / shortlist); a sort-merge here means the
+    // corpus shuffled for a model-sized join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ search shuffled the corpus for a model-sized join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ search degenerated to all-pairs:\n$p")
+  }
 }
