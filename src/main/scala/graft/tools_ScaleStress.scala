@@ -118,6 +118,22 @@ object ScaleStress {
       .join(ivf.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
     println(f"[scale] IVF recall@$k = ${hits.toDouble / (nQ * k)}%.3f (nProbe=4 of 64 cells)")
 
+    // 6b. IVF-PQ at the same 1M x 64-d: end-to-end search through the
+    //     native encode kernel (graft_pq_encode) — the billion-scale
+    //     index build cost is the encode pass, so this is the number
+    //     that matters: 1M x (16 cells assigned + 8x16 code argmins).
+    val pq = timed("cosineTopKIvfPq (m=8,ks=16)") {
+      val r = ops.Sim.cosineTopKIvfPq(emb, nQ, k,
+        nCells = 64, m = 8, ks = 16, iters = 4, nProbe = 4,
+        sampleMod = 100, refine = 256).cache()
+      println(s"[scale]   rows=${r.count()}")
+      r
+    }
+    val pqHits = brute.select(col("q_id"), col("c_id"))
+      .join(pq.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
+    println(f"[scale] IVF-PQ+refine recall@$k = ${pqHits.toDouble / (nQ * k)}%.3f")
+    CacheScope.flush()
+
     // 7. SemDeDup at 100x the bench's embeddings table: the
     //    cluster-bounded pairwise search must stay Σ|cell|²/2, never
     //    N²/2 — nCells is the paper's lever, scaled here so cells hold
