@@ -657,6 +657,18 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "q_sim_ann_pq_refine" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // The production two-stage shape: PQ codes shortlist 20
+      // candidates per query, full vectors rescore only the shortlist
+      // (faiss IndexRefine). Oracle recomputes BOTH stages.
+      Sim.cosineTopKIvfPq(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, nCells = 8, m = 8, ks = 16, iters = 4,
+        nProbe = 2, sampleMod = 2, refine = 20)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "q_dedup_semantic" -> ((s0, dir) => {
       val s = ensure(s0)
       // SemDeDup: cluster-bounded embedding near-dup keepers. Same
@@ -3505,6 +3517,9 @@ object SparkEntry {
         ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40),
       "q_sim_ann_pq" ->
         ops.Sim.ivfPqSearchOracleSql(cents, cbs, nQueries = 10, k = 5,
-          nProbe = 2))
+          nProbe = 2),
+      "q_sim_ann_pq_refine" ->
+        ops.Sim.ivfPqSearchOracleSql(cents, cbs, nQueries = 10, k = 5,
+          nProbe = 2, refine = 20))
   }
 }

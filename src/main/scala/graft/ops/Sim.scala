@@ -749,7 +749,8 @@ object Sim {
     * ranking. Training quality is graded by the recall spec.
     */
   def ivfPqSearchOracleSql(cents: Centroids, cb: Codebooks,
-                           nQueries: Int, k: Int, nProbe: Int): String = {
+                           nQueries: Int, k: Int, nProbe: Int,
+                           refine: Int = 0): String = {
     val dim = cents.head._2.length
     val m = cb.size
     val d = dim / m
@@ -812,8 +813,20 @@ object Sim {
        |  SELECT q_id, c_id, cos_r,
        |         CAST(row_number() OVER (PARTITION BY q_id
        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
-       |  FROM scored)
-       |SELECT q_id, c_id, cos_r, rnk FROM ranked
+       |  FROM scored)${if (refine <= 0) "" else s"""
+       |, shortlist AS (SELECT q_id, c_id FROM ranked WHERE rnk <= $refine),
+       |rescored AS (
+       |  SELECT s.q_id, s.c_id,
+       |         round(list_dot_product(qa.v, ca.v) / (qa.nrm * ca.nrm), 4) AS cos_r
+       |  FROM shortlist s
+       |  JOIN assign qa ON qa.vec_id = s.q_id
+       |  JOIN assign ca ON ca.vec_id = s.c_id),
+       |ranked2 AS (
+       |  SELECT q_id, c_id, cos_r,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+       |  FROM rescored)"""}
+       |SELECT q_id, c_id, cos_r, rnk FROM ${if (refine <= 0) "ranked" else "ranked2"}
        |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 

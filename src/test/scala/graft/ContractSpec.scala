@@ -16,7 +16,8 @@ class ContractSpec extends AnyFunSuite {
     // Verify time from the actual model via oracleSqlDynamic — pinned
     // centroid literals), so they are absent from the static map only.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq"))
+      Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
+        "q_sim_ann_pq_refine"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -30,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 138)
+    assert(SparkEntry.queries.size === 139)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
