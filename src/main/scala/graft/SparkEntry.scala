@@ -1571,6 +1571,70 @@ object SparkEntry {
           Tables.events(s, dir).select(raw.as("raw"))
             .repartition(s.sparkContext.defaultParallelism), "raw")
         .orderBy(col("key"))
+    }),
+
+    // ---- batch 12: corpus governance + release ops ----
+
+    "q_mix_temperature" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.temperatureWeights(Tables.documents(s, dir), "source", 0.5)
+        .orderBy(col("source"))
+    }),
+
+    "q_quality_norm" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.percentileNormalize(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("pr_r"), col("above_median"), col("grp_median_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_k_anonymity" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ev = Tables.events(s, dir).withColumn(
+        "day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      Relational.kAnonymize(ev, Seq("event_type", "day"), "user_id", "value", 55)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q_oov_rate" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.oovRate(Tables.documents(s, dir), 100L)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_incremental" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // incoming batch: exact copies of every 3rd corpus doc (re-id'd),
+      // fresh suffix-modified docs, and an in-batch duplicate of each
+      // fresh doc (id+300000) — so all three verdict columns light up
+      val copies = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" zz8 zz8")).as("text"))
+      val rebatch = fresh.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val batch = copies.unionByName(fresh).unionByName(rebatch)
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.incrementalNewDocs(docs, batch).orderBy(col("doc_id"))
+    }),
+
+    "q_overlap_matrix" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.sourceOverlapMatrix(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "q_embed_proto" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.prototypicality(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -3489,7 +3553,141 @@ object SparkEntry {
         |       CAST(count(DISTINCT val) AS BIGINT) AS n_vals,
         |       round(count(*) / max(total), 4) AS share_r
         |FROM kv CROSS JOIN t
-        |GROUP BY key ORDER BY key""".stripMargin
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    // ---- batch 12 ----
+
+    "q_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         count(*) AS n_docs,
+        |         CAST(sum(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+        |         sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS tot_pow
+        |  FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens / tot_tokens, 6) AS raw_share_r,
+        |       round(pow(CAST(n_tokens AS DOUBLE), 0.5) / tot_pow, 6) AS temp_weight_r,
+        |       round(pow(CAST(n_tokens AS DOUBLE), 0.5) / tot_pow
+        |             * tot_tokens / n_tokens, 4) AS epochs_r
+        |FROM per, tot ORDER BY source""".stripMargin,
+
+    "q_quality_norm" ->
+      """WITH med AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS m
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       round(percent_rank() OVER (PARTITION BY d.source ORDER BY d.n_chars), 6)
+        |         AS pr_r,
+        |       CAST(CASE WHEN d.n_chars >= med.m THEN 1 ELSE 0 END AS BIGINT)
+        |         AS above_median,
+        |       round(med.m, 4) AS grp_median_r
+        |FROM documents d JOIN med USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_rows,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects,
+        |         round(sum(value), 4) AS sum_v
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, day, n_rows, n_subjects,
+        |       CASE WHEN n_subjects >= 55 THEN sum_v END AS sum_v_released,
+        |       CAST(CASE WHEN n_subjects >= 55 THEN 0 ELSE 1 END AS BIGINT)
+        |         AS suppressed
+        |FROM g ORDER BY event_type, day""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        |    AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+        |  WHERE df >= 100)
+        |SELECT t.doc_id,
+        |       count(*) AS n_tok,
+        |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate_r
+        |FROM tok t LEFT JOIN vocab v USING (token)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' zz8 zz8' FROM corpus
+        |  WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' zz8 zz8' FROM corpus
+        |  WHERE doc_id % 3 = 1),
+        |hashed AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM batch),
+        |idx AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+        |SELECT b.doc_id,
+        |       CAST(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS dup_of_corpus,
+        |       CAST(CASE WHEN b.rn > 1 THEN 1 ELSE 0 END AS BIGINT) AS dup_in_batch,
+        |       CAST(CASE WHEN i.h IS NULL AND b.rn = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS keep
+        |FROM hashed b LEFT JOIN idx i USING (h)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_overlap_matrix" ->
+      """WITH tok AS (
+        |  SELECT source, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |shx AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |ss AS (
+        |  SELECT DISTINCT source,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+        |inter AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+        |  FROM ss x JOIN ss y ON x.h = y.h AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.n_shared,
+        |       a.n AS n_a, b.n AS n_b,
+        |       round(i.n_shared / CAST(a.n + b.n - i.n_shared AS DOUBLE), 6)
+        |         AS jaccard_r
+        |FROM inter i
+        |JOIN sz a ON a.source = i.src_a
+        |JOIN sz b ON b.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q_embed_proto" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+        |cd AS (SELECT label, i, avg(x) AS cx FROM d GROUP BY label, i),
+        |cl AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |         round(list_dot_product(e.v, cl.cv)
+        |               / (sqrt(list_dot_product(e.v, e.v))
+        |                  * sqrt(list_dot_product(cl.cv, cl.cv))), 4) AS cos_r
+        |  FROM e JOIN cl USING (label))
+        |SELECT vec_id, label, cos_r,
+        |       CAST(row_number() OVER (PARTITION BY label
+        |              ORDER BY cos_r DESC, vec_id ASC) AS BIGINT) AS proto_rnk
+        |FROM scored ORDER BY vec_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

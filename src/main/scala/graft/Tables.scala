@@ -67,14 +67,29 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
-  /** events with `ts_us` (epoch micros, bigint) added. `ts` (raw nanos
-    * long) is kept for callers that want it; most queries should use
-    * `ts_us`. Integer `div` keeps the column a bigint (no double round
-    * trip) and matches DuckDB's `epoch_us(ts)` exactly for the
-    * all-positive timestamps in the data.
+  /** events with `ts_us` (epoch micros, bigint) added. `ts` is kept
+    * for callers that want it; most queries should use `ts_us`.
+    *
+    * The generator has shipped `ts` in two physical forms —
+    * TIMESTAMP(NANOS) (readable only as a raw nanos long, via the
+    * legacy flag) and TIMESTAMP(MICROS) NTZ — so the normalization
+    * dispatches on the INFERRED type rather than assuming either:
+    * integer `div` keeps the nanos path a bigint (no double round
+    * trip); the NTZ path casts through TIMESTAMP (session tz is pinned
+    * UTC, so the naive value is taken as UTC — exactly how DuckDB's
+    * `epoch_us(ts)` treats it) and takes `unix_micros`. Both yield the
+    * same bigint epoch-micros for the all-positive timestamps in the
+    * data, so every downstream query and oracle is physical-type
+    * agnostic.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = table(spark, sfDir, "events")
+    val tsUs = t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    t.withColumn("ts_us", tsUs)
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

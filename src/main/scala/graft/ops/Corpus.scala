@@ -392,6 +392,72 @@ object Corpus {
       .drop("toks", "n_words", "bg", "mean_wlen", "digit_frac",
         "dup_bigram_frac", "gopher_ok")
 
+  /** Temperature-scaled source-mixing weights (the α-sampling used to
+    * rebalance heterogeneous corpora — GPT-3's dataset table, the Pile,
+    * and multilingual work all mix sources by `share^α` rather than raw
+    * share, α<1 up-weighting small sources without letting any one
+    * dominate). Per source: document and token counts, the raw token
+    * share, the temperature weight `n_tokens^α / Σ n_tokens^α`, and the
+    * implied epochs-over-source when a budget of `totalTokens·weight`
+    * tokens is drawn from it (the quantity you audit for overfit risk —
+    * epochs ≫ 1 on a small source means it will be repeated).
+    *
+    * The output IS the `weights` map [[weightedSample]] consumes —
+    * train the mix here, apply it there. Shape: one |sources|-row
+    * aggregate; the two Σ-scalars fold in via a broadcast 1-row cross
+    * join (the established scalar pattern), so nothing reshuffles the
+    * corpus. At 100 TB the aggregate is map-side combinable and the
+    * result is a 20-row table — free.
+    */
+  def temperatureWeights(docs: DataFrame, domainCol: String,
+                         alpha: Double): DataFrame = {
+    val per = docs
+      .groupBy(col(domainCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col("text")))).cast("long").as("n_tokens"))
+    val totals = per.agg(
+      sum(col("n_tokens")).cast("double").as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("tot_pow"))
+    per.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("raw_share_r"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("tot_pow"), 6)
+          .as("temp_weight_r"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("tot_pow")
+          * col("tot_tokens") / col("n_tokens"), 4).as("epochs_r"))
+  }
+
+  /** Per-group percentile normalization of a score column — the step
+    * between "every source has its own quality-score distribution" and
+    * "one comparable keep/drop threshold": CCNet buckets perplexity
+    * into per-language thirds for exactly this reason (a score that is
+    * median-grade for src A may be top-decile for src B, and a single
+    * global cut would gut the weaker source). Emits the within-group
+    * percent_rank, the group median (broadcast fold-in), and the
+    * above-median verdict; callers cut on `pr` uniformly across groups.
+    *
+    * Shape: one rank window keyed by the group column plus a
+    * |groups|-row median aggregate broadcast back — the corpus
+    * shuffles once. Skewed mega-groups: swap the exact window for
+    * approx_percentile thresholds per group, same verdict within
+    * sketch error (the [[lengthBand]] note applies verbatim).
+    */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+                          scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, 0.5)").as("grp_median"))
+    df.join(broadcast(med), Seq(groupCol))
+      .withColumn("pr_r", round(percent_rank().over(w), 6))
+      .withColumn("above_median",
+        when(col(scoreCol) >= col("grp_median"), 1L).otherwise(0L))
+      .withColumn("grp_median_r", round(col("grp_median"), 4))
+      .drop("grp_median")
+  }
+
   /** The composed corpus build — the whole point of the toolbox in
     * one lazy plan: exact dedup (first doc_id per identical text) →
     * Gopher quality gate → deterministic per-domain sampling →

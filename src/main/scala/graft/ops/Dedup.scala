@@ -582,4 +582,80 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup") / col("n_pos").cast("double"), 4))
   }
+
+  /** Incremental batch dedup — the PRODUCTION shape of exact dedup
+    * once a corpus exists: a new batch is checked against the standing
+    * corpus's content-hash index (never against the corpus text), and
+    * against itself, in one pass. Re-deduplicating 100 TB because 1 TB
+    * arrived is the anti-pattern this op replaces: the standing side
+    * contributes only a (hash)-projected index scan, and the batch —
+    * the small side — is the only thing that shuffles.
+    *
+    * Verdict per incoming doc: `dup_of_corpus` (its md5(text) exists
+    * in the standing index), `dup_in_batch` (an earlier doc_id in the
+    * SAME batch has identical text), `keep` = neither. First-in-batch
+    * wins within the batch (min doc_id per hash — same keeper rule as
+    * [[Text.exactDedup]]).
+    *
+    * Shape: standing index = distinct hash projection (at 100 TB this
+    * is a materialized bucketed table you maintain, not a rescan — the
+    * op takes any DataFrame so both work); batch-side left-semi-shaped
+    * join on the 16-byte hash + one min-doc_id window within the
+    * batch's hash groups. md5 keeps the oracle bit-portable; swap
+    * xxhash64 at scale (same note as [[hashedShinglesFast]]).
+    */
+  def incrementalNewDocs(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = corpus.select(md5(col("text")).as("h")).distinct()
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    batch
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .join(idx.withColumn("in_corpus", lit(1L)), Seq("h"), "left")
+      .select(
+        col("doc_id"),
+        when(col("in_corpus").isNotNull, 1L).otherwise(0L).as("dup_of_corpus"),
+        when(col("rn") > 1, 1L).otherwise(0L).as("dup_in_batch"),
+        when(col("in_corpus").isNull && col("rn") === 1, 1L).otherwise(0L)
+          .as("keep"))
+  }
+
+  /** Pairwise source-overlap matrix: for every pair of sources, the
+    * number of distinct shingles they share and the Jaccard of their
+    * shingle sets — the corpus-composition diagnostic that answers
+    * "are src3 and src11 the same crawl twice?" before any per-doc
+    * dedup runs (two mirrors of one site inflate every token statistic
+    * and leak across train/test splits).
+    *
+    * Shape bound: the corpus reduces to distinct (source, h) FIRST —
+    * vocabulary-sized, not corpus-sized — and the self-join fans out
+    * per shingle only over the sources containing it (≤ |sources|,
+    * here 20), so the join output is Σ_h |sources(h)|², never N².
+    * Output is |sources|²/2 rows. The same df-cap guard as
+    * [[ngramJaccardPairsCapped]] applies if a boilerplate shingle
+    * lands in every source: cap sources-per-shingle before the join.
+    */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    // distinct (source, shingle-hash): reuse the 3-gram md5 domain so
+    // the oracle mirrors bit-for-bit
+    val srcSh = graft.CacheScope.cached(
+      docShingles0(docs.select(col("source").as("doc_id"), col("text")))
+        .distinct()
+        .withColumn("h",
+          expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+        .select(col("doc_id").as("source"), col("h")).distinct())
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = srcSh.as("x").join(srcSh.as("y"), Seq("h"))
+      .filter(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(
+        col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard_r"))
+  }
 }

@@ -442,4 +442,36 @@ object Relational {
       .orderBy(col("n").desc, col(keyCol).asc)
       .limit(topK)
   }
+
+  /** k-anonymity release gate: aggregate over quasi-identifier columns
+    * and mark every group backed by fewer than `k` distinct subjects
+    * as suppressed — the standard privacy floor (Sweeney 2002) a
+    * training-data or analytics release applies before publishing
+    * grouped counts (a (event_type, day) cell naming 2 users re-
+    * identifies them; a cell naming 200 doesn't). The aggregate VALUES
+    * of suppressed cells are withheld (nulled), not just flagged, so
+    * downstream consumers cannot accidentally publish them; the flag
+    * plus the suppressed-row count keep the release auditable.
+    *
+    * Shape: one aggregate keyed by the QI columns; count_distinct of
+    * the subject column is the only non-algebraic piece (exact here;
+    * at 100 TB approx_count_distinct's ±2% suffices for a ≥k floor
+    * check EXCEPT near the boundary — production keeps exact distinct
+    * on the QI shuffle it already pays). No second shuffle.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], subjectCol: String,
+                 valueCol: String, k: Int): DataFrame = {
+    val grouped = df.filter(col(subjectCol).isNotNull)
+      .groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(subjectCol)).as("n_subjects"),
+        round(sum(col(valueCol)), 4).as("sum_v"))
+    grouped.select(
+      qiCols.map(col) ++ Seq(
+        col("n_rows"),
+        col("n_subjects"),
+        when(col("n_subjects") >= k, col("sum_v")).as("sum_v_released"),
+        when(col("n_subjects") >= k, 0L).otherwise(1L).as("suppressed")): _*)
+  }
 }

@@ -903,4 +903,43 @@ object Sim {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Prototypicality ranking: cosine of each vector to its class
+    * centroid, ranked within class — the data-pruning signal of
+    * Sorscher et al. 2022 ("Beyond neural scaling laws"): prototypical
+    * examples (near the centroid) are redundant when data is abundant
+    * and keepable when it's scarce; the rank is what a pruning policy
+    * cuts on from either end. Also the SemDeDup paper's within-cluster
+    * ordering, applied to labeled classes instead of k-means cells.
+    *
+    * Shape: centroids come from ONE per-(label, dim) mean aggregate
+    * over the posexploded vectors — map-side combinable, |labels|·dim
+    * result rows — re-assembled into |labels| arrays and broadcast;
+    * the cosine is then pure map-side against the broadcast centroid
+    * and the only corpus-wide shuffle is the per-label rank window.
+    * At 100 TB: the aggregate is the classic mergeable shape, the
+    * centroid table is KB-sized, and the rank window swaps for an
+    * approx-quantile threshold when only a keep/cut verdict is needed.
+    */
+  def prototypicality(embeddings: DataFrame): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val cast = embeddings.select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = cast
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("cs"))
+      .select(col("label"), transform(col("cs"), s => s("cx")).as("cv"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    cast.join(broadcast(cents), Seq("label"))
+      .select(
+        col("vec_id"), col("label"),
+        round(dotF(col("v"), col("cv")) /
+          (sqrt(dotF(col("v"), col("v"))) * sqrt(dotF(col("cv"), col("cv")))), 4)
+          .as("cos_r"))
+      .withColumn("proto_rnk", row_number().over(w).cast("long"))
+  }
 }

@@ -537,4 +537,35 @@ object Text {
       parse_url(url, lit("PATH")).as("path"),
       parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"))
   }
+
+  /** Out-of-vocabulary rate: fraction of a document's tokens whose
+    * corpus document-frequency is below `minDf` — the RefinedWeb-style
+    * "gibberish / OCR-noise" signal (a doc dominated by tokens that
+    * appear almost nowhere else is mojibake, hash dumps, or minified
+    * code, not prose). Vocabulary = tokens with df ≥ minDf, built from
+    * the corpus itself so no external word list is needed.
+    *
+    * Shape: one distinct-(doc,token) aggregate builds the df table
+    * (vocab-sized, Heaps' law — same argument as [[unigramLogProb]]),
+    * which joins back BROADCAST onto the exploded token stream; the
+    * per-doc aggregate is map-side combinable. The corpus never
+    * shuffles on anything bigger than (doc_id) — at 100 TB the df
+    * table is the broadcast side and everything else is one pass.
+    */
+  def oovRate(documents: DataFrame, minDf: Long): DataFrame = {
+    val toks = graft.CacheScope.cached(documents.select(
+      col("doc_id"), explode(Dedup.tokens(col("text"))).as("token")))
+    val vocab = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_oov"),
+        round(col("n_oov") / col("n_tok").cast("double"), 6).as("oov_rate_r"))
+  }
 }
