@@ -1635,6 +1635,29 @@ object SparkEntry {
       val s = ensure(s0)
       Sim.prototypicality(Tables.embeddings(s, dir))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- batch 13: graph + embedding-training ops ----
+
+    "q_textrank" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.textrank(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          0.85, 5)
+        .orderBy(col("token"))
+    }),
+
+    "q_hard_negatives" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.hardNegatives(Tables.embeddings(s, dir), 10, 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_knn_vote" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.knnLabelVote(Tables.embeddings(s, dir), 10, 5)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -3670,6 +3693,98 @@ object SparkEntry {
         |JOIN sz a ON a.source = i.src_a
         |JOIN sz b ON b.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ---- batch 13 ----
+
+    "q_textrank" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM bi WHERE w1 != w2 GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT src, dst, sum(c) AS w FROM (
+        |    SELECT w1 AS src, w2 AS dst, c FROM bc
+        |    UNION ALL
+        |    SELECT w2 AS src, w1 AS dst, c FROM bc)
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY 1),
+        |contrib AS (
+        |  SELECT e.src, e.dst, e.w / o.w_out AS frac
+        |  FROM edges e JOIN ow o USING (src)),
+        |nodes AS (SELECT DISTINCT src AS token FROM contrib),
+        |s0 AS (SELECT token, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+        |i1 AS (SELECT c.dst, sum(c.frac * p.s) AS in_s
+        |       FROM contrib c JOIN s0 p ON p.token = c.src GROUP BY c.dst),
+        |s1 AS (SELECT n.token, 0.15 + 0.85 * coalesce(i.in_s, 0) AS s
+        |       FROM nodes n LEFT JOIN i1 i ON i.dst = n.token),
+        |i2 AS (SELECT c.dst, sum(c.frac * p.s) AS in_s
+        |       FROM contrib c JOIN s1 p ON p.token = c.src GROUP BY c.dst),
+        |s2 AS (SELECT n.token, 0.15 + 0.85 * coalesce(i.in_s, 0) AS s
+        |       FROM nodes n LEFT JOIN i2 i ON i.dst = n.token),
+        |i3 AS (SELECT c.dst, sum(c.frac * p.s) AS in_s
+        |       FROM contrib c JOIN s2 p ON p.token = c.src GROUP BY c.dst),
+        |s3 AS (SELECT n.token, 0.15 + 0.85 * coalesce(i.in_s, 0) AS s
+        |       FROM nodes n LEFT JOIN i3 i ON i.dst = n.token),
+        |i4 AS (SELECT c.dst, sum(c.frac * p.s) AS in_s
+        |       FROM contrib c JOIN s3 p ON p.token = c.src GROUP BY c.dst),
+        |s4 AS (SELECT n.token, 0.15 + 0.85 * coalesce(i.in_s, 0) AS s
+        |       FROM nodes n LEFT JOIN i4 i ON i.dst = n.token),
+        |i5 AS (SELECT c.dst, sum(c.frac * p.s) AS in_s
+        |       FROM contrib c JOIN s4 p ON p.token = c.src GROUP BY c.dst),
+        |s5 AS (SELECT n.token, 0.15 + 0.85 * coalesce(i.in_s, 0) AS s
+        |       FROM nodes n LEFT JOIN i5 i ON i.dst = n.token)
+        |SELECT token, round(s, 4) AS score_r FROM s5
+        |ORDER BY token""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.q_id, c.vec_id AS c_id, c.label AS c_label,
+        |         round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4) AS cos_r
+        |  FROM q JOIN n c ON c.label != q.q_label),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY cos_r DESC, c_id ASC) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT q_id, c_id, c_label, cos_r, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_knn_vote" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv, nrm AS cn
+        |      FROM n WHERE vec_id % 10 != 0),
+        |sc AS (
+        |  SELECT q_id, q_label, c_id, c_label,
+        |         round(list_dot_product(qv, cv) / (qn * cn), 4) AS cos_r
+        |  FROM q, c),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                ORDER BY cos_r DESC, c_id ASC) AS rnk
+        |    FROM sc) WHERE rnk <= 5),
+        |votes AS (
+        |  SELECT q_id, q_label, c_label, count(*) AS votes
+        |  FROM top GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY votes DESC, c_label ASC) AS vr
+        |  FROM votes)
+        |SELECT q_id AS vec_id, q_label AS label, c_label AS pred_label, votes,
+        |       CAST(CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS BIGINT)
+        |         AS correct
+        |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin,
 
     "q_embed_proto" ->
       """WITH e AS (

@@ -904,6 +904,87 @@ object Sim {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k highest-cosine vectors carrying a DIFFERENT
+    * label — the pairs an embedding model most needs to push apart
+    * (high-similarity, wrong-class; random negatives are trivially
+    * easy and teach nothing). The mined (anchor, hard-negative) pairs
+    * are the training-data artifact.
+    *
+    * Shape: identical to [[cosineTopK]] — queries broadcast, one
+    * map-side cosine pass over the candidate table, per-query rank
+    * window — with the label-mismatch predicate folded into the join
+    * condition so same-class pairs never materialize. At 100 TB the
+    * brute-force pass swaps for the IVF/PQ shortlist exactly like the
+    * ANN family; the mining predicate is unchanged.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    def normF(c: Column) = sqrt(dotF(c, c))
+    val asDouble = embeddings.select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cands = asDouble.select(
+      col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("v").as("cv"), normF(col("v")).as("cn"))
+    val queries = asDouble.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("v").as("qv"), normF(col("v")).as("qn"))
+    val scored = cands
+      .join(broadcast(queries), col("q_label") =!= col("c_label"))
+      .select(
+        col("q_id"), col("c_id"), col("c_label"),
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** k-NN label audit: hold out every vector whose id hits the modulus
+    * as "unlabeled", predict its class by majority vote of its k
+    * highest-cosine LABELED neighbors (count desc, label asc on ties),
+    * and emit prediction vs truth — the cheap label-noise detector run
+    * before training on labeled data (a vector whose neighbors
+    * consistently outvote its own label is a likely annotation error —
+    * the intuition behind confident-learning cleanup).
+    *
+    * Shape: held-out queries broadcast (1/modulus of the table), one
+    * map-side cosine pass, per-query rank window, then a vote
+    * aggregate over ≤ q·k rows. Same ANN-shortlist substitution as
+    * [[hardNegatives]] at scale.
+    */
+  def knnLabelVote(embeddings: DataFrame, modulus: Int, k: Int): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    def normF(c: Column) = sqrt(dotF(c, c))
+    val asDouble = embeddings.select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val labeled = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) =!= 0)
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("v").as("cv"), normF(col("v")).as("cn"))
+    val holdout = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), normF(col("v")).as("qn"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
+    val neighbors = labeled
+      .join(broadcast(holdout), lit(true))
+      .select(
+        col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("c_label").asc)
+    neighbors
+      .groupBy(col("q_id"), col("q_label"), col("c_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(
+        col("q_id").as("vec_id"), col("q_label").as("label"),
+        col("c_label").as("pred_label"), col("votes"),
+        when(col("c_label") === col("q_label"), 1L).otherwise(0L).as("correct"))
+  }
+
   /** Prototypicality ranking: cosine of each vector to its class
     * centroid, ranked within class — the data-pruning signal of
     * Sorscher et al. 2022 ("Beyond neural scaling laws"): prototypical

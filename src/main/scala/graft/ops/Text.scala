@@ -552,6 +552,60 @@ object Text {
     * shuffles on anything bigger than (doc_id) — at 100 TB the df
     * table is the broadcast side and everything else is one pass.
     */
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    * the token-adjacency graph — tokens are nodes, adjacent-token
+    * bigrams are undirected weighted edges, and the stationary score
+    * s(v) = (1−d) + d·Σ_{u∈N(v)} w(u,v)/W(u)·s(u) surfaces the
+    * corpus's structurally central vocabulary (the unsupervised
+    * keyword extractor that needs no training data — useful as a
+    * stopword/boilerplate-term discovery pass over a new crawl).
+    * Fixed `iters` power iterations from s₀=1 keep the result
+    * deterministic and oracle-expressible (the oracle unrolls the
+    * same iterations as CTEs).
+    *
+    * Scale shape: the edge table is VOCABULARY-bounded (distinct
+    * adjacent pairs — Heaps' law, not corpus-sized) and is built from
+    * one cached bigram aggregate; each iteration is one join of the
+    * edge table against the |V|-row score table (broadcast — scores
+    * are vocab-sized) plus a groupBy(dst) sum, so an iteration costs
+    * one edges-sized shuffle, never a corpus scan. Same fixpoint
+    * economics as [[Dedup.connectedComponentKeepers]], with the
+    * iteration count fixed instead of convergence-probed.
+    */
+  def textrank(documents: DataFrame, damping: Double, iters: Int): DataFrame = {
+    val bi = documents
+      .select(Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"), col("toks"))
+      .select(
+        try_element_at(col("toks"), col("i")).as("w1"),
+        try_element_at(col("toks"), col("i") + 1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    // symmetrize: each undirected edge contributes both directions
+    val edges = graft.CacheScope.cached(
+      bi.select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+        .unionByName(bi.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w")))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val contrib = graft.CacheScope.cached(
+      edges.join(outW, Seq("src"))
+        .select(col("src"), col("dst"), (col("w") / col("w_out")).as("frac")))
+    val nodes = contrib.select(col("src").as("token")).distinct()
+    var scores = nodes.select(col("token"), lit(1.0).as("s"))
+    for (_ <- 1 to iters) {
+      val inbound = contrib
+        .join(broadcast(scores.select(col("token").as("src"), col("s"))), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("frac") * col("s")).as("in_s"))
+      scores = nodes
+        .join(inbound.select(col("dst").as("token"), col("in_s")), Seq("token"), "left")
+        .select(col("token"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("in_s"), lit(0.0))).as("s"))
+    }
+    scores.select(col("token"), round(col("s"), 4).as("score_r"))
+  }
+
   def oovRate(documents: DataFrame, minDf: Long): DataFrame = {
     val toks = graft.CacheScope.cached(documents.select(
       col("doc_id"), explode(Dedup.tokens(col("text"))).as("token")))
