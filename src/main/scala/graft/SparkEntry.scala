@@ -1494,12 +1494,16 @@ object SparkEntry {
       // read; the oracle knows the derivation, so it states the same
       // bucket counts straight from the clean table.
       val feed = tmpDir("dirty_jsonl", dir)
+      // feed fan-out: the regenerated events parquet arrives as ONE
+      // split, and a single-file JSONL feed would serialize the
+      // permissive parse (the whole cost of this query) onto one core
       Sinks.ensureTextWritten(
         Tables.events(s, dir).select(
           when(col("event_id") % 13 === 0, lit("{broken json line"))
             .otherwise(to_json(struct(
               col("event_id"), col("event_type"),
-              col("user_id"), col("ts_us")))).as("value")),
+              col("user_id"), col("ts_us")))).as("value"))
+          .repartition(s.sparkContext.defaultParallelism),
         feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
@@ -1782,7 +1786,8 @@ object SparkEntry {
         when(col("event_id") % 13 === 0, lit("{broken json line"))
           .otherwise(to_json(struct(
             col("event_id"), col("event_type"),
-            col("user_id"), col("ts_us")))).as("value")),
+            col("user_id"), col("ts_us")))).as("value"))
+        .repartition(s.sparkContext.defaultParallelism),
       tmpDir("dirty_jsonl", sfDir))
   }
 

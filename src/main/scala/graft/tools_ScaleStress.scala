@@ -170,6 +170,43 @@ object ScaleStress {
       println(s"[scale]   non-self keepers=$d over $nSem vectors " +
         s"(expect ~${nDupVecs / clusterSize * 3})")
     }
+
+    // 8. Incremental batch dedup: the standing corpus contributes ONLY
+    //    a hash-projected index scan; the batch (1/10th the corpus,
+    //    half exact copies of corpus docs) is the only side that
+    //    shuffles. The production claim is that this cost tracks the
+    //    BATCH, not the corpus — verified by the expected-counts check.
+    val nBatch = nDocs / 10
+    val batch = spark.range(0, nBatch, 1, 64).select(
+      (col("id") + 10000000L).as("doc_id"),
+      when(col("id") % 2 === 0,
+        // even ids: byte-exact copy of corpus doc `id` (same generator)
+        concat_ws(" ",
+          (0 until 32).map(i =>
+            concat(lit(s"w$i"),
+              when(col("id") < nDupDocs,
+                pmod(expr(s"id div $clusterSize") * 7919L, lit(1000000L)))
+                .otherwise(pmod(col("id") * 104729L, lit(999983L)) + 1000000L))) :+
+            concat(lit("tail"), pmod(col("id"), lit(clusterSize))): _*))
+        .otherwise(concat(lit("fresh"), col("id"))).as("text"))
+    timed("incrementalNewDocs") {
+      val out = ops.Dedup.incrementalNewDocs(corpus, batch)
+        .agg(sum(col("dup_of_corpus")), sum(col("keep"))).collect().head
+      println(s"[scale]   corpus dups=${out.getLong(0)} keepers=${out.getLong(1)} " +
+        s"(expect ~${nBatch / 2} each)")
+    }
+
+    // 9. Source-overlap matrix over 20 synthetic sources: the corpus
+    //    reduces to distinct (source, shingle) BEFORE the self-join,
+    //    so the join input is vocabulary-sized (measure says ~40k
+    //    distinct shingles here) however many documents feed it.
+    val sourced = corpus.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
+    timed("sourceOverlapMatrix") {
+      val m = ops.Dedup.sourceOverlapMatrix(sourced).count()
+      CacheScope.flush()
+      println(s"[scale]   source pairs=$m (expect <= 190)")
+    }
     spark.stop()
   }
 }
