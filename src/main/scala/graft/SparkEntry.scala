@@ -1662,6 +1662,47 @@ object SparkEntry {
       val s = ensure(s0)
       Sim.knnLabelVote(Tables.embeddings(s, dir), 10, 5)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- batch 14: fingerprints + temporal + batching audits ----
+
+    "q_winnow" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.winnow(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          3, 4)
+        .orderBy(col("doc_id"), col("fp_pos"))
+    }),
+
+    "q_pit_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // point-in-time: each purchase looks up the SCD2 attribute
+      // version valid at its timestamp — historical-report semantics
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val dim = Mutations.scd2(ev, "user_id", "event_type", "ts_us", "event_id")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Mutations.pointInTimeJoin(facts, dim, "user_id", "ts_us", "event_type")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_length_buckets" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.lengthBuckets(Tables.documents(s, dir), 8)
+        .orderBy(col("bucket"))
+    }),
+
+    "q_interleave" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.interleaveOrder(Tables.documents(s, dir), "source", 100)
+    }),
+
+    "q_split_leakage" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.splitLeakage(exactDupCorpus(s, dir),
+          Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -3698,6 +3739,105 @@ object SparkEntry {
         |JOIN sz a ON a.source = i.src_a
         |JOIN sz b ON b.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ---- batch 14 ----
+
+    "q_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |         concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS gram,
+        |         len(toks) - 2 AS m
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT doc_id, pos, m,
+        |         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 2147483647 AS hh
+        |  FROM g),
+        |sel AS (
+        |  SELECT doc_id, pos, m,
+        |         min({'h': hh, 'p': pos}) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        |  FROM h)
+        |SELECT DISTINCT doc_id, s.p AS fp_pos, s.h AS fp_h
+        |FROM sel WHERE pos <= m - 3
+        |ORDER BY doc_id, fp_pos""".stripMargin,
+
+    "q_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |trans AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |vers AS (
+        |  SELECT user_id, ts_us AS valid_from, event_type,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |           ORDER BY valid_from, event_id) AS BIGINT) AS version
+        |  FROM trans WHERE prev IS NULL OR prev != event_type),
+        |facts AS (
+        |  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT f.event_id, f.user_id, f.ts_us, v.version, v.event_type,
+        |         row_number() OVER (PARTITION BY f.event_id
+        |           ORDER BY v.valid_from DESC, v.version DESC) AS rn
+        |  FROM facts f LEFT JOIN vers v
+        |    ON v.user_id = f.user_id AND v.valid_from <= f.ts_us)
+        |SELECT event_id, user_id, ts_us, version AS dim_version,
+        |       event_type AS dim_event_type
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |           AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(ntile(8) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS bucket
+        |  FROM t)
+        |SELECT bucket, count(*) AS n_docs,
+        |       min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+        |       round(avg(n_tok), 4) AS avg_tok_r,
+        |       round(1.0 - round(avg(n_tok), 4) / max(n_tok), 4) AS pad_waste_r
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, source, rnk FROM r
+        |ORDER BY rnk, source, doc_id LIMIT 100""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents),
+        |s AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+        |           / 4294967296.0 AS u
+        |  FROM corpus),
+        |sp AS (
+        |  SELECT doc_id, h,
+        |         CASE WHEN u < 0.9 THEN 'train'
+        |              WHEN u < 0.95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM s)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |       a.split AS split_a, b.split AS split_b
+        |FROM sp a JOIN sp b
+        |  ON a.h = b.h AND a.doc_id < b.doc_id AND a.split != b.split
+        |ORDER BY a, b""".stripMargin,
 
     // ---- batch 13 ----
 

@@ -458,6 +458,85 @@ object Corpus {
       .drop("grp_median")
   }
 
+  /** Length-bucketed batching audit: ntile the corpus into `n` equal-
+    * count buckets by token length and report, per bucket, the count,
+    * the length range, and the padding-waste ratio 1 − avg/max — the
+    * number a trainer minimizes by batching similar-length sequences
+    * together (batching uniformly at random pads every sequence to the
+    * batch max; length-bucketed batching pads only to the BUCKET max,
+    * and this table says exactly what that buys).
+    *
+    * The exact global ntile is one single-reducer sort — fine at bench
+    * scale, NOT the 100 TB shape; there, replace the window with
+    * approx_percentile cut points (n−1 numbers, broadcast) and assign
+    * buckets map-side: identical audit within sketch error, no global
+    * sort. The [[lengthBand]] note generalized to n cuts.
+    */
+  def lengthBuckets(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col("doc_id"), size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.orderBy(col("n_tok"), col("doc_id"))
+    toks
+      .withColumn("bucket", ntile(n).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"),
+        round(avg(col("n_tok")), 4).as("avg_tok_r"))
+      .withColumn("pad_waste_r",
+        round(lit(1.0) - col("avg_tok_r") / col("max_tok"), 4))
+  }
+
+  /** Deterministic balanced interleave: order the corpus by (per-source
+    * hash rank, source) so consecutive rows rotate through the sources
+    * — the "stream a fair mix" ordering a sequential trainer consumes
+    * (reading the corpus front-to-back visits every source once per
+    * rank round, regardless of how unbalanced the source sizes are;
+    * small sources simply drop out of later rounds). Deterministic:
+    * the same md5 draw as [[shuffleShard]], so re-runs interleave
+    * identically.
+    *
+    * Shape: one rank window per source; the GLOBAL interleave order is
+    * just the lexicographic (rnk, source) key — writers range-partition
+    * on it (a sort, not a single-reducer window). The query form emits
+    * the first `topN` rows via TakeOrdered.
+    */
+  def interleaveOrder(docs: DataFrame, domainCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("skey"), col("doc_id"))
+    docs
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col(domainCol).as("source"), col("rnk"))
+      .orderBy(col("rnk"), col("source"), col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Split-leakage report: exact-duplicate text pairs that
+    * [[assignSplit]] placed in DIFFERENT splits — the audit that
+    * catches the classic eval contamination (duplicates straddling
+    * train/test inflate benchmark scores even when each split is
+    * internally deduped; the fix is dedup BEFORE split, and this table
+    * proves whether it happened). Pairs only, smaller doc_id first.
+    *
+    * Shape: hash-project to (doc_id, split, md5(text)), self-join on
+    * the 16-byte hash — posting lists are duplicate-set-sized, so the
+    * join output is Σ|dupset|², never N². At 100 TB feed the already-
+    * materialized dedup hash index instead of re-hashing the corpus.
+    */
+  def splitLeakage(docs: DataFrame, cuts: Seq[(String, Double)]): DataFrame = {
+    val s = assignSplit(docs, cuts)
+      .select(col("doc_id"), col("split"), md5(col("text")).as("h"))
+    s.as("a").join(s.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.split") =!= col("b.split"))
+      .select(
+        col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.split").as("split_a"), col("b.split").as("split_b"))
+  }
+
   /** The composed corpus build — the whole point of the toolbox in
     * one lazy plan: exact dedup (first doc_id per identical text) →
     * Gopher quality gate → deterministic per-domain sampling →

@@ -115,4 +115,33 @@ object Mutations {
           .otherwise("changed"))
       .drop("__in_old", "__in_new")
   }
+
+  /** Point-in-time (AS OF) lookup of a type-2 dimension: each fact row
+    * joins the dimension VERSION whose validity interval contains the
+    * fact's timestamp — the join that makes historical reports
+    * reproducible (re-running last quarter's report uses last
+    * quarter's attribute values, not today's). `dim` is [[scd2]]
+    * output; because scd2 tiles each key's timeline into
+    * non-overlapping [valid_from, valid_to) intervals, "containing
+    * interval" ≡ "latest version with valid_from ≤ fact ts", so the
+    * lookup is EXACTLY the backward as-of join — one tagged union +
+    * one window pass ([[Relational.asofJoin]]'s shape), never the
+    * facts×versions interval expansion. Facts before the key's first
+    * version emit NULL attr/version (no silent row loss).
+    *
+    * Scale: one shuffle of facts ∪ versions on the key; at 100 TB
+    * pre-bucket both sides on the key and the union sorts within
+    * buckets. This is the query SCD2 exists to serve — the build
+    * (q_scd2) writes the intervals, this reads them.
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      tsCol: String, attr: String): DataFrame = {
+    val versions = dim.select(
+      col(key), col("valid_from").as(tsCol), col("version"), col(attr))
+    Relational.asofJoin(facts, versions, key, tsCol, "version",
+        Seq("version", attr))
+      .select(facts.columns.map(col) :+
+        col("asof.version").as("dim_version") :+
+        col(s"asof.$attr").as(s"dim_$attr"): _*)
+  }
 }

@@ -552,6 +552,50 @@ object Text {
     * shuffles on anything bigger than (doc_id) — at 100 TB the df
     * table is the broadcast side and everything else is one pass.
     */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003): per document, hash every k-token gram, slide a window of
+    * `w` consecutive gram hashes, and keep the minimum of each window
+    * (leftmost position on hash ties) — the MOSS plagiarism-detection
+    * selection rule. The guarantee: any shared substring of at least
+    * w+k−1 tokens yields at least one shared fingerprint, while only
+    * ~2/(w+1) of positions are kept — local, deterministic
+    * subsampling that (unlike MinHash) localizes WHERE the overlap
+    * is. Fingerprints join across docs exactly like shingles
+    * ([[Dedup.hashedShingles]]' Σ posting² bound), at a w-fold
+    * smaller index.
+    *
+    * Shape: gram hashing is map-side; the window min is one frame
+    * window per doc (partitioned by doc_id — embarrassingly
+    * parallel); the distinct collapses each run of windows sharing a
+    * minimum. md5-domain hashes for oracle parity, xxhash64 at scale
+    * (same swap note as [[Dedup.hashedShinglesFast]]).
+    */
+  def winnow(documents: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          (0 until k).map(i => try_element_at(col("toks"), col("pos") + i)): _*)
+          .as("gram"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(gram as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("m", count(lit(1)).over(perDoc))
+      .withColumn("sel", min(struct(col("h"), col("pos"))).over(frame))
+      .filter(col("pos") <= col("m") - (w - 1))
+      .select(col("doc_id"),
+        col("sel.pos").cast("long").as("fp_pos"), col("sel.h").as("fp_h"))
+      .distinct()
+  }
+
   /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
     * the token-adjacency graph — tokens are nodes, adjacent-token
     * bigrams are undirected weighted edges, and the stationary score
