@@ -1703,6 +1703,31 @@ object SparkEntry {
       Corpus.splitLeakage(exactDupCorpus(s, dir),
           Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- batch 15: text-to-vector + sampling ----
+
+    "q_hash_embed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.hashedBowVectors(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism), 64)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    "q_skipgrams" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.skipgramPairs(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism), 2)
+        .orderBy(col("center"), col("context"))
+    }),
+
+    "q_reservoir" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.reservoirSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")), 100)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3739,6 +3764,46 @@ object SparkEntry {
         |JOIN sz a ON a.source = i.src_a
         |JOIN sz b ON b.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ---- batch 15 ----
+
+    "q_hash_embed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        |    AS token
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+        |         ('0x' || substr(md5(token), 9, 1))::BIGINT % 2 * 2 - 1 AS sign
+        |  FROM tok)
+        |SELECT doc_id, bucket, sum(sign) AS v
+        |FROM hashed GROUP BY doc_id, bucket
+        |HAVING sum(sign) != 0
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_skipgrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT toks, i FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |pairs AS (
+        |  SELECT toks[i] AS center, toks[i + o.o] AS context
+        |  FROM pos, (SELECT unnest([-2, -1, 1, 2]) AS o) o
+        |  WHERE i + o.o >= 1 AND i + o.o <= len(toks))
+        |SELECT center, context, count(*) AS n_pairs
+        |FROM pairs GROUP BY center, context
+        |ORDER BY center, context""".stripMargin,
+
+    "q_reservoir" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
 
     // ---- batch 14 ----
 

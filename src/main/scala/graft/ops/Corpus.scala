@@ -458,6 +458,27 @@ object Corpus {
       .drop("grp_median")
   }
 
+  /** Deterministic global reservoir-equivalent sample: the `n` docs
+    * with the smallest md5(doc_id) — exactly-n, unbiased w.r.t. every
+    * document attribute, stable under re-runs, and (unlike a true
+    * streaming reservoir) independent of encounter order, so two
+    * engines — or two runs over a repartitioned corpus — agree
+    * byte-for-byte. The "hold out an eval slice of exactly n docs"
+    * primitive; [[stratifiedSampleN]] is its per-stratum sibling.
+    *
+    * Shape: TakeOrdered(n) over the hash — per-partition top-n
+    * heaps, then an n-row merge at the driver-side limit; the corpus
+    * is never globally sorted. Growing the corpus displaces an old
+    * member only when a new doc hashes lower — expected O(n·ln) total
+    * churn, the hash-reservoir property.
+    */
+  def reservoirSample(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(n)
+      .drop("skey")
+
   /** Length-bucketed batching audit: ntile the corpus into `n` equal-
     * count buckets by token length and report, per bucket, the count,
     * the length range, and the padding-waste ratio 1 − avg/max — the

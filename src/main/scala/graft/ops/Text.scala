@@ -552,6 +552,63 @@ object Text {
     * shuffles on anything bigger than (doc_id) — at 100 TB the df
     * table is the broadcast side and everything else is one pass.
     */
+  /** Feature-hashed bag-of-words vectors (the hashing trick —
+    * Weinberger et al., ICML 2009): each token hashes to one of `dim`
+    * buckets with a ±1 sign from an independent hash bit, and the
+    * document's vector is the signed token-count sum per bucket — a
+    * model-free text embedding with unbiased inner products
+    * (E[⟨φ(a),φ(b)⟩] = ⟨a,b⟩, the signed-sum cancellation argument),
+    * which is what bridges the text tables into the ANN/cosine family
+    * when no trained encoder exists. Emitted in exploded sparse form
+    * (doc_id, bucket, v) — nonzero buckets only.
+    *
+    * Shape: pure map-side hash + one (doc_id, bucket)-keyed aggregate,
+    * map-side combinable to ≤ dim rows per doc. md5-derived bucket and
+    * sign for oracle parity; xxhash64 at scale (the standing swap).
+    */
+  def hashedBowVectors(documents: DataFrame, dim: Int): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+    toks
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(token as binary)), 1, 8), 16, 10) as bigint)") % dim)
+      .withColumn("sign",
+        expr("cast(conv(substring(md5(cast(token as binary)), 9, 1), 16, 10) as bigint)") % 2 * 2 - 1)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  /** Skip-gram pair extraction — word2vec/SGNS training-data prep
+    * (Mikolov et al. 2013): every (center, context) token pair within
+    * a ±`window` offset, counted corpus-wide. The downstream sampler
+    * draws negatives from the context marginals; this table is both
+    * the positive-pair store and those marginals (sum over center).
+    *
+    * Shape: one offsets-explode per position (2·window map-side rows
+    * per token, no join — contexts come from `try_element_at` into the
+    * SAME row's token array) + one pair-keyed aggregate, vocabulary²-
+    * bounded output. The classic "self-join on position" formulation
+    * shuffles the corpus twice; this shuffles pair counts once.
+    */
+  def skipgramPairs(documents: DataFrame, window: Int): DataFrame = {
+    val offsets = (-window to window).filter(_ != 0)
+    documents
+      .select(Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(sequence(lit(1), size(col("toks")))).as("i"), col("toks"))
+      .select(col("i"), col("toks"),
+        explode(array(offsets.map(lit(_)): _*)).as("o"))
+      // explicit bounds guard: a NEGATIVE index would silently wrap to
+      // from-the-end semantics (both engines), not out-of-range NULL
+      .filter(col("i") + col("o") >= 1 && col("i") + col("o") <= size(col("toks")))
+      .select(
+        try_element_at(col("toks"), col("i")).as("center"),
+        try_element_at(col("toks"), col("i") + col("o")).as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     * 2003): per document, hash every k-token gram, slide a window of
     * `w` consecutive gram hashes, and keep the minimum of each window
