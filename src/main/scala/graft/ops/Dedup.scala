@@ -637,10 +637,12 @@ object Dedup {
     */
   def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
     // distinct (source, shingle-hash): reuse the 3-gram md5 domain so
-    // the oracle mirrors bit-for-bit
+    // the oracle mirrors bit-for-bit. Hash FIRST, distinct ONCE — the
+    // dedup happens on compact (source, int64) rows; a string-level
+    // distinct before hashing would shuffle the full shingle text for
+    // an outcome the hashed distinct already delivers.
     val srcSh = graft.CacheScope.cached(
       docShingles0(docs.select(col("source").as("doc_id"), col("text")))
-        .distinct()
         .withColumn("h",
           expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
         .select(col("doc_id").as("source"), col("h")).distinct())

@@ -261,4 +261,58 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"PQ search degenerated to all-pairs:\n$p")
   }
+
+  test("oovRate: the vocabulary joins back BROADCAST — the corpus token stream never sort-merges") {
+    val p = plan(graft.ops.Text.oovRate(docs, 2L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab join shuffled the token stream:\n$p")
+  }
+
+  test("prototypicality: centroids broadcast; the vector table never sort-merges") {
+    val emb = (0L until 100L)
+      .map(i => (i, Array.tabulate(8)(j => (i % 5 + j).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val p = plan(graft.ops.Sim.prototypicality(emb))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid join shuffled the vector table:\n$p")
+  }
+
+  test("incrementalNewDocs: corpus side prunes to the hash projection before the join") {
+    val corpus = docs
+    val batch = docs.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val df = graft.ops.Dedup.incrementalNewDocs(corpus, batch)
+    val opt = df.queryExecution.optimizedPlan
+    // find the index side (the aggregate over corpus hashes) and check
+    // its output carries ONLY the 16-byte hash — doc_id/text pruned
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, opt.toString)
+    val idxSide = joins.head.right
+    assert(idxSide.output.map(_.name).forall(n => n == "h" || n == "in_corpus"),
+      s"corpus index side leaked columns: ${idxSide.output.map(_.name)}")
+  }
+
+  test("winnow: one frame window per doc partition, never single-partition") {
+    val p = plan(graft.ops.Text.winnow(docs, 3, 4))
+    assert(!p.contains("SinglePartition"), s"doc-frame window went global:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("reservoirSample: TakeOrdered, never a global Sort+Limit pipeline") {
+    val p = plan(Corpus.reservoirSample(docs, 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"reservoir sample lost the top-n heap form:\n$p")
+  }
+
+  test("hashedBowVectors / skipgramPairs: map-side hash then ONE aggregate exchange") {
+    val pv = plan(graft.ops.Text.hashedBowVectors(docs, 64))
+    assert(pv.count(_ == 'E') >= 0 && pv.contains("HashAggregate"), pv)
+    assert(pv.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"feature hashing grew extra shuffles:\n$pv")
+    val ps = plan(graft.ops.Text.skipgramPairs(docs, 2))
+    assert(ps.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"skip-gram extraction grew extra shuffles:\n$ps")
+  }
 }
