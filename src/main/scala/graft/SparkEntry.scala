@@ -1728,6 +1728,25 @@ object SparkEntry {
       Corpus.reservoirSample(
           Tables.documents(s, dir).select(col("doc_id"), col("source")), 100)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- batch 16: corpus-health diagnostics ----
+
+    "q_kl_sources" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.sourceKlDivergence(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    }),
+
+    "q_zipf" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.zipfFit(Tables.documents(s, dir))
+    }),
+
+    "q_burstiness" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tokenBurstiness(Tables.documents(s, dir))
+        .orderBy(col("token"))
     })
   )
 
@@ -3764,6 +3783,53 @@ object SparkEntry {
         |JOIN sz a ON a.source = i.src_a
         |JOIN sz b ON b.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ---- batch 16 ----
+
+    "q_kl_sources" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        |    AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, sum(c) AS s_tot FROM st GROUP BY 1),
+        |ctok AS (SELECT token, sum(c) AS t_tot FROM st GROUP BY 1),
+        |g AS (SELECT CAST(sum(c) AS DOUBLE) AS g_tot FROM st)
+        |SELECT st.source,
+        |       CAST(max(stot.s_tot) AS BIGINT) AS n_tokens,
+        |       round(sum(st.c / stot.s_tot
+        |             * ln(st.c / stot.s_tot / (ctok.t_tot / g.g_tot))), 6) AS kl_r
+        |FROM st
+        |JOIN ctok USING (token) JOIN stot USING (source) CROSS JOIN g
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
+    "q_zipf" ->
+      """WITH freq AS (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        |      AS token
+        |    FROM documents) GROUP BY token),
+        |ranked AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+        |            AS DOUBLE)) AS lr,
+        |         ln(CAST(freq AS DOUBLE)) AS lf
+        |  FROM freq)
+        |SELECT count(*) AS n_vocab,
+        |       round(regr_slope(lf, lr), 4) AS slope_r,
+        |       round(regr_r2(lf, lr), 4) AS r2_r
+        |FROM ranked""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, token, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        |             AS token
+        |    FROM documents) GROUP BY doc_id, token)
+        |SELECT token, count(*) AS df, sum(c) AS cf,
+        |       round(avg(c), 4) AS mean_r,
+        |       round(var_samp(c) / avg(c), 4) AS dispersion_r
+        |FROM dt GROUP BY token ORDER BY token""".stripMargin,
 
     // ---- batch 15 ----
 

@@ -552,6 +552,91 @@ object Text {
     * shuffles on anything bigger than (doc_id) — at 100 TB the df
     * table is the broadcast side and everything else is one pass.
     */
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * D(P_src ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
+    * distributional twin of [[Dedup.sourceOverlapMatrix]]'s set
+    * overlap: a source whose token MIX drifts far from the blend is
+    * jargon, another language, or spam, even when its vocabulary
+    * overlaps fine. Zero-denominator is impossible by construction
+    * (every source token is in the corpus marginal).
+    *
+    * Shape: one (source, token) aggregate (vocab·sources rows), the
+    * corpus marginal derived FROM it by a second vocab-sized
+    * aggregate joined back broadcast, per-source totals likewise —
+    * the corpus is scanned once and everything downstream is
+    * vocabulary-sized.
+    */
+  def sourceKlDivergence(documents: DataFrame): DataFrame = {
+    val st = graft.CacheScope.cached(
+      documents
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c")))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c")).as("s_tot"))
+    val corpTok = st.groupBy(col("token")).agg(sum(col("c")).as("t_tot"))
+    val grand = st.agg(sum(col("c")).cast("double").as("g_tot"))
+    st
+      .join(broadcast(corpTok), Seq("token"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("s_tot"),
+        (col("c") / col("s_tot") *
+          log(col("c") / col("s_tot") / (col("t_tot") / col("g_tot"))))
+          .as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("s_tot")).as("n_tokens"), round(sum(col("term")), 6).as("kl_r"))
+  }
+
+  /** Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    * the whole vocabulary — natural corpora land near −1 (Zipf's
+    * law), and a corpus that doesn't is synthetic, truncated, or
+    * template-spam. One number plus its r², the cheapest "does this
+    * corpus look like language?" gate.
+    *
+    * Shape: the rank window runs over the VOCABULARY (Heaps' law —
+    * never corpus-sized), and the fit is the algebraic regr_ pair —
+    * map-side combinable. The corpus is touched once for the counts.
+    */
+  def zipfFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = documents
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    freq
+      .withColumn("rnk", row_number().over(w))
+      .select(log(col("rnk").cast("double")).as("lr"),
+        log(col("freq").cast("double")).as("lf"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        round(expr("regr_slope(lf, lr)"), 4).as("slope_r"),
+        round(expr("regr_r2(lf, lr)"), 4).as("r2_r"))
+  }
+
+  /** Token burstiness: per token, document frequency, corpus
+    * frequency, the mean occurrences per CONTAINING document, and the
+    * dispersion index (variance-to-mean of within-doc counts) —
+    * content words clump (dispersion > 1: a doc about a topic repeats
+    * its terms), function words spread evenly (≈ mean 1). High-mean
+    * high-dispersion tokens are boilerplate/template markers that
+    * frequency alone ranks identically to common prose words
+    * (Church & Gale 1995's adaptation observation).
+    *
+    * Shape: one (doc, token) aggregate, then one token-keyed
+    * aggregate — var_samp/avg are algebraic, everything map-side
+    * combinable; output is vocabulary-sized.
+    */
+  def tokenBurstiness(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c")).as("cf"),
+        round(avg(col("c")), 4).as("mean_r"),
+        round(var_samp(col("c")) / avg(col("c")), 4).as("dispersion_r"))
+  }
+
   /** Feature-hashed bag-of-words vectors (the hashing trick —
     * Weinberger et al., ICML 2009): each token hashes to one of `dim`
     * buckets with a ±1 sign from an independent hash bit, and the
