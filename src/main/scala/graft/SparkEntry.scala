@@ -1747,6 +1747,34 @@ object SparkEntry {
       val s = ensure(s0)
       Text.tokenBurstiness(Tables.documents(s, dir))
         .orderBy(col("token"))
+    }),
+
+    // ---- batch 17: crawl hygiene + pipeline health ----
+
+    "q_dedup_url" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // three URL variants per page — tracking query, cased host +
+      // trailing slash, bare — that canonicalization must collapse
+      val page = expr("doc_id div 3")
+      val src = concat(lit("src"), pmod(page, lit(20L)).cast("string"))
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("https://"), src, lit(".example.com/page/"),
+            page.cast("string"), lit("?utm_source=feed")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://"), upper(src), lit(".EXAMPLE.com/page/"),
+            page.cast("string"), lit("/")))
+        .otherwise(
+          concat(lit("https://"), src, lit(".example.com/page/"),
+            page.cast("string")))
+      Text.canonicalUrlDedup(
+          Tables.documents(s, dir).select(col("doc_id"), raw.as("url")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_anomaly_days" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.dailyVolumeAnomalies(Tables.events(s, dir), "ts_us", 3.0)
+        .orderBy(col("day"))
     })
   )
 
@@ -3783,6 +3811,39 @@ object SparkEntry {
         |JOIN sz a ON a.source = i.src_a
         |JOIN sz b ON b.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ---- batch 17 ----
+
+    "q_dedup_url" ->
+      """WITH d AS (SELECT doc_id, doc_id // 3 AS page FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         'src' || CAST(page % 20 AS VARCHAR) || '.example.com/page/'
+        |           || CAST(page AS VARCHAR) AS canon
+        |  FROM d),
+        |g AS (
+        |  SELECT canon, min(doc_id) AS keep_id, count(*) AS n_variants
+        |  FROM c GROUP BY canon)
+        |SELECT c.doc_id, c.canon, g.keep_id,
+        |       CAST(g.n_variants AS BIGINT) AS n_variants,
+        |       CAST(CASE WHEN c.doc_id = g.keep_id THEN 1 ELSE 0 END AS BIGINT)
+        |         AS keep
+        |FROM c JOIN g USING (canon) ORDER BY c.doc_id""".stripMargin,
+
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+        |md AS (SELECT quantile_cont(abs(n - m.med), 0.5) AS mad FROM daily, m)
+        |SELECT day, n, round(m.med, 4) AS med_r, round(md.mad, 4) AS mad_r,
+        |       CASE WHEN md.mad > 0
+        |            THEN round((n - m.med) / (1.4826 * md.mad), 4) END
+        |         AS robust_z_r,
+        |       CAST(CASE WHEN abs(CASE WHEN md.mad > 0
+        |                  THEN round((n - m.med) / (1.4826 * md.mad), 4) END) > 3.0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM daily, m, md ORDER BY day""".stripMargin,
 
     // ---- batch 16 ----
 

@@ -380,4 +380,36 @@ object EventOps {
         coalesce(col("src_sum_r"), lit(0.0)).as("src_sum_r"),
         coalesce(col("dst_sum_r"), lit(0.0)).as("dst_sum_r"))
   }
+
+  /** Daily ingest-volume anomaly detection: robust z-score of each
+    * day's event count against the median/MAD of ALL days — the
+    * pipeline-health alarm ([[reconcile]] finds rows lost between two
+    * tables; this finds days where the FEED itself broke — a crawler
+    * outage halves a day, a retry storm doubles it — with median/MAD
+    * so the anomalous days themselves don't drag the baseline, which
+    * is exactly what mean/stddev gets wrong on outage data). Zero-MAD
+    * degenerates to NULL z (the [[Relational.madOutliers]] guard).
+    *
+    * Shape: the corpus collapses to |days| rows FIRST; the median/MAD
+    * scalars ride back via crossJoin(broadcast(1-row)) — nothing
+    * event-sized is ever re-shuffled.
+    */
+  def dailyVolumeAnomalies(events: DataFrame, tsCol: String, k: Double): DataFrame = {
+    val daily = graft.CacheScope.cached(events
+      .groupBy(date_format(timestamp_micros(col(tsCol)), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")))
+    val med = daily.agg(expr("percentile(n, 0.5)").as("med"))
+    val withMed = daily.crossJoin(broadcast(med))
+    val mad = withMed.agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(
+        col("day"), col("n"),
+        round(col("med"), 4).as("med_r"),
+        round(col("mad"), 4).as("mad_r"),
+        when(col("mad") > 0,
+          round((col("n") - col("med")) / (lit(1.4826) * col("mad")), 4))
+          .as("robust_z_r"))
+      .withColumn("anomaly",
+        when(abs(col("robust_z_r")) > k, 1L).otherwise(0L))
+  }
 }

@@ -538,6 +538,69 @@ object Text {
       parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"))
   }
 
+  /** Canonical-URL dedup: lowercase the host, drop the query string
+    * (tracking params — utm_*, click ids — make the same page look
+    * distinct), strip the trailing slash, then keep the smallest
+    * doc_id per canonical form — the crawl-frontier dedup every web
+    * pipeline runs BEFORE fetching (the cheapest dedup there is: no
+    * content needed). Emits every row with its canonical key, the
+    * keeper, and the variant count so the caller can audit what
+    * collapsed.
+    *
+    * Shape: canonicalization is pure map-side (`parse_url` is
+    * codegen'd); the keeper rule is one window keyed by the canonical
+    * string — at 100 TB swap the key for xxhash64(canon) (8-byte
+    * shuffle), the standing substitution.
+    */
+  def canonicalUrlDedup(urls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = concat(
+      lower(parse_url(col("url"), lit("HOST"))),
+      regexp_replace(parse_url(col("url"), lit("PATH")), "/$", ""))
+    val w = Window.partitionBy(col("canon"))
+    urls
+      .withColumn("canon", canon)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("n_variants", count(lit(1)).over(w))
+      .select(col("doc_id"), col("canon"), col("keep_id"), col("n_variants"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
+  }
+
+  /** Deflate compression ratio per document — the classic
+    * "compressibility" quality signal (Gopher and CCNet both gate on
+    * it): highly repetitive/templated text compresses far below
+    * natural prose, random noise barely compresses at all. Pure
+    * per-partition computation over a broadcast-free codec — the
+    * THIRD sanctioned `mapPartitions` site (after BPE apply and the
+    * media codec): DEFLATE is inherently imperative byte-level state,
+    * there is no Catalyst expression for it, and no oracle mirrors it
+    * (DuckDB has no zlib surface) — so its contract is LAW-based
+    * (CompressionSpec: repetition ⇒ low ratio, shuffled vocabulary ⇒
+    * higher ratio, ratio bounds) rather than value-based, and it is
+    * deliberately NOT a declared query.
+    */
+  def compressionRatio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val in = documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    in.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var out = 0
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        val ratio = if (bytes.isEmpty) 1.0 else out.toDouble / bytes.length
+        (id, bytes.length.toLong, out.toLong,
+          math.rint(ratio * 10000) / 10000)
+      }
+    }.toDF("doc_id", "n_bytes", "n_deflate", "ratio_r")
+  }
+
   /** Out-of-vocabulary rate: fraction of a document's tokens whose
     * corpus document-frequency is below `minDf` — the RefinedWeb-style
     * "gibberish / OCR-noise" signal (a doc dominated by tokens that
