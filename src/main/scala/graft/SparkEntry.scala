@@ -1775,6 +1775,37 @@ object SparkEntry {
       val s = ensure(s0)
       EventOps.dailyVolumeAnomalies(Tables.events(s, dir), "ts_us", 3.0)
         .orderBy(col("day"))
+    }),
+
+    "q_cdc_apply" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // binlog replay: base = pre-T1 per-user state; two cumulative
+      // update batches (seq 1, 2) + a delete batch (seq 3, every 7th
+      // user) — last writer wins, the delete outranks everything
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      def agg(upTo: Long) = e.filter(col("ts_us") < upTo)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_v_r"))
+      val base = agg(Tables.D2024_01_10_US)
+      val c1 = agg(Tables.D2024_01_15_US)
+        .join(e.filter(col("ts_us") >= Tables.D2024_01_10_US &&
+          col("ts_us") < Tables.D2024_01_15_US).select(col("user_id")).distinct(),
+          Seq("user_id"), "left_semi")
+        .select(col("user_id"), lit("U").as("op"), lit(1L).as("seq"),
+          col("n_events"), col("sum_v_r"))
+      val c2 = agg(Long.MaxValue)
+        .join(e.filter(col("ts_us") >= Tables.D2024_01_15_US)
+          .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+        .select(col("user_id"), lit("U").as("op"), lit(2L).as("seq"),
+          col("n_events"), col("sum_v_r"))
+      val c3 = e.select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), lit("D").as("op"), lit(3L).as("seq"),
+          lit(null).cast("long").as("n_events"),
+          lit(null).cast("double").as("sum_v_r"))
+      Mutations.applyChangelog(base, c1.unionByName(c2).unionByName(c3),
+          "user_id", "seq")
+        .orderBy(col("user_id"))
     })
   )
 
@@ -3844,6 +3875,44 @@ object SparkEntry {
         |                  THEN round((n - m.med) / (1.4826 * md.mad), 4) END) > 3.0
         |            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM daily, m, md ORDER BY day""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |base AS (
+        |  SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_v_r
+        |  FROM e WHERE ts_us < 1704844800000000 GROUP BY 1),
+        |c1 AS (
+        |  SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_v_r
+        |  FROM e WHERE ts_us < 1705276800000000 GROUP BY 1),
+        |c1k AS (SELECT DISTINCT user_id FROM e
+        |        WHERE ts_us >= 1704844800000000 AND ts_us < 1705276800000000),
+        |c2 AS (
+        |  SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_v_r
+        |  FROM e GROUP BY 1),
+        |c2k AS (SELECT DISTINCT user_id FROM e WHERE ts_us >= 1705276800000000),
+        |winner AS (
+        |  -- last writer per key: seq 2 (late update) beats seq 1; the
+        |  -- delete (seq 3) beats both
+        |  SELECT coalesce(c2.user_id, c1.user_id) AS user_id,
+        |         CASE WHEN c2.user_id IS NOT NULL THEN c2.n_events
+        |              ELSE c1.n_events END AS n_events,
+        |         CASE WHEN c2.user_id IS NOT NULL THEN c2.sum_v_r
+        |              ELSE c1.sum_v_r END AS sum_v_r
+        |  FROM (SELECT c1.* FROM c1 JOIN c1k USING (user_id)) c1
+        |  FULL OUTER JOIN (SELECT c2.* FROM c2 JOIN c2k USING (user_id)) c2
+        |    ON c1.user_id = c2.user_id)
+        |SELECT coalesce(w.user_id, b.user_id) AS user_id,
+        |       CASE WHEN w.user_id IS NOT NULL THEN w.n_events
+        |            ELSE b.n_events END AS n_events,
+        |       CASE WHEN w.user_id IS NOT NULL THEN w.sum_v_r
+        |            ELSE b.sum_v_r END AS sum_v_r
+        |FROM base b FULL OUTER JOIN winner w ON b.user_id = w.user_id
+        |-- every key in play has events, so the delete batch covers all
+        |-- user_id % 7 = 0 keys exactly
+        |WHERE coalesce(w.user_id, b.user_id) % 7 != 0
+        |ORDER BY user_id""".stripMargin,
 
     // ---- batch 16 ----
 

@@ -116,6 +116,40 @@ object Mutations {
       .drop("__in_old", "__in_new")
   }
 
+  /** CDC changelog application: fold a stream of keyed change events
+    * (op ∈ I/U/D with a monotident sequence column) into a base
+    * snapshot — the Debezium-consumer / "table from a binlog"
+    * operator. Last writer wins per key (max seq; ties break to the
+    * delete so a same-sequence I+D converges to absent — the safe
+    * direction); a winning D removes the key, a winning I/U upserts
+    * its value, untouched base keys pass through.
+    *
+    * Shape: the changelog collapses to one row per key FIRST (max_by
+    * struct aggregate — map-side combinable, |changed keys| rows),
+    * then ONE outer join against the base; the base never shuffles
+    * more than that join, and when changes are small the folded side
+    * broadcasts. This is [[mergeUpsert]] plus delete semantics and
+    * explicit ordering — the piece a binlog needs that MERGE lacks.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
+                     seqCol: String): DataFrame = {
+    val valCols = base.columns.filterNot(_ == key).toSeq
+    val winner = changes
+      .groupBy(col(key))
+      .agg(max_by(
+        struct((col("op") === "D").as("del"), struct(valCols.map(col): _*).as("v")),
+        // seq ties: delete outranks insert/update — fold the op into
+        // the ordering key's low bit
+        struct(col(seqCol), (col("op") === "D").cast("int").as("d"))).as("w"))
+      .select(col(key), col("w.del").as("__del"), col("w.v").as("__v"))
+    base.join(winner, Seq(key), "full_outer")
+      .filter(col("__del").isNull || !col("__del"))
+      .select(
+        col(key) +:
+          valCols.map(c =>
+            when(col("__del").isNotNull, col(s"__v.$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Point-in-time (AS OF) lookup of a type-2 dimension: each fact row
     * joins the dimension VERSION whose validity interval contains the
     * fact's timestamp — the join that makes historical reports

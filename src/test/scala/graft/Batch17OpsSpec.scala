@@ -56,6 +56,39 @@ class Batch17OpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(out.head.fieldIndex("anomaly")) === 0L))
   }
 
+  // ---- applyChangelog ------------------------------------------------------
+
+  test("applyChangelog: last writer wins, deletes remove, untouched keys pass through") {
+    import graft.ops.Mutations
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val changes = Seq(
+      (1L, "U", 1L, 11L), (1L, "U", 2L, 12L),   // seq 2 wins
+      (2L, "D", 1L, 0L),                         // delete key 2
+      (4L, "I", 1L, 40L))                        // insert new key
+      .toDF("k", "op", "seq", "v")
+    val out = Mutations.applyChangelog(base, changes, "k", "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((1L, 12L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("applyChangelog: a same-sequence insert+delete converges to absent (delete outranks)") {
+    import graft.ops.Mutations
+    val base = spark.emptyDataFrame.withColumn("k", lit(0L)).withColumn("v", lit(0L))
+      .filter(lit(false))
+    val changes = Seq((5L, "I", 1L, 50L), (5L, "D", 1L, 0L)).toDF("k", "op", "seq", "v")
+    assert(Mutations.applyChangelog(base, changes, "k", "seq").count() === 0L)
+  }
+
+  test("applyChangelog: replaying the same changelog is idempotent") {
+    import graft.ops.Mutations
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val changes = Seq((1L, "U", 1L, 99L), (2L, "D", 1L, 0L)).toDF("k", "op", "seq", "v")
+    val once = Mutations.applyChangelog(base, changes, "k", "seq")
+    val twice = Mutations.applyChangelog(once, changes, "k", "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(twice === Array((1L, 99L)))
+  }
+
   // ---- compressionRatio ----------------------------------------------------
 
   test("compressionRatio: repetition compresses far below varied text; bounds hold") {
