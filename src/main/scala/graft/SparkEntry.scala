@@ -1777,6 +1777,12 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q_ppl_buckets" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.perplexityBuckets(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_cdc_apply" -> ((s0, dir) => {
       val s = ensure(s0)
       // binlog replay: base = pre-T1 per-user state; two cumulative
@@ -3875,6 +3881,28 @@ object SparkEntry {
         |                  THEN round((n - m.med) / (1.4826 * md.mad), 4) END) > 3.0
         |            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM daily, m, md ORDER BY day""".stripMargin,
+
+    "q_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        |    AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM tf),
+        |scored AS (
+        |  SELECT t.doc_id, count(*) AS n_toks,
+        |         round(avg(ln(tf.freq / tot.total)), 4) AS logprob
+        |  FROM tok t JOIN tf USING (token), tot
+        |  GROUP BY t.doc_id),
+        |b AS (
+        |  SELECT s.doc_id, d.source, s.n_toks, s.logprob,
+        |         ntile(3) OVER (PARTITION BY d.source
+        |           ORDER BY s.logprob DESC, s.doc_id) AS b
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, source, n_toks, logprob,
+        |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH e AS (

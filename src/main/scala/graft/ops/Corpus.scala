@@ -458,6 +458,35 @@ object Corpus {
       .drop("grp_median")
   }
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020): rank each
+    * source's documents by language-model score and split into
+    * equal-count head/middle/tail thirds — CCNet's central move, the
+    * one that lets a pipeline keep only the most-fluent third of each
+    * language (or up-sample head, down-sample tail) with a threshold
+    * that ADAPTS per source instead of one global cut that would gut
+    * low-resource slices. LM = the corpus's own unigram model
+    * ([[Text.unigramLogProb]] — swap in the bigram scorer or a real
+    * KenLM unchanged); higher logprob = more fluent = head.
+    *
+    * Shape: the scorer's one token pass + a per-source ntile window
+    * (rank key (logprob desc, doc_id) so ties are deterministic). At
+    * 100 TB swap the exact ntile for two approx_percentile cut points
+    * per source, broadcast — the [[lengthBand]] substitution.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Text.unigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("logprob").desc, col("doc_id"))
+    scored
+      .withColumn("b", ntile(3).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_toks"), col("logprob"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Deterministic global reservoir-equivalent sample: the `n` docs
     * with the smallest md5(doc_id) — exactly-n, unbiased w.r.t. every
     * document attribute, stable under re-runs, and (unlike a true

@@ -56,6 +56,33 @@ class Batch17OpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(out.head.fieldIndex("anomaly")) === 0L))
   }
 
+  // ---- perplexityBuckets ---------------------------------------------------
+
+  test("perplexityBuckets: per-source thirds; the common-token doc heads, rare-token doc tails") {
+    import graft.ops.Corpus
+    // 'c' is corpus-common, 'r1/r2/r3' rare: doc 1 is most fluent
+    val docs = Seq(
+      (1L, "c c c", "s"), (2L, "c c r1", "s"), (3L, "r2 r3 c", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.perplexityBuckets(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("bucket"))).toMap
+    assert(out === Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
+  }
+
+  test("perplexityBuckets: bucket thresholds adapt per source (the CCNet point)") {
+    import graft.ops.Corpus
+    // source B is uniformly less fluent than A's WORST doc, yet still
+    // gets its own head — a global cut would have dropped all of B
+    val docs = Seq(
+      (1L, "c c c c", "a"), (2L, "c c c r1", "a"), (3L, "c c r2 r3", "a"),
+      (4L, "r4 r5 c", "b"), (5L, "r6 r7 r8", "b"), (6L, "r9 r10 r11", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("bucket"))))
+    assert(out.count(_._2 == "head") === 2, "each source contributes its own head")
+    assert(out.toMap.apply(4L) === "head")
+  }
+
   // ---- applyChangelog ------------------------------------------------------
 
   test("applyChangelog: last writer wins, deletes remove, untouched keys pass through") {
