@@ -3984,7 +3984,7 @@ object SparkEntry {
         |           unnest(list_filter(string_split(text, ' '), t -> t != ''))
         |             AS token
         |    FROM documents) GROUP BY doc_id, token)
-        |SELECT token, count(*) AS df, sum(c) AS cf,
+        |SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
         |       round(avg(c), 4) AS mean_r,
         |       round(var_samp(c) / avg(c), 4) AS dispersion_r
         |FROM dt GROUP BY token ORDER BY token""".stripMargin,
@@ -4001,7 +4001,7 @@ object SparkEntry {
         |         ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
         |         ('0x' || substr(md5(token), 9, 1))::BIGINT % 2 * 2 - 1 AS sign
         |  FROM tok)
-        |SELECT doc_id, bucket, sum(sign) AS v
+        |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
         |FROM hashed GROUP BY doc_id, bucket
         |HAVING sum(sign) != 0
         |ORDER BY doc_id, bucket""".stripMargin,

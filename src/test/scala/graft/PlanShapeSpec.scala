@@ -158,6 +158,11 @@ class PlanShapeSpec extends AnyFunSuite {
       d, Seq(col("user_id"), col("day")), "event_type"))
     assert(!p.contains("CartesianProduct"), s"co-occurrence went cartesian:\n$p")
     assert(p.contains("HashAggregate"), p)
+    // Regression pin (round 6 → 7): the marginals row must come from
+    // plain counts over the cached sets, NEVER a cube/count_distinct —
+    // that formulation paid an Expand x2 plus a distinct-agg of every
+    // (type, container) pair and measured 3x slower at sf0.1.
+    assert(!p.contains("Expand"), s"co-occurrence marginals regrew a cube Expand:\n$p")
   }
 
   test("winsorize: percentile bounds broadcast back, no fact shuffle") {
@@ -308,7 +313,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("hashedBowVectors / skipgramPairs: map-side hash then ONE aggregate exchange") {
     val pv = plan(graft.ops.Text.hashedBowVectors(docs, 64))
-    assert(pv.count(_ == 'E') >= 0 && pv.contains("HashAggregate"), pv)
+    assert(pv.contains("HashAggregate"), pv)
     assert(pv.sliding("Exchange".length).count(_ == "Exchange") <= 2,
       s"feature hashing grew extra shuffles:\n$pv")
     val ps = plan(graft.ops.Text.skipgramPairs(docs, 2))
