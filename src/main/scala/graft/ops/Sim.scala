@@ -948,30 +948,91 @@ object Sim {
     * consistently outvote its own label is a likely annotation error —
     * the intuition behind confident-learning cleanup).
     *
-    * Shape: held-out queries broadcast (1/modulus of the table), one
-    * map-side cosine pass, per-query rank window, then a vote
-    * aggregate over ≤ q·k rows. Same ANN-shortlist substitution as
-    * [[hardNegatives]] at scale.
+    * Shape: the held-out queries become a MODEL — collected once
+    * (bounded by 1/modulus of the table, the same bound the former
+    * broadcast-join form already assumed) into a flat matrix shipped
+    * per task as a codegen reference object. One compiled
+    * [[graft.plans.AllCosines]] pass per corpus row then scores every
+    * query WITHOUT materializing pair rows that carry the dense
+    * vectors (the broadcast-nested-loop form copied qv+cv — ~1 KB —
+    * per scored pair), and the bounded-state
+    * [[graft.ops.TopK.TopKPayloadAggregator]] (payload = neighbor
+    * label) caps each task's partial state at k rows per query, so
+    * the only exchange carries ≤ |queries|·k·|tasks| skinny rows. The
+    * vote then aggregates ≤ q·k rows. Without GraftExtensions the
+    * BNLJ fallback runs with the same aggregator and identical math.
+    * Same ANN-shortlist substitution as [[hardNegatives]] at scale.
     */
-  def knnLabelVote(embeddings: DataFrame, modulus: Int, k: Int): DataFrame = {
-    val dotF = dotNative(embeddings.sparkSession) _
+  def knnLabelVote(embeddings: DataFrame, modulus: Int, k: Int): DataFrame =
+    knnLabelVoteImpl(embeddings, modulus, k,
+      embeddings.sparkSession.catalog.functionExists("graft_all_cos"))
+
+  /** Path-pinned body — `useKernel` is what [[knnLabelVote]] resolves
+    * from the session; exposed so the parity spec can run BOTH paths
+    * in one (extension-registered) session and compare row-for-row.
+    */
+  private[graft] def knnLabelVoteImpl(embeddings: DataFrame, modulus: Int,
+                                      k: Int, useKernel: Boolean): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dotF = dotNative(spark) _
     def normF(c: Column) = sqrt(dotF(c, c))
     val asDouble = embeddings.select(
       col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     val labeled = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) =!= 0)
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),
         col("v").as("cv"), normF(col("v")).as("cn"))
-    val holdout = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("v").as("qv"), normF(col("v")).as("qn"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
-    val neighbors = labeled
-      .join(broadcast(holdout), lit(true))
-      .select(
-        col("q_id"), col("q_label"), col("c_id"), col("c_label"),
-        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= k)
+    val topAgg = new graft.ops.TopK.TopKPayloadAggregator(k).toColumn
+    val neighbors: DataFrame = if (useKernel) {
+      // query-matrix model build (bounded: |holdout| rows of dim
+      // doubles, the broadcast side of the fallback form)
+      val qRows = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
+        .orderBy(col("vec_id"))
+        .collect()
+      val qIds = qRows.map(_.getLong(0))
+      val qLabels = qRows.map(_.getInt(1))
+      val flat = qRows.flatMap(_.getSeq[Double](2))
+      // top-k per query: the codegen'd expression form (collect_list →
+      // array_sort → slice; struct packs (-cos, c_id) so the natural
+      // ASC sort is cos DESC, id ASC — the same ordering contract as
+      // TopKPayloadAggregator). Partial lists are unbounded but rows
+      // are 24-byte skinny structs; when the candidate side is a full
+      // corpus rather than a table this size, swap this aggregate for
+      // the bounded-state typed form below (measured trade at sf0.1:
+      // the typed path pays ~1 µs/row of encoder+buffer overhead,
+      // 2.5× this aggregate; at corpus scale the O(k) partial state is
+      // the only shape that survives).
+      labeled
+        .select(col("c_id"), col("c_label").cast("long").as("c_label"),
+          posexplode(call_function("graft_all_cos",
+            col("cv"), col("cn"), typedlit(flat), lit(qRows.length)))
+            .as(Seq("q_idx", "cos")))
+        .groupBy(col("q_idx"))
+        .agg(slice(array_sort(collect_list(struct(
+          (-round(col("cos"), 4)).as("ns"), col("c_id"), col("c_label")))), 1, k).as("top"))
+        .select(col("q_idx"), explode(col("top")).as("t"))
+        .select(
+          element_at(typedlit(qIds), col("q_idx") + 1).as("q_id"),
+          element_at(typedlit(qLabels), col("q_idx") + 1).as("q_label"),
+          col("t.c_id").as("c_id"), col("t.c_label").cast("int").as("c_label"))
+    } else {
+      val holdout = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), normF(col("v")).as("qn"))
+      labeled
+        .join(broadcast(holdout), lit(true))
+        .select(
+          col("q_id"), col("q_label"), col("c_id"), col("c_label").cast("long"),
+          round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
+        .as[(Long, Int, Long, Long, Double)]
+        .groupByKey { case (qId, qLabel, _, _, _) => (qId, qLabel) }
+        .mapValues { case (_, _, cId, cLabel, cos) => (cos, cId, cLabel) }
+        .agg(topAgg.name("top"))
+        .flatMap { case ((qId, qLabel), top) =>
+          top.iterator.map { case (_, cId, cLabel) => (qId, qLabel, cId, cLabel.toInt) }
+        }
+        .toDF("q_id", "q_label", "c_id", "c_label")
+    }
     val wVote = Window.partitionBy(col("q_id"))
       .orderBy(col("votes").desc, col("c_label").asc)
     neighbors

@@ -100,6 +100,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => CellTopIds(
         children(0), children(1), children(2), children(3), children(4))))
     ext.injectFunction((
+      FunctionIdentifier("graft_all_cos"),
+      new ExpressionInfo(classOf[AllCosines].getName, "graft_all_cos"),
+      (children: Seq[Expression]) => AllCosines(
+        children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => PqEncode(
