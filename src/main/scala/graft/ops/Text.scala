@@ -538,14 +538,20 @@ object Text {
       parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"))
   }
 
-  /** Canonical-URL dedup: lowercase the host, drop the query string
-    * (tracking params — utm_*, click ids — make the same page look
-    * distinct), strip the trailing slash, then keep the smallest
-    * doc_id per canonical form — the crawl-frontier dedup every web
-    * pipeline runs BEFORE fetching (the cheapest dedup there is: no
-    * content needed). Emits every row with its canonical key, the
-    * keeper, and the variant count so the caller can audit what
-    * collapsed.
+  /** Canonical-URL dedup: lowercase the host, drop the ENTIRE query
+    * string, strip the trailing slash, then keep the smallest doc_id
+    * per canonical form — the crawl-frontier dedup every web pipeline
+    * runs BEFORE fetching (the cheapest dedup there is: no content
+    * needed). NOTE the policy is aggressive by design: dropping the
+    * whole query string collapses tracking params (utm_*, click ids)
+    * AND content-bearing ones (?id=2) — the right default for a
+    * frontier (re-fetching a page is cheap, fetching dups at crawl
+    * scale is not); keep a param allowlist upstream if query strings
+    * are load-bearing for your sites. An unparseable URL (parse_url →
+    * NULL host) canonicalizes to ITSELF, so malformed rows never
+    * collapse into one NULL group — each passes through as its own
+    * keeper. Emits every row with its canonical key, the keeper, and
+    * the variant count so the caller can audit what collapsed.
     *
     * Shape: canonicalization is pure map-side (`parse_url` is
     * codegen'd); the keeper rule is one window keyed by the canonical
@@ -554,9 +560,11 @@ object Text {
     */
   def canonicalUrlDedup(urls: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val canon = concat(
-      lower(parse_url(col("url"), lit("HOST"))),
-      regexp_replace(parse_url(col("url"), lit("PATH")), "/$", ""))
+    val canon = coalesce(
+      concat(
+        lower(parse_url(col("url"), lit("HOST"))),
+        regexp_replace(parse_url(col("url"), lit("PATH")), "/$", "")),
+      col("url"))
     val w = Window.partitionBy(col("canon"))
     urls
       .withColumn("canon", canon)
@@ -587,7 +595,7 @@ object Text {
     in.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
       val buf = new Array[Byte](1 << 16)
-      rows.map { case (id, text) =>
+      val mapped = rows.map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         deflater.reset()
         deflater.setInput(bytes)
@@ -598,23 +606,20 @@ object Text {
         (id, bytes.length.toLong, out.toLong,
           math.rint(ratio * 10000) / 10000)
       }
+      // release the native zlib stream when the partition is exhausted —
+      // finalizer-only cleanup accumulates off-heap memory on long-lived
+      // executors running many tasks
+      new Iterator[(Long, Long, Long, Double)] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) deflater.end()
+          h
+        }
+        def next(): (Long, Long, Long, Double) = mapped.next()
+      }
     }.toDF("doc_id", "n_bytes", "n_deflate", "ratio_r")
   }
 
-  /** Out-of-vocabulary rate: fraction of a document's tokens whose
-    * corpus document-frequency is below `minDf` — the RefinedWeb-style
-    * "gibberish / OCR-noise" signal (a doc dominated by tokens that
-    * appear almost nowhere else is mojibake, hash dumps, or minified
-    * code, not prose). Vocabulary = tokens with df ≥ minDf, built from
-    * the corpus itself so no external word list is needed.
-    *
-    * Shape: one distinct-(doc,token) aggregate builds the df table
-    * (vocab-sized, Heaps' law — same argument as [[unigramLogProb]]),
-    * which joins back BROADCAST onto the exploded token stream; the
-    * per-doc aggregate is map-side combinable. The corpus never
-    * shuffles on anything bigger than (doc_id) — at 100 TB the df
-    * table is the broadcast side and everything else is one pass.
-    */
   /** Per-source KL divergence from the corpus unigram distribution —
     * D(P_src ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
     * distributional twin of [[Dedup.sourceOverlapMatrix]]'s set
@@ -855,6 +860,20 @@ object Text {
     scores.select(col("token"), round(col("s"), 4).as("score_r"))
   }
 
+  /** Out-of-vocabulary rate: fraction of a document's tokens whose
+    * corpus document-frequency is below `minDf` — the RefinedWeb-style
+    * "gibberish / OCR-noise" signal (a doc dominated by tokens that
+    * appear almost nowhere else is mojibake, hash dumps, or minified
+    * code, not prose). Vocabulary = tokens with df ≥ minDf, built from
+    * the corpus itself so no external word list is needed.
+    *
+    * Shape: one distinct-(doc,token) aggregate builds the df table
+    * (vocab-sized, Heaps' law — same argument as [[unigramLogProb]]),
+    * which joins back BROADCAST onto the exploded token stream; the
+    * per-doc aggregate is map-side combinable. The corpus never
+    * shuffles on anything bigger than (doc_id) — at 100 TB the df
+    * table is the broadcast side and everything else is one pass.
+    */
   def oovRate(documents: DataFrame, minDf: Long): DataFrame = {
     val toks = graft.CacheScope.cached(documents.select(
       col("doc_id"), explode(Dedup.tokens(col("text"))).as("token")))
