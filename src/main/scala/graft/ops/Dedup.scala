@@ -604,9 +604,18 @@ object Dedup {
     * batch's hash groups. md5 keeps the oracle bit-portable; swap
     * xxhash64 at scale (same note as [[hashedShinglesFast]]).
     */
+  /** The standing corpus's content-hash index — the ONLY projection of
+    * the corpus that incremental dedup (batch or streaming) ever
+    * reads. At 100 TB this is a materialized bucketed table you
+    * maintain alongside the corpus; both consumers accept any
+    * DataFrame with an `h` column so either form works.
+    */
+  def corpusHashIndex(corpus: DataFrame): DataFrame =
+    corpus.select(md5(col("text")).as("h")).distinct()
+
   def incrementalNewDocs(corpus: DataFrame, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = corpus.select(md5(col("text")).as("h")).distinct()
+    val idx = corpusHashIndex(corpus)
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     batch
       .select(col("doc_id"), md5(col("text")).as("h"))

@@ -55,6 +55,79 @@ object StreamingCorpus {
       .start()
   }
 
+  final case class HashedDoc(doc_id: Long, ts_us: Long, h: String, in_corpus: Boolean,
+                             __event_time: java.sql.Timestamp)
+  final case class DocVerdict(doc_id: Long, ts_us: Long,
+                              dup_of_corpus: Long, dup_in_stream: Long, keep: Long)
+
+  /** STREAMING incremental dedup — the continuous twin of
+    * [[graft.ops.Dedup.incrementalNewDocs]]: every arriving document
+    * is checked against the standing corpus's content-hash index (a
+    * STATIC stream-side broadcast/join — the corpus itself never
+    * rescans) and against the stream's own recent history, and emits a
+    * per-doc verdict row with the batch op's exact column contract
+    * (`dup_of_corpus`, `dup_in_stream`, `keep`).
+    *
+    * The within-stream check is a per-content-hash
+    * `flatMapGroupsWithState` whose state is ONE boolean per hash seen
+    * inside the lateness horizon, evicted by event-time timeout — so
+    * state tracks the horizon, not the corpus, exactly the
+    * `dropDuplicatesWithinWatermark` bound but WITHOUT dropping rows:
+    * an auditing pipeline wants the dup rows flagged, not vanished.
+    * First arrival wins by (ts_us, doc_id) within a micro-batch — the
+    * streaming analogue of the batch op's min-doc_id window.
+    *
+    * `corpusIndex` = [[graft.ops.Dedup.corpusHashIndex]] output (or
+    * the maintained materialized index at scale) — a static frame with
+    * column `h`.
+    */
+  def incrementalDedup(
+      docs: DataFrame,
+      corpusIndex: DataFrame,
+      tsMicrosCol: String,
+      lateness: String = "1 hour"): Dataset[DocVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .select(col("doc_id"), col(tsMicrosCol).as("ts_us"),
+        md5(col("text").cast("binary")).as("h"))
+      .join(corpusIndex.select(col("h")).withColumn("__ic", lit(1L)), Seq("h"), "left")
+      .withColumn("in_corpus", col("__ic").isNotNull)
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", lateness)
+      .select(col("doc_id"), col("ts_us"), col("h"), col("in_corpus"), col("__event_time"))
+      .as[HashedDoc]
+    hashed
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, DocVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, newRows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var seen = state.getOption.getOrElse(false)
+            var maxTs = Long.MinValue
+            val out = arrivals.map { r =>
+              val dupStream = seen
+              seen = true
+              maxTs = math.max(maxTs, r.ts_us)
+              DocVerdict(r.doc_id, r.ts_us,
+                dup_of_corpus = if (r.in_corpus) 1L else 0L,
+                dup_in_stream = if (dupStream) 1L else 0L,
+                keep = if (!r.in_corpus && !dupStream) 1L else 0L)
+            }
+            state.update(seen)
+            // same timeout clamp as lshCandidates: strictly after the
+            // current watermark so late-only groups don't fault
+            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(base, lateness)
+            out.iterator
+          }
+      }
+  }
+
   final case class BandRow(doc_id: Long, ts_us: Long, band_id: Int, sig: String,
                            __event_time: java.sql.Timestamp)
   final case class BucketState(docIds: Seq[Long])

@@ -207,6 +207,34 @@ object ScaleStress {
       CacheScope.flush()
       println(s"[scale]   source pairs=$m (expect <= 190)")
     }
+
+    // 10. Co-occurrence at `nDocs` CONTAINERS (the bench's q_cooccur
+    //     sees ~30k user-days; this is ~33x that) — the container
+    //     aggregation + set-explode marginals must stay one corpus
+    //     exchange with vocabulary-sized downstream frames. Design:
+    //     container i holds types t(i%5), t((i+2)%5) plus a DUPLICATE
+    //     of the first (exercises collect_set), so the result is
+    //     exactly 5 unordered pairs, each in n/5 containers, and every
+    //     marginal is 2n/5 → lift = (n/5)·n / (2n/5)² = 1.25 for all
+    //     rows. Wrong marginals, a lost cube row, or set-dedup failure
+    //     all shift either the row count or the lift off 1.25.
+    val nCont = nDocs
+    val events = spark.range(0, nCont, 1, 64).select(
+      col("id").as("user_id"), lit("2024-01-01").as("day"),
+      explode(array(
+        pmod(col("id"), lit(5L)), pmod(col("id"), lit(5L)),
+        pmod(col("id") + 2L, lit(5L)))).as("tcode"))
+      .withColumn("event_type", concat(lit("t"), col("tcode").cast("string")))
+    timed("cooccurrence") {
+      val rows = ops.EventOps.cooccurrence(
+          events, Seq(col("user_id"), col("day")), "event_type")
+        .collect()
+      CacheScope.flush()
+      val badLift = rows.count(r => math.abs(r.getDouble(r.fieldIndex("lift_r")) - 1.25) > 1e-9)
+      val badN = rows.count(r => r.getLong(r.fieldIndex("n_ab")) != nCont / 5)
+      println(s"[scale]   pairs=${rows.length} (expect 5), off-lift=$badLift, " +
+        s"off-count=$badN (expect 0/0) over $nCont containers")
+    }
     spark.stop()
   }
 }
