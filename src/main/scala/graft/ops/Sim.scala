@@ -1010,11 +1010,10 @@ object Sim {
         .groupBy(col("q_idx"))
         .agg(slice(array_sort(collect_list(struct(
           (-round(col("cos"), 4)).as("ns"), col("c_id"), col("c_label")))), 1, k).as("top"))
-        .select(col("q_idx"), explode(col("top")).as("t"))
         .select(
           element_at(typedlit(qIds), col("q_idx") + 1).as("q_id"),
           element_at(typedlit(qLabels), col("q_idx") + 1).as("q_label"),
-          col("t.c_id").as("c_id"), col("t.c_label").cast("int").as("c_label"))
+          expr("transform(top, t -> t.c_label)").as("labels"))
     } else {
       val holdout = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -1028,22 +1027,25 @@ object Sim {
         .groupByKey { case (qId, qLabel, _, _, _) => (qId, qLabel) }
         .mapValues { case (_, _, cId, cLabel, cos) => (cos, cId, cLabel) }
         .agg(topAgg.name("top"))
-        .flatMap { case ((qId, qLabel), top) =>
-          top.iterator.map { case (_, cId, cLabel) => (qId, qLabel, cId, cLabel.toInt) }
-        }
-        .toDF("q_id", "q_label", "c_id", "c_label")
+        .map { case ((qId, qLabel), top) => (qId, qLabel, top.map(_._3)) }
+        .toDF("q_id", "q_label", "labels")
     }
-    val wVote = Window.partitionBy(col("q_id"))
-      .orderBy(col("votes").desc, col("c_label").asc)
+    // majority vote IN-ARRAY: k is small, so the per-query vote is a
+    // map-side HOF over the top-k label array — no explode, no second
+    // aggregation exchange, no rank window. Winner = max votes, label
+    // asc on ties (packed as (votes, -label) so array_max's natural
+    // struct order applies).
+    val best = expr(
+      """array_max(transform(array_distinct(labels),
+        |  l -> struct(size(filter(labels, x -> x = l)) as votes,
+        |              -l as neg)))""".stripMargin)
     neighbors
-      .groupBy(col("q_id"), col("q_label"), col("c_label"))
-      .agg(count(lit(1)).as("votes"))
-      .withColumn("vr", row_number().over(wVote))
-      .filter(col("vr") === 1)
+      .withColumn("b", best)
       .select(
         col("q_id").as("vec_id"), col("q_label").as("label"),
-        col("c_label").as("pred_label"), col("votes"),
-        when(col("c_label") === col("q_label"), 1L).otherwise(0L).as("correct"))
+        (-col("b.neg")).cast("int").as("pred_label"),
+        col("b.votes").cast("long").as("votes"),
+        when((-col("b.neg")).cast("int") === col("q_label"), 1L).otherwise(0L).as("correct"))
   }
 
   /** Prototypicality ranking: cosine of each vector to its class
