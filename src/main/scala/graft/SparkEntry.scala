@@ -1812,6 +1812,32 @@ object SparkEntry {
       Mutations.applyChangelog(base, c1.unionByName(c2).unionByName(c3),
           "user_id", "seq")
         .orderBy(col("user_id"))
+    }),
+
+    // ---- batch 18 (round 7): in-doc gates + smoothing + cluster audit ----
+
+    "q_repetition" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.repetitionSignals(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lm_interp" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.interpolatedLogProb(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_cluster_purity" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // same trained quantizer configuration as q_sim_ann_kmeans /
+      // q_dedup_semantic, so the dynamic oracle shares one model build
+      Sim.clusterPurity(Tables.embeddings(s, dir),
+          nCells = 8, iters = 4, sampleMod = 2)
+        .orderBy(col("cell"))
     })
   )
 
@@ -4236,7 +4262,56 @@ object SparkEntry {
         |SELECT vec_id, label, cos_r,
         |       CAST(row_number() OVER (PARTITION BY label
         |              ORDER BY cos_r DESC, vec_id ASC) AS BIGINT) AS proto_rnk
-        |FROM scored ORDER BY vec_id""".stripMargin
+        |FROM scored ORDER BY vec_id""".stripMargin,
+
+    // ---- batch 18 ----
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+        |           AS distinct_ratio
+        |  FROM t),
+        |pos AS (
+        |  SELECT doc_id, toks, i
+        |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        |runs AS (
+        |  SELECT doc_id, toks[i] AS tok,
+        |         i - row_number() OVER (PARTITION BY doc_id, toks[i] ORDER BY i) AS g
+        |  FROM pos),
+        |rl AS (SELECT doc_id, count(*) AS r FROM runs GROUP BY doc_id, tok, g),
+        |mr AS (SELECT doc_id, CAST(max(r) AS BIGINT) AS max_run FROM rl GROUP BY doc_id),
+        |bg AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS n
+        |       FROM pos WHERE i < len(toks)),
+        |bgc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, p, n),
+        |bgm AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_toks, b.distinct_ratio, mr.max_run,
+        |       coalesce(round(2.0 * bgm.mc / b.n_toks, 4), 0.0) AS top_bigram_frac
+        |FROM base b JOIN mr USING (doc_id) LEFT JOIN bgm USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_lm_interp" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS next
+        |  FROM dt, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, prev, next, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+        |lk AS (SELECT prev, next, CAST(sum(c) AS BIGINT) AS bc FROM db GROUP BY 1, 2),
+        |lk2 AS (SELECT prev, next, bc,
+        |        CAST(sum(bc) OVER (PARTITION BY prev) AS BIGINT) AS cc FROM lk),
+        |uni AS (SELECT next, CAST(sum(c) AS BIGINT) AS uc FROM db GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM db)
+        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+        |       round(sum(db.c * ln(0.7 * bc / cc + (1 - 0.7) * uc / tt)) / sum(db.c), 4)
+        |         AS interp_logprob
+        |FROM db JOIN lk2 USING (prev, next) JOIN uni USING (next), tot
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not
@@ -4267,6 +4342,8 @@ object SparkEntry {
           nProbe = 2),
       "q_sim_ann_pq_refine" ->
         ops.Sim.ivfPqSearchOracleSql(cents, cbs, nQueries = 10, k = 5,
-          nProbe = 2, refine = 20))
+          nProbe = 2, refine = 20),
+      "q_cluster_purity" ->
+        ops.Sim.clusterPurityOracleSql(cents))
   }
 }

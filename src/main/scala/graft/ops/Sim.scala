@@ -521,6 +521,81 @@ object Sim {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  /** Cluster-label purity audit: assign every vector to its trained
+    * k-means cell (the same coarse quantizer the ANN/SemDeDup family
+    * uses) and report, per cell, the population, the majority label,
+    * and the majority fraction — the embedding-space sanity check run
+    * before trusting clusters for curriculum/pruning decisions: cells
+    * that mix labels badly mean the embedding (or k) does not capture
+    * the taxonomy. Ties break (count DESC, label ASC), the repo-wide
+    * determinism contract.
+    *
+    * Shape: one map-side argmax assignment against the broadcast
+    * centroid model (native kernel when registered), one (cell, label)
+    * count aggregate — |cells|·|labels| rows — then a cell-sized fold;
+    * nothing downstream of the scan is ever data-sized. At 100 TB this
+    * is a scan plus a KB-sized aggregate.
+    */
+  def clusterPurity(embeddings: DataFrame, nCells: Int, iters: Int = 4,
+                    sampleMod: Int = 1): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
+    val assigned = embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+      .select(col("label"),
+        argmaxCell(dotF, cents)(col("v"), col("nrm")).as("cell"))
+    assigned
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("cell"))
+      .agg(
+        sum(col("c")).as("n_vecs"),
+        max(struct(col("c").as("c"), (-col("label")).cast("long").as("neg"))).as("b"))
+      .select(
+        col("cell"), col("n_vecs"),
+        (-col("b.neg")).cast("int").as("top_label"),
+        round(col("b.c") / col("n_vecs").cast("double"), 4).as("purity"))
+  }
+
+  /** DuckDB oracle for [[clusterPurity]] — same pinned-centroid trick
+    * as [[ivfSearchOracleSql]]: the trained model is data, so the
+    * oracle embeds the centroid literals and independently recomputes
+    * assignment (6dp round, cent_id tiebreak) and the purity fold.
+    */
+  def clusterPurityOracleSql(cents: Centroids): String = {
+    val centRows = cents.map { case (id, v) =>
+      s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH cent(cent_id, cv) AS (VALUES
+       |       $centRows),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cn AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+       |sc AS (
+       |  SELECT n.vec_id, n.label, c.cent_id,
+       |         round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS score
+       |  FROM n, cn c),
+       |assign AS (
+       |  SELECT vec_id, label, CAST(cell AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, label, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY score DESC, cent_id) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |pc AS (SELECT cell, label, count(*) AS c FROM assign GROUP BY cell, label),
+       |tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_vecs FROM pc GROUP BY cell),
+       |top AS (
+       |  SELECT cell, label AS top_label, c FROM (
+       |    SELECT cell, label, c,
+       |           row_number() OVER (PARTITION BY cell
+       |                              ORDER BY c DESC, label) AS rn
+       |    FROM pc) t WHERE rn = 1)
+       |SELECT t.cell, t.n_vecs, p.top_label,
+       |       round(p.c / t.n_vecs, 4) AS purity
+       |FROM tot t JOIN top p USING (cell)
+       |ORDER BY t.cell""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // IVF-PQ: product-quantized ANN
   // -------------------------------------------------------------------------

@@ -256,6 +256,111 @@ object Text {
           sum(col("c")), 4).as("bigram_logprob"))
   }
 
+  /** Jelinek-Mercer interpolated LM scoring — the smoothing step up
+    * from [[bigramLogProb]] (Jelinek & Mercer 1980; the baseline of
+    * Chen & Goodman 1999's smoothing survey): score = mean over the
+    * doc's bigram instances of
+    * ln(λ·P(next|prev) + (1−λ)·P_uni(next)), so an unseen-context
+    * continuation is no longer a hard -∞ cliff and λ tunes how much
+    * the model trusts word order vs word choice.
+    *
+    * P_uni here is the CONTINUATION unigram: count of the token in
+    * the `next` position over all bigram instances — derived from the
+    * SAME cached (doc, prev, next, c) collapse as everything else, so
+    * the corpus still tokenizes exactly once and the unigram/total
+    * tables are vocabulary-sized. λ=1 recovers [[bigramLogProb]]'s
+    * scores exactly (law-tested); λ=0 scores word choice alone.
+    * Same 100 TB shape as [[bigramLogProb]]: broadcast lookups, one
+    * instance-keyed join-back.
+    */
+  def interpolatedLogProb(documents: DataFrame, lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "interpolation weight must be in [0,1]")
+    val docBi = graft.CacheScope.cached(documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        try_element_at(col("toks"), col("i")).as("prev"),
+        try_element_at(col("toks"), col("i") + 1).as("next"))
+      .groupBy(col("doc_id"), col("prev"), col("next"))
+      .agg(count(lit(1)).as("c")))
+    val lookup = docBi.groupBy(col("prev"), col("next")).agg(sum(col("c")).as("bc"))
+      .withColumn("cc", sum(col("bc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+    // scalar total rides a broadcast 1-row frame (same idiom as
+    // unigramLogProb) — no single-partition window over the vocab
+    val uni = docBi.groupBy(col("next")).agg(sum(col("c")).as("uc"))
+      .crossJoin(broadcast(docBi.agg(sum(col("c")).as("tot"))))
+    val p = lit(lambda) * col("bc") / col("cc").cast("double") +
+      lit(1.0 - lambda) * col("uc") / col("tot").cast("double")
+    docBi
+      .join(broadcast(lookup), Seq("prev", "next"))
+      .join(broadcast(uni), Seq("next"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("c") * log(p)) / sum(col("c")), 4).as("interp_logprob"))
+  }
+
+  /** Intra-document repetition signals — the Gopher/MassiveText
+    * repetition family (Rae et al. 2021 §A1.3) on one pass: token
+    * count, distinct-token ratio (word-level diversity), the fraction
+    * of tokens inside the most frequent adjacent bigram (templated
+    * boilerplate reads as one dominant 2-gram), and the longest
+    * consecutive same-token run (degenerate generation / OCR
+    * stutter). A doc can pass every corpus-level dedup and still be
+    * 40% "click here click here" — these are the in-doc gates that
+    * catch it.
+    *
+    * Shape: diversity and max-run are pure map-side HOFs over the
+    * token array (the run fold is one sequential lambda per doc — k
+    * tokens, no shuffle); only the bigram mode pays a (doc, bigram)
+    * aggregate, and that stream is bigram-instance-sized with
+    * map-side partial counts. Join-back is doc-keyed. At 100 TB the
+    * bigram mode swaps for a count-min sketch per doc ONLY if docs
+    * are huge; at web-doc sizes the exact aggregate is the right
+    * shape.
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val toked = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    // longest same-token run: one left fold carrying (prev, run, best)
+    val maxRun = expr(
+      """aggregate(toks,
+        |  struct(cast('' as string) as prev, 0 as run, 0 as best),
+        |  (s, x) -> struct(
+        |    x as prev,
+        |    if(x = s.prev, s.run + 1, 1) as run,
+        |    greatest(s.best, if(x = s.prev, s.run + 1, 1)) as best),
+        |  s -> s.best)""".stripMargin)
+    val base = toked.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"),
+      round(size(array_distinct(col("toks"))) /
+        size(col("toks")).cast("double"), 4).as("distinct_ratio"),
+      maxRun.cast("long").as("max_run"))
+    val topBigram = toked
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        try_element_at(col("toks"), col("i")).as("p"),
+        try_element_at(col("toks"), col("i") + 1).as("n"))
+      .groupBy(col("doc_id"), col("p"), col("n"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_c"))
+    base
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_toks"), col("distinct_ratio"), col("max_run"),
+        coalesce(
+          round(lit(2.0) * col("top_bigram_c") / col("n_toks"), 4),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** BPE merge-pair counting — iteration zero of byte-pair-encoding
     * vocabulary training (Sennrich et al. 2016): count adjacent
     * CHARACTER pairs within each whitespace word across the corpus;

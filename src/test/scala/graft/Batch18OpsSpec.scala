@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Sim, Text}
+
+/** Batch-18 operators (round 7): intra-doc repetition gates,
+  * Jelinek-Mercer interpolated LM scoring, k-means cluster purity.
+  */
+class Batch18OpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("repetitionSignals: hand-computed diversity, run, and bigram mode") {
+    val docs = Seq(
+      (1L, "a a a b"),         // run of 3, top bigram (a,a) x2
+      (2L, "x y x y x"),       // alternating: run 1, (x,y) x2 of 4 bigrams
+      (3L, "solo"),            // single token: no bigram
+      (4L, "w w w w")          // fully degenerate
+    ).toDF("doc_id", "text")
+    val got = Text.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) === ((4L, 0.5, 3L, 1.0)))     // 2 distinct/4; 2*2/4
+    assert(got(2L) === ((5L, 0.4, 1L, 0.8)))     // 2/5; (x,y) twice: 2*2/5
+    assert(got(3L) === ((1L, 1.0, 1L, 0.0)))     // no bigrams -> 0
+    assert(got(4L) === ((4L, 0.25, 4L, 1.5)))    // (w,w) x3: 2*3/4
+  }
+
+  test("interpolatedLogProb at lambda=1 equals bigramLogProb exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50).select(col("doc_id"), col("text"))
+    val a = Text.interpolatedLogProb(docs, 1.0)
+      .select(col("doc_id"), col("n_bigrams"), col("interp_logprob").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Text.bigramLogProb(docs)
+      .select(col("doc_id"), col("n_bigrams"), col("bigram_logprob").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    CacheScope.flush()
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("interpolatedLogProb at lambda=0 scores word choice alone (hand case)") {
+    // corpus bigrams: (a b) x2 from doc1, (a c) x1 from doc2.
+    // continuation counts: b=2, c=1, total=3.
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // doc1: bigrams (a,b) x2 and (b,a) x1 -> wait: tokens a b a b gives
+    // (a,b),(b,a),(a,b): continuations b=2, a=1. Corpus adds (a,c).
+    // Recompute: continuations: b:2, a:1, c:1, total 4.
+    // doc1 score = (2*ln(2/4) + 1*ln(1/4)) / 3; doc2 = ln(1/4).
+    val exp1 = math.rint(((2 * math.log(2.0 / 4) + math.log(1.0 / 4)) / 3) * 1e4) / 1e4
+    val exp2 = math.rint(math.log(1.0 / 4) * 1e4) / 1e4
+    val got = Text.interpolatedLogProb(docs, 0.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    CacheScope.flush()
+    assert(math.abs(got(1L) - exp1) < 1e-9, s"doc1: ${got(1L)} vs $exp1")
+    assert(math.abs(got(2L) - exp2) < 1e-9, s"doc2: ${got(2L)} vs $exp2")
+  }
+
+  test("clusterPurity: planted label-aligned clusters read as pure, mixed as impure") {
+    // two tight blobs on orthogonal axes; blob A all label 0, blob B
+    // half 1 half 2 -> one pure cell and one 0.5 cell (labels tie-break
+    // to the smaller)
+    val dim = 8
+    def vec(axis: Int, eps: Double) =
+      Array.tabulate(dim)(i => (if (i == axis) 1.0 else 0.0) + (if (i == (axis + 1) % dim) eps else 0.0))
+    val rows = (0 until 20).map { i =>
+      (i.toLong, vec(0, 0.01 * (i % 5)).map(_.toFloat), 0)
+    } ++ (20 until 40).map { i =>
+      (i.toLong, vec(4, 0.01 * (i % 5)).map(_.toFloat), if (i % 2 == 0) 1 else 2)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Sim.clusterPurity(emb, nCells = 2, iters = 4, sampleMod = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.length === 2)
+    val byPop = got.sortBy(_._2)
+    assert(byPop(0) === ((20L, 0, 1.0)), s"pure blob: ${byPop.toSeq}")
+    assert(byPop(1) === ((20L, 1, 0.5)), s"mixed blob ties to smaller label: ${byPop.toSeq}")
+  }
+}

@@ -17,7 +17,7 @@ class ContractSpec extends AnyFunSuite {
     // centroid literals), so they are absent from the static map only.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
-        "q_sim_ann_pq_refine"))
+        "q_sim_ann_pq_refine", "q_cluster_purity"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 164)
+    assert(SparkEntry.queries.size === 167)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
