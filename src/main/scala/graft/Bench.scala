@@ -270,6 +270,7 @@ object Bench {
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
       "q_boilerplate" -> "2 jobs ~0.4s; line-hash explode + broadcast join-back, no corpus reshuffle",
       "q_bigram_lm" -> "2 jobs; one tokenize pass, cached (doc,bigram) collapse, broadcast lookup - cost is the genuine corpus scan",
+      "q_lm_interp" -> "same cached-collapse family as q_bigram_lm plus the continuation-unigram broadcast; cost is the same corpus scan",
       "q_knn_vote" -> "holdout model collect + one compiled all-cosines pass + skinny top-k exchange + in-array HOF vote (r7; 0.77s -> 0.29s)")
     val floorNotesJson = floorNotes
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Corpus, Dedup, Relational, Text}
+import graft.ops.{Corpus, Dedup, Relational, Sim, Text}
 
 /** Randomized laws for the round-6 continuation operators (batches
   * 12-17) — invariants checked against brute force on adversarial
@@ -122,5 +122,67 @@ class Batch12to17Props extends AnyFunSuite {
     val kb = Text.sourceKlDivergence(b).collect()
       .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("kl_r"))).toMap
     assert(ka === kb)
+  }
+
+  test("repetitionSignals: bounds and degeneracy laws on random corpora") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 5) {
+      val docs = (0 until 60).map { i =>
+        val n = 1 + rnd.nextInt(30)
+        (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(1 + rnd.nextInt(8))}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = Text.repetitionSignals(docs).collect()
+      assert(out.length === 60, s"trial $trial: one row per doc")
+      out.foreach { r =>
+        val (n, dr, run, bf) = (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+        assert(dr > 0.0 && dr <= 1.0, s"trial $trial: distinct ratio $dr")
+        assert(run >= 1 && run <= n, s"trial $trial: run $run of $n")
+        // overlapping bigram instances can cover a token twice, so the
+        // fraction is bounded by 2, and a single-token doc reads 0
+        assert(bf >= 0.0 && bf <= 2.0, s"trial $trial: bigram frac $bf")
+        if (n == 1) assert(bf === 0.0)
+        // a doc with max_run == n_toks is one repeated token: ratio 1/n
+        if (run == n && n > 1)
+          assert(math.abs(dr - math.rint(1e4 / n) / 1e4) < 1e-9,
+            s"trial $trial: degenerate doc ratio $dr for n=$n")
+      }
+    }
+  }
+
+  test("interpolatedLogProb: scores are negative log-probs, monotone corpora agree at both ends") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 3) {
+      val docs = (0 until 40).map { i =>
+        val n = 2 + rnd.nextInt(20)
+        (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val lam = rnd.nextDouble()
+      val out = Text.interpolatedLogProb(docs, lam).collect()
+      CacheScope.flush()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val s = r.getDouble(2)
+        // P in (0, 1] always (mixture of two probabilities) → ln ≤ 0
+        assert(s <= 1e-9, s"trial $trial λ=$lam: positive log-prob $s")
+      }
+    }
+  }
+
+  test("clusterPurity: purities in (0,1], populations sum to the table, majority is argmax") {
+    val rnd = new scala.util.Random(47)
+    val dim = 8
+    val emb = (0 until 120).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(j => (rnd.nextDouble() - 0.5).toFloat),
+        rnd.nextInt(4))
+    }.toDF("vec_id", "embedding", "label")
+    val out = Sim.clusterPurity(emb, nCells = 4, iters = 2, sampleMod = 1).collect()
+    assert(out.map(_.getLong(1)).sum === 120L, "populations partition the table")
+    out.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p > 0.0 && p <= 1.0, s"purity $p")
+      // majority fraction of a 4-label cell is at least 1/4
+      assert(p >= 1.0 / 4 - 1e-9)
+    }
   }
 }
