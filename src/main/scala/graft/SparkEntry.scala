@@ -1838,6 +1838,41 @@ object SparkEntry {
       Sim.clusterPurity(Tables.embeddings(s, dir),
           nCells = 8, iters = 4, sampleMod = 2)
         .orderBy(col("cell"))
+    }),
+
+    "q_media_decode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // REAL binary round-trip: deterministic solid-color PPMs are
+      // ENCODED from doc_id, every 10th payload truncated (corrupt),
+      // then the actual PpmCodec decode → resize(2x2) → channel-stat
+      // path runs; the oracle derives the same stats arithmetically
+      // from doc_id, so a header-parse, quarantine, resample, or
+      // statistics bug all hash-mismatch.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            rgb(p * 3) = (id % 256).toByte
+            rgb(p * 3 + 1) = ((id * 7) % 256).toByte
+            rgb(p * 3 + 2) = ((id * 13) % 256).toByte
+            p += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(w, h, rgb))
+          val bytes = if (id % 10 == 0) bytes0.take(8) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      def feat(i: Int) = when(col("n_frames") === 0, lit(null).cast("double"))
+        .otherwise(element_at(col("features"), i))
+      Multimodal.decodePpmFeatures(media, resizeTo = Some((2, 2))).toDF()
+        .select(
+          col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          feat(1).as("w"), feat(2).as("h"),
+          feat(3).as("mean_r"), feat(4).as("mean_g"), feat(5).as("mean_b"),
+          round(feat(6), 4).as("luma_mean_r"), round(feat(7), 4).as("luma_std_r"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -4311,7 +4346,27 @@ object SparkEntry {
         |       round(sum(db.c * ln(0.7 * bc / cc + (1 - 0.7) * uc / tt)) / sum(db.c), 4)
         |         AS interp_logprob
         |FROM db JOIN lk2 USING (prev, next) JOIN uni USING (next), tot
-        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+
+    // derivation oracle: the Spark side ENCODES and DECODES real PPM
+    // bytes; the oracle restates the channel statistics the solid-color
+    // construction implies, including the corrupt-every-10th quarantine
+    "q_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 2.0 END AS w,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 2.0 END AS h,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE round(0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+        |                       + 0.114 * ((doc_id * 13) % 256), 4) END AS luma_mean_r,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 0.0 END AS luma_std_r
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

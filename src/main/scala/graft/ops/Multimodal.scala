@@ -56,6 +56,133 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec for binary PPM (P6) — pure JVM, no native libs,
+    * so this environment can exercise a genuine decode → resize →
+    * feature path end to end. PPM is the "hello world" of raster
+    * formats (ASCII header `P6 <w> <h> <maxval>` then raw RGB24), but
+    * the pipeline shape it drives here — header parse, malformed-input
+    * quarantine, nearest-neighbour resample, channel statistics — is
+    * exactly what the JNI/FFI JPEG/PNG codec slot ([[StubCodec]]'s
+    * docstring) plugs into.
+    */
+  object PpmCodec {
+
+    final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+    /** Encode an RGB24 raster as binary PPM. */
+    def encode(img: Image): Array[Byte] = {
+      val header = s"P6\n${img.width} ${img.height}\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + img.rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+      out
+    }
+
+    /** Strict P6 parse; None on anything malformed (bad magic, bad
+      * dims, truncated payload) — intake quarantines, never throws.
+      * Handles `#` comments and arbitrary whitespace per the spec.
+      */
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      var i = 0
+      def skipWs(): Unit = {
+        var going = true
+        while (going && i < bytes.length) {
+          val c = bytes(i).toChar
+          if (c == '#') { while (i < bytes.length && bytes(i).toChar != '\n') i += 1 }
+          else if (c.isWhitespace) i += 1
+          else going = false
+        }
+      }
+      def token(): Option[String] = {
+        skipWs()
+        val start = i
+        while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+        if (i > start) Some(new String(bytes, start, i - start,
+          java.nio.charset.StandardCharsets.US_ASCII)) else None
+      }
+      def intToken(): Option[Int] =
+        token().flatMap(t => scala.util.Try(t.toInt).toOption).filter(_ > 0)
+      for {
+        magic <- token() if magic == "P6"
+        w <- intToken()
+        h <- intToken()
+        maxv <- intToken() if maxv == 255
+        // exactly ONE whitespace byte separates maxval from the raster
+        _ <- if (i < bytes.length && bytes(i).toChar.isWhitespace) { i += 1; Some(()) }
+             else None
+        need = w.toLong * h * 3
+        _ <- if (bytes.length - i >= need && need <= Int.MaxValue) Some(()) else None
+      } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt))
+    }
+
+    /** Nearest-neighbour resample — the real resize primitive. */
+    def resize(img: Image, w2: Int, h2: Int): Image = {
+      require(w2 > 0 && h2 > 0, "resize target must be positive")
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        val sy = y * img.height / h2
+        var x = 0
+        while (x < w2) {
+          val sx = x * img.width / w2
+          val s = (sy * img.width + sx) * 3
+          val d = (y * w2 + x) * 3
+          out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Image(w2, h2, out)
+    }
+
+    /** Channel statistics: (width, height, meanR, meanG, meanB,
+      * lumaMean, lumaStd) — the model-input normalization stats a
+      * preprocessing stage computes per image.
+      */
+    def features(img: Image): Array[Double] = {
+      val n = img.width * img.height
+      var r = 0.0; var g = 0.0; var b = 0.0; var l = 0.0; var l2 = 0.0
+      var p = 0
+      while (p < n) {
+        val pr = img.rgb(p * 3) & 0xff
+        val pg = img.rgb(p * 3 + 1) & 0xff
+        val pb = img.rgb(p * 3 + 2) & 0xff
+        val luma = 0.299 * pr + 0.587 * pg + 0.114 * pb
+        r += pr; g += pg; b += pb; l += luma; l2 += luma * luma
+        p += 1
+      }
+      val lm = l / n
+      Array(img.width.toDouble, img.height.toDouble,
+        r / n, g / n, b / n, lm, math.sqrt(math.max(l2 / n - lm * lm, 0.0)))
+    }
+  }
+
+  /** Per-partition REAL image decode over PPM payloads: rows whose
+    * bytes parse get (n_frames = 1, channel-stat features); malformed
+    * rows surface with n_frames = 0 and empty features — quarantined,
+    * never dropped, never throwing (the q_safe_cast contract applied
+    * to binary intake). Resize-on-decode is the optional hook a model
+    * input pipeline uses to normalize resolution before featurizing.
+    */
+  def decodePpmFeatures(media: Dataset[MediaRow],
+                        resizeTo: Option[(Int, Int)] = None): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        PpmCodec.decode(row.bytes) match {
+          case Some(img0) =>
+            val img = resizeTo.map { case (w, h) => PpmCodec.resize(img0, w, h) }
+              .getOrElse(img0)
+            MediaFeatures(row.media_id, row.kind, 1, PpmCodec.features(img))
+          case None =>
+            MediaFeatures(row.media_id, row.kind, 0, Array.empty[Double])
+        }
+      }
+    }
+  }
+
   /** Manufacture a media table from `documents` (the harness testdata
     * has no binary table): text bytes as payload, kind round-robin by
     * id. This is the ingest-side schema any real media source would
