@@ -1873,6 +1873,36 @@ object SparkEntry {
           feat(3).as("mean_r"), feat(4).as("mean_g"), feat(5).as("mean_b"),
           round(feat(6), 4).as("luma_mean_r"), round(feat(7), 4).as("luma_std_r"))
         .orderBy(col("media_id"))
+    }),
+
+    "q_audio_decode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // the audio twin of q_media_decode: deterministic 8 kHz square
+      // waves (period 8, amplitude from doc_id) ENCODED as real WAV
+      // bytes, every 7th payload truncated, then the actual RIFF/PCM16
+      // decode + signal-stat path runs. Square waves make duration,
+      // RMS (= amp/2^15, exact in IEEE), and zero-crossing rate
+      // arithmetically derivable, so the oracle restates them from
+      // doc_id alone.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (800 + (id % 5) * 400).toInt
+          val amp = (500 + (id % 100) * 100).toShort
+          val samples = Array.tabulate(n)(i =>
+            if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+          val bytes0 = Multimodal.WavCodec.encode(
+            Multimodal.WavCodec.Audio(8000, 1, samples))
+          val bytes = if (id % 7 == 0) bytes0.take(20) else bytes0
+          Multimodal.MediaRow(id, "audio", bytes, bytes.length.toLong, "wav")
+        }
+      def feat(i: Int) = when(col("n_frames") === 0, lit(null).cast("double"))
+        .otherwise(element_at(col("features"), i))
+      Multimodal.decodeWavFeatures(media).toDF()
+        .select(
+          col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          feat(1).as("dur_sec"), feat(2).as("rms"), feat(3).as("zcr"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -4366,7 +4396,24 @@ object SparkEntry {
         |            ELSE round(0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
         |                       + 0.114 * ((doc_id * 13) % 256), 4) END AS luma_mean_r,
         |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 0.0 END AS luma_std_r
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // square-wave derivation oracle: n samples at 8 kHz, period 8 →
+    // duration n/8000, rms amp/2^15 (exact), flips floor((n-1)/4)
+    "q_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 800 + (doc_id % 5) * 400 AS n,
+        |         500 + (doc_id % 100) * 100 AS amp
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(n AS DOUBLE) / 8000 END AS dur_sec,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(amp AS DOUBLE) / 32768 END AS rms,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST((n - 1) // 4 AS DOUBLE) / (CAST(n AS DOUBLE) / 8000) END AS zcr
+        |FROM d ORDER BY media_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

@@ -158,6 +158,130 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec for WAV (RIFF, 16-bit PCM) — the audio twin of
+    * [[PpmCodec]], pure JVM: RIFF/fmt/data chunk walk, mono-or-stereo
+    * 16-bit little-endian samples, malformed-input quarantine. The
+    * features it feeds ([[decodeWavFeatures]]) are the classic signal
+    * stats a speech-data pipeline gates on: duration, RMS level
+    * (silence / clipping detection), zero-crossing rate (voiced vs
+    * noise).
+    */
+  object WavCodec {
+
+    final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+    /** Encode mono/stereo PCM16 as a canonical 44-byte-header WAV. */
+    def encode(a: Audio): Array[Byte] = {
+      val dataLen = a.samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)                       // PCM
+        .putShort(a.channels.toShort)
+        .putInt(a.sampleRate)
+        .putInt(a.sampleRate * a.channels * 2)     // byte rate
+        .putShort((a.channels * 2).toShort)        // block align
+        .putShort(16.toShort)                      // bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      a.samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Chunk-walking parse; None on anything malformed (bad magic,
+      * non-PCM, not 16-bit, truncated data) — quarantine, never throw.
+      * Skips unknown chunks (LIST/INFO etc.) like a real reader must.
+      * The buffer-bounds guards cover the paths a hostile payload can
+      * reach; the catch is the belt-and-braces backstop so intake can
+      * NEVER fault on bytes (BufferUnderflow on a lying chunk size,
+      * position past limit on a trailing odd chunk).
+      */
+    def decode(bytes: Array[Byte]): Option[Audio] =
+      try decodeImpl(bytes)
+      catch { case _: RuntimeException => None }
+
+    private def decodeImpl(bytes: Array[Byte]): Option[Audio] = {
+      if (bytes.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); bb.get(t)
+        new String(t, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      if (tag4() != "RIFF") return None
+      bb.getInt // riff size (untrusted; we walk actual chunks)
+      if (tag4() != "WAVE") return None
+      var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+      while (bb.remaining() >= 8) {
+        val id = tag4()
+        val sz = bb.getInt
+        if (sz < 0 || sz > bb.remaining()) return None
+        id match {
+          case "fmt " =>
+            if (sz < 16) return None
+            val p0 = bb.position()
+            val codec = bb.getShort
+            val ch = bb.getShort
+            val rate = bb.getInt
+            bb.getInt; bb.getShort
+            val bits = bb.getShort
+            if (codec != 1 || bits != 16 || ch < 1 || rate <= 0) return None
+            fmt = Some((ch.toInt, rate))
+            bb.position(p0 + sz + (sz & 1)) // chunks are word-aligned
+          case "data" =>
+            val f = fmt.getOrElse(return None)
+            if (sz % 2 != 0) return None
+            val n = sz / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) { out(i) = bb.getShort; i += 1 }
+            return Some(Audio(f._2, f._1, out))
+          case _ =>
+            bb.position(bb.position() + sz + (sz & 1)) // skip unknown chunk
+        }
+      }
+      None
+    }
+
+    /** Signal statistics: (duration_sec, rms [0,1], zero-crossing
+      * rate per second) over the first channel.
+      */
+    def features(a: Audio): Array[Double] = {
+      val n = a.samples.length / a.channels
+      if (n == 0) return Array(0.0, 0.0, 0.0)
+      var sq = 0.0; var zc = 0
+      var prev = a.samples(0).toInt
+      var i = 0
+      while (i < n) {
+        val s = a.samples(i * a.channels).toInt
+        sq += s.toDouble * s
+        if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+        prev = s
+        i += 1
+      }
+      val dur = n.toDouble / a.sampleRate
+      Array(dur, math.sqrt(sq / n) / 32768.0, zc / dur)
+    }
+  }
+
+  /** Per-partition REAL audio decode over WAV payloads — same
+    * quarantine contract as [[decodePpmFeatures]]: parsed rows carry
+    * (n_frames = 1, (duration, rms, zcr)); malformed rows surface
+    * with n_frames = 0 and empty features.
+    */
+  def decodeWavFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        WavCodec.decode(row.bytes) match {
+          case Some(a) => MediaFeatures(row.media_id, row.kind, 1, WavCodec.features(a))
+          case None => MediaFeatures(row.media_id, row.kind, 0, Array.empty[Double])
+        }
+      }
+    }
+  }
+
   /** Per-partition REAL image decode over PPM payloads: rows whose
     * bytes parse get (n_frames = 1, channel-stat features); malformed
     * rows surface with n_frames = 0 and empty features — quarantined,
