@@ -299,6 +299,10 @@ object Sim {
         .select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val n = sample.length
+    // empty sample → empty model: callers that can see an empty table
+    // (clusterPurity) map it to an empty result; search paths document
+    // a nonempty-corpus precondition
+    if (n == 0) return Nil
     val stride = math.max(n / k, 1)
     var cents: Centroids = (0 until k).map(i =>
       (i.toLong, sample(math.min(i * stride, n - 1))._2)).toSeq
@@ -540,6 +544,13 @@ object Sim {
                     sampleMod: Int = 1): DataFrame = {
     val dotF = dotNative(embeddings.sparkSession) _
     val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
+    if (cents.isEmpty) {
+      // empty table → empty audit, never a fault (EmptyInputSpec contract)
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("cell", "n_vecs", "top_label", "purity")
+    }
     val assigned = embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))

@@ -104,4 +104,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.winsorize(ev, "event_type", "value", 0.05, 0.95).count() === 0)
     assert(Corpus.boilerplate(emptyDocs, 5, 2).count() === 0)
   }
+
+  test("batch-18 and media ops on empty inputs") {
+    assert(Text.repetitionSignals(emptyDocs).count() === 0)
+    assert(Text.interpolatedLogProb(emptyDocs, 0.7).count() === 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ops.Sim.clusterPurity(emptyEmb, 4, 2, 1).count() === 0)
+    val emptyMedia = spark.emptyDataset[graft.ops.Multimodal.MediaRow]
+    assert(graft.ops.Multimodal.decodePpmFeatures(emptyMedia).count() === 0)
+    assert(graft.ops.Multimodal.decodeWavFeatures(emptyMedia).count() === 0)
+  }
 }
