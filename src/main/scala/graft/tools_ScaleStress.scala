@@ -235,6 +235,48 @@ object ScaleStress {
       println(s"[scale]   pairs=${rows.length} (expect 5), off-lift=$badLift, " +
         s"off-count=$badN (expect 0/0) over $nCont containers")
     }
+
+    // 11. REAL codec throughput at 200k payloads (~0.5 GB of WAV, ~0.2
+    //     GB of PPM): binary round-trip per row through the actual
+    //     parsers, every 13th payload corrupted — verdict counts must
+    //     come back exact, throughput published per codec. This is the
+    //     mapPartitions media path under load, where decoder state is
+    //     per-task and rows never collect.
+    {
+      import spark.implicits._
+      val nMedia = math.min(nDocs / 5, 200000L)
+      val wavRows = spark.range(0, nMedia, 1, 64).as[Long].map { id =>
+        val n = (400 + (id % 7) * 200).toInt
+        val amp = (300 + (id % 50) * 100).toShort
+        val bytes0 = ops.Multimodal.WavCodec.encode(ops.Multimodal.WavCodec.Audio(
+          8000, 1, Array.tabulate(n)(i => if ((i / 4) % 2 == 0) amp else (-amp).toShort)))
+        val bytes = if (id % 13 == 0) bytes0.take(12) else bytes0
+        ops.Multimodal.MediaRow(id, "audio", bytes, bytes.length.toLong, "wav")
+      }
+      timed(s"wav decode x$nMedia") {
+        val v = ops.Multimodal.decodeWavFeatures(wavRows)
+          .groupBy(col("n_frames")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val bad = (nMedia + 12) / 13
+        println(s"[scale]   wav verdicts=$v (expect ${nMedia - bad} good / $bad quarantined)")
+        assert(v(0) == bad && v(1) == nMedia - bad, "wav quarantine counts drifted")
+      }
+      val ppmRows = spark.range(0, nMedia, 1, 64).as[Long].map { id =>
+        val w = (8 + id % 9).toInt; val h = (6 + id % 7).toInt
+        val rgb = Array.tabulate(w * h * 3)(i => ((id + i) % 256).toByte)
+        val bytes0 = ops.Multimodal.PpmCodec.encode(ops.Multimodal.PpmCodec.Image(w, h, rgb))
+        val bytes = if (id % 13 == 0) bytes0.take(6) else bytes0
+        ops.Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+      }
+      timed(s"ppm decode+resize x$nMedia") {
+        val v = ops.Multimodal.decodePpmFeatures(ppmRows, resizeTo = Some((4, 4)))
+          .groupBy(col("n_frames")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val bad = (nMedia + 12) / 13
+        println(s"[scale]   ppm verdicts=$v (expect ${nMedia - bad} good / $bad quarantined)")
+        assert(v(0) == bad && v(1) == nMedia - bad, "ppm quarantine counts drifted")
+      }
+    }
     spark.stop()
   }
 }

@@ -320,4 +320,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ps.sliding("Exchange".length).count(_ == "Exchange") <= 2,
       s"skip-gram extraction grew extra shuffles:\n$ps")
   }
+
+  test("repetitionSignals: doc-keyed join-back, no cartesian, map-side diversity/run") {
+    val p = plan(graft.ops.Text.repetitionSignals(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"repetition join-back lost its key:\n$p")
+    assert(!p.contains("SinglePartition"), s"global exchange leaked into:\n$p")
+  }
+
+  test("interpolatedLogProb: both lookup tables broadcast, instance side never sort-merges") {
+    val p = plan(graft.ops.Text.interpolatedLogProb(docs, 0.5))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      s"bigram/unigram lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"instance stream shuffled for a lookup join:\n$p")
+    CacheScope.flush()
+  }
 }
