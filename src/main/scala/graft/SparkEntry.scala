@@ -1903,6 +1903,22 @@ object SparkEntry {
           col("media_id"), col("n_frames").cast("long").as("n_frames"),
           feat(1).as("dur_sec"), feat(2).as("rms"), feat(3).as("zcr"))
         .orderBy(col("media_id"))
+    }),
+
+    "q_ngram_novelty" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the perturbed corpus plants known non-novel docs: each
+      // doc_id+100000 copy shares every original shingle, so its
+      // novelty collapses while the original keeps scoring high
+      Dedup.ngramNovelty(perturbedCorpus(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_recency_score" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.recencyScore(Tables.events(s, dir),
+          Tables.D2024_01_20_US, halflifeDays = 2.0)
+        .orderBy(col("user_id"))
     })
   )
 
@@ -4413,7 +4429,45 @@ object SparkEntry {
         |            ELSE CAST(amp AS DOUBLE) / 32768 END AS rms,
         |       CASE WHEN doc_id % 7 = 0 THEN NULL
         |            ELSE CAST((n - 1) // 4 AS DOUBLE) / (CAST(n AS DOUBLE) / 8000) END AS zcr
-        |FROM d ORDER BY media_id""".stripMargin
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |first AS (SELECT h, min(doc_id) AS first_id FROM hx GROUP BY h)
+        |SELECT hx.doc_id,
+        |       count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.first_id = hx.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_novel,
+        |       round(sum(CASE WHEN f.first_id = hx.doc_id THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS novelty_r
+        |FROM hx JOIN first f USING (h)
+        |GROUP BY hx.doc_id ORDER BY hx.doc_id""".stripMargin,
+
+    "q_recency_score" ->
+      """SELECT user_id,
+        |       count(*) AS n_events,
+        |       max(epoch_us(ts)) AS last_seen_us,
+        |       round(sum(value / power(2, floor(
+        |         ((1705708800000000 - epoch_us(ts)) / 86400000000.0) / 2.0))), 4)
+        |         AS recency_score_r
+        |FROM events
+        |WHERE user_id IS NOT NULL AND epoch_us(ts) <= 1705708800000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

@@ -629,6 +629,35 @@ object Dedup {
           .as("keep"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id)
+    * is the doc itself — the "how much of this is new text?" signal
+    * that catches paraphrase mills and template farms dedup misses
+    * (a doc can be a non-duplicate while contributing zero novel
+    * n-grams), and the attribution primitive behind
+    * contamination-style first-seen audits. Later near-copies score
+    * ≈ 0; their originals keep scoring high because min() attributes
+    * every shared shingle to the earliest id.
+    *
+    * Shape: reuses the cached [[hashedShingles]] frame for BOTH the
+    * first-seen table (one h-keyed min aggregate — vocabulary-sized
+    * output) and the join-back, so the corpus tokenizes once and the
+    * only shuffles are h-keyed. At 100 TB the first-seen table is the
+    * maintained incremental artifact (merge min per batch), exactly
+    * like [[corpusHashIndex]].
+    */
+  def ngramNovelty(corpus: DataFrame): DataFrame = {
+    val hs = graft.CacheScope.cached(hashedShingles(corpus))
+    val first = hs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    hs.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_r",
+        round(col("n_novel") / col("n_shingles").cast("double"), 6))
+  }
+
   /** Pairwise source-overlap matrix: for every pair of sources, the
     * number of distinct shingles they share and the Jaccard of their
     * shingle sets — the corpus-composition diagnostic that answers

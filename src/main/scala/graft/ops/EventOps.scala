@@ -288,6 +288,31 @@ object EventOps {
           .as("lift_r"))
   }
 
+  /** Recency-decayed activity score per user — the feature-store
+    * staple behind churn/engagement features: each event contributes
+    * its value halved once per elapsed half-life relative to an
+    * explicit anchor (deterministic — never wall-clock). The decay is
+    * quantized to WHOLE half-lives (2^-floor(age/halflife)), which
+    * keeps every weight an exact power of two in IEEE — bit-identical
+    * across engines, where a smooth exp(-λ·age) differs in the last
+    * ulp between libm implementations and flakes a hash compare.
+    *
+    * Shape: one map-side weight projection + one per-user aggregate
+    * (map-side combinable) — a single |users|-row shuffle at any
+    * scale.
+    */
+  def recencyScore(events: DataFrame, anchorUs: Long, halflifeDays: Double): DataFrame = {
+    val ageDays = (lit(anchorUs) - col("ts_us")) / lit(86400e6)
+    val w = col("value") / pow(lit(2.0), floor(ageDays / lit(halflifeDays)))
+    events
+      .filter(col("user_id").isNotNull && col("ts_us") <= anchorUs)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts_us")).as("last_seen_us"),
+        round(sum(w), 4).as("recency_score_r"))
+  }
+
   /** Two-proportion A/B z-test: users split into deterministic
     * buckets, "converted" = has ≥1 `convType` event; reports per-arm
     * counts/rates and the pooled two-proportion z statistic. One

@@ -58,6 +58,40 @@ class Batch18OpsSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - exp2) < 1e-9, s"doc2: ${got(2L)} vs $exp2")
   }
 
+  test("ngramNovelty: originals own their shingles, copies score zero, fresh text scores one") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // original: 4 shingles, all first-seen here
+      (2L, "a b c d e f"),        // exact later copy: nothing novel
+      (3L, "x y z w v"),          // fresh: fully novel
+      (4L, "a b c q r s")         // partial overlap: shares (a b c) only
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    CacheScope.flush()
+    assert(got(1L) === ((4L, 4L, 1.0)))
+    assert(got(2L) === ((4L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+    assert(got(4L) === ((4L, 3L, 0.75)))  // (a b c) attributed to doc 1
+  }
+
+  test("recencyScore: whole-half-life halvings, anchor cutoff, hand-computed") {
+    val day = 86400000000L
+    val anchor = 10 * day
+    val ev = Seq(
+      // user 1: value 8 at age 0d (w=1), value 8 at age 2d (w=1/2: one 2d half-life)
+      (1L, Some(1L), anchor, 8.0), (2L, Some(1L), anchor - 2 * day, 8.0),
+      // user 2: value 4 at age 5d -> floor(2.5)=2 halvings -> 1
+      (3L, Some(2L), anchor - 5 * day, 4.0),
+      // beyond the anchor and NULL user: excluded
+      (4L, Some(1L), anchor + day, 100.0), (5L, None, anchor, 100.0)
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val got = graft.ops.EventOps.recencyScore(ev, anchor, halflifeDays = 2.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, anchor, 12.0)))
+    assert(got(2L) === ((1L, anchor - 5 * day, 1.0)))
+    assert(got.size === 2)
+  }
+
   test("clusterPurity: planted label-aligned clusters read as pure, mixed as impure") {
     // two tight blobs on orthogonal axes; blob A all label 0, blob B
     // half 1 half 2 -> one pure cell and one 0.5 cell (labels tie-break
