@@ -391,6 +391,74 @@ object Text {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
+  /** FULL BPE merge training — the iterative closure of
+    * [[bpePairCounts]] (which is iteration zero): learn `nMerges`
+    * merges the way Sennrich et al. 2016's learn_bpe does, and the way
+    * every production trainer structures it. ONE corpus pass collapses
+    * to the word-type histogram (vocabulary-sized, the Heaps'-law
+    * bound — the same collapse bpePairCounts already justifies); the
+    * merge loop then runs DRIVER-LOCAL over that histogram, because
+    * each iteration's pair counts depend on the previous merge —
+    * a per-iteration distributed job would pay |iterations| shuffles
+    * to aggregate a table that fits in memory by construction. This is
+    * a bounded MODEL BUILD (like the k-means centroid training), not a
+    * data collect: the histogram is |word types| rows however large
+    * the corpus.
+    *
+    * Determinism contract: argmax pair by (weighted count DESC, then
+    * (left, right) lexicographic ASC) — the same tiebreak family as
+    * bpePairCounts' (cnt DESC, pair ASC) output order. Training stops
+    * early when no adjacent pair repeats. Feed the result straight to
+    * [[bpeApply]].
+    */
+  def bpeTrain(documents: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val vocab: Array[(Array[String], Long)] = documents
+      .select(explode(Dedup.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    var words = vocab
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (parts, wc) =>
+        var i = 0
+        while (i < parts.length - 1) {
+          val key = (parts(i), parts(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + wc
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        if (best._2 < 2) exhausted = true // nothing repeats; merging is noise
+        else {
+          val (a, b) = best._1
+          merges += ((a, b))
+          words = words.map { case (parts, wc) =>
+            if (parts.length < 2) (parts, wc)
+            else {
+              val out = scala.collection.mutable.ArrayBuffer[String]()
+              var i = 0
+              while (i < parts.length) {
+                if (i < parts.length - 1 && parts(i) == a && parts(i + 1) == b) {
+                  out += (a + b); i += 2
+                } else { out += parts(i); i += 1 }
+              }
+              (out.toArray, wc)
+            }
+          }
+          m += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
   /** BPE tokenization — APPLYING a trained merge list (the runtime
     * counterpart of [[bpePairCounts]]' training): each whitespace word
     * starts as its character sequence, and the lowest-rank adjacent

@@ -168,6 +168,25 @@ class Batch12to17Props extends AnyFunSuite {
     }
   }
 
+  test("ngramNovelty: novel counts partition the shingle vocabulary (conservation law)") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val docs = (0 until 50).map { i =>
+        val n = 3 + rnd.nextInt(15)
+        (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(10)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = Dedup.ngramNovelty(docs).collect()
+      CacheScope.flush()
+      // every distinct shingle hash is attributed to exactly ONE doc
+      // (its min-id owner), so novel counts sum to the vocabulary size
+      val vocab = Dedup.hashedShingles(docs).select("h").distinct().count()
+      CacheScope.flush()
+      assert(out.map(_.getLong(2)).sum === vocab,
+        s"trial $trial: attribution not a partition")
+      assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    }
+  }
+
   test("clusterPurity: purities in (0,1], populations sum to the table, majority is argmax") {
     val rnd = new scala.util.Random(47)
     val dim = 8
