@@ -411,11 +411,18 @@ object Text {
     * early when no adjacent pair repeats. Feed the result straight to
     * [[bpeApply]].
     */
-  def bpeTrain(documents: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  def bpeTrain(documents: DataFrame, nMerges: Int,
+               minWordCount: Long = 1L): Seq[(String, String)] = {
+    // `minWordCount` is the scale lever learn_bpe ships with: hapax
+    // words are noise to merge statistics and dominate an open-domain
+    // vocabulary's row count, so pruning them bounds the driver-side
+    // histogram however large the corpus (the filter runs AFTER the
+    // map-side-combined count, so the shuffle is already vocab-sized).
     val vocab: Array[(Array[String], Long)] = documents
       .select(explode(Dedup.tokens(col("text"))).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minWordCount)
       .collect()
       .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     var words = vocab

@@ -52,6 +52,14 @@ class BpeTrainSpec extends AnyFunSuite {
       s"more merges must shrink the corpus: $t0 -> $t10 -> $t40")
   }
 
+  test("minWordCount prunes hapax words from the merge statistics") {
+    // "xy" appears once; with minWordCount=2 only "ab ab" counts
+    val docs = Seq((1L, "ab ab xy")).toDF("doc_id", "text")
+    assert(Text.bpeTrain(docs, 3, minWordCount = 2L) === Seq(("a", "b")))
+    // at the default, (x,y) still can't win (count 1 < 2 repeat floor)
+    assert(Text.bpeTrain(docs, 3) === Seq(("a", "b")))
+  }
+
   test("training is reproducible run-to-run") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(50).select(col("doc_id"), col("text"))
