@@ -136,6 +136,69 @@ object StreamingAggregates {
       }
   }
 
+  final case class DecayInput(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+  final case class DecayState(lastUs: Long, score: Double, nEvents: Long)
+  final case class DecayOut(user_id: Long, ts_us: Long, n_events: Long, score: Double)
+
+  /** Streaming recency-decayed activity — the continuous twin of
+    * `EventOps.recencyScore` in its SMOOTH form: per user, state is
+    * (last event time, score at that time, event count), and each
+    * arrival first decays the stored score by 2^(-Δt/halflife) before
+    * adding its value. The exponential's self-similarity makes the
+    * incremental fold equal the batch sum Σ value·2^(-(t_now-t_i)/h)
+    * up to float associativity (spec-checked at 1e-9 relative) — the
+    * standard trick that lets a feature store keep ONE row of state
+    * per user instead of an event history. Emits the running score at
+    * each arrival; project the latest per user downstream. State is
+    * three fields per user, evicted after `idleUs` of event-time
+    * silence (a user who returns later restarts from zero — by then
+    * the decayed score is below any actionable threshold, which is
+    * exactly why the timeout is safe).
+    *
+    * The BATCH q_recency_score uses whole-half-life quantization for
+    * cross-engine oracle exactness; this streaming form uses the
+    * smooth decay because incremental-decay(quantized) ≠
+    * quantized(batch) — floor of differences is not the difference of
+    * floors. The spec pins this form against its own smooth batch
+    * reference.
+    */
+  def recencyScores(
+      events: Dataset[DecayInput],
+      halflifeDays: Double,
+      idleUs: Long,
+      lateness: String = "1 hour"): Dataset[DecayOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val halflifeUs = halflifeDays * 86400e6
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", lateness)
+      .as[DecayInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayState, DecayOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[DecayInput], state: GroupState[DecayState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0, 0L))
+            val out = Seq.newBuilder[DecayOut]
+            sorted.foreach { e =>
+              val decayed =
+                if (st.nEvents == 0L) 0.0
+                else st.score * math.pow(2.0, -(e.ts_us - st.lastUs) / halflifeUs)
+              st = DecayState(e.ts_us, decayed + e.value, st.nEvents + 1L)
+              out += DecayOut(user, e.ts_us, st.nEvents, st.score)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastUs + idleUs) / 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SessionInput(user_id: Long, ts_us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -236,6 +236,21 @@ object ScaleStress {
         s"off-count=$badN (expect 0/0) over $nCont containers")
     }
 
+    // 10b. N-gram novelty at full width: the first-seen (h-keyed min)
+    //      table and join-back over ~33 shingles/doc. Planted
+    //      expectation: each dup clique's 3 later members share every
+    //      base shingle with the clique head (novelty ≈ 2/33 — only
+    //      the perturbed tail is theirs), singletons own all their
+    //      shingles (novelty 1.0), so the low-novelty count must equal
+    //      3/4 of the dup share.
+    timed("ngramNovelty") {
+      val low = ops.Dedup.ngramNovelty(corpus)
+        .filter(col("novelty_r") < 0.2).count()
+      CacheScope.flush()
+      println(s"[scale]   low-novelty docs=$low (expect ${nDupDocs / 4 * 3})")
+      assert(low == nDupDocs / 4 * 3, "novelty attribution drifted at scale")
+    }
+
     // 11. REAL codec throughput at 200k payloads (~0.5 GB of WAV, ~0.2
     //     GB of PPM): binary round-trip per row through the actual
     //     parsers, every 13th payload corrupted — verdict counts must

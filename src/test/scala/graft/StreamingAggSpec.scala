@@ -143,4 +143,49 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(streamed(3L) === None)
     assert(streamed(7L) === Some(t0 + 7))
   }
+
+  test("streaming recency scores: incremental decay equals the smooth batch sum across batches") {
+    import StreamingAggregates.{DecayInput, DecayOut}
+    val base = java.nio.file.Files.createTempDirectory("graft-sdecay").toString
+    val day = 86400000000L
+    val t0 = 1704067200000000L
+    val h = 2.0
+    // user 1: three events across two micro-batches (the second
+    // out-of-order WITHIN its batch); user 2: one event
+    val b1 = Seq(
+      DecayInput(1L, 1L, t0, 8.0), DecayInput(2L, 1L, t0 + 2 * day, 4.0),
+      DecayInput(3L, 2L, t0 + day, 5.0))
+    val b2 = Seq(
+      DecayInput(5L, 1L, t0 + 5 * day, 2.0),
+      DecayInput(4L, 1L, t0 + 3 * day, 1.0)) // late-in-batch, folds by ts
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    def run(rows: Seq[DecayInput]): Unit = {
+      rows.toDF().coalesce(1).write.mode("append").parquet(s"$base/src")
+      StreamingAggregates.recencyScores(
+          spark.readStream.schema(schema).parquet(s"$base/src").as[DecayInput],
+          halflifeDays = h, idleUs = 365L * day)
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    run(b1); run(b2)
+    // latest emitted row per user = the running score at its last event
+    val latest = spark.read.parquet(s"$base/sink").as[DecayOut].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.ts_us) }
+    // smooth batch reference: sum of value * 2^(-(tLast - t)/h) per user
+    def ref(events: Seq[(Long, Double)]): Double = {
+      val tLast = events.map(_._1).max
+      events.map { case (t, v) => v * math.pow(2.0, -(tLast - t) / (h * day)) }.sum
+    }
+    val u1 = ref(Seq((t0, 8.0), (t0 + 2 * day, 4.0), (t0 + 3 * day, 1.0), (t0 + 5 * day, 2.0)))
+    assert(math.abs(latest(1L).score - u1) / u1 < 1e-9,
+      s"user 1: ${latest(1L).score} vs $u1")
+    assert(latest(1L).n_events === 4L)
+    assert(latest(2L).score === 5.0 && latest(2L).n_events === 1L)
+  }
 }
