@@ -1919,6 +1919,15 @@ object SparkEntry {
       EventOps.recencyScore(Tables.events(s, dir),
           Tables.D2024_01_20_US, halflifeDays = 2.0)
         .orderBy(col("user_id"))
+    }),
+
+    "q_dup_cluster_stats" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the post-dedup audit composed over the SAME keeper run as
+      // q_dedup_cc (chain corpus -> CC keepers -> size histogram)
+      Dedup.clusterSizeHistogram(
+          Dedup.connectedComponentKeepers(chainCorpus(s, dir, cap = 500), minJaccard = 0.7))
+        .orderBy(col("cluster_size"))
     })
   )
 
@@ -2051,6 +2060,68 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL — same tables, same column names, same row order.
   // ---------------------------------------------------------------------------
+
+  /** The CC keeper oracle's CTE chain (corpus construction → shingle
+    * hashes → verified edges → transitive reach), shared verbatim by
+    * `q_dedup_cc` and the cluster-size histogram that composes on it.
+    */
+  private val ccKeeperCtes: String =
+    """        |base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |corpus AS (
+        |  SELECT doc_id, array_to_string(toks, ' ') AS text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.80 AS DOUBLE)) AS INT)], ' ')
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.64 AS DOUBLE)) AS INT)], ' ')
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |mh AS (
+        |  SELECT doc_id, seeds.seed,
+        |         min(((37 + 101 * seeds.seed) * h + 13 + 97 * seeds.seed) % 2147483647) AS mh
+        |  FROM hx, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY doc_id, seeds.seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band_id,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.a, c.b, count(*) AS cnt FROM cands c
+        |  JOIN hx xa ON xa.doc_id = c.a
+        |  JOIN hx xb ON xb.doc_id = c.b AND xb.h = xa.h
+        |  GROUP BY c.a, c.b),
+        |verified AS (
+        |  SELECT m.a, m.b FROM common m
+        |  JOIN sizes sa ON sa.doc_id = m.a
+        |  JOIN sizes sb ON sb.doc_id = m.b
+        |  WHERE round(m.cnt / (sa.sz + sb.sz - m.cnt), 4) >= 0.7),
+        |edges AS (
+        |  SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
+        |reach AS (
+        |  SELECT a AS doc_id, b AS r FROM edges
+        |  UNION
+        |  SELECT rc.doc_id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_events" ->
@@ -2702,67 +2773,26 @@ object SparkEntry {
     // over the prefix-truncated CHAIN corpus, then a recursive CTE for
     // reachability — keep_id = min doc_id in the connected component.
     "q_dedup_cc" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
-        |  FROM documents WHERE doc_id < 500),
-        |corpus AS (
-        |  SELECT doc_id, array_to_string(toks, ' ') AS text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.80 AS DOUBLE)) AS INT)], ' ')
-        |  FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 200000,
-        |         array_to_string(toks[1:CAST(ceil(len(toks) * CAST(0.64 AS DOUBLE)) AS INT)], ' ')
-        |  FROM base),
-        |tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
-        |  FROM corpus),
-        |shx AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks) - 2, 1)),
-        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
-        |  FROM tok),
-        |hx AS (
-        |  SELECT doc_id,
-        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
-        |  FROM shx),
-        |mh AS (
-        |  SELECT doc_id, seeds.seed,
-        |         min(((37 + 101 * seeds.seed) * h + 13 + 97 * seeds.seed) % 2147483647) AS mh
-        |  FROM hx, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
-        |  GROUP BY doc_id, seeds.seed),
-        |bands AS (
-        |  SELECT doc_id, seed // 4 AS band_id,
-        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-        |  FROM mh GROUP BY doc_id, seed // 4),
-        |cands AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
-        |common AS (
-        |  SELECT c.a, c.b, count(*) AS cnt FROM cands c
-        |  JOIN hx xa ON xa.doc_id = c.a
-        |  JOIN hx xb ON xb.doc_id = c.b AND xb.h = xa.h
-        |  GROUP BY c.a, c.b),
-        |verified AS (
-        |  SELECT m.a, m.b FROM common m
-        |  JOIN sizes sa ON sa.doc_id = m.a
-        |  JOIN sizes sb ON sb.doc_id = m.b
-        |  WHERE round(m.cnt / (sa.sz + sb.sz - m.cnt), 4) >= 0.7),
-        |edges AS (
-        |  SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
-        |reach AS (
-        |  SELECT a AS doc_id, b AS r FROM edges
-        |  UNION
-        |  SELECT rc.doc_id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)
+      s"""WITH RECURSIVE $ccKeeperCtes
         |SELECT c.doc_id,
         |       least(c.doc_id, coalesce(min(rc.r), c.doc_id)) AS keep_id
         |FROM (SELECT doc_id FROM corpus) c
         |LEFT JOIN reach rc ON rc.doc_id = c.doc_id
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q_dup_cluster_stats" ->
+      s"""WITH RECURSIVE $ccKeeperCtes,
+        |keep AS (
+        |  SELECT c.doc_id,
+        |         least(c.doc_id, coalesce(min(rc.r), c.doc_id)) AS keep_id
+        |  FROM (SELECT doc_id FROM corpus) c
+        |  LEFT JOIN reach rc ON rc.doc_id = c.doc_id
+        |  GROUP BY c.doc_id),
+        |sz AS (SELECT keep_id, count(*) AS cluster_size FROM keep GROUP BY keep_id)
+        |SELECT cluster_size,
+        |       CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
 
     // First-principles expectation for the GA4 nested extraction: the
     // oracle never touches event_params — it re-states, per event_id % 5

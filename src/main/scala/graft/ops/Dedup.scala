@@ -629,6 +629,26 @@ object Dedup {
           .as("keep"))
   }
 
+  /** Duplicate-cluster size distribution — the audit run AFTER a
+    * dedup pass: how many singletons, pairs, triples, ... did the
+    * keeper assignment produce? A histogram whose mass sits in large
+    * clusters means boilerplate/mirrors dominate the corpus (act
+    * before training); all-singletons means the dedup found nothing
+    * (check thresholds). Composes on ANY keeper frame
+    * ([[connectedComponentKeepers]], [[lshDedupKeepers]],
+    * [[Text.canonicalUrlDedup]]'s keep_id, ...).
+    *
+    * Shape: two tiny aggregations over the keeper frame — |clusters|
+    * rows then |distinct sizes| rows. The expensive part is whatever
+    * produced the keepers; this adds nothing data-sized.
+    */
+  def clusterSizeHistogram(keepers: DataFrame): DataFrame =
+    keepers
+      .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** Per-document n-gram novelty: the fraction of a doc's distinct
     * 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id)
     * is the doc itself — the "how much of this is new text?" signal

@@ -74,6 +74,18 @@ class Batch18OpsSpec extends AnyFunSuite {
     assert(got(4L) === ((4L, 3L, 0.75)))  // (a b c) attributed to doc 1
   }
 
+  test("clusterSizeHistogram: sizes partition the corpus; composes over any keeper frame") {
+    val keepers = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),     // triple
+      (4L, 4L), (5L, 4L),               // pair
+      (6L, 6L), (7L, 7L)                // singletons
+    ).toDF("doc_id", "keep_id")
+    val got = graft.ops.Dedup.clusterSizeHistogram(keepers).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+    assert(got.values.map(_._2).sum === 7L, "n_docs must partition the corpus")
+  }
+
   test("recencyScore: whole-half-life halvings, anchor cutoff, hand-computed") {
     val day = 86400000000L
     val anchor = 10 * day
