@@ -1928,6 +1928,98 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(
           Dedup.connectedComponentKeepers(chainCorpus(s, dir, cap = 500), minJaccard = 0.7))
         .orderBy(col("cluster_size"))
+    }),
+
+    // ---- batch 19: sub-doc dedup, sparse retrieval, KN smoothing,
+    //      l-diversity, SQ ANN, perceptual image hash ----
+
+    "q_dedup_lines" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the perturbed corpus plants sub-document duplication: each
+      // +100000 copy repeats every full 8-token segment of its
+      // original, so copies score high dup_frac while originals keep
+      // first-occurrence credit
+      Dedup.segmentDedup(perturbedCorpus(s, dir), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sparse_cosine" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tfidfCosineTopK(Tables.documents(s, dir),
+          nQueries = 20, k = 5, dfCapFrac = 0.85)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_kn_bigram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.knBigramLogProb(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          discount = 0.75)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_l_diversity" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // QI = (event_type, day); subject = user_id; sensitive = the
+      // coarse value band floor(value/100). The value distribution is
+      // right-skewed (bands 2-4 per group), so k = 50 and l = 3 each
+      // suppress a REAL subset of groups — both gates are exercised
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .withColumn("v_band", floor(col("value") / 100).cast("long"))
+      Relational.lDiversity(ev, Seq("event_type", "day"), "user_id", "v_band",
+          "value", k = 50, l = 3)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q_sim_sq" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.cosineTopKSq(Tables.embeddings(s, dir),
+          nQueries = 10, k = 5, shortlist = 20)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_media_phash" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // REAL perceptual-hash round trip: 16x16 two-tone rasters whose
+      // 2x2 blocks follow a bijective bit pattern seeded by doc_id % 5
+      // are ENCODED as PPM bytes, every 9th truncated; the actual
+      // decode -> resize(8x8) -> luma -> mean-threshold path then runs,
+      // and exact-hash grouping assigns keepers. The oracle derives the
+      // same 64-bit pattern arithmetically from doc_id, so a decode,
+      // resize-sampling, luma, threshold, or grouping bug all mismatch.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = (id % 5).toInt * 13
+          val rgb = new Array[Byte](16 * 16 * 3)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val i8 = (y / 2) * 8 + (x / 2)
+              val v: Byte = if ((i8 * 31 + seed) % 64 < 32) 255.toByte else 0.toByte
+              val p = (y * 16 + x) * 3
+              rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(16, 16, rgb))
+          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      val byHash = Window.partitionBy(col("ahash"))
+      Multimodal.averageHash(media, size = 8).toDF()
+        .withColumn("group_n", when(col("decoded") === 0, 0L)
+          .otherwise(count(lit(1)).over(byHash).cast("long")))
+        .withColumn("keep", when(col("decoded") === 0, 0L)
+          .otherwise(when(col("media_id") === min(col("media_id")).over(byHash), 1L)
+            .otherwise(0L)))
+        .select(col("media_id"), col("decoded").cast("long").as("decoded"),
+          col("ahash"), col("group_n"), col("keep"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -4497,7 +4589,171 @@ object SparkEntry {
         |         AS recency_score_r
         |FROM events
         |WHERE user_id IS NOT NULL AND epoch_us(ts) <= 1705708800000000
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ---- batch 19 ----
+
+    // occurrence key doc_id*1e6 + (line-1)*1e3 + chunk matches the
+    // Spark side's packed (doc, line, chunk) total order (Spark lines
+    // are 0-based posexplode; generate_series here is 1-based)
+    "q_dedup_lines" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |ln AS (
+        |  SELECT doc_id, li,
+        |         list_filter(string_split(lines[li], ' '), t -> t != '') AS toks
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+        |       unnest(generate_series(1, len(lines))) AS u(li)),
+        |seg AS (
+        |  SELECT doc_id, li, si,
+        |         array_to_string(list_slice(toks, si * 8 + 1, si * 8 + 8), ' ') AS seg
+        |  FROM ln, unnest(generate_series(0, (len(toks) - 1) // 8)) AS v(si)
+        |  WHERE len(toks) >= 1),
+        |keyed AS (
+        |  SELECT doc_id, seg,
+        |         doc_id * 1000000 + (li - 1) * 1000 + si AS k
+        |  FROM seg),
+        |firsts AS (
+        |  SELECT doc_id, k, min(k) OVER (PARTITION BY seg) AS first_k FROM keyed)
+        |SELECT doc_id,
+        |       count(*) AS n_segs,
+        |       CAST(sum(CASE WHEN k <> first_k THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(sum(CASE WHEN k <> first_k THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |wt AS (
+        |  SELECT doc_id, token, tf * ln(n / df) AS w
+        |  FROM tf JOIN df USING (token), nd
+        |  WHERE df <= n * 0.85),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY 1),
+        |unitv AS (
+        |  SELECT wt.doc_id, token, w / nrm AS wn
+        |  FROM wt JOIN nrm USING (doc_id)),
+        |scored AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |         CAST(count(*) AS BIGINT) AS n_common,
+        |         round(sum(q.wn * c.wn), 4) AS cos_r
+        |  FROM unitv q JOIN unitv c USING (token)
+        |  WHERE q.doc_id < 20 AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, c_id, n_common, cos_r, rnk FROM (
+        |  SELECT q_id, c_id, n_common, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_kn_bigram" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS next
+        |  FROM dt, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, prev, next, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+        |lk AS (SELECT prev, next, CAST(sum(c) AS BIGINT) AS bc FROM db GROUP BY 1, 2),
+        |lk2 AS (SELECT prev, next, bc,
+        |        CAST(sum(bc) OVER (PARTITION BY prev) AS BIGINT) AS cc,
+        |        CAST(count(*) OVER (PARTITION BY prev) AS BIGINT) AS n1p
+        |        FROM lk),
+        |cont AS (SELECT next, CAST(count(*) AS BIGINT) AS ncont FROM lk GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ttypes FROM lk)
+        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+        |       round(sum(db.c * ln(greatest(bc - 0.75, 0) / cc
+        |             + (0.75 * n1p / cc) * (ncont / CAST(ttypes AS DOUBLE))))
+        |             / sum(db.c), 4) AS kn_logprob
+        |FROM db JOIN lk2 USING (prev, next) JOIN cont USING (next), tot
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_rows,
+        |         count(DISTINCT user_id) AS n_subjects,
+        |         count(DISTINCT CAST(floor(value / 100) AS BIGINT)) AS n_sensitive,
+        |         round(sum(value), 4) AS sum_v
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, day, n_rows, n_subjects, n_sensitive,
+        |       CASE WHEN n_subjects >= 50 AND n_sensitive >= 3
+        |            THEN sum_v END AS sum_v_released,
+        |       CAST(CASE WHEN n_subjects >= 50 AND n_sensitive >= 3
+        |            THEN 0 ELSE 1 END AS BIGINT) AS suppressed
+        |FROM g ORDER BY event_type, day""".stripMargin,
+
+    // SQ8 shortlist: round(x/scale)*scale dequantization recomputed
+    // from the same per-vector max-abs scale the Spark side stores
+    "q_sim_sq" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sq AS (
+        |  SELECT vec_id, v,
+        |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |              ELSE list_max(list_transform(v, x -> abs(x))) / 127 END AS scale
+        |  FROM e),
+        |dqv AS (
+        |  SELECT vec_id, v,
+        |         list_transform(v, x -> round(x / scale) * scale) AS dq
+        |  FROM sq),
+        |n AS (
+        |  SELECT vec_id, v, dq,
+        |         sqrt(list_dot_product(v, v)) AS nrm,
+        |         sqrt(list_dot_product(dq, dq)) AS dn
+        |  FROM dqv),
+        |adc AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         round(list_dot_product(q.v, c.dq) / (q.nrm * c.dn), 6) AS adc_r
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |short AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY adc_r DESC, c_id) AS srnk
+        |    FROM adc) WHERE srnk <= 20),
+        |re AS (
+        |  SELECT s.q_id, s.c_id,
+        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_r
+        |  FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
+        |SELECT q_id, c_id, cos_r, rnk FROM (
+        |  SELECT q_id, c_id, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM re) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // derivation oracle: the Spark side ENCODES 16x16 PPMs, DECODES,
+    // resizes to 8x8 and thresholds luma; the oracle restates the
+    // bijective bit pattern ((i*31 + seed) % 64 < 32) from doc_id
+    "q_media_phash" ->
+      """WITH hx AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 9 = 0 THEN NULL
+        |              ELSE array_to_string(list_transform(generate_series(0, 63),
+        |                     i -> CASE WHEN (i * 31 + (doc_id % 5) * 13) % 64 < 32
+        |                               THEN '1' ELSE '0' END), '')
+        |         END AS ahash
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decoded,
+        |       ahash,
+        |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            ELSE count(*) OVER (PARTITION BY ahash) END AS BIGINT) AS group_n,
+        |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            WHEN doc_id = min(doc_id) OVER (PARTITION BY ahash) THEN 1
+        |            ELSE 0 END AS BIGINT) AS keep
+        |FROM hx ORDER BY media_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

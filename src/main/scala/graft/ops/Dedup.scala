@@ -678,6 +678,56 @@ object Dedup {
         round(col("n_novel") / col("n_shingles").cast("double"), 6))
   }
 
+  /** Segment-level exact dedup — the RefinedWeb/MassiveText "line
+    * deduplication" stage (Penedo et al. 2023 §3.3; C4 dedups
+    * three-sentence spans the same way): boilerplate repeats at
+    * SUB-document granularity (navigation chrome, license headers,
+    * shared intros), so whole-doc hashing misses it. Text splits on
+    * newlines, each line chunks into fixed `w`-token segments (the
+    * newline split is the real-corpus path; the chunking makes the
+    * stage robust to single-line documents), and a segment occurrence
+    * is a duplicate iff an identical segment appeared EARLIER in
+    * corpus order (doc_id, line, chunk) — first occurrence keeps, the
+    * attribution rule shared with [[ngramNovelty]].
+    *
+    * Output per doc: segment count, duplicated-segment count, dup
+    * fraction — the score a pipeline thresholds to drop or trim docs.
+    *
+    * Shape: explode to (doc, line, chunk, segment) once; the
+    * first-occurrence key is a min window over the segment value —
+    * ONE hash shuffle on segment, no join-back — then a doc-keyed
+    * aggregate with map-side partials. At 100 TB hash the segment to
+    * 16 bytes before the shuffle (the [[hashedShingles]] move) and
+    * maintain first-seen incrementally like [[corpusHashIndex]].
+    */
+  def segmentDedup(corpus: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, "segment width must be positive")
+    val byLine = corpus
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no"), tokens(col("line")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val segs = byLine.select(
+      col("doc_id"), col("line_no"),
+      posexplode(transform(
+        sequence(lit(0), ((size(col("toks")) - 1) / w).cast("int")),
+        i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))).as(Seq("seg_i", "seg")))
+    // total order on occurrences (doc, line, chunk) packed into one
+    // long so the min-window is engine-portable; bounds documented:
+    // doc_id < ~9e12, line_no/seg_i < 1000 at web-doc sizes
+    val key = col("doc_id") * 1000000L + col("line_no") * 1000L + col("seg_i")
+    val bySeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+    segs
+      .withColumn("k", key)
+      .withColumn("first_k", min(col("k")).over(bySeg))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("k") =!= col("first_k"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup") / col("n_segs").cast("double"), 4))
+  }
+
   /** Pairwise source-overlap matrix: for every pair of sources, the
     * number of distinct shingles they share and the Jaccard of their
     * shingle sets — the corpus-composition diagnostic that answers

@@ -307,6 +307,56 @@ object Multimodal {
     }
   }
 
+  /** One perceptual hash per payload: decoded flag + the aHash bit
+    * string (null when quarantined). */
+  final case class MediaHash(media_id: Long, decoded: Int, ahash: String)
+
+  /** Perceptual average-hash (aHash) over decoded rasters — the
+    * image-side entry into the dedup family: decode → nearest-
+    * neighbour resize to `size`×`size` → per-pixel luma → threshold at
+    * the image's mean luma → size² bits. Identical images hash
+    * equal; re-encodes, small crops, and resolution changes mostly
+    * agree bit-for-bit, and NEAR-duplicates differ in a few bits, so
+    * downstream grouping is exact-hash for copies and hamming-band
+    * (split the bits into b bands, bucket-join like the MinHash LSH
+    * path in [[graft.ops.Dedup]]) for near-dups. The hash is emitted
+    * as a bit STRING for engine-portable comparison; production packs
+    * it to size²/8 bytes.
+    *
+    * Shape: pure map-side per-partition decode (same quarantine
+    * contract as [[decodePpmFeatures]] — malformed payloads surface
+    * with decoded = 0 and a NULL hash); whatever groups the hashes
+    * afterwards shuffles size²/8-byte keys, never pixels.
+    */
+  def averageHash(media: Dataset[MediaRow], size: Int = 8): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        PpmCodec.decode(row.bytes) match {
+          case Some(img0) =>
+            val img = PpmCodec.resize(img0, size, size)
+            val n = size * size
+            val luma = new Array[Double](n)
+            var s = 0.0
+            var p = 0
+            while (p < n) {
+              val l = 0.299 * (img.rgb(p * 3) & 0xff) +
+                0.587 * (img.rgb(p * 3 + 1) & 0xff) +
+                0.114 * (img.rgb(p * 3 + 2) & 0xff)
+              luma(p) = l; s += l; p += 1
+            }
+            val mean = s / n
+            val bits = new Array[Char](n)
+            p = 0
+            while (p < n) { bits(p) = if (luma(p) > mean) '1' else '0'; p += 1 }
+            MediaHash(row.media_id, 1, new String(bits))
+          case None => MediaHash(row.media_id, 0, null)
+        }
+      }
+    }
+  }
+
   /** Manufacture a media table from `documents` (the harness testdata
     * has no binary table): text bytes as payload, kind round-robin by
     * id. This is the ingest-side schema any real media source would

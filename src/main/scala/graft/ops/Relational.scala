@@ -474,4 +474,36 @@ object Relational {
         when(col("n_subjects") >= k, col("sum_v")).as("sum_v_released"),
         when(col("n_subjects") >= k, 0L).otherwise(1L).as("suppressed")): _*)
   }
+
+  /** l-diversity release gate — the homogeneity-attack fix on top of
+    * [[kAnonymize]] (Machanavajjhala et al., ICDE 2006): a QI group
+    * can be k-anonymous yet leak everything if all k subjects SHARE
+    * the sensitive value ("every 55-year-old in 02139 has cancer"), so
+    * release additionally requires ≥ `l` DISTINCT sensitive values in
+    * the group. Groups failing either bar are emitted with their
+    * aggregate withheld (NULL) and a suppressed flag — never silently
+    * dropped, so the release audit sees what was withheld and why.
+    *
+    * Shape: one QI-keyed aggregate; both distinct counts partial-
+    * aggregate map-side. Same 100 TB shape as [[kAnonymize]] — the
+    * output is |QI groups|-sized, never data-sized.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], subjectCol: String,
+                 sensitiveCol: String, valueCol: String, k: Int, l: Int): DataFrame = {
+    val grouped = df.filter(col(subjectCol).isNotNull)
+      .groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(subjectCol)).as("n_subjects"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"),
+        round(sum(col(valueCol)), 4).as("sum_v"))
+    val released = col("n_subjects") >= k && col("n_sensitive") >= l
+    grouped.select(
+      qiCols.map(col) ++ Seq(
+        col("n_rows"),
+        col("n_subjects"),
+        col("n_sensitive"),
+        when(released, col("sum_v")).as("sum_v_released"),
+        when(released, 0L).otherwise(1L).as("suppressed")): _*)
+  }
 }

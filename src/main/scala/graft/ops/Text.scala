@@ -303,6 +303,69 @@ object Text {
         round(sum(col("c") * log(p)) / sum(col("c")), 4).as("interp_logprob"))
   }
 
+  /** Kneser-Ney discounted bigram scoring — the step up from
+    * [[interpolatedLogProb]]'s Jelinek-Mercer mixing and the method of
+    * record for n-gram LMs (Kneser & Ney 1995; the winner of Chen &
+    * Goodman 1999's survey): instead of a fixed λ, mass is moved by an
+    * ABSOLUTE DISCOUNT D subtracted from every seen bigram count, and
+    * the backoff distribution is the CONTINUATION unigram — how many
+    * distinct contexts a word follows, not how often it occurs — so
+    * "Francisco" (frequent but only ever after "San") stops stealing
+    * backoff mass:
+    *
+    *   P_KN(next|prev) = max(bc−D,0)/cc + D·N1+(prev,·)/cc · P_cont(next)
+    *   P_cont(next)    = |{prev : c(prev,next)>0}| / |bigram types|
+    *
+    * Per doc: count-weighted mean ln P_KN over its bigram instances —
+    * the fluency score [[bigramLogProb]] produces, minus the unseen-
+    * continuation cliffs.
+    *
+    * Shape: identical to [[interpolatedLogProb]] — the corpus
+    * tokenizes ONCE into the cached (doc, prev, next, c) collapse;
+    * every model table (bigram lookup with context totals and
+    * distinct-continuation counts via prev-partitioned windows, the
+    * continuation-unigram table, the scalar type count) is
+    * VOCABULARY-sized and broadcast; the instance-keyed stream joins
+    * map-side and folds per doc. At 100 TB prune the lookup to the
+    * top-K vocabulary first (Heaps' law keeps it broadcastable).
+    */
+  def knBigramLogProb(documents: DataFrame, discount: Double): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "absolute discount must be in (0,1)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
+    val docBi = graft.CacheScope.cached(documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        try_element_at(col("toks"), col("i")).as("prev"),
+        try_element_at(col("toks"), col("i") + 1).as("next"))
+      .groupBy(col("doc_id"), col("prev"), col("next"))
+      .agg(count(lit(1)).as("c")))
+    // one row per SEEN bigram type: bc, context total cc, and the
+    // distinct-continuation count N1+(prev,·) both ride prev windows
+    val lookup = docBi.groupBy(col("prev"), col("next")).agg(sum(col("c")).as("bc"))
+      .withColumn("cc", sum(col("bc")).over(w))
+      .withColumn("n1p", count(lit(1)).over(w))
+    // continuation unigram: in how many distinct contexts does `next`
+    // appear — rows of `lookup` grouped by next; scalar = |types|
+    val cont = lookup.groupBy(col("next")).agg(count(lit(1)).as("ncont"))
+      .crossJoin(broadcast(
+        docBi.select(col("prev"), col("next")).distinct()
+          .agg(count(lit(1)).as("ttypes"))))
+    val d = lit(discount)
+    val p = greatest(col("bc") - d, lit(0.0)) / col("cc").cast("double") +
+      (d * col("n1p") / col("cc").cast("double")) *
+        (col("ncont") / col("ttypes").cast("double"))
+    docBi
+      .join(broadcast(lookup), Seq("prev", "next"))
+      .join(broadcast(cont), Seq("next"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("c") * log(p)) / sum(col("c")), 4).as("kn_logprob"))
+  }
+
   /** Intra-document repetition signals — the Gopher/MassiveText
     * repetition family (Rae et al. 2021 §A1.3) on one pass: token
     * count, distinct-token ratio (word-level diversity), the fraction
@@ -558,6 +621,76 @@ object Text {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
+  /** Sparse TF-IDF cosine retrieval over the inverted index — the
+    * LEXICAL twin of [[graft.ops.Sim.cosineTopK]]'s dense-embedding
+    * search, and the model-free baseline every retrieval pipeline
+    * starts from: docs become L2-normalized tf·idf vectors over the
+    * token vocabulary, and similarity is computed WITHOUT ever
+    * materializing vectors — pairs meet through the posting lists of
+    * their shared tokens (Bayardo et al., WWW 2007 "Scaling Up All
+    * Pairs Similarity Search"), so two docs with no token in common
+    * cost literally nothing.
+    *
+    * The df cap is the classic posting-list bound: a token in more
+    * than `dfCapFrac` of all docs is dropped BEFORE pair generation
+    * (its idf is near zero anyway), which caps the worst token's pair
+    * fan-out at (dfCapFrac·N)² — the lever that keeps the join from
+    * going quadratic at 100 TB. Weights and norms are defined over the
+    * kept vocabulary, so the pruned space is self-consistent. Next
+    * levers at scale, in order: Bayardo prefix filtering, then LSH
+    * over the sparse vectors.
+    *
+    * Shape: ONE tokenize pass → (doc, token) tf; vocabulary-sized df
+    * table broadcast back; per-doc norms fold map-side on the
+    * doc-partitioned tf stream; the query side (doc_id < nQueries) is
+    * broadcast so the corpus-side posting list streams through the
+    * pair join without shuffling; the (q, c) partial products
+    * partial-aggregate map-side. Rank window partitions by query.
+    */
+  def tfidfCosineTopK(documents: DataFrame, nQueries: Int, k: Int,
+                      dfCapFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dfCapFrac > 0.0 && dfCapFrac <= 1.0, "df cap must be a fraction of N")
+    // one up-front doc_id hash partition (the tfidfTopTerms trick):
+    // tf's (doc_id, token) group, the norm fold, and the unit join all
+    // reuse it — the only other exchanges are vocabulary-sized
+    val byDoc = documents.repartition(col("doc_id"))
+    // the tokenize+explode collapse is CACHED: df, norms, the unit
+    // posting list, and the query slice all read it — without the
+    // cache each branch re-tokenizes the corpus (the bigramLogProb
+    // lesson)
+    val tf = graft.CacheScope.cached(byDoc
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(countDistinct(col("doc_id")).cast("double").as("__n"))
+    val weighted = tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("__n") * dfCapFrac)
+      .withColumn("w", col("tf") * log(col("__n") / col("df")))
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val unit = weighted.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("token"), (col("w") / col("nrm")).as("wn"))
+    val q = unit.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("token"), col("wn").as("qw"))
+    val scored = unit
+      .join(broadcast(q), Seq("token"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        round(sum(col("wn") * col("qw")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id").as("c_id"), col("n_common"),
+        col("cos_r"), col("rnk"))
   }
 
   /** Polynomial rolling hash over the raw character stream

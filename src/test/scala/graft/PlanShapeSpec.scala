@@ -336,4 +336,41 @@ class PlanShapeSpec extends AnyFunSuite {
       s"instance stream shuffled for a lookup join:\n$p")
     CacheScope.flush()
   }
+
+  test("knBigramLogProb: lookup/continuation broadcast; instance side never sort-merges") {
+    val p = plan(graft.ops.Text.knBigramLogProb(docs, 0.75))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      s"KN lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"instance stream shuffled for a lookup join:\n$p")
+    CacheScope.flush()
+  }
+
+  test("segmentDedup: min-window on the segment partition — no join-back, never single-partition") {
+    val p = plan(Dedup.segmentDedup(docs, w = 2))
+    assert(!p.contains("Join"), s"first-occurrence became a join-back:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), s"global window leaked into:\n$p")
+  }
+
+  test("tfidfCosineTopK: df + query side broadcast; posting join never sort-merges") {
+    val p = plan(graft.ops.Text.tfidfCosineTopK(docs, nQueries = 5, k = 3,
+      dfCapFrac = 1.0))
+    assert(!p.contains("SortMergeJoin"),
+      s"posting-list join shuffled the corpus side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair join lost its token key:\n$p")
+    // (SinglePartition DOES appear — the 1-row scalar nDocs aggregate,
+    // same sanctioned shape as unigramLogProb's broadcast total)
+    CacheScope.flush()
+  }
+
+  test("cosineTopKSq: queries and shortlist broadcast back — candidates never shuffle") {
+    val emb = (0L until 200L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = plan(graft.ops.Sim.cosineTopKSq(emb, nQueries = 4, k = 3, shortlist = 8))
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate table shuffled for the refine join:\n$p")
+    CacheScope.flush()
+  }
 }
