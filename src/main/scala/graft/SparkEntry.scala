@@ -2020,6 +2020,80 @@ object SparkEntry {
         .select(col("media_id"), col("decoded").cast("long").as("decoded"),
           col("ahash"), col("group_n"), col("keep"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- batch 20: BM25, hybrid fusion, late interaction, skew
+    //      salting, perceptual-hash banding ----
+
+    "q_bm25" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.bm25TopK(Tables.documents(s, dir), nQueries = 20, k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_rrf" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // hybrid retrieval: fuse the tf-idf cosine ranking and the BM25
+      // ranking (incomparable score scales) per query via RRF
+      val docs = Tables.documents(s, dir)
+      Text.rrfFuse(Seq(
+          Text.tfidfCosineTopK(docs, nQueries = 10, k = 20, dfCapFrac = 0.85),
+          Text.bm25TopK(docs, nQueries = 10, k = 20)), c = 60.0, k = 5)
+        .orderBy(col("q_id"), col("fused_rnk"))
+    }),
+
+    "q_salted_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // events ⋈ per-event-type stats dim: 5 dim rows = EVERY key is
+      // hot, the worst case a plain shuffle join degenerates on. The
+      // salted plan fans each key 8 ways; the oracle is the UNSALTED
+      // join — identical result set is the operator's contract
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type").as("et")).agg(
+        count(lit(1)).as("n_t"),
+        round(sum(col("value")), 4).as("sum_v_r"))
+      Relational.saltedJoin(
+          ev.select(col("event_id"), col("event_type")),
+          dim, probeKey = "event_type", buildKey = "et", salt = 8)
+        .select(col("event_id"), col("event_type"), col("n_t"), col("sum_v_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_maxsim" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.maxSimTopK(Tables.embeddings(s, dir),
+          groupEvery = 4, nQueryDocs = 5, k = 5)
+        .orderBy(col("q_doc"), col("rnk"))
+    }),
+
+    "q_media_phash_band" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // near-dup image planting: base pattern from doc_id % 64, odd
+      // ids flip ONE bit at (doc_id/64) % 64 — same-base pairs sit at
+      // hamming 0/1/2 and banding must find them all; every 9th
+      // payload corrupt (quarantined out before banding)
+      val media = Tables.documents(s, dir)
+        .filter(col("doc_id") < 2000).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = (id % 64).toInt
+          val flip = if (id % 2 == 1) ((id / 64) % 64).toInt else -1
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val bright = (((i * 31 + base) % 64) < 32) != (i == flip)
+            val v: Byte = if (bright) 255.toByte else 0.toByte
+            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+            i += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(8, 8, rgb))
+          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      Multimodal.phashNearDupPairs(
+          Multimodal.averageHash(media, size = 8).toDF(),
+          hashBits = 64, bands = 4, maxHamming = 2)
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -4753,7 +4827,158 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0
         |            WHEN doc_id = min(doc_id) OVER (PARTITION BY ahash) THEN 1
         |            ELSE 0 END AS BIGINT) AS keep
-        |FROM hx ORDER BY media_id""".stripMargin
+        |FROM hx ORDER BY media_id""".stripMargin,
+
+    // ---- batch 20 ----
+
+    "q_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, tf.doc_id AS c_id,
+        |         CAST(count(*) AS BIGINT) AS n_common,
+        |         round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |               * (tf.tf * (1.2 + 1.0)
+        |                  / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / avgdl)))), 4)
+        |           AS bm25_r
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+        |       JOIN q USING (token), st
+        |  WHERE q.q_id <> tf.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, c_id, n_common, bm25_r, rnk FROM (
+        |  SELECT q_id, c_id, n_common, bm25_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY bm25_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |wt AS (
+        |  SELECT doc_id, token, tf * ln(n / df) AS w
+        |  FROM tf JOIN df USING (token), nd
+        |  WHERE df <= n * 0.85),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY 1),
+        |unitv AS (
+        |  SELECT wt.doc_id, token, w / nrm AS wn
+        |  FROM wt JOIN nrm USING (doc_id)),
+        |s1 AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |         round(sum(q.wn * c.wn), 4) AS s
+        |  FROM unitv q JOIN unitv c USING (token)
+        |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT q_id, c_id, rnk FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+        |    FROM s1) WHERE rnk <= 20),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |q2 AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 10),
+        |s2 AS (
+        |  SELECT q2.q_id, tf.doc_id AS c_id,
+        |         round(sum(ln(1.0 + (st.n - df + 0.5) / (df + 0.5))
+        |               * (tf.tf * (1.2 + 1.0)
+        |                  / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / avgdl)))), 4)
+        |           AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+        |       JOIN q2 USING (token), st
+        |  WHERE q2.q_id <> tf.doc_id
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT q_id, c_id, rnk FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+        |    FROM s2) WHERE rnk <= 20),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |f AS (
+        |  SELECT q_id, c_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |         round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_r
+        |  FROM u GROUP BY 1, 2)
+        |SELECT q_id, c_id, n_lists, rrf_r, fused_rnk FROM (
+        |  SELECT q_id, c_id, n_lists, rrf_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY rrf_r DESC, c_id) AS BIGINT)
+        |           AS fused_rnk
+        |  FROM f)
+        |WHERE fused_rnk <= 5 ORDER BY q_id, fused_rnk""".stripMargin,
+
+    // the salted plan's contract: result set IDENTICAL to the plain
+    // unsalted join — so the oracle IS the plain join
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+        |         round(sum(value), 4) AS sum_v_r
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, d.n_t, d.sum_v_r
+        |FROM events e JOIN dim d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_maxsim" ->
+      """WITH t AS (
+        |  SELECT vec_id // 4 AS did, vec_id AS tid,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT did, tid, v, sqrt(list_dot_product(v, v)) AS nrm FROM t),
+        |pt AS (
+        |  SELECT q.did AS q_doc, c.did AS c_doc, q.tid AS q_idx,
+        |         max(round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)) AS best
+        |  FROM n q JOIN n c ON q.did < 5 AND c.did >= 5
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT q_doc, c_doc, round(sum(best), 4) AS maxsim_r
+        |  FROM pt GROUP BY 1, 2)
+        |SELECT q_doc, c_doc, maxsim_r, rnk FROM (
+        |  SELECT q_doc, c_doc, maxsim_r,
+        |         CAST(row_number() OVER (PARTITION BY q_doc
+        |                                 ORDER BY maxsim_r DESC, c_doc) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 5 ORDER BY q_doc, rnk""".stripMargin,
+
+    // derivation oracle: hashes restated from doc_id (base pattern +
+    // odd-id single-bit flip), then the SAME band-bucket candidate
+    // join and bit-level hamming verify DuckDB-side
+    "q_media_phash_band" ->
+      """WITH hx AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(generate_series(0, 63), i ->
+        |           CASE WHEN ((i * 31 + doc_id % 64) % 64 < 32)
+        |                     != (doc_id % 2 = 1 AND i = (doc_id // 64) % 64)
+        |                THEN '1' ELSE '0' END), '') AS ahash
+        |  FROM documents WHERE doc_id % 9 != 0 AND doc_id < 2000),
+        |banded AS (
+        |  SELECT doc_id, ahash, bi, substr(ahash, bi * 16 + 1, 16) AS bv
+        |  FROM hx, unnest(generate_series(0, 3)) AS u(bi)),
+        |cand AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.ahash AS ha, y.ahash AS hb,
+        |         CAST(count(*) AS BIGINT) AS n_bands
+        |  FROM banded x JOIN banded y
+        |    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |ham AS (
+        |  SELECT a, b, n_bands,
+        |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        |           CASE WHEN substr(ha, i, 1) = substr(hb, i, 1)
+        |                THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT a, b, n_bands, hamming FROM ham
+        |WHERE hamming <= 2 ORDER BY a, b""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

@@ -357,6 +357,55 @@ object Multimodal {
     }
   }
 
+  /** Hamming-band near-duplicate pairs over perceptual hashes — the
+    * image-side LSH: identical images already collapse by exact
+    * [[averageHash]] equality, but a re-encode or small edit flips a
+    * FEW bits, so near-dup detection needs pairs within hamming
+    * distance `maxHamming`. All-pairs hamming is N²; banding is the
+    * pigeonhole shortcut (the same band-bucket trick as the MinHash
+    * LSH path in [[graft.ops.Dedup]]): split the `hashBits` bits into
+    * `bands` equal substrings — a pair within hamming h ≤ bands−1
+    * must agree EXACTLY on ≥ bands−h bands, so bucket-joining on
+    * (band index, band value) finds every such pair without ever
+    * comparing non-candidates. Survivors are verified with the true
+    * bit-level hamming distance, candidates only.
+    *
+    * Shape: the band explode is map-side ×bands on hash-sized rows
+    * (never pixels); the bucket join shuffles (band_i, band_val) keys;
+    * the verify runs on the candidate pairs alone. Same df-cap guard
+    * as textual LSH applies if one degenerate hash (all-black
+    * thumbnails) floods a bucket: cap bucket size before the join.
+    */
+  def phashNearDupPairs(hashes: DataFrame, hashBits: Int, bands: Int,
+                        maxHamming: Int): DataFrame = {
+    require(bands >= 1 && hashBits % bands == 0, "bands must divide hashBits")
+    require(maxHamming < bands,
+      "banding only guarantees recall for hamming < bands (pigeonhole)")
+    val bl = hashBits / bands
+    val hs = hashes.filter(col("decoded") === 1)
+      .select(col("media_id"), col("ahash"))
+    val banded = hs.select(col("media_id"), col("ahash"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => col("ahash").substr(bi * bl + 1, lit(bl)))).as(Seq("band_i", "band_val")))
+    val hamming = expr(
+      s"""aggregate(transform(sequence(1, $hashBits),
+         |  i -> CASE WHEN substring(ha, i, 1) = substring(hb, i, 1)
+         |            THEN 0 ELSE 1 END),
+         |  0, (acc, v) -> acc + v)""".stripMargin)
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_i") === col("y.band_i") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(
+        col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("n_bands"), col("hamming"))
+  }
+
   /** Manufacture a media table from `documents` (the harness testdata
     * has no binary table): text bytes as payload, kind round-robin by
     * id. This is the ingest-side schema any real media source would

@@ -145,6 +145,76 @@ object Sim {
       .filter(col("rnk") <= k)
   }
 
+  /** ColBERT-style late-interaction MaxSim scoring (Khattab & Zaharia,
+    * SIGIR 2020) — the multi-vector retrieval model between
+    * single-vector cosine and full cross-attention: a "document" is a
+    * BAG of token vectors (here: embeddings grouped `groupEvery`
+    * consecutive vec_ids per doc), and
+    *
+    *   score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d} cos(qt, dt)
+    *
+    * — every query token finds its best-matching document token
+    * independently, which preserves token-level matching that pooled
+    * single vectors average away.
+    *
+    * Shape: the query token set (nQueryDocs × groupEvery vectors) is
+    * BROADCAST; candidate token vectors stream map-side through the
+    * pair scoring; the (q_doc, c_doc, q_token) max and the (q_doc,
+    * c_doc) sum are ordinary two-level aggregates with map-side
+    * partials, keyed by doc pairs — the corpus never shuffles its
+    * vectors. At 100 TB the candidate set is first pruned per query
+    * token by ANN ([[cosineTopKIvf]] / PLAID's centroid pruning) and
+    * MaxSim rescores only survivors — same algebra, bounded pairs.
+    */
+  def maxSimTopK(embeddings: DataFrame, groupEvery: Int, nQueryDocs: Int,
+                 k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dotF = dotNative(spark) _
+    def normF(c: Column) = sqrt(dotF(c, c))
+    val toks = embeddings.select(
+      (col("vec_id") / groupEvery).cast("long").as("did"),
+      col("vec_id").as("tid"),
+      col("embedding").cast("array<double>").as("v"))
+    val cands = toks.filter(col("did") >= nQueryDocs).select(
+      col("did").as("c_doc"), col("v").as("cv"), normF(col("v")).as("cn"))
+    val w = Window.partitionBy(col("q_doc"))
+      .orderBy(col("maxsim_r").desc, col("c_doc").asc)
+    // per-(q_doc, c_doc, q_token) best, then per-(q_doc, c_doc) sum
+    val perToken: DataFrame = if (spark.catalog.functionExists("graft_all_cos")) {
+      // query tokens become a planning-time MATRIX model (nQueryDocs ×
+      // groupEvery rows — bounded) and the native kernel scores each
+      // candidate token against all of them in one compiled loop —
+      // no vector-carrying pair join (the knnLabelVote lesson)
+      val qRows = toks.filter(col("did") < nQueryDocs)
+        .orderBy(col("tid")).collect()
+      val qDocs = qRows.map(_.getLong(0))
+      val flat = qRows.flatMap(_.getSeq[Double](2))
+      cands
+        .select(col("c_doc"),
+          posexplode(call_function("graft_all_cos",
+            col("cv"), col("cn"), typedlit(flat), lit(qRows.length)))
+            .as(Seq("q_idx", "cos")))
+        .groupBy(
+          element_at(typedlit(qDocs), col("q_idx") + 1).as("q_doc"),
+          col("c_doc"), col("q_idx"))
+        .agg(max(round(col("cos"), 6)).as("best"))
+    } else {
+      val queries = toks.filter(col("did") < nQueryDocs).select(
+        col("did").as("q_doc"), col("tid").as("q_idx"),
+        col("v").as("qv"), normF(col("v")).as("qn"))
+      cands
+        .join(broadcast(queries), lit(true))
+        .groupBy(col("q_doc"), col("c_doc"), col("q_idx"))
+        .agg(max(round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+          .as("best"))
+    }
+    perToken
+      .groupBy(col("q_doc"), col("c_doc"))
+      .agg(round(sum(col("best")), 4).as("maxsim_r"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   // -------------------------------------------------------------------------
   // Coarse quantizers: driver-resident centroid models + map-side assignment
   // -------------------------------------------------------------------------

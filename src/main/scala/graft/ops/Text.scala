@@ -693,6 +693,95 @@ object Text {
         col("cos_r"), col("rnk"))
   }
 
+  /** BM25 retrieval over the inverted index (Robertson et al., TREC-3;
+    * the Lucene/Elasticsearch default and the lexical baseline every
+    * dense retriever is benchmarked against) — the step up from
+    * [[tfidfCosineTopK]]'s raw tf·idf: term-frequency saturation (k1)
+    * stops a 100-mention doc from scoring 100× a 1-mention doc, and
+    * length normalization (b) stops long docs from winning by bulk.
+    * Query = the distinct token set of each query doc (doc_id <
+    * nQueries); candidates score
+    *
+    *   Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    *
+    * with the Lucene idf = ln(1 + (N−df+0.5)/(df+0.5)), which is
+    * positive even for df > N/2 tokens.
+    *
+    * Shape: same skeleton as [[tfidfCosineTopK]] — ONE cached
+    * (doc,token,tf) collapse feeds df (vocabulary-sized, broadcast),
+    * doc lengths (rides the collapse, map-side), and the posting
+    * lists; the query term sets broadcast through the posting join so
+    * the corpus side never shuffles; per-(q,c) partial sums map-side;
+    * rank window per query. The same df-cap/prefix levers apply at
+    * 100 TB.
+    */
+  def bm25TopK(documents: DataFrame, nQueries: Int, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = documents.repartition(col("doc_id"))
+    val tf = graft.CacheScope.cached(byDoc
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      countDistinct(col("doc_id")).cast("double").as("__n"),
+      avg(col("dl")).as("__avgdl"))
+    val q = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("token"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), Seq("token"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        round(sum(idf * norm), 4).as("bm25_r"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_r").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id").as("c_id"), col("n_common"),
+        col("bm25_r"), col("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    * standard way hybrid retrieval combines rankers with incomparable
+    * score scales (a BM25 logit and a cosine in [−1,1] cannot be
+    * averaged): each ranking contributes 1/(c + rank) per candidate,
+    * and candidates missing from a list simply contribute nothing.
+    * c = 60 is the paper's constant. Input: any number of (q_id, c_id,
+    * rnk) rankings; output the fused ranking per query.
+    *
+    * Shape: rankings are already top-k-sized (queries×k rows) — the
+    * union + fused aggregate is model-sized, never corpus-sized; the
+    * heavy lifting happened in the rankers.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], c: Double = 60.0, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "need at least one ranking")
+    val unioned = rankings
+      .map(_.select(col("q_id"), col("c_id"), col("rnk")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_r").desc, col("c_id").asc)
+    unioned
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(
+        count(lit(1)).as("n_lists"),
+        round(sum(lit(1.0) / (lit(c) + col("rnk"))), 6).as("rrf_r"))
+      .withColumn("fused_rnk", row_number().over(w).cast("long"))
+      .filter(col("fused_rnk") <= k)
+  }
+
   /** Polynomial rolling hash over the raw character stream
     * (Rabin-Karp base 31 mod 2³¹−1) — the classic incremental document
     * fingerprint. Sequential by definition, so it's an `aggregate`

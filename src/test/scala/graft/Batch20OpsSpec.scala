@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Multimodal, Sim, Text}
+
+/** Batch 20: BM25 retrieval, reciprocal-rank fusion, MaxSim late
+  * interaction, perceptual-hash banding. (saltedJoin — now also a
+  * declared query — keeps its own SaltedJoinSpec.)
+  */
+class Batch20OpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- bm25TopK ----------------------------------------------------------
+
+  test("bm25TopK: tf saturates and length normalization penalizes bulk") {
+    val docs = Seq(
+      (0L, "apple"),                                  // the query: one term
+      (5L, "apple pear"),                             // tf=1, short
+      (6L, "apple apple apple apple pear pear pear pear"), // tf=4, long
+      (7L, "pear plum")                               // no match
+    ).toDF("doc_id", "text")
+    val out = Text.bm25TopK(docs, nQueries = 1, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(!out.contains(7L))
+    // saturation+length norm: 4 mentions in a 4x longer doc must score
+    // LESS than 4x the single mention — and with k1=1.2 the two land
+    // close; assert the bound rather than a brittle ordering
+    assert(out(6L) < 4 * out(5L))
+    assert(out(5L) > 0.0 && out(6L) > 0.0)
+  }
+
+  test("bm25TopK matches a hand-computed score") {
+    val docs = Seq(
+      (0L, "a b"),
+      (5L, "a c"),
+      (6L, "c d")
+    ).toDF("doc_id", "text")
+    val out = Text.bm25TopK(docs, nQueries = 1, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // corpus: N=3 docs, all dl=2, avgdl=2. Query tokens {a, b}.
+    // doc 5 matches only 'a': df(a)=2 ⇒ idf=ln(1+(3-2+0.5)/(2.5))=ln(1.6)
+    // tf=1 ⇒ norm = 1*2.2/(1+1.2*(0.25+0.75*2/2)) = 2.2/2.2 = 1
+    val expected = BigDecimal(math.log(1.0 + 1.5 / 2.5))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(5L) === expected)
+    assert(!out.contains(6L)) // shares no query token
+  }
+
+  // ---- rrfFuse -----------------------------------------------------------
+
+  test("rrfFuse: appearing in both lists beats a single top rank") {
+    val r1 = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("q_id", "c_id", "rnk")
+    val r2 = Seq((0L, 12L, 1L), (0L, 11L, 2L)).toDF("q_id", "c_id", "rnk")
+    val out = Text.rrfFuse(Seq(r1, r2), c = 60.0, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).toList
+      .sortBy(_._3)
+    // candidate 11 is rank-2 in BOTH lists: 2/62 > 1/61 of the
+    // single-list rank-1s — fusion puts consensus first
+    assert(out.head._1 === 11L && out.head._2 === 2L)
+    // the two single-list candidates tie on score; id tiebreak
+    assert(out.map(_._1) === List(11L, 10L, 12L))
+  }
+
+  // ---- maxSimTopK --------------------------------------------------------
+
+  test("maxSimTopK: a doc containing the query's tokens scores ~n_tokens") {
+    // 4 vectors per doc; doc 0 = query. doc 1 (vec 4-7) repeats doc 0's
+    // vectors exactly => every query token finds cos=1 => score 4.0.
+    // doc 2 (vec 8-11) is orthogonal-ish.
+    val vecs =
+      (0 until 4).map(i => (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f), 0)) ++
+      (4 until 8).map(i => (i.toLong, Array.tabulate(8)(j => if (j == i - 4) 1.0f else 0.0f), 0)) ++
+      (8 until 12).map(i => (i.toLong, Array.tabulate(8)(j => if (j == 4 + (i - 8) % 4) 1.0f else 0.0f), 0))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = Sim.maxSimTopK(emb, groupEvery = 4, nQueryDocs = 1, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    assert(byDoc(1L) === 4.0)     // exact token-set copy
+    assert(byDoc(2L) === 0.0)     // orthogonal tokens: every max-cos is 0
+    assert(out.find(_._3 == 1L).get._1 === 1L)
+  }
+
+  // ---- phashNearDupPairs -------------------------------------------------
+
+  test("phashNearDupPairs: banding finds 0/1/2-bit pairs, far images never pair") {
+    def hash(flips: Set[Int]): String =
+      (0 until 64).map(i => if ((i % 2 == 0) != flips(i)) '1' else '0').mkString
+    val hashes = Seq(
+      (0L, 1, hash(Set.empty)),
+      (1L, 1, hash(Set.empty)),        // identical to 0
+      (2L, 1, hash(Set(5))),           // 1 bit from 0/1
+      (3L, 1, (0 until 64).map(i => if (i < 32) '1' else '0').mkString), // far
+      (4L, 0, null.asInstanceOf[String]) // quarantined
+    ).toDF("media_id", "decoded", "ahash")
+    val out = Multimodal.phashNearDupPairs(hashes, hashBits = 64, bands = 4,
+        maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out((0L, 1L)) === ((4L, 0L)))  // all 4 bands, hamming 0
+    assert(out((0L, 2L)) === ((3L, 1L)))  // flip hits 1 band
+    assert(out((1L, 2L)) === ((3L, 1L)))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -364,6 +364,26 @@ class PlanShapeSpec extends AnyFunSuite {
     CacheScope.flush()
   }
 
+  test("bm25TopK: df/stats/query side broadcast; posting join never sort-merges") {
+    val p = plan(graft.ops.Text.bm25TopK(docs, nQueries = 5, k = 3))
+    assert(!p.contains("SortMergeJoin"),
+      s"posting-list join shuffled the corpus side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair join lost its token key:\n$p")
+    CacheScope.flush()
+  }
+
+  test("maxSimTopK (kernel path): no vector-carrying pair join — scores fold map-side") {
+    val emb = (0L until 64L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = plan(graft.ops.Sim.maxSimTopK(emb, groupEvery = 4, nQueryDocs = 2, k = 3))
+    if (spark.catalog.functionExists("graft_all_cos")) {
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"maxSim fell back to the BNLJ pair stream despite the kernel:\n$p")
+      assert(p.contains("graft_all_cos"), p)
+    }
+  }
+
   test("cosineTopKSq: queries and shortlist broadcast back — candidates never shuffle") {
     val emb = (0L until 200L)
       .map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat), 0))
