@@ -2072,16 +2072,25 @@ object SparkEntry {
       // near-dup image planting: base pattern from doc_id % 64, odd
       // ids flip ONE bit at (doc_id/64) % 64 — same-base pairs sit at
       // hamming 0/1/2 and banding must find them all; every 9th
-      // payload corrupt (quarantined out before banding)
+      // payload corrupt (quarantined out before banding). The pattern
+      // bits come from an XOR MIX of (base, i) — NOT an additive
+      // shift family: any pattern of the form f(s + step·i) makes
+      // different bases collide on whole 16-bit bands (and sit at
+      // small hamming), flooding the verify with cross-group
+      // candidates — measured 49 s at sf0.1 before the mix; the XOR
+      // decorrelates bands across bases (measured: candidates ==
+      // within-group pairs)
       val media = Tables.documents(s, dir)
         .filter(col("doc_id") < 2000).select(col("doc_id")).as[Long]
         .map { id =>
-          val base = (id % 64).toInt
+          val base = id % 64
           val flip = if (id % 2 == 1) ((id / 64) % 64).toInt else -1
           val rgb = new Array[Byte](8 * 8 * 3)
           var i = 0
           while (i < 64) {
-            val bright = (((i * 31 + base) % 64) < 32) != (i == flip)
+            val bright =
+              (((i * 144115188075855881L) ^ (base * 2654435761L)) % 97 < 48) !=
+                (i == flip)
             val v: Byte = if (bright) 255.toByte else 0.toByte
             rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
             i += 1
@@ -4958,24 +4967,32 @@ object SparkEntry {
       """WITH hx AS (
         |  SELECT doc_id,
         |         array_to_string(list_transform(generate_series(0, 63), i ->
-        |           CASE WHEN ((i * 31 + doc_id % 64) % 64 < 32)
+        |           CASE WHEN (xor(i * 144115188075855881,
+        |                          (doc_id % 64) * 2654435761) % 97 < 48)
         |                     != (doc_id % 2 = 1 AND i = (doc_id // 64) % 64)
         |                THEN '1' ELSE '0' END), '') AS ahash
         |  FROM documents WHERE doc_id % 9 != 0 AND doc_id < 2000),
+        |bx AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 3), bi ->
+        |           list_sum(list_transform(generate_series(0, 15), j ->
+        |             CASE WHEN substr(ahash, bi * 16 + j + 1, 1) = '1'
+        |                  THEN 1 << (15 - j) ELSE 0 END))) AS bints
+        |  FROM hx),
         |banded AS (
-        |  SELECT doc_id, ahash, bi, substr(ahash, bi * 16 + 1, 16) AS bv
-        |  FROM hx, unnest(generate_series(0, 3)) AS u(bi)),
+        |  SELECT doc_id, bints, bi, bints[bi] AS bv
+        |  FROM bx, unnest(generate_series(1, 4)) AS u(bi)),
         |cand AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, x.ahash AS ha, y.ahash AS hb,
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.bints AS ba, y.bints AS bb,
         |         CAST(count(*) AS BIGINT) AS n_bands
         |  FROM banded x JOIN banded y
         |    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2, 3, 4),
         |ham AS (
         |  SELECT a, b, n_bands,
-        |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
-        |           CASE WHEN substr(ha, i, 1) = substr(hb, i, 1)
-        |                THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        |         CAST(list_sum(list_transform(generate_series(1, 4), i ->
+        |           bit_count(xor(CAST(ba[i] AS BIGINT), CAST(bb[i] AS BIGINT)))))
+        |           AS BIGINT) AS hamming
         |  FROM cand)
         |SELECT a, b, n_bands, hamming FROM ham
         |WHERE hamming <= 2 ORDER BY a, b""".stripMargin

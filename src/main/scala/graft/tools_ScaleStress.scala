@@ -251,6 +251,72 @@ object ScaleStress {
       assert(low == nDupDocs / 4 * 3, "novelty attribution drifted at scale")
     }
 
+    // 10c. Segment-level dedup (the RefinedWeb line-dedup stage) at
+    //      full width: ~5 segments per doc (4 base 8-grams + the tail),
+    //      ONE min-window shuffle on the segment value. Planted
+    //      expectation is exact: non-head clique members share every
+    //      base segment AND their tail token with an earlier doc →
+    //      dup_frac 1.0 — except docs 1-3, which own their tail's
+    //      first occurrence (frac 0.8). Singletons dup only the tail.
+    timed("segmentDedup") {
+      val full = ops.Dedup.segmentDedup(corpus, w = 8)
+        .filter(col("dup_frac") >= 0.99).count()
+      println(s"[scale]   all-dup docs=$full (expect ${nDupDocs / 4 * 3 - 3})")
+      assert(full == nDupDocs / 4 * 3 - 3, "segment first-seen attribution drifted")
+    }
+
+    // 10d. BM25 retrieval at full width: the posting join must ride
+    //      the broadcast query term set over 33M (doc, token) postings
+    //      — including the deliberately HOT tail tokens (df = nDocs/4,
+    //      idf ≈ 0), the shape a df-cap would prune at 100 TB. Planted
+    //      relevance: each query doc's top hit must be a clique
+    //      sibling (32 shared high-idf tokens beat everything else).
+    timed("bm25TopK") {
+      val top1 = ops.Text.bm25TopK(corpus, nQueries = 16, k = 5)
+        .filter(col("rnk") === 1)
+        .filter(expr("q_id div 4") === expr("c_id div 4")).count()
+      CacheScope.flush()
+      println(s"[scale]   rank-1 = clique sibling for $top1/16 queries")
+      assert(top1 == 16, "BM25 relevance drifted at scale")
+    }
+
+    // 11b. Perceptual-hash banding at 200k images through the REAL
+    //      codec: encode → decode → aHash → band-bucket join. Groups
+    //      of 5 share a 64-bit pattern (keyed by id % nGroups, bits
+    //      from a 64-bit mix so patterns don't alias); odd members
+    //      flip one bit — every within-group pair sits at hamming
+    //      ≤ 2 and the join output must be exactly 10·nGroups pairs
+    //      (pattern space 2^64 ⇒ cross-group collisions ~impossible).
+    {
+      import spark.implicits._
+      val nImg = math.min(nDocs / 5, 200000L)
+      val nGroups = nImg / 5
+      val imgRows = spark.range(0, nImg, 1, 64).as[Long].map { id =>
+        val base = id % nGroups
+        val flip = if (id % 2 == 1) ((id / nGroups) % 64).toInt else -1
+        val rgb = new Array[Byte](8 * 8 * 3)
+        var i = 0
+        while (i < 64) {
+          val mix = base * 2654435761L + i.toLong * 40503L
+          val bright = ((mix % 97 + 97) % 97 < 48) != (i == flip)
+          val v: Byte = if (bright) 255.toByte else 0.toByte
+          rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+          i += 1
+        }
+        val bytes = ops.Multimodal.PpmCodec.encode(
+          ops.Multimodal.PpmCodec.Image(8, 8, rgb))
+        ops.Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+      }
+      timed(s"phash band join x$nImg") {
+        val pairs = ops.Multimodal.phashNearDupPairs(
+          ops.Multimodal.averageHash(imgRows, size = 8).toDF(),
+          hashBits = 64, bands = 4, maxHamming = 2).count()
+        val expect = nGroups * 10
+        println(s"[scale]   near-dup pairs=$pairs (expect $expect)")
+        assert(pairs == expect, "phash banding recall/precision drifted")
+      }
+    }
+
     // 11. REAL codec throughput at 200k payloads (~0.5 GB of WAV, ~0.2
     //     GB of PPM): binary round-trip per row through the actual
     //     parsers, every 13th payload corrupted — verdict counts must
