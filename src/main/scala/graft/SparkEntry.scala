@@ -2103,6 +2103,23 @@ object SparkEntry {
           Multimodal.averageHash(media, size = 8).toDF(),
           hashBits = 64, bands = 4, maxHamming = 2)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- batch 21: actionable trim + sketch audit ----
+
+    "q_dedup_lines_trim" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the rewrite form of q_dedup_lines: copies lose every segment
+      // they repeat (most come back near-empty), originals keep their
+      // text verbatim minus natural collisions
+      Dedup.segmentTrim(perturbedCorpus(s, dir), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_minhash_error" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.minhashEstimatorAudit(perturbedCorpus(s, dir, cap = 2000))
+        .orderBy(col("n_pairs"))
     })
   )
 
@@ -4995,7 +5012,107 @@ object SparkEntry {
         |           AS BIGINT) AS hamming
         |  FROM cand)
         |SELECT a, b, n_bands, hamming FROM ham
-        |WHERE hamming <= 2 ORDER BY a, b""".stripMargin
+        |WHERE hamming <= 2 ORDER BY a, b""".stripMargin,
+
+    // ---- batch 21 ----
+
+    "q_dedup_lines_trim" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |ln AS (
+        |  SELECT doc_id, li,
+        |         list_filter(string_split(lines[li], ' '), t -> t != '') AS toks
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+        |       unnest(generate_series(1, len(lines))) AS u(li)),
+        |seg AS (
+        |  SELECT doc_id, li, si,
+        |         array_to_string(list_slice(toks, si * 8 + 1, si * 8 + 8), ' ') AS seg
+        |  FROM ln, unnest(generate_series(0, (len(toks) - 1) // 8)) AS v(si)
+        |  WHERE len(toks) >= 1),
+        |keyed AS (
+        |  SELECT doc_id, seg,
+        |         doc_id * 1000000 + (li - 1) * 1000 + si AS k
+        |  FROM seg),
+        |firsts AS (
+        |  SELECT doc_id, seg, k, min(k) OVER (PARTITION BY seg) AS first_k
+        |  FROM keyed),
+        |kept AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY k) AS kept_text
+        |  FROM firsts WHERE k = first_k GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.kept_text, '') AS kept_text
+        |FROM corpus c LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // estimate side = the q_dedup_minhash_est machinery; exact side =
+    // the q_dedup_ngram inverted-index join WITH its df>1000 skew cap
+    // (mirrors the operator); collision-only candidates get true J = 0
+    "q_minhash_error" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents
+        |  WHERE doc_id < 2000),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |mh AS (
+        |  SELECT doc_id, seeds.seed,
+        |         min(((37 + 101 * seeds.seed) * h + 13 + 97 * seeds.seed) % 2147483647) AS mh
+        |  FROM hx, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY doc_id, seeds.seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band_id,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.a, c.b,
+        |         round(CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+        |           AS j_est
+        |  FROM cands c
+        |  JOIN mh ma ON ma.doc_id = c.a
+        |  JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+        |  GROUP BY c.a, c.b),
+        |hot AS (
+        |  SELECT h FROM (SELECT h, count(*) AS df FROM hx GROUP BY h)
+        |  WHERE df > 1000),
+        |rare AS (SELECT * FROM hx WHERE h NOT IN (SELECT h FROM hot)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT c.a, c.b, round(c.c / (sa.sz + sb.sz - c.c), 4) AS jt
+        |  FROM common c
+        |  JOIN sizes sa ON sa.doc_id = c.a
+        |  JOIN sizes sb ON sb.doc_id = c.b),
+        |joined AS (
+        |  SELECT e.j_est, coalesce(x.jt, 0) AS jt
+        |  FROM est e LEFT JOIN exact x USING (a, b))
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(avg(j_est), 4) AS mean_est,
+        |       round(avg(jt), 4) AS mean_true,
+        |       round(avg(abs(j_est - jt)), 4) AS mae,
+        |       round(max(abs(j_est - jt)), 4) AS max_abs_err
+        |FROM joined""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

@@ -700,7 +700,24 @@ object Dedup {
     * 16 bytes before the shuffle (the [[hashedShingles]] move) and
     * maintain first-seen incrementally like [[corpusHashIndex]].
     */
-  def segmentDedup(corpus: DataFrame, w: Int): DataFrame = {
+  def segmentDedup(corpus: DataFrame, w: Int): DataFrame =
+    segmentFirstSeen(corpus, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("k") =!= col("first_k"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup") / col("n_segs").cast("double"), 4))
+
+  /** Shared segment explode + first-occurrence attribution for
+    * [[segmentDedup]] (score) and [[segmentTrim]] (rewrite): one row
+    * per segment occurrence with its packed (doc, line, chunk) order
+    * key `k` and the corpus-wide first occurrence `first_k` of that
+    * segment value. The total order is packed into one long so the
+    * min-window is engine-portable; bounds documented: doc_id <
+    * ~9e12, line_no/seg_i < 1000 at web-doc sizes.
+    */
+  private def segmentFirstSeen(corpus: DataFrame, w: Int): DataFrame = {
     require(w >= 1, "segment width must be positive")
     val byLine = corpus
       .select(col("doc_id"),
@@ -712,20 +729,70 @@ object Dedup {
       posexplode(transform(
         sequence(lit(0), ((size(col("toks")) - 1) / w).cast("int")),
         i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))).as(Seq("seg_i", "seg")))
-    // total order on occurrences (doc, line, chunk) packed into one
-    // long so the min-window is engine-portable; bounds documented:
-    // doc_id < ~9e12, line_no/seg_i < 1000 at web-doc sizes
     val key = col("doc_id") * 1000000L + col("line_no") * 1000L + col("seg_i")
     val bySeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
     segs
       .withColumn("k", key)
       .withColumn("first_k", min(col("k")).over(bySeg))
+  }
+
+  /** Segment-level TRIM — the actionable form of [[segmentDedup]]:
+    * instead of scoring, REWRITE each doc keeping only the segments
+    * whose corpus-wide first occurrence is this very position (the
+    * C4/RefinedWeb "drop the duplicated spans, keep the document"
+    * move — a page with boilerplate chrome survives with the chrome
+    * cut, rather than being dropped whole). Docs whose every segment
+    * is owned elsewhere come back EMPTY (n_kept = 0, kept_text '') —
+    * surfaced, not silently dropped, so a length gate downstream makes
+    * the drop decision explicitly.
+    *
+    * Shape: [[segmentFirstSeen]]'s one segment-keyed window, then a
+    * doc-keyed reassembly (sorted collect_list — per-doc-sized state)
+    * and a broadcast-free left join back on doc_id. The rewrite never
+    * carries more than one doc's segments in memory at once.
+    */
+  def segmentTrim(corpus: DataFrame, w: Int): DataFrame = {
+    val kept = segmentFirstSeen(corpus, w)
+      .filter(col("k") === col("first_k"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("k") =!= col("first_k"), 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_frac",
-        round(col("n_dup") / col("n_segs").cast("double"), 4))
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("k"), col("seg")))),
+            s => s("seg")), " ").as("kept_text"))
+    corpus.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** MinHash estimator-quality audit — the "is my sketch lying to me?"
+    * query a dedup pipeline runs before trusting LSH at a new corpus:
+    * for every LSH candidate pair, compare the signature-based Jaccard
+    * estimate against the EXACT shingle Jaccard, and report the error
+    * distribution in one row (mean est/true, MAE, worst case). Theory
+    * says per-pair σ = sqrt(J(1−J)/k) ≈ 0.12 at k = 16 hashes — a
+    * measured MAE far above that means broken hashing, not sampling
+    * noise.
+    *
+    * Shape: both sides reuse the cached machinery
+    * ([[minhashJaccardEstimates]]'s signature cache,
+    * [[ngramJaccardPairs]]'s inverted-index exact join); the final
+    * aggregate is ONE row. A candidate pair sharing a band but zero
+    * shingles (hash collision) gets exact J = 0 via the left join.
+    */
+  def minhashEstimatorAudit(corpus: DataFrame): DataFrame = {
+    val est = minhashJaccardEstimates(corpus)
+    val exact = ngramJaccardPairs(corpus, threshold = 0.0)
+    est.join(exact, Seq("a", "b"), "left")
+      .na.fill(0.0, Seq("jaccard"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("j_est")), 4).as("mean_est"),
+        round(avg(col("jaccard")), 4).as("mean_true"),
+        round(avg(abs(col("j_est") - col("jaccard"))), 4).as("mae"),
+        round(max(abs(col("j_est") - col("jaccard"))), 4).as("max_abs_err"))
   }
 
   /** Pairwise source-overlap matrix: for every pair of sources, the

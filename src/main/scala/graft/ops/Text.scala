@@ -217,18 +217,21 @@ object Text {
     * instances and drop out, mirroring any engine's inner-join
     * semantics.
     */
-  def bigramLogProb(documents: DataFrame): DataFrame = {
-    // Collapse the instance stream to per-(doc, bigram) COUNTS first —
-    // the expensive tokenize+explode pass then runs exactly ONCE, and
-    // both consumers (vocabulary lookup build, per-doc fold) read the
-    // collapsed cache. Trade-off, measured: the collapse shuffles a
-    // near-instance-sized (doc, prev, next) table once, where the
-    // two-pass form shuffled only partial-aggregated vocab/doc rows but
-    // tokenized the corpus twice — 2× scan CPU dominated. At 100 TB
-    // flip the trade back (two scans, zero instance shuffle) by
-    // dropping the collapse and joining the raw instance stream against
-    // the broadcast lookup: same algebra, identical results.
-    val docBi = graft.CacheScope.cached(documents
+  /** The shared (doc_id, prev, next, c) collapse every bigram-LM
+    * scorer reads ([[bigramLogProb]], [[interpolatedLogProb]],
+    * [[knBigramLogProb]]): the expensive tokenize+explode pass runs
+    * exactly ONCE and is cached; every model table the scorers build
+    * from it is vocabulary-sized. Trade-off, measured: the collapse
+    * shuffles a near-instance-sized (doc, prev, next) table once,
+    * where the two-pass form shuffled only partial-aggregated
+    * vocab/doc rows but tokenized the corpus twice — 2× scan CPU
+    * dominated. At 100 TB flip the trade back (two scans, zero
+    * instance shuffle) by dropping the collapse and joining the raw
+    * instance stream against the broadcast lookup: same algebra,
+    * identical results.
+    */
+  private def docBigramCollapse(documents: DataFrame): DataFrame =
+    graft.CacheScope.cached(documents
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"),
@@ -238,6 +241,9 @@ object Text {
         try_element_at(col("toks"), col("i") + 1).as("next"))
       .groupBy(col("doc_id"), col("prev"), col("next"))
       .agg(count(lit(1)).as("c")))
+
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val docBi = docBigramCollapse(documents)
     // ONE vocabulary-sized lookup table carrying BOTH counts: bc folds
     // from the collapsed table (no second corpus pass), and the context
     // total cc rides on it via a prev-partitioned window. Heaps' law
@@ -275,16 +281,7 @@ object Text {
     */
   def interpolatedLogProb(documents: DataFrame, lambda: Double): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "interpolation weight must be in [0,1]")
-    val docBi = graft.CacheScope.cached(documents
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
-      .select(col("doc_id"),
-        try_element_at(col("toks"), col("i")).as("prev"),
-        try_element_at(col("toks"), col("i") + 1).as("next"))
-      .groupBy(col("doc_id"), col("prev"), col("next"))
-      .agg(count(lit(1)).as("c")))
+    val docBi = docBigramCollapse(documents)
     val lookup = docBi.groupBy(col("prev"), col("next")).agg(sum(col("c")).as("bc"))
       .withColumn("cc", sum(col("bc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
@@ -332,16 +329,7 @@ object Text {
   def knBigramLogProb(documents: DataFrame, discount: Double): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "absolute discount must be in (0,1)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
-    val docBi = graft.CacheScope.cached(documents
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
-      .select(col("doc_id"),
-        try_element_at(col("toks"), col("i")).as("prev"),
-        try_element_at(col("toks"), col("i") + 1).as("next"))
-      .groupBy(col("doc_id"), col("prev"), col("next"))
-      .agg(count(lit(1)).as("c")))
+    val docBi = docBigramCollapse(documents)
     // one row per SEEN bigram type: bc, context total cc, and the
     // distinct-continuation count N1+(prev,·) both ride prev windows
     val lookup = docBi.groupBy(col("prev"), col("next")).agg(sum(col("c")).as("bc"))

@@ -297,8 +297,14 @@ object ScaleStress {
         val rgb = new Array[Byte](8 * 8 * 3)
         var i = 0
         while (i < 64) {
-          val mix = base * 2654435761L + i.toLong * 40503L
-          val bright = ((mix % 97 + 97) % 97 < 48) != (i == flip)
+          // REAL hash bits, not arithmetic mixes: at 40k bases both an
+          // additive shift family (544M junk pairs) AND a
+          // multiply-xor-mod mix (2.1M) leave structured cross-base
+          // near-collisions; murmur3 puts cross-base hamming at
+          // Binomial(64, 1/2) — P(≤2) ~ 1e-16, zero junk pairs
+          val bright =
+            ((scala.util.hashing.MurmurHash3.productHash((base, i)) & 1) == 1) !=
+              (i == flip)
           val v: Byte = if (bright) 255.toByte else 0.toByte
           rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
           i += 1

@@ -83,6 +83,48 @@ class Batch20OpsSpec extends AnyFunSuite {
     assert(out.find(_._3 == 1L).get._1 === 1L)
   }
 
+  // ---- segmentTrim (batch 21) --------------------------------------------
+
+  test("segmentTrim rewrites docs keeping first-occurrence segments in order") {
+    val docs = Seq(
+      (0L, "a b c d"),       // w=2: [a b][c d] — both first-seen
+      (1L, "a b x y"),       // [a b] dup of doc 0; [x y] kept
+      (2L, "a b c d")        // fully owned elsewhere -> empty
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.segmentTrim(docs, w = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) === ((2L, "a b c d")))
+    assert(out(1L) === ((1L, "x y")))
+    assert(out(2L) === ((0L, "")))
+  }
+
+  test("segmentTrim + segmentDedup agree: kept = n_segs - n_dup") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("doc_id"), col("text"))
+    val trim = graft.ops.Dedup.segmentTrim(docs, w = 8)
+      .select(col("doc_id"), col("n_kept"))
+    val score = graft.ops.Dedup.segmentDedup(docs, w = 8)
+      .select(col("doc_id"), (col("n_segs") - col("n_dup")).as("expect"))
+    val off = trim.join(score, Seq("doc_id"))
+      .filter(col("n_kept") =!= col("expect")).count()
+    assert(off === 0L)
+  }
+
+  // ---- minhashEstimatorAudit (batch 21) ----------------------------------
+
+  test("minhashEstimatorAudit: error stats within sampling-noise bounds") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zz9 zz9")).as("text")))
+    val r = graft.ops.Dedup.minhashEstimatorAudit(corpus).collect().head
+    assert(r.getLong(0) > 0)                       // candidates exist
+    assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.1) // est ~ true on average
+    assert(r.getDouble(3) < 0.15)                  // MAE ~ sqrt(J(1-J)/16)
+    CacheScope.flush()
+  }
+
   // ---- phashNearDupPairs -------------------------------------------------
 
   test("phashNearDupPairs: banding finds 0/1/2-bit pairs, far images never pair") {
