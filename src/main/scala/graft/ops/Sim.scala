@@ -50,9 +50,17 @@ object Sim {
   def quantizeInt8(a: Column): Column = {
     val maxAbs = aggregate(a, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
     val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    // round-half-away-from-zero via floor: identical to round()'s
+    // BigDecimal HALF_UP on this domain (|x/scale| ≤ 127, where every
+    // half-way point k.5 is exactly representable, so the decimal and
+    // binary boundaries coincide) — and ~free per element where
+    // round() pays a BigDecimal round-trip per evaluation (the
+    // plans/PqEncode lesson; this transform runs dim× per row)
+    def halfAway(y: Column): Column =
+      when(y >= 0, floor(y + 0.5d)).otherwise(-floor(-y + 0.5d))
     struct(
       scale.as("scale"),
-      transform(a, x => round(x / scale).cast("byte")).as("q"))
+      transform(a, x => halfAway(x / scale).cast("byte")).as("q"))
   }
 
   /** Brute-force cosine top-k: for each of a SMALL query set (queries
@@ -127,11 +135,35 @@ object Sim {
     val queries = asDouble.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("q_id"), col("v").as("qv"), normF(col("v")).as("qn"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_r").desc, col("c_id").asc)
-    val short = cands
-      .join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        round(dotF(col("qv"), col("dq")) / (col("qn") * col("dn")), 6)
-          .as("adc_r"))
+    // ADC scan: query vectors become a planning-time matrix model and
+    // the native kernel scores each candidate's DEQUANTIZED vector
+    // against all queries in one compiled loop — no vector-carrying
+    // pair join (the knnLabelVote lesson; measured 0.86 → shortlist
+    // stream shrinks to skinny (q, c, score) rows). HOF fallback kept
+    // for sessions without the extension — identical math either way.
+    val spark = embeddings.sparkSession
+    val adc: DataFrame = if (spark.catalog.functionExists("graft_all_cos")) {
+      val qRows = asDouble.filter(col("vec_id") < nQueries)
+        .orderBy(col("vec_id")).collect()
+      val qIds = qRows.map(_.getLong(0))
+      val flat = qRows.flatMap(_.getSeq[Double](1))
+      cands
+        .select(col("c_id"),
+          posexplode(call_function("graft_all_cos",
+            col("dq"), col("dn"), typedlit(flat), lit(qRows.length)))
+            .as(Seq("q_idx", "cos")))
+        .select(
+          element_at(typedlit(qIds), col("q_idx") + 1).as("q_id"),
+          col("c_id"), round(col("cos"), 6).as("adc_r"))
+        .filter(col("q_id") =!= col("c_id"))
+    } else {
+      cands
+        .join(broadcast(queries), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          round(dotF(col("qv"), col("dq")) / (col("qn") * col("dn")), 6)
+            .as("adc_r"))
+    }
+    val short = adc
       .withColumn("srnk", row_number().over(wTop))
       .filter(col("srnk") <= shortlist)
       .select(col("q_id"), col("c_id"))
