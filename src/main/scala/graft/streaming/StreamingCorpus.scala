@@ -128,6 +128,74 @@ object StreamingCorpus {
       }
   }
 
+  final case class SegOcc(doc_id: Long, ts_us: Long, seg: String,
+                          __event_time: java.sql.Timestamp)
+  final case class SegSeen(doc_id: Long, ts_us: Long, seg: String, dup: Long)
+
+  /** STREAMING segment-level first-seen dedup — the continuous twin of
+    * [[graft.ops.Dedup.segmentDedup]]'s attribution core: arriving
+    * documents explode into the same newline-split w-token segments as
+    * the batch operator, and each occurrence is flagged dup = 1 iff an
+    * identical segment was seen EARLIER in the stream (arrival order
+    * (ts_us, doc_id) — the streaming analogue of the batch packed
+    * (doc, line, chunk) key; feed arrivals in doc order and the
+    * verdicts coincide, the [[incrementalDedup]] contract). Emits one
+    * row per occurrence so the consumer can aggregate per-doc dup
+    * fractions or rebuild trimmed text; rows are flagged, never
+    * dropped.
+    *
+    * State is ONE boolean per segment value inside the lateness
+    * horizon, evicted by event-time timeout — bounded by the horizon's
+    * distinct segments, not the corpus. At 100 TB the horizon state
+    * pairs with the maintained batch first-seen table exactly like
+    * [[incrementalDedup]]'s corpus index.
+    */
+  def segmentFirstSeen(
+      docs: DataFrame,
+      tsMicrosCol: String,
+      w: Int,
+      lateness: String = "1 hour"): Dataset[SegSeen] = {
+    require(w >= 1, "segment width must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segs = docs
+      .select(col("doc_id"), col(tsMicrosCol).as("ts_us"),
+        explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"), col("ts_us"), Dedup.tokens(col("line")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("ts_us"),
+        explode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / w).cast("int")),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))).as("seg"))
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", lateness)
+      .as[SegOcc]
+    segs
+      .groupByKey(_.seg)
+      .flatMapGroupsWithState[Boolean, SegSeen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, newRows: Iterator[SegOcc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var seen = state.getOption.getOrElse(false)
+            var maxTs = Long.MinValue
+            val out = arrivals.map { r =>
+              val dup = seen
+              seen = true
+              maxTs = math.max(maxTs, r.ts_us)
+              SegSeen(r.doc_id, r.ts_us, r.seg, if (dup) 1L else 0L)
+            }
+            state.update(seen)
+            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(base, lateness)
+            out.iterator
+          }
+      }
+  }
+
   final case class BandRow(doc_id: Long, ts_us: Long, band_id: Int, sig: String,
                            __event_time: java.sql.Timestamp)
   final case class BucketState(docIds: Seq[Long])
