@@ -2120,6 +2120,40 @@ object SparkEntry {
       val s = ensure(s0)
       Dedup.minhashEstimatorAudit(perturbedCorpus(s, dir, cap = 2000))
         .orderBy(col("n_pairs"))
+    }),
+
+    "q_video_decode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // REAL multi-frame round trip: 3-6 solid-gray 4x4 frames per
+      // video, luma alternating base / base+delta frame to frame, are
+      // ENCODED as a concatenated-P6 stream (ffmpeg's image2pipe ppm
+      // form); every 8th payload loses its final frame mid-raster.
+      // The actual stream-walking decode + frame-order luma fold +
+      // shot-boundary count then runs; the oracle derives frame count,
+      // truncation, mean luma, and scene changes (delta > 64 ⟺ every
+      // consecutive pair cuts) arithmetically from doc_id.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (3 + id % 4).toInt
+          val base = (id % 120).toInt
+          val delta = (30 + (id % 10) * 10).toInt
+          val frames = (0 until nf).map { f =>
+            val v = (base + (f % 2) * delta).toByte
+            Multimodal.PpmCodec.Image(4, 4, Array.fill(4 * 4 * 3)(v))
+          }
+          val bytes0 = Multimodal.PpmVideoCodec.encode(frames)
+          val bytes = if (id % 8 == 0) bytes0.dropRight(10) else bytes0
+          Multimodal.MediaRow(id, "video", bytes, bytes.length.toLong, "ppms")
+        }
+      def feat(i: Int) = element_at(col("features"), i)
+      Multimodal.decodeVideoFeatures(media, sceneThreshold = 64.0).toDF()
+        .select(
+          col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          feat(1).cast("long").as("truncated"),
+          round(feat(2), 4).as("mean_luma_r"),
+          feat(3).cast("long").as("n_scenes"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -5112,7 +5146,34 @@ object SparkEntry {
         |       round(avg(jt), 4) AS mean_true,
         |       round(avg(abs(j_est - jt)), 4) AS mae,
         |       round(max(abs(j_est - jt)), 4) AS max_abs_err
-        |FROM joined""".stripMargin
+        |FROM joined""".stripMargin,
+
+    // derivation oracle: frame count / truncation / frame-order mean
+    // luma / shot boundaries restated arithmetically from doc_id (the
+    // alternating-gray construction makes every consecutive-frame luma
+    // step exactly delta, far from the 64 threshold)
+    "q_video_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         3 + doc_id % 4 AS nf,
+        |         doc_id % 120 AS base,
+        |         30 + (doc_id % 10) * 10 AS delta,
+        |         CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS trunc
+        |  FROM documents),
+        |m AS (SELECT doc_id, base, delta, trunc, nf - trunc AS mf FROM d),
+        |lum AS (
+        |  SELECT doc_id, mf, trunc, delta,
+        |         list_transform(generate_series(0, mf - 1), f ->
+        |           0.299 * (base + (f % 2) * delta)
+        |             + 0.587 * (base + (f % 2) * delta)
+        |             + 0.114 * (base + (f % 2) * delta)) AS ls
+        |  FROM m)
+        |SELECT doc_id AS media_id,
+        |       CAST(mf AS BIGINT) AS n_frames,
+        |       CAST(trunc AS BIGINT) AS truncated,
+        |       round(list_sum(ls) / mf, 4) AS mean_luma_r,
+        |       CAST(CASE WHEN delta > 64 THEN mf - 1 ELSE 0 END AS BIGINT) AS n_scenes
+        |FROM lum ORDER BY media_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

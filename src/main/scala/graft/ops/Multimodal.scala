@@ -83,8 +83,15 @@ object Multimodal {
       * dims, truncated payload) — intake quarantines, never throws.
       * Handles `#` comments and arbitrary whitespace per the spec.
       */
-    def decode(bytes: Array[Byte]): Option[Image] = {
-      var i = 0
+    def decode(bytes: Array[Byte]): Option[Image] = decodeAt(bytes, 0).map(_._1)
+
+    /** One P6 frame starting at `from`, plus the offset just past its
+      * raster — the walking primitive multi-frame streams
+      * ([[PpmVideoCodec]]) build on. Same quarantine contract as
+      * [[decode]].
+      */
+    def decodeAt(bytes: Array[Byte], from: Int): Option[(Image, Int)] = {
+      var i = from
       def skipWs(): Unit = {
         var going = true
         while (going && i < bytes.length) {
@@ -113,7 +120,8 @@ object Multimodal {
              else None
         need = w.toLong * h * 3
         _ <- if (bytes.length - i >= need && need <= Int.MaxValue) Some(()) else None
-      } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt))
+      } yield (Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)),
+        i + need.toInt)
     }
 
     /** Nearest-neighbour resample — the real resize primitive. */
@@ -155,6 +163,91 @@ object Multimodal {
       val lm = l / n
       Array(img.width.toDouble, img.height.toDouble,
         r / n, g / n, b / n, lm, math.sqrt(math.max(l2 / n - lm * lm, 0.0)))
+    }
+  }
+
+  /** REAL multi-frame video codec: a concatenated-P6 stream (the PPM
+    * "raw video" convention — `ffmpeg -f image2pipe -vcodec ppm` emits
+    * exactly this) walked frame by frame with [[PpmCodec.decodeAt]].
+    * A truncated or corrupt tail quarantines the REMAINDER while
+    * keeping the frames already parsed — the per-frame analogue of the
+    * row-level quarantine contract, because a 2-hour capture with a
+    * torn final GOP is still 2 hours of training data.
+    */
+  object PpmVideoCodec {
+
+    /** Encode frames as one concatenated-P6 stream. */
+    def encode(frames: Seq[PpmCodec.Image]): Array[Byte] = {
+      val parts = frames.map(PpmCodec.encode)
+      val out = new Array[Byte](parts.map(_.length).sum)
+      var o = 0
+      parts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+      out
+    }
+
+    /** Walk the stream: frames parsed until the bytes end cleanly
+      * (truncated = false) or a frame fails mid-parse (truncated =
+      * true, prefix kept).
+      */
+    def decodeStream(bytes: Array[Byte]): (Seq[PpmCodec.Image], Boolean) = {
+      val frames = Seq.newBuilder[PpmCodec.Image]
+      var off = 0
+      var truncated = false
+      var going = true
+      while (going && off < bytes.length) {
+        PpmCodec.decodeAt(bytes, off) match {
+          case Some((img, next)) => frames += img; off = next
+          case None => truncated = true; going = false
+        }
+      }
+      (frames.result(), truncated)
+    }
+  }
+
+  /** Per-partition REAL video decode + shot-boundary detection over
+    * concatenated-P6 payloads: each payload's frames are walked, the
+    * per-frame mean luma is folded IN FRAME ORDER, and a scene change
+    * is counted whenever consecutive frame lumas differ by more than
+    * `sceneThreshold` — the shot-boundary primitive a video training
+    * pipeline samples keyframes around. Features: (truncated 0/1,
+    * mean luma over frames, scene changes). Zero-frame payloads
+    * surface with n_frames = 0 (full quarantine, never dropped).
+    */
+  def decodeVideoFeatures(media: Dataset[MediaRow],
+                          sceneThreshold: Double): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val (frames, truncated) = PpmVideoCodec.decodeStream(row.bytes)
+        if (frames.isEmpty) MediaFeatures(row.media_id, row.kind, 0, Array.empty)
+        else {
+          val lumas = frames.map { img =>
+            // per-frame mean luma, same per-pixel formula as
+            // PpmCodec.features
+            val n = img.width * img.height
+            var l = 0.0
+            var p = 0
+            while (p < n) {
+              l += 0.299 * (img.rgb(p * 3) & 0xff) +
+                0.587 * (img.rgb(p * 3 + 1) & 0xff) +
+                0.114 * (img.rgb(p * 3 + 2) & 0xff)
+              p += 1
+            }
+            l / n
+          }
+          var sum = 0.0
+          lumas.foreach(sum += _) // sequential fold, frame order
+          var scenes = 0
+          var f = 1
+          while (f < lumas.length) {
+            if (math.abs(lumas(f) - lumas(f - 1)) > sceneThreshold) scenes += 1
+            f += 1
+          }
+          MediaFeatures(row.media_id, row.kind, frames.length,
+            Array(if (truncated) 1.0 else 0.0, sum / lumas.length, scenes.toDouble))
+        }
+      }
     }
   }
 

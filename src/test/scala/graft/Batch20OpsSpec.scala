@@ -125,6 +125,36 @@ class Batch20OpsSpec extends AnyFunSuite {
     CacheScope.flush()
   }
 
+  // ---- PpmVideoCodec / decodeVideoFeatures (q_video_decode) --------------
+
+  private def gray(v: Int) =
+    Multimodal.PpmCodec.Image(2, 2, Array.fill(12)(v.toByte))
+
+  test("PpmVideoCodec: stream round-trip; torn tail keeps the parsed prefix") {
+    val bytes = Multimodal.PpmVideoCodec.encode(Seq(gray(10), gray(200), gray(10)))
+    val (frames, trunc) = Multimodal.PpmVideoCodec.decodeStream(bytes)
+    assert(frames.length === 3 && !trunc)
+    assert(frames.map(f => f.rgb(0) & 0xff) === Seq(10, 200, 10))
+    val (cut, truncCut) = Multimodal.PpmVideoCodec.decodeStream(bytes.dropRight(5))
+    assert(cut.length === 2 && truncCut, "torn final frame quarantined, prefix kept")
+  }
+
+  test("decodeVideoFeatures counts shot boundaries across the luma threshold") {
+    val calm = Multimodal.PpmVideoCodec.encode(Seq(gray(100), gray(120), gray(100)))
+    val cuts = Multimodal.PpmVideoCodec.encode(Seq(gray(10), gray(200), gray(10)))
+    val empty = Array[Byte](1, 2, 3)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", calm, calm.length.toLong, "ppms"),
+      Multimodal.MediaRow(1L, "video", cuts, cuts.length.toLong, "ppms"),
+      Multimodal.MediaRow(2L, "video", empty, 3L, "ppms")
+    ).toDS()
+    val out = Multimodal.decodeVideoFeatures(media, sceneThreshold = 64.0)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(0L).n_frames === 3 && out(0L).features(2) === 0.0) // 20-luma steps
+    assert(out(1L).n_frames === 3 && out(1L).features(2) === 2.0) // two hard cuts
+    assert(out(2L).n_frames === 0 && out(2L).features.isEmpty)    // quarantined
+  }
+
   // ---- phashNearDupPairs -------------------------------------------------
 
   test("phashNearDupPairs: banding finds 0/1/2-bit pairs, far images never pair") {
