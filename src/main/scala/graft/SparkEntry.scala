@@ -2154,6 +2154,37 @@ object SparkEntry {
           round(feat(2), 4).as("mean_luma_r"),
           feat(3).cast("long").as("n_scenes"))
         .orderBy(col("media_id"))
+    }),
+
+    "q_audio_vad" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // REAL VAD round trip: 4-8 alternating speech/silence blocks of
+      // 400 samples (speech first) encoded as WAV, every 6th payload
+      // truncated; energy VAD with block-aligned 400-sample windows
+      // makes speech windows, isolated segments, and speech seconds
+      // (0.05 s per window at 8 kHz) arithmetically derivable
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val nb = (4 + id % 5).toInt
+          val amp = (500 + (id % 40) * 50).toShort
+          val samples = Array.tabulate(nb * 400) { i =>
+            val block = i / 400
+            if (block % 2 == 0) { if (i % 8 < 4) amp else (-amp).toShort }
+            else 0.toShort
+          }
+          val bytes0 = Multimodal.WavCodec.encode(
+            Multimodal.WavCodec.Audio(8000, 1, samples))
+          val bytes = if (id % 6 == 0) bytes0.take(24) else bytes0
+          Multimodal.MediaRow(id, "audio", bytes, bytes.length.toLong, "wav")
+        }
+      Multimodal.vadSegments(media, windowSamples = 400, rmsThreshold = 0.001)
+        .toDF()
+        .select(col("media_id"), col("decoded").cast("long").as("decoded"),
+          col("n_windows"), col("n_speech"), col("n_segments"),
+          when(col("decoded") === 0, lit(null).cast("double"))
+            .otherwise(round(col("speech_sec"), 4)).as("speech_sec_r"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -5173,7 +5204,26 @@ object SparkEntry {
         |       CAST(trunc AS BIGINT) AS truncated,
         |       round(list_sum(ls) / mf, 4) AS mean_luma_r,
         |       CAST(CASE WHEN delta > 64 THEN mf - 1 ELSE 0 END AS BIGINT) AS n_scenes
-        |FROM lum ORDER BY media_id""".stripMargin
+        |FROM lum ORDER BY media_id""".stripMargin,
+
+    // derivation oracle: alternating speech/silence blocks aligned to
+    // the VAD window — every odd window is silent, every even window
+    // is one isolated speech segment of 0.05 s
+    "q_audio_vad" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS nb,
+        |         CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS dec
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(dec AS BIGINT) AS decoded,
+        |       CAST(CASE WHEN dec = 0 THEN 0 ELSE nb END AS BIGINT) AS n_windows,
+        |       CAST(CASE WHEN dec = 0 THEN 0 ELSE (nb + 1) // 2 END AS BIGINT)
+        |         AS n_speech,
+        |       CAST(CASE WHEN dec = 0 THEN 0 ELSE (nb + 1) // 2 END AS BIGINT)
+        |         AS n_segments,
+        |       CASE WHEN dec = 0 THEN NULL
+        |            ELSE round(((nb + 1) // 2) * 0.05, 4) END AS speech_sec_r
+        |FROM d ORDER BY media_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

@@ -357,6 +357,65 @@ object Multimodal {
     }
   }
 
+  /** One VAD verdict per audio payload. */
+  final case class VadRow(media_id: Long, decoded: Int, n_windows: Long,
+                          n_speech: Long, n_segments: Long, speech_sec: Double)
+
+  /** Energy-based voice-activity detection over decoded WAV — the
+    * speech-pipeline gate between raw capture and ASR/training: the
+    * first channel is cut into fixed windows, each window's RMS is
+    * compared to a silence threshold, and consecutive speech windows
+    * merge into segments. Output per payload: window/speech counts,
+    * segment count, and total speech seconds — the numbers a corpus
+    * builder filters on (drop near-silent captures, bill by speech
+    * time, split long files at silence). Malformed payloads surface
+    * with decoded = 0 (quarantine contract).
+    *
+    * Map-side per-partition like every codec path; a real pipeline
+    * swaps the energy rule for a model VAD behind the same window →
+    * flag → merge shape.
+    */
+  def vadSegments(media: Dataset[MediaRow], windowSamples: Int,
+                  rmsThreshold: Double): Dataset[VadRow] = {
+    require(windowSamples > 0, "window must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        WavCodec.decode(row.bytes) match {
+          case None => VadRow(row.media_id, 0, 0L, 0L, 0L, 0.0)
+          case Some(a) =>
+            val n = a.samples.length / a.channels
+            val nWin = (n + windowSamples - 1) / windowSamples
+            var speech = 0L; var segments = 0L
+            var prevSpeech = false
+            var w = 0
+            while (w < nWin) {
+              val from = w * windowSamples
+              val until = math.min(from + windowSamples, n)
+              var sq = 0.0
+              var i = from
+              while (i < until) {
+                val s = a.samples(i * a.channels).toDouble
+                sq += s * s
+                i += 1
+              }
+              val rms = math.sqrt(sq / (until - from)) / 32768.0
+              val isSpeech = rms > rmsThreshold
+              if (isSpeech) {
+                speech += 1
+                if (!prevSpeech) segments += 1
+              }
+              prevSpeech = isSpeech
+              w += 1
+            }
+            VadRow(row.media_id, 1, nWin.toLong, speech, segments,
+              speech * windowSamples.toDouble / a.sampleRate)
+        }
+      }
+    }
+  }
+
   /** Per-partition REAL audio decode over WAV payloads — same
     * quarantine contract as [[decodePpmFeatures]]: parsed rows carry
     * (n_frames = 1, (duration, rms, zcr)); malformed rows surface

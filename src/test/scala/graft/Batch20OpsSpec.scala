@@ -155,6 +155,28 @@ class Batch20OpsSpec extends AnyFunSuite {
     assert(out(2L).n_frames === 0 && out(2L).features.isEmpty)    // quarantined
   }
 
+  // ---- vadSegments (q_audio_vad) -----------------------------------------
+
+  test("vadSegments merges consecutive speech windows into one segment") {
+    // 5 windows of 100 samples: S S Q S Q -> 3 speech windows, 2 segments
+    def block(loud: Boolean) =
+      Array.tabulate(100)(i => if (!loud) 0.toShort
+        else if (i % 8 < 4) 2000.toShort else (-2000).toShort)
+    val samples = block(true) ++ block(true) ++ block(false) ++
+      block(true) ++ block(false)
+    val wav = Multimodal.WavCodec.encode(Multimodal.WavCodec.Audio(8000, 1, samples))
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio", wav, wav.length.toLong, "wav"),
+      Multimodal.MediaRow(1L, "audio", wav.take(10), 10L, "wav")
+    ).toDS()
+    val out = Multimodal.vadSegments(media, windowSamples = 100, rmsThreshold = 0.001)
+      .collect().map(v => v.media_id -> v).toMap
+    assert(out(0L).n_windows === 5L && out(0L).n_speech === 3L)
+    assert(out(0L).n_segments === 2L, "adjacent speech windows must merge")
+    assert(math.abs(out(0L).speech_sec - 3 * 100.0 / 8000) < 1e-12)
+    assert(out(1L).decoded === 0)
+  }
+
   // ---- phashNearDupPairs -------------------------------------------------
 
   test("phashNearDupPairs: banding finds 0/1/2-bit pairs, far images never pair") {
