@@ -2185,6 +2185,46 @@ object SparkEntry {
           when(col("decoded") === 0, lit(null).cast("double"))
             .otherwise(round(col("speech_sec"), 4)).as("speech_sec_r"))
         .orderBy(col("media_id"))
+    }),
+
+    "q_media_dedup_cc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // the capstone composition: IMAGE near-dup pairs (real decode →
+      // aHash → hamming banding) feed the SAME transitive CC keeper
+      // machinery the text path uses — dedup is modality-agnostic once
+      // candidates exist. Same planted rasters as q_media_phash_band:
+      // every same-base pair sits within hamming 2, so components are
+      // exactly the base groups and the oracle derives keepers
+      // arithmetically
+      val media = Tables.documents(s, dir)
+        .filter(col("doc_id") < 2000).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id % 64
+          val flip = if (id % 2 == 1) ((id / 64) % 64).toInt else -1
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val bright =
+              (((i * 144115188075855881L) ^ (base * 2654435761L)) % 97 < 48) !=
+                (i == flip)
+            val v: Byte = if (bright) 255.toByte else 0.toByte
+            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+            i += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(8, 8, rgb))
+          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      val hashes = Multimodal.averageHash(media, size = 8).toDF()
+      val pairs = Multimodal.phashNearDupPairs(hashes,
+          hashBits = 64, bands = 4, maxHamming = 2)
+        .select(col("a"), col("b"))
+      val vertices = hashes.filter(col("decoded") === 1)
+        .select(col("media_id").as("doc_id"))
+      Dedup.ccKeepersFromEdges(pairs, vertices)
+        .select(col("doc_id").as("media_id"), col("keep_id"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -5223,7 +5263,17 @@ object SparkEntry {
         |         AS n_segments,
         |       CASE WHEN dec = 0 THEN NULL
         |            ELSE round(((nb + 1) // 2) * 0.05, 4) END AS speech_sec_r
-        |FROM d ORDER BY media_id""".stripMargin
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // components = base groups exactly (every same-base pair is a
+    // hamming ≤ 2 edge; the XOR-mixed patterns exclude cross-base
+    // edges), so the transitive keeper is the group min over decoded ids
+    "q_media_dedup_cc" ->
+      """SELECT doc_id AS media_id,
+        |       min(doc_id) OVER (PARTITION BY doc_id % 64) AS keep_id
+        |FROM documents
+        |WHERE doc_id % 9 != 0 AND doc_id < 2000
+        |ORDER BY media_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

@@ -407,15 +407,30 @@ object Dedup {
     */
   def connectedComponentKeepers(corpus: DataFrame, minJaccard: Double,
                                 numHashes: Int = 16, bands: Int = 4,
-                                maxIters: Int = 20): DataFrame = {
+                                maxIters: Int = 20): DataFrame =
+    ccKeepersFromEdges(
+      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands),
+      corpus.select(col("doc_id")), maxIters)
+
+  /** Connected-component keeper assignment from ANY undirected pair
+    * set — the modality-agnostic core of [[connectedComponentKeepers]]:
+    * text near-dups arrive via MinHash+verify, image near-dups via
+    * [[graft.ops.Multimodal.phashNearDupPairs]], embedding near-dups
+    * via cosine pairs — the transitive min-label fixpoint is the same
+    * machinery regardless of what produced the edges. `pairs` carries
+    * (a, b); `vertices` carries doc_id (singletons keep themselves).
+    */
+  def ccKeepersFromEdges(pairs: DataFrame, vertices: DataFrame,
+                         maxIters: Int = 20): DataFrame = {
+    val corpus = vertices
     // ONE cached frame: the undirected edge set, built by exploding
     // each verified (a,b) pair into both directions in the SAME pass —
-    // a self-union would re-run the LSH-candidate + exact-verify joins
+    // a self-union would re-run the upstream candidate/verify joins
     // (the dominant cost of the operator) once per branch, and caching
     // the directed set first just to guard the union costs a second
     // materialization job. The explode keeps it one plan, one cache.
     val edges = CacheScope.cached(
-      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
+      pairs
         .select(explode(array(
           struct(col("a"), col("b")),
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
