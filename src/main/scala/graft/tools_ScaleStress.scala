@@ -363,6 +363,44 @@ object ScaleStress {
         println(s"[scale]   ppm verdicts=$v (expect ${nMedia - bad} good / $bad quarantined)")
         assert(v(0) == bad && v(1) == nMedia - bad, "ppm quarantine counts drifted")
       }
+      // 11c. Multi-frame video walk + shot boundaries: 5 frames each,
+      //      every 13th torn mid-frame (prefix kept = 4 frames), cut
+      //      count exact from the alternating-luma construction.
+      val vidRows = spark.range(0, nMedia, 1, 64).as[Long].map { id =>
+        val frames = (0 until 5).map { f =>
+          val v = (if (f % 2 == 0) 20 else 220).toByte
+          ops.Multimodal.PpmCodec.Image(4, 4, Array.fill(48)(v))
+        }
+        val bytes0 = ops.Multimodal.PpmVideoCodec.encode(frames)
+        val bytes = if (id % 13 == 0) bytes0.dropRight(10) else bytes0
+        ops.Multimodal.MediaRow(id, "video", bytes, bytes.length.toLong, "ppms")
+      }
+      timed(s"video walk+scenes x$nMedia") {
+        val v = ops.Multimodal.decodeVideoFeatures(vidRows, sceneThreshold = 64.0)
+          .groupBy(col("n_frames")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val torn = (nMedia + 12) / 13
+        println(s"[scale]   video frames=$v (expect ${nMedia - torn}x5 / ${torn}x4)")
+        assert(v(5) == nMedia - torn && v(4) == torn, "video walk counts drifted")
+      }
+      // 11d. VAD at width: alternating 400-sample speech/silence, 6
+      //      blocks — 3 segments each, exact.
+      val vadRows = spark.range(0, nMedia, 1, 64).as[Long].map { id =>
+        val amp = (500 + (id % 40) * 50).toShort
+        val samples = Array.tabulate(6 * 400) { i =>
+          if ((i / 400) % 2 == 0) { if (i % 8 < 4) amp else (-amp).toShort }
+          else 0.toShort
+        }
+        val bytes = ops.Multimodal.WavCodec.encode(
+          ops.Multimodal.WavCodec.Audio(8000, 1, samples))
+        ops.Multimodal.MediaRow(id, "audio", bytes, bytes.length.toLong, "wav")
+      }
+      timed(s"vad segments x$nMedia") {
+        val segs = ops.Multimodal.vadSegments(vadRows, 400, 0.001)
+          .filter(col("n_segments") === 3).count()
+        println(s"[scale]   3-segment payloads=$segs (expect $nMedia)")
+        assert(segs == nMedia, "VAD segment counts drifted")
+      }
     }
     spark.stop()
   }
