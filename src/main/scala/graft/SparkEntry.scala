@@ -2225,6 +2225,12 @@ object SparkEntry {
       Dedup.ccKeepersFromEdges(pairs, vertices)
         .select(col("doc_id").as("media_id"), col("keep_id"))
         .orderBy(col("media_id"))
+    }),
+
+    "q_rfm" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.rfmSegments(Tables.events(s, dir), Tables.D2024_01_20_US)
+        .orderBy(col("user_id"))
     })
   )
 
@@ -5273,7 +5279,30 @@ object SparkEntry {
         |       min(doc_id) OVER (PARTITION BY doc_id % 64) AS keep_id
         |FROM documents
         |WHERE doc_id % 9 != 0 AND doc_id < 2000
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    "q_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(floor((1705708800000000 - max(epoch_us(ts))) / 86400000000.0)
+        |              AS BIGINT) AS recency_days,
+        |         count(*) AS frequency,
+        |         round(sum(value), 4) AS monetary_r
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND epoch_us(ts) <= 1705708800000000
+        |  GROUP BY user_id)
+        |SELECT user_id, recency_days, frequency, monetary_r,
+        |       CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+        |         AS r_band,
+        |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+        |         AS f_band,
+        |       CAST(ntile(5) OVER (ORDER BY monetary_r DESC, user_id) AS BIGINT)
+        |         AS m_band,
+        |       concat_ws('-',
+        |         ntile(5) OVER (ORDER BY recency_days, user_id),
+        |         ntile(5) OVER (ORDER BY frequency DESC, user_id),
+        |         ntile(5) OVER (ORDER BY monetary_r DESC, user_id)) AS segment
+        |FROM pu ORDER BY user_id""".stripMargin
   )
 
   /** Oracle SQL whose text depends on an engine-built MODEL (data, not

@@ -313,6 +313,45 @@ object EventOps {
         round(sum(w), 4).as("recency_score_r"))
   }
 
+  /** RFM segmentation — the classic customer-value grid (Hughes 1994;
+    * the warehouse query a marketing/analytics stack runs weekly):
+    * per user, Recency (days since last event at the anchor),
+    * Frequency (event count), Monetary (value sum), each cut into
+    * `nBands` equal-count bands (1 = best: most recent / most
+    * frequent / highest value), composed into the "R-F-M" segment
+    * label campaigns target ("1-1-1" = champions, "5-1-1" = at-risk
+    * big spenders).
+    *
+    * Shape: ONE per-user aggregation (map-side combinable), then
+    * three ntile windows over the |users|-sized frame — orders of
+    * magnitude smaller than the event stream. The windows are global
+    * by definition (band = global rank bucket); at 100 TB swap ntile
+    * for approx_percentile cut points broadcast back (the same
+    * substitution contract as q_percentile) — band boundaries within
+    * sketch error, zero global sorts. Ties break on user_id so both
+    * engines band identically.
+    */
+  def rfmSegments(events: DataFrame, anchorUs: Long, nBands: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .filter(col("user_id").isNotNull && col("ts_us") <= anchorUs)
+      .groupBy(col("user_id"))
+      .agg(
+        floor((lit(anchorUs) - max(col("ts_us"))) / lit(86400e6)).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 4).as("monetary_r"))
+    perUser
+      .withColumn("r_band", ntile(nBands).over(
+        Window.orderBy(col("recency_days").asc, col("user_id").asc)).cast("long"))
+      .withColumn("f_band", ntile(nBands).over(
+        Window.orderBy(col("frequency").desc, col("user_id").asc)).cast("long"))
+      .withColumn("m_band", ntile(nBands).over(
+        Window.orderBy(col("monetary_r").desc, col("user_id").asc)).cast("long"))
+      .withColumn("segment",
+        concat_ws("-", col("r_band"), col("f_band"), col("m_band")))
+  }
+
   /** Two-proportion A/B z-test: users split into deterministic
     * buckets, "converted" = has ≥1 `convType` event; reports per-arm
     * counts/rates and the pooled two-proportion z statistic. One

@@ -155,6 +155,28 @@ class Batch20OpsSpec extends AnyFunSuite {
     assert(out(2L).n_frames === 0 && out(2L).features.isEmpty)    // quarantined
   }
 
+  // ---- rfmSegments (q_rfm) -----------------------------------------------
+
+  test("rfmSegments: equal-count bands, best-band assignment correct") {
+    val anchor = 100L * 86400000000L
+    val ev = (1 to 20).flatMap { u =>
+      // user u: last event u days before anchor, u events, value u each
+      (1 to u).map(i => (s"e$u-$i", u.toLong, anchor - u * 86400000000L - i, u.toDouble))
+    }.toDF("event_id", "user_id", "ts_us", "value")
+    val out = graft.ops.EventOps.rfmSegments(ev, anchor).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // user 1: most recent, FEWEST events, least value -> R=1, F=5, M=5
+    assert(out(1L) === ((1L, 5L, 5L, "1-5-5")))
+    // user 20: most stale, most events, most value -> R=5, F=1, M=1
+    assert(out(20L) === ((5L, 1L, 1L, "5-1-1")))
+    // each band holds exactly 4 of the 20 users
+    (1 to 5).foreach { b =>
+      assert(out.values.count(_._1 == b) === 4, s"r_band $b size")
+      assert(out.values.count(_._2 == b) === 4, s"f_band $b size")
+    }
+  }
+
   // ---- vadSegments (q_audio_vad) -----------------------------------------
 
   test("vadSegments merges consecutive speech windows into one segment") {
