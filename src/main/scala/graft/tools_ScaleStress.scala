@@ -321,6 +321,20 @@ object ScaleStress {
         println(s"[scale]   near-dup pairs=$pairs (expect $expect)")
         assert(pairs == expect, "phash banding recall/precision drifted")
       }
+      // 11b'. Modality-agnostic CC over the image edges: 40k planted
+      //       5-cliques through the SAME fixpoint the text path uses —
+      //       exactly 4 non-self keepers per clique.
+      timed(s"image CC x$nImg") {
+        val hashes = ops.Multimodal.averageHash(imgRows, size = 8).toDF()
+        val pairs = ops.Multimodal.phashNearDupPairs(hashes,
+          hashBits = 64, bands = 4, maxHamming = 2).select(col("a"), col("b"))
+        val k = ops.Dedup.ccKeepersFromEdges(pairs,
+            hashes.select(col("media_id").as("doc_id")))
+          .filter(col("keep_id") =!= col("doc_id")).count()
+        CacheScope.flush()
+        println(s"[scale]   non-self keepers=$k (expect ${nGroups * 4})")
+        assert(k == nGroups * 4, "image CC keeper counts drifted")
+      }
     }
 
     // 11. REAL codec throughput at 200k payloads (~0.5 GB of WAV, ~0.2
