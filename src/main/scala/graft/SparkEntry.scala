@@ -4905,8 +4905,12 @@ object SparkEntry {
         |            THEN 0 ELSE 1 END AS BIGINT) AS suppressed
         |FROM g ORDER BY event_type, day""".stripMargin,
 
-    // SQ8 shortlist: round(x/scale)*scale dequantization recomputed
-    // from the same per-vector max-abs scale the Spark side stores
+    // SQ8 shortlist in the QUANTIZED domain: both sides become
+    // round(x/scale) int8 codes from the same per-vector max-abs
+    // scale the Spark index stores; scales cancel out of the cosine,
+    // so the shortlist score is the pure integer-code cosine (every
+    // dot term |c| <= 127^2, the sum is an exact integer in a double,
+    // so the 6dp rank boundary is engine-independent)
     "q_sim_sq" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4915,18 +4919,18 @@ object SparkEntry {
         |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
         |              ELSE list_max(list_transform(v, x -> abs(x))) / 127 END AS scale
         |  FROM e),
-        |dqv AS (
+        |cd AS (
         |  SELECT vec_id, v,
-        |         list_transform(v, x -> round(x / scale) * scale) AS dq
+        |         list_transform(v, x -> round(x / scale)) AS codes
         |  FROM sq),
         |n AS (
-        |  SELECT vec_id, v, dq,
+        |  SELECT vec_id, v, codes,
         |         sqrt(list_dot_product(v, v)) AS nrm,
-        |         sqrt(list_dot_product(dq, dq)) AS dn
-        |  FROM dqv),
+        |         sqrt(list_dot_product(codes, codes)) AS cn
+        |  FROM cd),
         |adc AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |         round(list_dot_product(q.v, c.dq) / (q.nrm * c.dn), 6) AS adc_r
+        |         round(list_dot_product(q.codes, c.codes) / (q.cn * c.cn), 6) AS adc_r
         |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
         |short AS (
         |  SELECT q_id, c_id FROM (

@@ -49,18 +49,32 @@ object Sim {
     */
   def quantizeInt8(a: Column): Column = {
     val maxAbs = aggregate(a, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
-    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
     // round-half-away-from-zero via floor: identical to round()'s
     // BigDecimal HALF_UP on this domain (|x/scale| ≤ 127, where every
     // half-way point k.5 is exactly representable, so the decimal and
-    // binary boundaries coincide) — and ~free per element where
-    // round() pays a BigDecimal round-trip per evaluation (the
-    // plans/PqEncode lesson; this transform runs dim× per row)
+    // binary boundaries coincide — note the floor(y+0.5) form can
+    // differ from true half-away when y sits one ulp BELOW a .5
+    // boundary and the addition rounds up across it; kept because the
+    // oracle recomputes the identical formula, so the engines agree
+    // by construction) — and ~free per element where round() pays a
+    // BigDecimal round-trip per evaluation (the plans/PqEncode
+    // lesson; this transform runs dim× per row)
     def halfAway(y: Column): Column =
       when(y >= 0, floor(y + 0.5d)).otherwise(-floor(-y + 0.5d))
-    struct(
-      scale.as("scale"),
-      transform(a, x => halfAway(x / scale).cast("byte")).as("q"))
+    // Spark has no scalar `let`, so bind the per-row scale ONCE by
+    // routing it through a single-element array + transform lambda:
+    // without this, every element of the codes transform re-evaluates
+    // the O(dim) maxAbs fold (and `when` branches evaluate it again)
+    // — O(dim²) interpreted lambda calls per row, measured as the
+    // dominant cost of the sf0.1 SQ index build (~1.3-2.0 s of the
+    // old 1.6-1.8 s q_sim_sq total)
+    element_at(
+      transform(
+        array(when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)),
+        scale => struct(
+          scale.as("scale"),
+          transform(a, x => halfAway(x / scale).cast("byte")).as("q"))),
+      1)
   }
 
   /** Brute-force cosine top-k: for each of a SMALL query set (queries
@@ -101,74 +115,134 @@ object Sim {
     * the simplest production ANN compression, sitting between
     * brute-force [[cosineTopK]] and [[cosineTopKIvfPq]]: every
     * candidate vector is stored as ([[quantizeInt8]]) one scale + d
-    * bytes (4× smaller than float32, 8× smaller than the double math
-    * here), the shortlist scan scores queries against DEQUANTIZED
-    * candidates, and only the `shortlist` best per query are re-scored
-    * at full precision (faiss `IndexScalarQuantizer` + refine). No
-    * training, no codebooks — the trade against PQ is memory (SQ8
-    * keeps d bytes/vector where PQ keeps m) for zero model risk.
+    * int8 codes — the ONLY per-vector data the index holds (8× smaller
+    * resident than the double math, 4× smaller than float32) — and the
+    * shortlist scan scores ENTIRELY in the quantized domain: the query
+    * is quantized once, the kernel runs integer multiply-accumulates
+    * over the byte codes, and nothing is dequantized (faiss
+    * `IndexScalarQuantizer` + refine). Per-vector scales cancel out of
+    * the cosine (cos(s_q·q, s_c·c) = cos(q, c)), so the quantized
+    * cosine needs only the codes; the scale column stays in the index
+    * for dot/L2 metrics. Only the `shortlist` best per query are
+    * re-scored at full precision, reading the full vectors from the
+    * BASE table — production keeps them in a separate store; the index
+    * never carries them. No training, no codebooks — the trade against
+    * PQ is memory (SQ8 keeps d bytes/vector where PQ keeps m) for zero
+    * model risk.
     *
-    * Shape: quantization and dequantized scoring are map-side; the
-    * query side broadcasts (same as [[cosineTopK]]); the refine
+    * Shape: quantization and code scoring are map-side; the query-code
+    * matrix is a planning-time model (nQueries×d ints); the refine
     * shortlist (queries×shortlist ids) broadcasts back against the
     * corpus so full vectors are read only for shortlisted rows. The
-    * shortlist rank uses 6dp rounding + id tiebreak — both engines
-    * fold the dot product left-to-right over the same element order,
-    * so the boundary is reproducible.
+    * shortlist rank uses 6dp rounding + id tiebreak, and the integer
+    * dot is EXACT (|code| ≤ 127 → a d=4096 dot fits a double
+    * losslessly), so the boundary is reproducible across engines
+    * regardless of accumulation order — strictly safer than the old
+    * dequantized-double fold.
     */
+  /** The SQ8 index layout: (c_id, scale double, codes array<tinyint>)
+    * — what [[cosineTopKSq]] caches as its resident working set.
+    * Exposed so the spec can pin that the index never grows a
+    * full-precision array column back.
+    */
+  def sqIndex(asDouble: DataFrame): DataFrame = asDouble
+    .withColumn("sq", quantizeInt8(col("v")))
+    .select(
+      col("vec_id").as("c_id"),
+      col("sq").getField("scale").as("scale"),
+      col("sq").getField("q").as("codes"))
+
   def cosineTopKSq(embeddings: DataFrame, nQueries: Int, k: Int,
-                   shortlist: Int): DataFrame = {
+                   shortlist: Int): DataFrame =
+    cosineTopKSqImpl(embeddings, nQueries, k, shortlist, useKernel = true)
+
+  /** `useKernel = false` forces the HOF fallback — test hook for the
+    * kernel-vs-fallback parity pin (integer dots are exact, so the two
+    * paths must agree bit-for-bit).
+    */
+  private[graft] def cosineTopKSqImpl(embeddings: DataFrame, nQueries: Int, k: Int,
+                   shortlist: Int, useKernel: Boolean): DataFrame = {
     val dotF = dotNative(embeddings.sparkSession) _
     def normF(c: Column) = sqrt(dotF(c, c))
     val asDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // the stored index: id + scale + int8 codes (+ the full vector,
-    // which production keeps in a separate store and only the refine
-    // stage reads — modeled here by selecting it again from `cands`)
-    val cands = CacheScope.cached(asDouble
-      .withColumn("sq", quantizeInt8(col("v")))
-      .withColumn("dq", transform(col("sq").getField("q"),
-        b => b.cast("double") * col("sq").getField("scale")))
-      .select(
-        col("vec_id").as("c_id"), col("v").as("cv"), normF(col("v")).as("cn"),
-        col("dq"), normF(col("dq")).as("dn")))
-    val queries = asDouble.filter(col("vec_id") < nQueries).select(
-      col("vec_id").as("q_id"), col("v").as("qv"), normF(col("v")).as("qn"))
+    // the stored index: id + scale + int8 codes, nothing else — this
+    // is the resident working set at 100 TB, so no array<double> may
+    // be cached here (schema pinned by Batch19OpsSpec "sq index is
+    // codes-only")
+    val index = CacheScope.cached(sqIndex(asDouble))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_r").desc, col("c_id").asc)
-    // ADC scan: query vectors become a planning-time matrix model and
-    // the native kernel scores each candidate's DEQUANTIZED vector
-    // against all queries in one compiled loop — no vector-carrying
-    // pair join (the knnLabelVote lesson; measured 0.86 → shortlist
-    // stream shrinks to skinny (q, c, score) rows). HOF fallback kept
-    // for sessions without the extension — identical math either way.
+    // Quantize the QUERY side once, DRIVER-side (nQueries rows — a
+    // model build, same bounded-collect family as the IVF centroids):
+    // one collect fetches the full query vectors; codes, norms and the
+    // kernel's query-code matrix are then computed locally with the
+    // exact same double arithmetic as the distributed formula
+    // (x/scale then floor(y+0.5) half-away; left-fold dots), so no
+    // second cluster pass or giant quantize expression tree is planned
+    // for 10 rows.
     val spark = embeddings.sparkSession
-    val adc: DataFrame = if (spark.catalog.functionExists("graft_all_cos")) {
-      val qRows = asDouble.filter(col("vec_id") < nQueries)
-        .orderBy(col("vec_id")).collect()
-      val qIds = qRows.map(_.getLong(0))
-      val flat = qRows.flatMap(_.getSeq[Double](1))
-      cands
+    val qRows = asDouble.filter(col("vec_id") < nQueries)
+      .orderBy(col("vec_id")).collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Double](1).toArray)
+    def codesOf(v: Array[Double]): Array[Int] = {
+      var maxAbs = 0.0
+      v.foreach(x => maxAbs = math.max(maxAbs, math.abs(x)))
+      val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+      v.map { x =>
+        val y = x / scale
+        (if (y >= 0) math.floor(y + 0.5) else -math.floor(-y + 0.5)).toInt
+      }
+    }
+    val qFlat = qVecs.flatMap(codesOf)
+    val adc: DataFrame = if (useKernel && spark.catalog.functionExists("graft_all_cos_i8")) {
+      // one compiled pass per candidate: byte loads, long accumulate —
+      // the integer-SIMD scan SQ exists to enable
+      index
         .select(col("c_id"),
-          posexplode(call_function("graft_all_cos",
-            col("dq"), col("dn"), typedlit(flat), lit(qRows.length)))
+          posexplode(call_function("graft_all_cos_i8",
+            col("codes"), typedlit(qFlat), lit(qRows.length)))
             .as(Seq("q_idx", "cos")))
         .select(
           element_at(typedlit(qIds), col("q_idx") + 1).as("q_id"),
           col("c_id"), round(col("cos"), 6).as("adc_r"))
         .filter(col("q_id") =!= col("c_id"))
     } else {
-      cands
-        .join(broadcast(queries), col("q_id") =!= col("c_id"))
+      // HOF fallback without the extension: same integer math via a
+      // broadcast of the per-query code arrays — exact-integer dots,
+      // so results are identical to the kernel path
+      import spark.implicits._
+      val qDf = qIds.zip(qVecs.map(codesOf)).toIndexedSeq
+        .toDF("q_id", "qc")
+      def idot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+      index
+        .withColumn("ci", col("codes").cast("array<int>"))
+        .join(broadcast(qDf), col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("c_id"),
-          round(dotF(col("qv"), col("dq")) / (col("qn") * col("dn")), 6)
-            .as("adc_r"))
+          round(idot(col("qc"), col("ci")).cast("double") /
+            (sqrt(idot(col("qc"), col("qc")).cast("double")) *
+             sqrt(idot(col("ci"), col("ci")).cast("double"))), 6).as("adc_r"))
     }
     val short = adc
       .withColumn("srnk", row_number().over(wTop))
       .filter(col("srnk") <= shortlist)
       .select(col("q_id"), col("c_id"))
+    // refine: candidate full vectors come from the BASE table, not the
+    // index (the index stays codes-only); the query side is the
+    // already-collected rows as a LOCAL relation — no second scan, and
+    // the driver left-fold norm is the same sequential sum as the
+    // distributed fold
+    val queries = {
+      import spark.implicits._
+      qIds.zip(qVecs).toIndexedSeq.map { case (id, v) =>
+        var s = 0.0; v.foreach(x => s += x * x)
+        (id, v, math.sqrt(s))
+      }.toDF("q_id", "qv", "qn")
+    }
     val wFinal = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
-    cands
+    asDouble.select(col("vec_id").as("c_id"), col("v").as("cv"), normF(col("v")).as("cn"))
       .join(broadcast(short), Seq("c_id"))
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("c_id"),

@@ -105,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => AllCosines(
         children(0), children(1), children(2), children(3))))
     ext.injectFunction((
+      FunctionIdentifier("graft_all_cos_i8"),
+      new ExpressionInfo(classOf[AllCosinesI8].getName, "graft_all_cos_i8"),
+      (children: Seq[Expression]) => AllCosinesI8(
+        children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => PqEncode(

@@ -146,6 +146,33 @@ class Batch19OpsSpec extends AnyFunSuite {
     assert(sq === exact)
   }
 
+  test("sq index is codes-only: no full-precision array column may be cached") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = Sim.sqIndex(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")))
+    val arrayElems = idx.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] =>
+        f.name -> f.dataType.asInstanceOf[ArrayType].elementType
+    }
+    assert(arrayElems.toSeq === Seq("codes" -> ByteType),
+      s"SQ8 index must hold int8 codes and nothing wider: $arrayElems")
+    assert(!idx.schema.fields.exists(f =>
+      f.dataType == ArrayType(DoubleType) || f.dataType == ArrayType(FloatType)))
+  }
+
+  test("cosineTopKSq kernel and HOF fallback agree bit-for-bit") {
+    // integer dots are exact, so the two paths must match EXACTLY,
+    // not just approximately — this is the cross-path determinism pin
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val withKernel = Sim.cosineTopKSqImpl(emb, 4, 4, 12, useKernel = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaHof = Sim.cosineTopKSqImpl(emb, 4, 4, 12, useKernel = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(withKernel.nonEmpty && withKernel === viaHof)
+    CacheScope.flush()
+  }
+
   test("quantizeInt8 dequantization error is below one step") {
     val df = Seq((0L, Array(0.9, -0.4, 0.05, 0.0))).toDF("id", "v")
     val out = df.select(Sim.quantizeInt8(col("v")).as("sq"), col("v"))
