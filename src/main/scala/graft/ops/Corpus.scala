@@ -516,19 +516,15 @@ object Corpus {
     * batch max; length-bucketed batching pads only to the BUCKET max,
     * and this table says exactly what that buys).
     *
-    * The exact global ntile is one single-reducer sort — fine at bench
-    * scale, NOT the 100 TB shape; there, replace the window with
-    * approx_percentile cut points (n−1 numbers, broadcast) and assign
-    * buckets map-side: identical audit within sketch error, no global
-    * sort. The [[lengthBand]] note generalized to n cuts.
+    * Bucketing is [[Relational.bandedNtile]]: exact ntile semantics,
+    * but past the bounded-window gate it range-repartitions and
+    * offsets local ranks instead of funnelling the corpus through one
+    * task — the same audit, no single-reducer sort at any scale.
     */
   def lengthBuckets(docs: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       col("doc_id"), size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
-    val w = Window.orderBy(col("n_tok"), col("doc_id"))
-    toks
-      .withColumn("bucket", ntile(n).over(w).cast("long"))
+    Relational.bandedNtile(toks, n, Seq(col("n_tok"), col("doc_id")), "bucket")
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),

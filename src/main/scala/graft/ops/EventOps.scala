@@ -323,16 +323,15 @@ object EventOps {
     * big spenders).
     *
     * Shape: ONE per-user aggregation (map-side combinable), then
-    * three ntile windows over the |users|-sized frame — orders of
-    * magnitude smaller than the event stream. The windows are global
-    * by definition (band = global rank bucket); at 100 TB swap ntile
-    * for approx_percentile cut points broadcast back (the same
-    * substitution contract as q_percentile) — band boundaries within
-    * sketch error, zero global sorts. Ties break on user_id so both
+    * three [[Relational.bandedNtile]] passes over the |users|-sized
+    * frame — orders of magnitude smaller than the event stream, and
+    * never through a partition-less window when |users| outgrows the
+    * bounded-window gate (the banding repartitions by range and
+    * offsets local ranks instead — exact, so band boundaries stay
+    * engine-independent at any scale). Ties break on user_id so both
     * engines band identically.
     */
   def rfmSegments(events: DataFrame, anchorUs: Long, nBands: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perUser = events
       .filter(col("user_id").isNotNull && col("ts_us") <= anchorUs)
       .groupBy(col("user_id"))
@@ -341,15 +340,15 @@ object EventOps {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         round(sum(col("value")), 4).as("monetary_r"))
-    perUser
-      .withColumn("r_band", ntile(nBands).over(
-        Window.orderBy(col("recency_days").asc, col("user_id").asc)).cast("long"))
-      .withColumn("f_band", ntile(nBands).over(
-        Window.orderBy(col("frequency").desc, col("user_id").asc)).cast("long"))
-      .withColumn("m_band", ntile(nBands).over(
-        Window.orderBy(col("monetary_r").desc, col("user_id").asc)).cast("long"))
-      .withColumn("segment",
-        concat_ws("-", col("r_band"), col("f_band"), col("m_band")))
+    val banded = Seq(
+      ("r_band", Seq(col("recency_days").asc, col("user_id").asc)),
+      ("f_band", Seq(col("frequency").desc, col("user_id").asc)),
+      ("m_band", Seq(col("monetary_r").desc, col("user_id").asc)))
+      .foldLeft(perUser) { case (df, (out, keys)) =>
+        Relational.bandedNtile(df, nBands, keys, out)
+      }
+    banded.withColumn("segment",
+      concat_ws("-", col("r_band"), col("f_band"), col("m_band")))
   }
 
   /** Two-proportion A/B z-test: users split into deterministic

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -216,29 +216,103 @@ object Relational {
       .drop("__bin")
   }
 
-  /** Equal-count bucketing (`ntile`) + per-bucket summary — the
-    * decile/percentile-band report. The tile assignment is one global
-    * rank window ordered by (`valueCol`, `keyCol`): ntile is
-    * rank-arithmetic, so the unique-key tiebreak makes bucket
-    * boundaries engine-independent. The per-bucket aggregate is an
-    * ordinary partial-agged groupBy.
-    *
-    * Scale: a single-ORDER window is one global sort — fine into the
-    * billions of rows (Spark range-partitions the sort); past that,
-    * assign tiles from an approx-quantile sketch cut list instead and
-    * keep this exact form for the verification sample.
+  /** Rows a single executor can safely hold for a partition-less
+    * window (≤ ~4M rows × ~50 B ≈ 200 MB) — the size gate
+    * [[bandedNtile]] uses to pick its execution path, the same
+    * size-based strategy call Spark makes for broadcast-vs-shuffle
+    * joins.
     */
-  def ntileStats(df: DataFrame, valueCol: String, keyCol: String, n: Int): DataFrame = {
+  val NtileWindowMaxRows: Long = 4L * 1000 * 1000
+
+  /** Exact equal-count banding (`ntile` semantics, ties broken by the
+    * caller's unique key suffix) that never funnels an unbounded input
+    * through one task.
+    *
+    * `Window.orderBy` with no partition — what a naive ntile compiles
+    * to — moves EVERY row through a single partition (window functions
+    * do NOT range-partition the way `Dataset.orderBy` does), the
+    * classic scale-killer at tens of millions of rows. This operator
+    * picks per input size, both paths producing IDENTICAL output
+    * (parity-pinned by RelationalOpsSpec):
+    *
+    *  - rows ≤ `maxWindowRows` (bounded; default [[NtileWindowMaxRows]]):
+    *    the plain window — cheapest at interactive size, and safe
+    *    because the bound caps the single task's working set;
+    *  - larger: `repartitionByRange` on the order keys (balanced,
+    *    monotone partitions), a PARTITIONED row_number window for
+    *    local ranks, and per-partition offsets from a
+    *    cluster-parallelism-sized count table collected to the driver
+    *    (bounded: one row per partition). Global rank = offset +
+    *    local rank is EXACT for any monotone partitioning, so the
+    *    band arithmetic below reproduces ntile bit-for-bit — no
+    *    approx-quantile drift, the oracle stays hash-green.
+    *
+    * The rank→band arithmetic is ntile's contract: with N rows and n
+    * bands, the first N % n bands get ⌈N/n⌉ rows, the rest ⌊N/n⌋.
+    * Requires (orderKeys) to be a unique total order — every declared
+    * caller suffixes its unique id.
+    */
+  /** Test hook: forces every [[bandedNtile]] call through the
+    * range-repartition path so composite operators (RFM) can pin
+    * path parity without threading a threshold parameter through.
+    */
+  @volatile private[graft] var testForceScaleNtile: Boolean = false
+
+  def bandedNtile(df: DataFrame, n: Int, orderKeys: Seq[Column], out: String,
+                  maxWindowRows: Long = NtileWindowMaxRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(valueCol), col(keyCol))
-    df.withColumn("tile", ntile(n).over(w).cast("long"))
+    val cached = graft.CacheScope.cached(df) // read twice: size probe + band pass
+    val total = cached.count()
+    if (total <= maxWindowRows && !testForceScaleNtile) {
+      cached.withColumn(out,
+        ntile(n).over(Window.orderBy(orderKeys: _*)).cast("long"))
+    } else {
+      val parts = df.sparkSession.sparkContext.defaultParallelism
+      val ranged = graft.CacheScope.cached(
+        cached.repartitionByRange(parts, orderKeys: _*)
+          .withColumn("__pid", spark_partition_id()))
+      // one row per partition — bounded by cluster parallelism, the
+      // same documented collect family as broadcast model builds
+      val cnt = ranged.groupBy(col("__pid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = new Array[Long](parts)
+      var acc = 0L
+      (0 until parts).foreach { p => offsets(p) = acc; acc += cnt.getOrElse(p, 0L) }
+      val rank = element_at(typedlit(offsets.toSeq), col("__pid") + 1) +
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(orderKeys: _*))
+      // exact ntile arithmetic from (rank, N): ceilDiv stays exact in
+      // double math for N < 2^52
+      def ceilDiv(a: Column, b: Long): Column =
+        floor((a + (b - 1)) / lit(b.toDouble)).cast("long")
+      val q = total / n; val rem = total % n
+      val band =
+        if (q == 0) rank // fewer rows than bands: one row per band
+        else if (rem == 0) ceilDiv(rank, q)
+        else when(rank <= rem * (q + 1), ceilDiv(rank, q + 1))
+          .otherwise(lit(rem) + ceilDiv(rank - rem * (q + 1), q))
+      ranged.withColumn(out, band.cast("long")).drop("__pid")
+    }
+  }
+
+  /** Equal-count bucketing (`ntile`) + per-bucket summary — the
+    * decile/percentile-band report. The tile assignment is
+    * [[bandedNtile]] ordered by (`valueCol`, `keyCol`): ntile is
+    * rank-arithmetic, so the unique-key tiebreak makes bucket
+    * boundaries engine-independent, and the banding never
+    * single-partitions an unbounded input (see [[bandedNtile]] — a
+    * partition-less window would; the old comment here claiming Spark
+    * range-partitions window sorts was wrong, only `Dataset.orderBy`
+    * does). The per-bucket aggregate is an ordinary partial-agged
+    * groupBy.
+    */
+  def ntileStats(df: DataFrame, valueCol: String, keyCol: String, n: Int): DataFrame =
+    bandedNtile(df, n, Seq(col(valueCol), col(keyCol)), "tile")
       .groupBy(col("tile"))
       .agg(
         count(lit(1)).as("n_rows"),
         round(min(col(valueCol)), 4).as("lo"),
         round(max(col(valueCol)), 4).as("hi"),
         round(avg(col(valueCol)), 4).as("mean"))
-  }
 
   /** Daily activity per key with a full DATE SPINE: every calendar day
     * between each key's first and last active day appears, zero-filled

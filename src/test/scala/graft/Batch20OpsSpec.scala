@@ -177,6 +177,52 @@ class Batch20OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bandedNtile: scale path reproduces the window path exactly") {
+    import graft.ops.Relational
+    // 97 rows / 5 bands: N % n != 0 exercises the uneven-bucket
+    // arithmetic; maxWindowRows = 0 forces the range-repartition path
+    val df = (1 to 97).map(i => ((i * 37) % 101, i.toLong)).toDF("v", "id")
+    val viaWindow = Relational.bandedNtile(
+        df, 5, Seq(col("v"), col("id")), "b", maxWindowRows = Long.MaxValue)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRange = Relational.bandedNtile(
+        df, 5, Seq(col("v"), col("id")), "b", maxWindowRows = 0)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRange === viaWindow)
+    // and the even case (95 rows / 5 bands), plus fewer-rows-than-bands
+    val even = (1 to 95).map(i => ((i * 37) % 101, i.toLong)).toDF("v", "id")
+    assert(Relational.bandedNtile(even, 5, Seq(col("v"), col("id")), "b", 0)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Relational.bandedNtile(even, 5, Seq(col("v"), col("id")), "b", Long.MaxValue)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val tiny = (1 to 3).map(i => (i, i.toLong)).toDF("v", "id")
+    assert(Relational.bandedNtile(tiny, 5, Seq(col("v"), col("id")), "b", 0)
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    CacheScope.flush()
+  }
+
+  test("rfmSegments bands identically through the scale path") {
+    val anchor = 100L * 86400000000L
+    val ev = (1 to 20).flatMap { u =>
+      (1 to u).map(i => (s"e$u-$i", u.toLong, anchor - u * 86400000000L - i, u.toDouble))
+    }.toDF("event_id", "user_id", "ts_us", "value")
+    // shrink the window gate so all three RFM bandings take the
+    // repartition path, and compare against the default (window) path
+    val viaWindow = graft.ops.EventOps.rfmSegments(ev, anchor)
+      .select("user_id", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    CacheScope.flush()
+    val out = try {
+      graft.ops.Relational.testForceScaleNtile = true
+      graft.ops.EventOps.rfmSegments(ev, anchor)
+        .select("user_id", "segment").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    } finally graft.ops.Relational.testForceScaleNtile = false
+    assert(out === viaWindow)
+    CacheScope.flush()
+  }
+
   // ---- vadSegments (q_audio_vad) -----------------------------------------
 
   test("vadSegments merges consecutive speech windows into one segment") {

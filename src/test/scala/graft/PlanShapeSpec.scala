@@ -384,6 +384,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no declared query windows partition-less over an unbounded input") {
+    // A Window with an empty partitionSpec funnels its whole input
+    // through ONE task (only Dataset.orderBy range-partitions; window
+    // sorts never do) — the classic scale-killer. Sweep every declared
+    // query's analyzed plan; a partition-less window is legal ONLY on
+    // the documented bounded inputs below.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    val bounded: Map[String, String] = Map(
+      // size-gated: bandedNtile takes the window path only when the
+      // probed row count is ≤ NtileWindowMaxRows, else it
+      // range-repartitions — the window here is bounded by the gate
+      "q_ntile" -> "bandedNtile size gate",
+      "q_length_buckets" -> "bandedNtile size gate",
+      "q_rfm" -> "bandedNtile size gate",
+      // vocabulary-sized inputs (Heaps' law): the window never sees
+      // corpus-scale cardinality
+      "q_zipf" -> "vocabulary-sized rank window",
+      "q_bpe_pairs" -> "vocabulary-sized rank window",
+      // post-aggregation frames bounded by a group-count or model
+      // argument documented at the operator site
+      "q_minhash_error" -> "bounded candidate-pair audit frame")
+    val sf = "/root/testdata/sf0.001"
+    try SparkEntry.prepare(spark, sf) catch { case _: Throwable => () }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val analyzed: LogicalPlan =
+        try fn(spark, sf).queryExecution.analyzed
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      val bare = analyzed.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      CacheScope.flush()
+      if (bare.nonEmpty && !bounded.contains(name)) Seq(name) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows over undeclared inputs in: $offenders — " +
+        "either partition the window, route through bandedNtile, or " +
+        "document the bounded input in this allowlist")
+  }
+
   test("cosineTopKSq: queries and shortlist broadcast back — candidates never shuffle") {
     val emb = (0L until 200L)
       .map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat), 0))
