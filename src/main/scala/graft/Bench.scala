@@ -269,8 +269,11 @@ object Bench {
       "q_outliers" -> "2 jobs at ~0.08s each steady; one broadcast stats-join-back - the 100TB shape",
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
       "q_boilerplate" -> "2 jobs ~0.4s; line-hash explode + broadcast join-back, no corpus reshuffle",
-      "q_bigram_lm" -> "2 jobs; one tokenize pass, cached (doc,bigram) collapse, broadcast lookup - cost is the genuine corpus scan",
-      "q_lm_interp" -> "same cached-collapse family as q_bigram_lm plus the continuation-unigram broadcast; cost is the same corpus scan",
+      "q_bigram_lm" -> "3 jobs (collapse cache, merged-lookup broadcast, fold); r8 profile: collapse job is 0.3-0.5s steady, the rest floor",
+      "q_lm_interp" -> "3 jobs; unigram columns fold into ONE lookup broadcast since r8 (scalar total via vocab-bounded window, not a 1-row exchange)",
+      "q_kn_bigram" -> "3 jobs; continuation columns fold into ONE lookup broadcast since r8; r8 JobProfile steady 0.85-1.0s = collapse + 2 floor jobs",
+      "q_dedup_simhash" -> "r7 artifact 2.49s was a noise burst: r8 JobProfile steady 0.9s / bench-condition 0.75s, 2 jobs, unchanged code",
+      "q_dedup_substring" -> "r7 artifact 1.20s was a noise burst: r8 JobProfile steady 0.52s / bench-condition 0.27s, 1 job, unchanged code",
       "q_knn_vote" -> "holdout model collect + one compiled all-cosines pass + skinny top-k exchange + in-array HOF vote (r7; 0.77s -> 0.29s)")
     val floorNotesJson = floorNotes
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }

@@ -285,15 +285,22 @@ object Text {
     val lookup = docBi.groupBy(col("prev"), col("next")).agg(sum(col("c")).as("bc"))
       .withColumn("cc", sum(col("bc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
-    // scalar total rides a broadcast 1-row frame (same idiom as
-    // unigramLogProb) — no single-partition window over the vocab
+    // The scalar instance total rides an unpartitioned window over the
+    // VOCABULARY-sized unigram table (Σ uc = total instances) — a
+    // bounded frame by Heaps' law (PlanShapeSpec allowlists it), and
+    // one fewer exchange than the former 1-row-broadcast crossJoin.
+    // The unigram columns then FOLD INTO the bigram lookup before the
+    // one broadcast: every model table is vocab-sized, so merging them
+    // is a tiny join inside the broadcast build — ONE broadcast
+    // exchange and one materialization job instead of three (each
+    // exchange is a separate job at a measured ~0.1-0.2 s floor).
     val uni = docBi.groupBy(col("next")).agg(sum(col("c")).as("uc"))
-      .crossJoin(broadcast(docBi.agg(sum(col("c")).as("tot"))))
+      .withColumn("tot", sum(col("uc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val p = lit(lambda) * col("bc") / col("cc").cast("double") +
       lit(1.0 - lambda) * col("uc") / col("tot").cast("double")
     docBi
-      .join(broadcast(lookup), Seq("prev", "next"))
-      .join(broadcast(uni), Seq("next"))
+      .join(broadcast(lookup.join(uni, Seq("next"))), Seq("prev", "next"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).as("n_bigrams"),
@@ -336,18 +343,24 @@ object Text {
       .withColumn("cc", sum(col("bc")).over(w))
       .withColumn("n1p", count(lit(1)).over(w))
     // continuation unigram: in how many distinct contexts does `next`
-    // appear — rows of `lookup` grouped by next; scalar = |types|
+    // appear — rows of `lookup` grouped by next; the type-count scalar
+    // is lookup's own row count (lookup IS one row per seen bigram
+    // type — no second distinct over the instance table needed), and
+    // it rides an unpartitioned window over the VOCABULARY-sized cont
+    // table (Σ ncont = |types|; bounded frame, PlanShapeSpec
+    // allowlisted) instead of a 1-row-broadcast crossJoin exchange
     val cont = lookup.groupBy(col("next")).agg(count(lit(1)).as("ncont"))
-      .crossJoin(broadcast(
-        docBi.select(col("prev"), col("next")).distinct()
-          .agg(count(lit(1)).as("ttypes"))))
+      .withColumn("ttypes", sum(col("ncont")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val d = lit(discount)
     val p = greatest(col("bc") - d, lit(0.0)) / col("cc").cast("double") +
       (d * col("n1p") / col("cc").cast("double")) *
         (col("ncont") / col("ttypes").cast("double"))
+    // continuation columns fold into the bigram lookup pre-broadcast
+    // (vocab-sized ⋈ vocab-sized): ONE broadcast exchange/job, same
+    // rationale as interpolatedLogProb
     docBi
-      .join(broadcast(lookup), Seq("prev", "next"))
-      .join(broadcast(cont), Seq("next"))
+      .join(broadcast(lookup.join(cont, Seq("next"))), Seq("prev", "next"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).as("n_bigrams"),

@@ -402,6 +402,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // corpus-scale cardinality
       "q_zipf" -> "vocabulary-sized rank window",
       "q_bpe_pairs" -> "vocabulary-sized rank window",
+      "q_lm_interp" -> "vocabulary-sized scalar-total frame",
+      "q_kn_bigram" -> "vocabulary-sized scalar-total frame",
       // post-aggregation frames bounded by a group-count or model
       // argument documented at the operator site
       "q_minhash_error" -> "bounded candidate-pair audit frame")
