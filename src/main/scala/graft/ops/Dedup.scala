@@ -726,11 +726,15 @@ object Dedup {
 
   /** Shared segment explode + first-occurrence attribution for
     * [[segmentDedup]] (score) and [[segmentTrim]] (rewrite): one row
-    * per segment occurrence with its packed (doc, line, chunk) order
-    * key `k` and the corpus-wide first occurrence `first_k` of that
-    * segment value. The total order is packed into one long so the
-    * min-window is engine-portable; bounds documented: doc_id <
-    * ~9e12, line_no/seg_i < 1000 at web-doc sizes.
+    * per segment occurrence with its (doc, line, chunk) order key `k`
+    * and the corpus-wide first occurrence `first_k` of that segment
+    * value. The key is a STRUCT ordered lexicographically — exact at
+    * any doc length (the former doc_id*1e6 + line_no*1e3 + seg_i
+    * packing silently aliased across documents once a doc reached
+    * 1000 lines or a line 1000 segments — real web corpora do both;
+    * struct min needs no bounds). `k` never escapes the operator, so
+    * the oracle's packed formulation stays valid on in-bounds data
+    * while this side is exact unconditionally.
     */
   private def segmentFirstSeen(corpus: DataFrame, w: Int): DataFrame = {
     require(w >= 1, "segment width must be positive")
@@ -744,10 +748,9 @@ object Dedup {
       posexplode(transform(
         sequence(lit(0), ((size(col("toks")) - 1) / w).cast("int")),
         i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))).as(Seq("seg_i", "seg")))
-    val key = col("doc_id") * 1000000L + col("line_no") * 1000L + col("seg_i")
     val bySeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
     segs
-      .withColumn("k", key)
+      .withColumn("k", struct(col("doc_id"), col("line_no"), col("seg_i")))
       .withColumn("first_k", min(col("k")).over(bySeg))
   }
 
@@ -796,10 +799,18 @@ object Dedup {
     * [[ngramJaccardPairs]]'s inverted-index exact join); the final
     * aggregate is ONE row. A candidate pair sharing a band but zero
     * shingles (hash collision) gets exact J = 0 via the left join.
+    *
+    * The exact side runs with the df cap effectively OFF
+    * (`dfCap = Long.MaxValue`): with the default cap, a candidate pair
+    * whose overlap is mostly hot shingles would come back ABSENT from
+    * the exact join and be filled with J = 0 — understating the true
+    * Jaccard and misattributing cap truncation to sketch error. An
+    * audit of the ESTIMATOR must compare against the uncapped truth;
+    * the capped form remains the production pairing path.
     */
   def minhashEstimatorAudit(corpus: DataFrame): DataFrame = {
     val est = minhashJaccardEstimates(corpus)
-    val exact = ngramJaccardPairs(corpus, threshold = 0.0)
+    val exact = ngramJaccardPairs(corpus, threshold = 0.0, dfCap = Long.MaxValue)
     est.join(exact, Seq("a", "b"), "left")
       .na.fill(0.0, Seq("jaccard"))
       .agg(

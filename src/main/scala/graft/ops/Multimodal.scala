@@ -211,7 +211,10 @@ object Multimodal {
     * `sceneThreshold` — the shot-boundary primitive a video training
     * pipeline samples keyframes around. Features: (truncated 0/1,
     * mean luma over frames, scene changes). Zero-frame payloads
-    * surface with n_frames = 0 (full quarantine, never dropped).
+    * surface with n_frames = 0 and the SAME 3-element feature shape —
+    * a stream torn inside its first frame keeps truncated = 1, so the
+    * quarantine reason survives and downstream element_at reads never
+    * hit a missing slot (uniform schema; ANSI-safe).
     */
   def decodeVideoFeatures(media: Dataset[MediaRow],
                           sceneThreshold: Double): Dataset[MediaFeatures] = {
@@ -220,7 +223,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { row =>
         val (frames, truncated) = PpmVideoCodec.decodeStream(row.bytes)
-        if (frames.isEmpty) MediaFeatures(row.media_id, row.kind, 0, Array.empty)
+        if (frames.isEmpty)
+          MediaFeatures(row.media_id, row.kind, 0,
+            Array(if (truncated) 1.0 else 0.0, 0.0, 0.0))
         else {
           val lumas = frames.map { img =>
             // per-frame mean luma, same per-pixel formula as
@@ -388,6 +393,11 @@ object Multimodal {
             val n = a.samples.length / a.channels
             val nWin = (n + windowSamples - 1) / windowSamples
             var speech = 0L; var segments = 0L
+            // bill speech time by ACTUAL samples in each speech window
+            // (until - from): a partial final window otherwise counts a
+            // full window's duration — identical to the old formula on
+            // window-aligned audio, exact on torn/odd-length audio
+            var speechSamples = 0L
             var prevSpeech = false
             var w = 0
             while (w < nWin) {
@@ -404,13 +414,14 @@ object Multimodal {
               val isSpeech = rms > rmsThreshold
               if (isSpeech) {
                 speech += 1
+                speechSamples += until - from
                 if (!prevSpeech) segments += 1
               }
               prevSpeech = isSpeech
               w += 1
             }
             VadRow(row.media_id, 1, nWin.toLong, speech, segments,
-              speech * windowSamples.toDouble / a.sampleRate)
+              speechSamples.toDouble / a.sampleRate)
         }
       }
     }

@@ -34,6 +34,21 @@ class Batch19OpsSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 0L)))
   }
 
+  test("segmentDedup: first-occurrence order is exact past 1000 lines (no key aliasing)") {
+    // the old packed key (doc_id*1e6 + line_no*1e3 + seg_i) aliased
+    // doc 0 line 1000 onto doc 1 line 0, crediting BOTH with first
+    // occurrence; the struct key must attribute the dup to doc 1
+    val big = (0 until 1001).map(i => s"tok$i").mkString("\n")
+    val docs = Seq(
+      (0L, big),            // line 1000 is "tok1000"
+      (1L, "tok1000")       // duplicates doc 0's line 1000
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) === ((1001L, 0L)))
+    assert(out(1L) === ((1L, 1L)), "doc 1's only segment first appeared in doc 0")
+  }
+
   test("segmentDedup: single-line docs chunk at w tokens; partial tail kept") {
     val docs = Seq((7L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
     val out = Dedup.segmentDedup(docs, w = 2).collect().head

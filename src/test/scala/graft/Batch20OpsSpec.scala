@@ -152,7 +152,10 @@ class Batch20OpsSpec extends AnyFunSuite {
       .collect().map(f => f.media_id -> f).toMap
     assert(out(0L).n_frames === 3 && out(0L).features(2) === 0.0) // 20-luma steps
     assert(out(1L).n_frames === 3 && out(1L).features(2) === 2.0) // two hard cuts
-    assert(out(2L).n_frames === 0 && out(2L).features.isEmpty)    // quarantined
+    // quarantined, but with the UNIFORM 3-element feature shape and
+    // the truncated flag preserved (torn inside the first frame)
+    assert(out(2L).n_frames === 0 &&
+      out(2L).features.toSeq === Seq(1.0, 0.0, 0.0))
   }
 
   // ---- rfmSegments (q_rfm) -----------------------------------------------
@@ -243,6 +246,19 @@ class Batch20OpsSpec extends AnyFunSuite {
     assert(out(0L).n_segments === 2L, "adjacent speech windows must merge")
     assert(math.abs(out(0L).speech_sec - 3 * 100.0 / 8000) < 1e-12)
     assert(out(1L).decoded === 0)
+  }
+
+  test("vadSegments bills a partial final speech window by actual samples") {
+    // 100 + 40 samples, both speech: the 40-sample tail must count
+    // 40/8000 s, not a full window's 100/8000 s
+    val samples = Array.tabulate(140)(i =>
+      if (i % 8 < 4) 2000.toShort else (-2000).toShort)
+    val wav = Multimodal.WavCodec.encode(Multimodal.WavCodec.Audio(8000, 1, samples))
+    val media = Seq(Multimodal.MediaRow(0L, "audio", wav, wav.length.toLong, "wav")).toDS()
+    val v = Multimodal.vadSegments(media, windowSamples = 100, rmsThreshold = 0.001)
+      .collect().head
+    assert(v.n_windows === 2L && v.n_speech === 2L && v.n_segments === 1L)
+    assert(math.abs(v.speech_sec - 140.0 / 8000) < 1e-12)
   }
 
   // ---- phashNearDupPairs -------------------------------------------------
