@@ -1,0 +1,643 @@
+package graft
+
+import graft.EntrySupport.ccKeeperCtes
+
+/** DuckDB oracle SQL for the declared queries (batches 18-21) — same tables,
+  * same column names, same row order as the Spark bodies in the
+  * EntryQueries files; split from SparkEntry behind the same
+  * `oracleSql` map.
+  */
+private[graft] object EntryOraclesC {
+
+  val map: Map[String, String] = Map(
+    // ---- batch 18 ----
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+        |           AS distinct_ratio
+        |  FROM t),
+        |pos AS (
+        |  SELECT doc_id, toks, i
+        |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        |runs AS (
+        |  SELECT doc_id, toks[i] AS tok,
+        |         i - row_number() OVER (PARTITION BY doc_id, toks[i] ORDER BY i) AS g
+        |  FROM pos),
+        |rl AS (SELECT doc_id, count(*) AS r FROM runs GROUP BY doc_id, tok, g),
+        |mr AS (SELECT doc_id, CAST(max(r) AS BIGINT) AS max_run FROM rl GROUP BY doc_id),
+        |bg AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS n
+        |       FROM pos WHERE i < len(toks)),
+        |bgc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, p, n),
+        |bgm AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_toks, b.distinct_ratio, mr.max_run,
+        |       coalesce(round(2.0 * bgm.mc / b.n_toks, 4), 0.0) AS top_bigram_frac
+        |FROM base b JOIN mr USING (doc_id) LEFT JOIN bgm USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_lm_interp" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS next
+        |  FROM dt, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, prev, next, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+        |lk AS (SELECT prev, next, CAST(sum(c) AS BIGINT) AS bc FROM db GROUP BY 1, 2),
+        |lk2 AS (SELECT prev, next, bc,
+        |        CAST(sum(bc) OVER (PARTITION BY prev) AS BIGINT) AS cc FROM lk),
+        |uni AS (SELECT next, CAST(sum(c) AS BIGINT) AS uc FROM db GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM db)
+        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+        |       round(sum(db.c * ln(0.7 * bc / cc + (1 - 0.7) * uc / tt)) / sum(db.c), 4)
+        |         AS interp_logprob
+        |FROM db JOIN lk2 USING (prev, next) JOIN uni USING (next), tot
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+
+    // derivation oracle: the Spark side ENCODES and DECODES real PPM
+    // bytes; the oracle restates the channel statistics the solid-color
+    // construction implies, including the corrupt-every-10th quarantine
+    "q_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 2.0 END AS w,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 2.0 END AS h,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL
+        |            ELSE round(0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+        |                       + 0.114 * ((doc_id * 13) % 256), 4) END AS luma_mean_r,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 0.0 END AS luma_std_r
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // square-wave derivation oracle: n samples at 8 kHz, period 8 →
+    // duration n/8000, rms amp/2^15 (exact), flips floor((n-1)/4)
+    "q_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 800 + (doc_id % 5) * 400 AS n,
+        |         500 + (doc_id % 100) * 100 AS amp
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(n AS DOUBLE) / 8000 END AS dur_sec,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(amp AS DOUBLE) / 32768 END AS rms,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST((n - 1) // 4 AS DOUBLE) / (CAST(n AS DOUBLE) / 8000) END AS zcr
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |first AS (SELECT h, min(doc_id) AS first_id FROM hx GROUP BY h)
+        |SELECT hx.doc_id,
+        |       count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.first_id = hx.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_novel,
+        |       round(sum(CASE WHEN f.first_id = hx.doc_id THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS novelty_r
+        |FROM hx JOIN first f USING (h)
+        |GROUP BY hx.doc_id ORDER BY hx.doc_id""".stripMargin,
+
+    "q_recency_score" ->
+      """SELECT user_id,
+        |       count(*) AS n_events,
+        |       max(epoch_us(ts)) AS last_seen_us,
+        |       round(sum(value / power(2, floor(
+        |         ((1705708800000000 - epoch_us(ts)) / 86400000000.0) / 2.0))), 4)
+        |         AS recency_score_r
+        |FROM events
+        |WHERE user_id IS NOT NULL AND epoch_us(ts) <= 1705708800000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ---- batch 19 ----
+
+    // occurrence key doc_id*1e6 + (line-1)*1e3 + chunk matches the
+    // Spark side's packed (doc, line, chunk) total order (Spark lines
+    // are 0-based posexplode; generate_series here is 1-based)
+    "q_dedup_lines" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |ln AS (
+        |  SELECT doc_id, li,
+        |         list_filter(string_split(lines[li], ' '), t -> t != '') AS toks
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+        |       unnest(generate_series(1, len(lines))) AS u(li)),
+        |seg AS (
+        |  SELECT doc_id, li, si,
+        |         array_to_string(list_slice(toks, si * 8 + 1, si * 8 + 8), ' ') AS seg
+        |  FROM ln, unnest(generate_series(0, (len(toks) - 1) // 8)) AS v(si)
+        |  WHERE len(toks) >= 1),
+        |keyed AS (
+        |  SELECT doc_id, seg,
+        |         doc_id * 1000000 + (li - 1) * 1000 + si AS k
+        |  FROM seg),
+        |firsts AS (
+        |  SELECT doc_id, k, min(k) OVER (PARTITION BY seg) AS first_k FROM keyed)
+        |SELECT doc_id,
+        |       count(*) AS n_segs,
+        |       CAST(sum(CASE WHEN k <> first_k THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(sum(CASE WHEN k <> first_k THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |wt AS (
+        |  SELECT doc_id, token, tf * ln(n / df) AS w
+        |  FROM tf JOIN df USING (token), nd
+        |  WHERE df <= n * 0.85),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY 1),
+        |unitv AS (
+        |  SELECT wt.doc_id, token, w / nrm AS wn
+        |  FROM wt JOIN nrm USING (doc_id)),
+        |scored AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |         CAST(count(*) AS BIGINT) AS n_common,
+        |         round(sum(q.wn * c.wn), 4) AS cos_r
+        |  FROM unitv q JOIN unitv c USING (token)
+        |  WHERE q.doc_id < 20 AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, c_id, n_common, cos_r, rnk FROM (
+        |  SELECT q_id, c_id, n_common, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_kn_bigram" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS next
+        |  FROM dt, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, prev, next, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+        |lk AS (SELECT prev, next, CAST(sum(c) AS BIGINT) AS bc FROM db GROUP BY 1, 2),
+        |lk2 AS (SELECT prev, next, bc,
+        |        CAST(sum(bc) OVER (PARTITION BY prev) AS BIGINT) AS cc,
+        |        CAST(count(*) OVER (PARTITION BY prev) AS BIGINT) AS n1p
+        |        FROM lk),
+        |cont AS (SELECT next, CAST(count(*) AS BIGINT) AS ncont FROM lk GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ttypes FROM lk)
+        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+        |       round(sum(db.c * ln(greatest(bc - 0.75, 0) / cc
+        |             + (0.75 * n1p / cc) * (ncont / CAST(ttypes AS DOUBLE))))
+        |             / sum(db.c), 4) AS kn_logprob
+        |FROM db JOIN lk2 USING (prev, next) JOIN cont USING (next), tot
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_rows,
+        |         count(DISTINCT user_id) AS n_subjects,
+        |         count(DISTINCT CAST(floor(value / 100) AS BIGINT)) AS n_sensitive,
+        |         round(sum(value), 4) AS sum_v
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, day, n_rows, n_subjects, n_sensitive,
+        |       CASE WHEN n_subjects >= 50 AND n_sensitive >= 3
+        |            THEN sum_v END AS sum_v_released,
+        |       CAST(CASE WHEN n_subjects >= 50 AND n_sensitive >= 3
+        |            THEN 0 ELSE 1 END AS BIGINT) AS suppressed
+        |FROM g ORDER BY event_type, day""".stripMargin,
+
+    // SQ8 shortlist in the QUANTIZED domain: both sides become
+    // round(x/scale) int8 codes from the same per-vector max-abs
+    // scale the Spark index stores; scales cancel out of the cosine,
+    // so the shortlist score is the pure integer-code cosine (every
+    // dot term |c| <= 127^2, the sum is an exact integer in a double,
+    // so the 6dp rank boundary is engine-independent)
+    "q_sim_sq" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sq AS (
+        |  SELECT vec_id, v,
+        |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |              ELSE list_max(list_transform(v, x -> abs(x))) / 127 END AS scale
+        |  FROM e),
+        |cd AS (
+        |  SELECT vec_id, v,
+        |         list_transform(v, x -> round(x / scale)) AS codes
+        |  FROM sq),
+        |n AS (
+        |  SELECT vec_id, v, codes,
+        |         sqrt(list_dot_product(v, v)) AS nrm,
+        |         sqrt(list_dot_product(codes, codes)) AS cn
+        |  FROM cd),
+        |adc AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         round(list_dot_product(q.codes, c.codes) / (q.cn * c.cn), 6) AS adc_r
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |short AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY adc_r DESC, c_id) AS srnk
+        |    FROM adc) WHERE srnk <= 20),
+        |re AS (
+        |  SELECT s.q_id, s.c_id,
+        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_r
+        |  FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
+        |SELECT q_id, c_id, cos_r, rnk FROM (
+        |  SELECT q_id, c_id, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM re) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // derivation oracle: the Spark side ENCODES 16x16 PPMs, DECODES,
+    // resizes to 8x8 and thresholds luma; the oracle restates the
+    // bijective bit pattern ((i*31 + seed) % 64 < 32) from doc_id
+    "q_media_phash" ->
+      """WITH hx AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 9 = 0 THEN NULL
+        |              ELSE array_to_string(list_transform(generate_series(0, 63),
+        |                     i -> CASE WHEN (i * 31 + (doc_id % 5) * 13) % 64 < 32
+        |                               THEN '1' ELSE '0' END), '')
+        |         END AS ahash
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decoded,
+        |       ahash,
+        |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            ELSE count(*) OVER (PARTITION BY ahash) END AS BIGINT) AS group_n,
+        |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            WHEN doc_id = min(doc_id) OVER (PARTITION BY ahash) THEN 1
+        |            ELSE 0 END AS BIGINT) AS keep
+        |FROM hx ORDER BY media_id""".stripMargin,
+
+    // ---- batch 20 ----
+
+    "q_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, tf.doc_id AS c_id,
+        |         CAST(count(*) AS BIGINT) AS n_common,
+        |         round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |               * (tf.tf * (1.2 + 1.0)
+        |                  / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / avgdl)))), 4)
+        |           AS bm25_r
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+        |       JOIN q USING (token), st
+        |  WHERE q.q_id <> tf.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, c_id, n_common, bm25_r, rnk FROM (
+        |  SELECT q_id, c_id, n_common, bm25_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY bm25_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |wt AS (
+        |  SELECT doc_id, token, tf * ln(n / df) AS w
+        |  FROM tf JOIN df USING (token), nd
+        |  WHERE df <= n * 0.85),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY 1),
+        |unitv AS (
+        |  SELECT wt.doc_id, token, w / nrm AS wn
+        |  FROM wt JOIN nrm USING (doc_id)),
+        |s1 AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |         round(sum(q.wn * c.wn), 4) AS s
+        |  FROM unitv q JOIN unitv c USING (token)
+        |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT q_id, c_id, rnk FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+        |    FROM s1) WHERE rnk <= 20),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |q2 AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 10),
+        |s2 AS (
+        |  SELECT q2.q_id, tf.doc_id AS c_id,
+        |         round(sum(ln(1.0 + (st.n - df + 0.5) / (df + 0.5))
+        |               * (tf.tf * (1.2 + 1.0)
+        |                  / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / avgdl)))), 4)
+        |           AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+        |       JOIN q2 USING (token), st
+        |  WHERE q2.q_id <> tf.doc_id
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT q_id, c_id, rnk FROM (
+        |    SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+        |    FROM s2) WHERE rnk <= 20),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        |f AS (
+        |  SELECT q_id, c_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |         round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_r
+        |  FROM u GROUP BY 1, 2)
+        |SELECT q_id, c_id, n_lists, rrf_r, fused_rnk FROM (
+        |  SELECT q_id, c_id, n_lists, rrf_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY rrf_r DESC, c_id) AS BIGINT)
+        |           AS fused_rnk
+        |  FROM f)
+        |WHERE fused_rnk <= 5 ORDER BY q_id, fused_rnk""".stripMargin,
+
+    // the salted plan's contract: result set IDENTICAL to the plain
+    // unsalted join — so the oracle IS the plain join
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+        |         round(sum(value), 4) AS sum_v_r
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, d.n_t, d.sum_v_r
+        |FROM events e JOIN dim d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_maxsim" ->
+      """WITH t AS (
+        |  SELECT vec_id // 4 AS did, vec_id AS tid,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT did, tid, v, sqrt(list_dot_product(v, v)) AS nrm FROM t),
+        |pt AS (
+        |  SELECT q.did AS q_doc, c.did AS c_doc, q.tid AS q_idx,
+        |         max(round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)) AS best
+        |  FROM n q JOIN n c ON q.did < 5 AND c.did >= 5
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT q_doc, c_doc, round(sum(best), 4) AS maxsim_r
+        |  FROM pt GROUP BY 1, 2)
+        |SELECT q_doc, c_doc, maxsim_r, rnk FROM (
+        |  SELECT q_doc, c_doc, maxsim_r,
+        |         CAST(row_number() OVER (PARTITION BY q_doc
+        |                                 ORDER BY maxsim_r DESC, c_doc) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 5 ORDER BY q_doc, rnk""".stripMargin,
+
+    // derivation oracle: hashes restated from doc_id (base pattern +
+    // odd-id single-bit flip), then the SAME band-bucket candidate
+    // join and bit-level hamming verify DuckDB-side
+    "q_media_phash_band" ->
+      """WITH hx AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(generate_series(0, 63), i ->
+        |           CASE WHEN (xor(i * 144115188075855881,
+        |                          (doc_id % 64) * 2654435761) % 97 < 48)
+        |                     != (doc_id % 2 = 1 AND i = (doc_id // 64) % 64)
+        |                THEN '1' ELSE '0' END), '') AS ahash
+        |  FROM documents WHERE doc_id % 9 != 0 AND doc_id < 2000),
+        |bx AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 3), bi ->
+        |           list_sum(list_transform(generate_series(0, 15), j ->
+        |             CASE WHEN substr(ahash, bi * 16 + j + 1, 1) = '1'
+        |                  THEN 1 << (15 - j) ELSE 0 END))) AS bints
+        |  FROM hx),
+        |banded AS (
+        |  SELECT doc_id, bints, bi, bints[bi] AS bv
+        |  FROM bx, unnest(generate_series(1, 4)) AS u(bi)),
+        |cand AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.bints AS ba, y.bints AS bb,
+        |         CAST(count(*) AS BIGINT) AS n_bands
+        |  FROM banded x JOIN banded y
+        |    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |ham AS (
+        |  SELECT a, b, n_bands,
+        |         CAST(list_sum(list_transform(generate_series(1, 4), i ->
+        |           bit_count(xor(CAST(ba[i] AS BIGINT), CAST(bb[i] AS BIGINT)))))
+        |           AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT a, b, n_bands, hamming FROM ham
+        |WHERE hamming <= 2 ORDER BY a, b""".stripMargin,
+
+    // ---- batch 21 ----
+
+    "q_dedup_lines_trim" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents),
+        |ln AS (
+        |  SELECT doc_id, li,
+        |         list_filter(string_split(lines[li], ' '), t -> t != '') AS toks
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+        |       unnest(generate_series(1, len(lines))) AS u(li)),
+        |seg AS (
+        |  SELECT doc_id, li, si,
+        |         array_to_string(list_slice(toks, si * 8 + 1, si * 8 + 8), ' ') AS seg
+        |  FROM ln, unnest(generate_series(0, (len(toks) - 1) // 8)) AS v(si)
+        |  WHERE len(toks) >= 1),
+        |keyed AS (
+        |  SELECT doc_id, seg,
+        |         doc_id * 1000000 + (li - 1) * 1000 + si AS k
+        |  FROM seg),
+        |firsts AS (
+        |  SELECT doc_id, seg, k, min(k) OVER (PARTITION BY seg) AS first_k
+        |  FROM keyed),
+        |kept AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY k) AS kept_text
+        |  FROM firsts WHERE k = first_k GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.kept_text, '') AS kept_text
+        |FROM corpus c LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // estimate side = the q_dedup_minhash_est machinery; exact side =
+    // the q_dedup_ngram inverted-index join WITH its df>1000 skew cap
+    // (mirrors the operator); collision-only candidates get true J = 0
+    "q_minhash_error" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents
+        |  WHERE doc_id < 2000),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |shx AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
+        |  FROM tok),
+        |hx AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM shx),
+        |mh AS (
+        |  SELECT doc_id, seeds.seed,
+        |         min(((37 + 101 * seeds.seed) * h + 13 + 97 * seeds.seed) % 2147483647) AS mh
+        |  FROM hx, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+        |  GROUP BY doc_id, seeds.seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band_id,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.a, c.b,
+        |         round(CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+        |           AS j_est
+        |  FROM cands c
+        |  JOIN mh ma ON ma.doc_id = c.a
+        |  JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+        |  GROUP BY c.a, c.b),
+        |hot AS (
+        |  SELECT h FROM (SELECT h, count(*) AS df FROM hx GROUP BY h)
+        |  WHERE df > 1000),
+        |rare AS (SELECT * FROM hx WHERE h NOT IN (SELECT h FROM hot)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT c.a, c.b, round(c.c / (sa.sz + sb.sz - c.c), 4) AS jt
+        |  FROM common c
+        |  JOIN sizes sa ON sa.doc_id = c.a
+        |  JOIN sizes sb ON sb.doc_id = c.b),
+        |joined AS (
+        |  SELECT e.j_est, coalesce(x.jt, 0) AS jt
+        |  FROM est e LEFT JOIN exact x USING (a, b))
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(avg(j_est), 4) AS mean_est,
+        |       round(avg(jt), 4) AS mean_true,
+        |       round(avg(abs(j_est - jt)), 4) AS mae,
+        |       round(max(abs(j_est - jt)), 4) AS max_abs_err
+        |FROM joined""".stripMargin,
+
+    // derivation oracle: frame count / truncation / frame-order mean
+    // luma / shot boundaries restated arithmetically from doc_id (the
+    // alternating-gray construction makes every consecutive-frame luma
+    // step exactly delta, far from the 64 threshold)
+    "q_video_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         3 + doc_id % 4 AS nf,
+        |         doc_id % 120 AS base,
+        |         30 + (doc_id % 10) * 10 AS delta,
+        |         CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS trunc
+        |  FROM documents),
+        |m AS (SELECT doc_id, base, delta, trunc, nf - trunc AS mf FROM d),
+        |lum AS (
+        |  SELECT doc_id, mf, trunc, delta,
+        |         list_transform(generate_series(0, mf - 1), f ->
+        |           0.299 * (base + (f % 2) * delta)
+        |             + 0.587 * (base + (f % 2) * delta)
+        |             + 0.114 * (base + (f % 2) * delta)) AS ls
+        |  FROM m)
+        |SELECT doc_id AS media_id,
+        |       CAST(mf AS BIGINT) AS n_frames,
+        |       CAST(trunc AS BIGINT) AS truncated,
+        |       round(list_sum(ls) / mf, 4) AS mean_luma_r,
+        |       CAST(CASE WHEN delta > 64 THEN mf - 1 ELSE 0 END AS BIGINT) AS n_scenes
+        |FROM lum ORDER BY media_id""".stripMargin,
+
+    // derivation oracle: alternating speech/silence blocks aligned to
+    // the VAD window — every odd window is silent, every even window
+    // is one isolated speech segment of 0.05 s
+    "q_audio_vad" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS nb,
+        |         CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS dec
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(dec AS BIGINT) AS decoded,
+        |       CAST(CASE WHEN dec = 0 THEN 0 ELSE nb END AS BIGINT) AS n_windows,
+        |       CAST(CASE WHEN dec = 0 THEN 0 ELSE (nb + 1) // 2 END AS BIGINT)
+        |         AS n_speech,
+        |       CAST(CASE WHEN dec = 0 THEN 0 ELSE (nb + 1) // 2 END AS BIGINT)
+        |         AS n_segments,
+        |       CASE WHEN dec = 0 THEN NULL
+        |            ELSE round(((nb + 1) // 2) * 0.05, 4) END AS speech_sec_r
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // components = base groups exactly (every same-base pair is a
+    // hamming ≤ 2 edge; the XOR-mixed patterns exclude cross-base
+    // edges), so the transitive keeper is the group min over decoded ids
+    "q_media_dedup_cc" ->
+      """SELECT doc_id AS media_id,
+        |       min(doc_id) OVER (PARTITION BY doc_id % 64) AS keep_id
+        |FROM documents
+        |WHERE doc_id % 9 != 0 AND doc_id < 2000
+        |ORDER BY media_id""".stripMargin,
+
+    "q_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(floor((1705708800000000 - max(epoch_us(ts))) / 86400000000.0)
+        |              AS BIGINT) AS recency_days,
+        |         count(*) AS frequency,
+        |         round(sum(value), 4) AS monetary_r
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND epoch_us(ts) <= 1705708800000000
+        |  GROUP BY user_id)
+        |SELECT user_id, recency_days, frequency, monetary_r,
+        |       CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+        |         AS r_band,
+        |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+        |         AS f_band,
+        |       CAST(ntile(5) OVER (ORDER BY monetary_r DESC, user_id) AS BIGINT)
+        |         AS m_band,
+        |       concat_ws('-',
+        |         ntile(5) OVER (ORDER BY recency_days, user_id),
+        |         ntile(5) OVER (ORDER BY frequency DESC, user_id),
+        |         ntile(5) OVER (ORDER BY monetary_r DESC, user_id)) AS segment
+        |FROM pu ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,571 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Mutations, Relational, Sim, Text, TimeFns}
+import graft.etl.Sinks
+import graft.Tables._
+import graft.EntrySupport._
+
+/** Declared query bodies, batches 1-4: parity core, capability closure, LLM-pipeline
+  * extensions, training-data operators — split from SparkEntry behind the
+  * same `queries` map (SURVEY.md §2.12 keys unchanged).
+  */
+private[graft] object EntryQueriesA {
+
+  val map: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- batch 1: parity core ------------------------------------------------
+    "q_scan_events" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).select(
+        col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value_r"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_prune_dates" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Materialize the date-partitioned layout once (the reference's
+      // sharded events_YYYYMMDD family), then filter on the PARTITION
+      // column: the scan's PartitionFilters prune whole day-directories
+      // at planning time — at 100 TB this is the difference between
+      // reading 10 days and reading 10 years.
+      val part = tmpDir("events_by_date", dir)
+      Sinks.ensurePartitioned(
+        Tables.events(s, dir).withColumn(
+          "event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")),
+        part, "event_date")
+      s.read.parquet(part)
+        .filter(col("event_date") >= "2024-01-10" && col("event_date") < "2024-01-20")
+        .select(col("event_id"), col("ts_us"), col("event_date").cast("string").as("event_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_project" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.project(Tables.events(s, dir)).orderBy(col("event_id"))
+    }),
+
+    "q_filter_nonnull" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.filterNonNull(Tables.events(s, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_filter_in" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.filterIn(Tables.events(s, dir), Seq("click", "view", "purchase"))
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_filter_gt_watermark" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.newerThan(Tables.events(s, dir), D2024_01_15_US)
+        .select(col("event_id"), col("ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_params_extract" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.extractJsonLong(Tables.events(s, dir), "props", "k", "param_k")
+        .select(col("event_id"), col("user_id"), col("param_k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_sort_desc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).select(col("event_id"), col("ts_us"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+    }),
+
+    "q_sort_asc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).select(col("event_id"), col("ts_us"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+    }),
+
+    "q_topk" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir)
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(100)
+        .select(col("event_id"), round(col("value"), 4).as("value_r"))
+    }),
+
+    "q_agg_max" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).agg(max(col("ts_us")).as("max_ts_us"))
+    }),
+
+    "q_agg_count" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).agg(count(lit(1)).as("n_rows"))
+    }),
+
+    "q_agg_group" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_agg_distinct" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.distinctUsersPerType(Tables.events(s, dir))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_rollup" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.rollupTypeDate(Tables.events(s, dir))
+        .orderBy(col("event_type").asc_nulls_first, col("event_date").asc_nulls_first)
+    }),
+
+    "q_dedup_key" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.dedupFirstWrite(
+        Tables.events(s, dir), Seq("user_id", "event_type"), "ts_us", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        // explicit null placement: Spark asc defaults NULLS FIRST but
+        // DuckDB defaults NULLS LAST — pin both sides (user_id is nullable)
+        .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first)
+    }),
+
+    "q_upsert_anti" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ev = Tables.events(s, dir)
+      val existing = ev.filter(col("event_id") % 3 === 0)
+      val incoming = EventOps.newerThan(ev, D2024_01_15_US)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      EventOps.newKeysOnly(incoming, existing, Seq("user_id", "ts_us", "event_type"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_union" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      val a = ev.filter(col("ts_us") < D2024_01_10_US)
+      val b = ev.filter(col("ts_us") >= D2024_01_10_US && col("ts_us") < D2024_01_20_US)
+      a.unionByName(b).orderBy(col("event_id"))
+    }),
+
+    "q_incremental" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      // Phase 1: everything up to the split; its max ts becomes the
+      // persisted watermark (a driver-side SCALAR read, mirroring the
+      // reference checkpoint file — never a join against history).
+      val batch1 = ev.filter(col("ts_us") <= D2024_01_15_US)
+      val wmRow = batch1.agg(max(col("ts_us"))).head()
+      val wm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+      // Phase 2: strictly newer than the watermark.
+      val batch2 = ev.filter(col("ts_us") > wm)
+      batch1.unionByName(batch2).orderBy(col("event_id"))
+    }),
+
+    "q_sink_csv" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // repartition BEFORE the json extraction: the cached events table
+      // is one partition, and both the per-row json parse and the CSV
+      // text serialization would otherwise run on a single core
+      val out = EventOps.extractJsonLong(
+          Tables.events(s, dir).repartition(8), "props", "k", "param_k")
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("event_date"),
+          col("ts_us"), col("event_type"), col("param_k"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_date", StringType), StructField("ts_us", LongType),
+        StructField("event_type", StringType), StructField("param_k", LongType)))
+      Sinks.csvRoundTrip(out, tmpDir("csv", dir), schema)
+        .orderBy(col("event_id"))
+    }),
+
+    "q_sink_append" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      val sink = tmpDir("append", dir)
+      Sinks.overwrite(ev.filter(col("ts_us") < D2024_01_15_US), sink)
+      Sinks.append(ev.filter(col("ts_us") >= D2024_01_15_US), sink)
+      s.read.parquet(sink).orderBy(col("event_id"))
+    }),
+
+    // ---- batch 2: capability closure ----------------------------------------
+    "q_join_inner" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.ordersWithCustomer(Tables.orders(s, dir), Tables.customer(s, dir))
+        .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 4).as("total_r"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_join_left" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.lineitemWithPart(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("p_name"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // l_partkey added so every output column is determined by the sort key.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    }),
+
+    "q_join_semi" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.customersWithOrders(Tables.customer(s, dir), Tables.orders(s, dir))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_window_rank" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.rankPerUser(Tables.events(s, dir))
+        .orderBy(col("user_id").asc_nulls_first, col("rn"))
+    }),
+
+    "q_window_lag" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.interEventGap(Tables.events(s, dir))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
+    }),
+
+    "q_window_tumbling" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.hourlyCounts(Tables.events(s, dir))
+        .orderBy(col("win_start"), col("event_type").asc_nulls_first)
+    }),
+
+    "q_date_parse" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ts = timestamp_micros(col("ts_us"))
+      val raw = when(col("event_id") % 4 === 0, date_format(ts, "yyyy-MM-dd"))
+        .when(col("event_id") % 4 === 1, date_format(ts, "yyyy/MM/dd"))
+        .when(col("event_id") % 4 === 2, date_format(ts, "dd-MM-yyyy"))
+        .otherwise(date_format(ts, "dd/MM/yyyy"))
+      Tables.events(s, dir)
+        .withColumn("raw", raw)
+        .select(
+          col("event_id"), col("raw"),
+          date_format(TimeFns.parseMultiFormat(col("raw")), "yyyy-MM-dd").as("parsed"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_date_format" -> ((s0, dir) => {
+      val s = ensure(s0)
+      val ts = timestamp_micros(col("ts_us"))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        TimeFns.toSuffix(ts).as("ymd"),
+        TimeFns.toIso(ts).as("iso"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_date_arith" -> ((s0, dir) => {
+      val s = ensure(s0)
+      TimeFns.dateKitchenSink(Tables.events(s, dir))
+        .select(col("event_id"), col("minus_7d"), col("plus_36h"), col("days_since"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_epoch_micros" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        col("ts_us"),
+        date_format(TimeFns.microsToTs(col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        TimeFns.tsToMicros(TimeFns.microsToTs(col("ts_us"))).as("roundtrip_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_string_fns" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.stringKitchenSink(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // ---- batch 3: LLM-pipeline extensions -----------------------------------
+    "q_dedup_exact" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.exactDedup(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    }),
+
+    "q_text_tokens" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tokenFrequencies(Tables.documents(s, dir))
+        .orderBy(col("freq").desc, col("token"))
+    }),
+
+    "q_heavy_hitters" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.heavyHitters(Tables.documents(s, dir), support = 0.02)
+        .orderBy(col("token"))
+    }),
+
+    "q_text_stats" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"), col("source"))
+    }),
+
+    "q_sim_cosine_topk" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.cosineTopK(Tables.embeddings(s, dir), nQueries = 10, k = 5)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ---- batch 4: training-data-pipeline operators --------------------------
+    // The documents corpus has no natural near-duplicates, so the dedup
+    // queries construct them: every doc is unioned with a perturbed
+    // (suffix-appended) or exact copy at doc_id + 100000. The
+    // construction is pure relational algebra, mirrored in the oracle,
+    // so the operators are exercised against known-positive pairs.
+    "q_dedup_ngram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // EXACT pairwise Jaccard is the quadratic-cost ground truth — run
+      // on a bounded block (doc_id < 2000, like the embedding-pair
+      // cap). The unbounded scale path is q_dedup_minhash: LSH gives
+      // sub-quadratic candidates, and exact J is then only computed per
+      // candidate pair.
+      Dedup.ngramJaccardPairs(perturbedCorpus(s, dir, cap = 2000), threshold = 0.7)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_minhash" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.minhashLshCandidates(perturbedCorpus(s, dir), numHashes = 16, bands = 4)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_minhash_est" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.minhashJaccardEstimates(perturbedCorpus(s, dir, cap = 2000))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_pipeline" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.lshDedupKeepers(perturbedCorpus(s, dir, cap = 2000), minJaccard = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_simhash" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.simhashClusters(exactDupCorpus(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_embed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), cap = 500, n = 50)
+    }),
+
+    "q_sim_ann" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.cosineTopKIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, nCells = 8)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_lang_id" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.languageId(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_lang_id_ngram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.languageIdCharNgram(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_quality_score" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.qualityScore(Tables.documents(s, dir), Seq("the", "a"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_token_count" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tokenCounts(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_agg_stats" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(var_samp(col("value")), 4).as("var_value"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_percentile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Exact interpolated percentiles (both engines use linear
+      // interpolation). At 100 TB swap for approx_percentile
+      // (t-digest-style sketch, single pass, mergeable) — same
+      // substitution contract as approxDistinctUsersPerType.
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_above_avg" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Scalar subquery through Catalyst's subquery rewriting (not a
+      // driver-side collect): events with value above the global mean.
+      Tables.events(s, dir).createOrReplaceTempView("ev_sub")
+      s.sql(
+        """SELECT event_id, round(value, 4) AS value_r FROM ev_sub
+          |WHERE value > (SELECT avg(value) FROM ev_sub)
+          |ORDER BY event_id""".stripMargin)
+    }),
+
+    "q_cube" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir)
+        .withColumn("event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .cube(col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("event_date").asc_nulls_first)
+    }),
+
+    "q_join_full" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Both sides partially unmatched so the FULL OUTER shape is real:
+      // low custkeys exist only on the customer side, high ones only in
+      // the per-customer order rollup.
+      val a = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 700).select(col("c_custkey"), col("c_name"))
+      val b = Tables.orders(s, dir)
+        .filter(col("o_custkey") >= 300)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      a.join(b, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+        .orderBy(col("custkey"))
+    }),
+
+    "q_window_moving" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        round(avg(col("value")).over(w), 4).as("mov_avg"))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
+    }),
+
+    "q_sessionize" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // Gap-based sessionization: a >30-minute silence starts a new
+      // session; session index = running count of session starts. The
+      // streaming twin is session_window(ts, "30 minutes").
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byTime))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("session_idx"))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
+    }),
+
+    "q_profile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Single-pass data-quality profile: one aggregation computes
+      // null counts, ranges, and exact distincts for the whole table —
+      // the intake check a pipeline runs before trusting a new drop.
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+        sum(when(col("props").isNull || col("props") === "", 1L).otherwise(0L)).as("empty_props"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+    }),
+
+    "q_pivot" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Pivot long→wide: per user, one count column per event type.
+      // The type vocabulary is supplied explicitly — at scale an
+      // unspecified pivot triggers an extra distinct-values job.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
+    "q_grouping_sets" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.events(s, dir)
+        .withColumn("event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("event_date"))),
+          col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("event_date").asc_nulls_first)
+    }),
+
+    "q_session_window" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Native session_window operator: events merge while gaps stay
+      // under 30 minutes; window end = last event + gap. The oracle
+      // reproduces the same sessions from first principles (lag +
+      // running session index).
+      Tables.events(s, dir)
+        .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          col("n"))
+        .orderBy(col("user_id").asc_nulls_first, col("sess_start"))
+    }),
+
+    "q_media_meta" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        expr("element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1)")
+          .as("kind"),
+        expr("octet_length(cast(text as binary))").cast("long").as("n_bytes"),
+        substring(hex(col("text").cast("binary")), 1, 16).as("head_hex"),
+        expr(
+          """array_join(transform(sequence(0, 2),
+            |  i -> md5(cast(substring(text, 1 + i * (length(text) div 3),
+            |                          (length(text) div 3)) as binary))), '-')""".stripMargin)
+          .as("frames_sig"))
+        .orderBy(col("media_id"))
+    }),
+  )
+}

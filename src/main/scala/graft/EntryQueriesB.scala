@@ -1,0 +1,547 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Mutations, Relational, Sim, Text, TimeFns}
+import graft.etl.Sinks
+import graft.Tables._
+import graft.EntrySupport._
+
+/** Declared query bodies, batches 5-7: transitive dedup, GA4 nested shape, trained IVF,
+  * as-of/range joins, reshape, corpus assembly, LM scoring — split from SparkEntry behind the
+  * same `queries` map (SURVEY.md §2.12 keys unchanged).
+  */
+private[graft] object EntryQueriesB {
+
+  val map: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- batch 5 (round 3): transitive dedup, GA4 nested shape, trained IVF --
+    "q_dedup_cc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.connectedComponentKeepers(chainCorpus(s, dir, cap = 500), minJaccard = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_ga4_extract" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // The reference's real N1 shape, oracle-checked end to end:
+      // ARRAY<STRUCT> scan from parquet → HOF filter + try_element_at(-1)
+      // (last-match-wins, null-array-safe). The oracle states the
+      // expected values from first principles (it knows how the table
+      // was derived), so the nested extraction is independently checked.
+      ga4Table(s, dir)
+        .select(
+          col("event_id"),
+          EventOps.extractParam(col("event_params"), "k").as("param_k"),
+          EventOps.extractParam(col("event_params"), "page").as("page"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_sim_ann_kmeans" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // sampleMod=2: the coarse quantizer trains on every 2nd vector
+      // (~125·nCells training points — faiss-style bounded sample)
+      Sim.cosineTopKIvfKmeans(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, nCells = 8, iters = 4, nProbe = 2, sampleMod = 2)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_sim_ann_pq" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // IVF-PQ: trained cells + per-subspace product quantization —
+      // the billion-scale ANN configuration (candidates scored against
+      // m-byte code reconstructions, not raw vectors). dim 64, m=8 →
+      // 8-dim subspaces × 16 codes; same coarse quantizer as
+      // q_sim_ann_kmeans.
+      Sim.cosineTopKIvfPq(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, nCells = 8, m = 8, ks = 16, iters = 4,
+        nProbe = 2, sampleMod = 2)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_sim_ann_pq_refine" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // The production two-stage shape: PQ codes shortlist 20
+      // candidates per query, full vectors rescore only the shortlist
+      // (faiss IndexRefine). Oracle recomputes BOTH stages.
+      Sim.cosineTopKIvfPq(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, nCells = 8, m = 8, ks = 16, iters = 4,
+        nProbe = 2, sampleMod = 2, refine = 20)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_dedup_semantic" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // SemDeDup: cluster-bounded embedding near-dup keepers. Same
+      // trained quantizer configuration as q_sim_ann_kmeans; the 0.40
+      // threshold is tuned to this synthetic table's cosine range
+      // (top pairs ~0.5-0.6) so the pair/keeper path is exercised —
+      // production text embeddings use ~0.95+ (the paper's range).
+      Sim.semanticDedupKeepers(Tables.embeddings(s, dir),
+        nCells = 8, iters = 4, sampleMod = 2, minCos = 0.40)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- batch 6 (round 4): as-of/range joins, reshape, corpus assembly -----
+    "q_asof_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Last purchase at-or-before each click, per user — the
+      // attribution/funnel join. One shuffle + sort (merge-asof form),
+      // never the |clicks|x|purchases-per-user| expansion.
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      Relational.asofJoin(clicks, purchases, "user_id", "ts_us", "event_id",
+          Seq("ts_us", "event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof.ts_us").as("p_ts_us"), col("asof.event_id").as("p_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Events into overlapping 36h maintenance windows (one per day):
+      // bin-equi-join + residual filter, not a nested-loop inequality join.
+      val day = 86400000000L
+      val start = 1704412800000000L // 2024-01-05 00:00 UTC, micros
+      val win = s.range(20).select(
+        col("id").as("win_id"),
+        (lit(start) + col("id") * day).as("lo"),
+        (lit(start) + col("id") * day + 36L * 3600000000L).as("hi"))
+      Relational.rangeJoinBinned(
+          Tables.events(s, dir).select(col("event_id"), col("ts_us")),
+          "ts_us", win, "lo", "hi", day)
+        .select(col("event_id"), col("win_id"), col("ts_us"))
+        .orderBy(col("event_id"), col("win_id"))
+    }),
+
+    "q_unpivot" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Wide→long reshape (melt): stack() emits 4 rows per input row in
+      // one codegen'd projection — no join, no shuffle, no UDF.
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .selectExpr("l_orderkey", "l_linenumber", "l_partkey",
+          """stack(4,
+            |  'discount', round(l_discount, 4),
+            |  'extendedprice', round(l_extendedprice, 4),
+            |  'quantity', round(l_quantity, 4),
+            |  'tax', round(l_tax, 4)) AS (metric, val)""".stripMargin)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("metric"), col("val"))
+    }),
+
+    "q_user_paths" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Per-user ordered journey string: collect_list into an
+      // array_sort'd struct (ts, id, type) — deterministic without a
+      // pre-shuffle sort, one aggregation exchange total.
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_pii_mask" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Deterministic PII is injected (testdata has none), then redacted
+      // by the map-side regex pass — both halves mirrored in the oracle.
+      val raw = concat(substring(col("text"), 1, 120),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.Corpus.piiMask(raw).as("masked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_gopher" -> ((s0, dir) => {
+      val s = ensure(s0)
+      graft.ops.Corpus.gopherSignals(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pack_sequences" -> ((s0, dir) => {
+      val s = ensure(s0)
+      graft.ops.Corpus.packSequences(Tables.documents(s, dir), shardSize = 64, budget = 2048)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_shuffle_shard" -> ((s0, dir) => {
+      val s = ensure(s0)
+      graft.ops.Corpus.shuffleShard(Tables.documents(s, dir), nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_contain" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Containment on the CHAIN corpus: every prefix-truncated copy
+      // has shingles nested inside its original, so cont≈1 while
+      // Jaccard is only the length ratio — exactly the asymmetric
+      // case Jaccard-threshold dedup misses.
+      Dedup.ngramContainmentPairs(chainCorpus(s, dir, cap = 500), threshold = 0.9)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_outliers" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Z-score anomaly flagging: per-type moments once, broadcast
+      // back against the stream — the stats-join-back intake check
+      // (contrast q_above_avg's single global scalar subquery).
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("event_type")).agg(
+        avg(col("value")).as("__mu"), stddev_samp(col("value")).as("__sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("__mu")) / col("__sd"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"), round(col("z"), 4).as("z_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_corr" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Bivariate stats per group: correlation and sample covariance
+      // between the metric and the extracted numeric param — one
+      // partial-aggregated pass (corr/covar state is a fixed tuple of
+      // moments, mergeable like any sketch).
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("value"), col("k")), 4).as("corr_vk"),
+          round(covar_samp(col("value"), col("k")), 4).as("covar_vk"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_retention" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Cohort retention: users grouped by first-seen week, counted in
+      // each later week they were active. Two aggregations + one join
+      // on user — the cohort table is groups-sized, so at scale it
+      // broadcasts back against per-user activity.
+      val weekUs = 7L * 86400000000L
+      val base = 1704067200000000L // 2024-01-01
+      val wk = ((col("ts_us") - base) / weekUs).cast("long")
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), wk.as("wk"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val active = ev.distinct()
+      active.join(broadcast(cohorts), Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("wk_offset"))
+    }),
+
+    "q_histogram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Fixed-width binned distribution — the intake profile's
+      // histogram twin. Bin id is computed map-side; one aggregation.
+      Tables.events(s, dir)
+        .select(floor(col("value") / 25.0).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", round(col("bin") * 25.0, 4))
+        .orderBy(col("bin"))
+    }),
+
+    "q_drift" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Distribution drift between two periods, one scan: conditional
+      // counts per type, shares against period totals (broadcast back),
+      // absolute share delta as the drift signal.
+      val side = when(col("ts_us") < D2024_01_10_US, "a")
+        .when(col("ts_us") < D2024_01_20_US, "b")
+      val tagged = Tables.events(s, dir).withColumn("side", side)
+        .filter(col("side").isNotNull)
+      val perType = tagged.groupBy(col("event_type")).agg(
+        sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b"))
+      val totals = perType.agg(
+        sum(col("n_a")).cast("double").as("__ta"),
+        sum(col("n_b")).cast("double").as("__tb"))
+      perType.crossJoin(broadcast(totals))
+        .select(
+          col("event_type"), col("n_a"), col("n_b"),
+          round(col("n_a") / col("__ta"), 4).as("share_a"),
+          round(col("n_b") / col("__tb"), 4).as("share_b"),
+          round(abs(col("n_a") / col("__ta") - col("n_b") / col("__tb")), 4).as("drift"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_tfidf" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    "q_unigram_logprob" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "q_funnel" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // click → view → purchase progression per user: one shuffle +
+      // map-side fold, vs the oracle's per-step self-join form.
+      EventOps.funnelStages(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "ts_us", "event_type", Seq("click", "view", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_corpus_pipeline" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // The composed corpus build — exact dedup → Gopher gate →
+      // deterministic per-domain sampling → sequence packing, one lazy
+      // plan, two shuffles total. The flagship of the training-data
+      // toolbox; every stage is the same operator the standalone
+      // queries exercise.
+      graft.ops.Corpus.buildCorpus(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang")),
+          "lang", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1),
+          shardSize = 64, budget = 2048)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_decontaminate" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Benchmark decontamination: the eval set is every 97th doc; the
+      // training set additionally contains a perturbed near-copy of
+      // each eval doc (suffix noise) — exactly the leakage an n-gram
+      // overlap check must catch even though the copies aren't exact.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs
+        .unionByName(bench.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz9 zz9")).as("text")))
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.ops.Corpus.decontaminate(train, bench, minShared = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample_weighted" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Reproducible domain mixing: per-language sampling weights,
+      // hash-threshold draw (no RNG state, same verdict every run);
+      // zh has no weight listed → dropped entirely.
+      graft.ops.Corpus.weightedSample(Tables.documents(s, dir),
+          "lang", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("u_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_window_range" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // RANGE frame (value-based, not row-based): trailing 1-hour sum
+      // per user — rows at equal ts share one frame, and gaps in time
+      // shrink the window. Complements the ROWS frames in
+      // q_window_moving.
+      val hourUs = 3600000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        round(sum(col("value")).over(w), 4).as("hour_sum"))
+        .orderBy(col("user_id").asc_nulls_first, col("ts_us"), col("event_id"))
+    }),
+
+    "q_argmax" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Argmax aggregates: per event type, WHICH event carried the
+      // max/min value (max_by/min_by, one aggregation pass — no
+      // self-join back against the max). Ties broken deterministically
+      // by taking the larger (event_id-tagged) struct.
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id"))).as("max_event_id"),
+          min_by(col("event_id"), struct(col("value"), col("event_id"))).as("min_event_id"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    "q_sink_json" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Third format surface: newline-delimited JSON out, schema'd read
+      // back (inference would cost an extra pass and can widen types).
+      val out = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value_r", DoubleType)))
+      Sinks.jsonRoundTrip(out, tmpDir("json", dir), schema).orderBy(col("event_id"))
+    }),
+
+    "q_sink_orc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Fourth format surface: ORC out + schema'd read back — same
+      // columnar pushdown class as parquet, different container.
+      val out = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value_r", DoubleType)))
+      Sinks.orcRoundTrip(out, tmpDir("orc", dir), schema).orderBy(col("event_id"))
+    }),
+
+    "q_levenshtein" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Edit distance between doc_id-adjacent 40-char prefixes: the
+      // exact string-similarity verifier that runs on LSH candidate
+      // pairs at scale (here on a deterministic 1:1 pairing).
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("s40"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          levenshtein(col("a.s40"), col("b.s40")).cast("long").as("dist"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- batch 7 (round 5): LM scoring, vocab training, chunking, ----------
+    // ---- balancing, attribution, media planning, equal-count bands ----------
+    "q_bigram_lm" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // scan fan-out (same rationale as perturbedCorpus): the corpus
+      // parquet is a single split, and the bigram explode runs TWICE
+      // (lookup build + instance stream) before any exchange — spread
+      // it instead of serializing both passes onto one core
+      Text.bigramLogProb(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_bpe_pairs" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.bpePairCounts(Tables.documents(s, dir), k = 30)
+        .orderBy(col("cnt").desc, col("pair"))
+    }),
+
+    "q_chunk_docs" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.chunkDocs(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          chunkSize = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_id"), col("off"), col("chunk_len"),
+          substring(col("chunk"), 1, 16).as("chunk_head"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q_domain_cap" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // balance the corpus: top-100 docs per source by the same
+      // quality score q_quality_score checks, deterministic tiebreak
+      val q = Text.qualityScore(Tables.documents(s, dir), Seq("the", "a"))
+        .select(col("doc_id"), col("quality"))
+      val withSrc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id"))
+      Corpus.domainCap(withSrc, "source", "quality", cap = 100)
+        .select(col("doc_id"), col("source"), col("quality"), col("rnk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_attribution" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.lastTouchAttribution(
+          Tables.events(s, dir), "ts_us", "event_type",
+          touchType = "click", convType = "purchase")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_media_chunks" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Multimodal.chunkPlan(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF()
+            .select(col("media_id"), col("n_bytes")),
+          chunkBytes = 100L)
+        .orderBy(col("media_id"), col("chunk_idx"))
+    }),
+
+    "q_ntile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Relational.ntileStats(
+          Tables.orders(s, dir), "o_totalprice", "o_orderkey", n = 10)
+        .orderBy(col("tile"))
+    }),
+
+    "q_split" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // 90/5/5 deterministic split; emit the per-split counts per lang
+      // so the oracle checks both assignment AND stratum proportions
+      Corpus.assignSplit(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
+        .select(col("doc_id"), col("lang"), col("split"), col("u_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_window_pct" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // distribution-position windows: percent_rank (rank-based) and
+      // cume_dist (inclusive-count based) per event type — the
+      // "where does this value sit" analytics surface q_ntile bands.
+      // Scale note: event_type is LOW-cardinality, so each partition
+      // is corpus-sized/|types| — one sort per type. At 100 TB compute
+      // positions from a binned CDF instead (q_histogram's shape:
+      // bin counts + a running sum over the tiny bin table) and keep
+      // this exact window for verification samples.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_stratified_n" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // exact-40-per-lang unbiased sample (hash-rank) — the fixed-size
+      // eval-set draw; contrast q_sample_weighted (expected-size coin
+      // flips) and q_domain_cap (quality-biased quota)
+      Corpus.stratifiedSampleN(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "lang", n = 40)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_join_right" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // RIGHT outer: every customer appears even without orders in the
+      // date slice — the mirror of q_join_left, kept as its own row so
+      // the join surface is complete left/right/full/semi/anti/inner
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "right")
+        .select(
+          col("c_custkey"), col("c_name"),
+          col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("price_r"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+  )
+}

@@ -1,0 +1,612 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Mutations, Relational, Sim, Text, TimeFns}
+import graft.etl.Sinks
+import graft.Tables._
+import graft.EntrySupport._
+
+/** Declared query bodies, batches 13-21: graph/embedding ops, fingerprints, sampling,
+  * corpus health, crawl hygiene, smoothing, sub-doc dedup, BM25,
+  * fusion, trim, sketch audits — split from SparkEntry behind the
+  * same `queries` map (SURVEY.md §2.12 keys unchanged).
+  */
+private[graft] object EntryQueriesD {
+
+  val map: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- batch 13: graph + embedding-training ops ----
+
+    "q_textrank" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.textrank(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          0.85, 5)
+        .orderBy(col("token"))
+    }),
+
+    "q_hard_negatives" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.hardNegatives(Tables.embeddings(s, dir), 10, 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_knn_vote" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.knnLabelVote(Tables.embeddings(s, dir), 10, 5)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- batch 14: fingerprints + temporal + batching audits ----
+
+    "q_winnow" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.winnow(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          3, 4)
+        .orderBy(col("doc_id"), col("fp_pos"))
+    }),
+
+    "q_pit_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // point-in-time: each purchase looks up the SCD2 attribute
+      // version valid at its timestamp — historical-report semantics
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val dim = Mutations.scd2(ev, "user_id", "event_type", "ts_us", "event_id")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Mutations.pointInTimeJoin(facts, dim, "user_id", "ts_us", "event_type")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_length_buckets" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.lengthBuckets(Tables.documents(s, dir), 8)
+        .orderBy(col("bucket"))
+    }),
+
+    "q_interleave" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.interleaveOrder(Tables.documents(s, dir), "source", 100)
+    }),
+
+    "q_split_leakage" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.splitLeakage(exactDupCorpus(s, dir),
+          Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- batch 15: text-to-vector + sampling ----
+
+    "q_hash_embed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.hashedBowVectors(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism), 64)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    "q_skipgrams" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.skipgramPairs(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism), 2)
+        .orderBy(col("center"), col("context"))
+    }),
+
+    "q_reservoir" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.reservoirSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")), 100)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- batch 16: corpus-health diagnostics ----
+
+    "q_kl_sources" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.sourceKlDivergence(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    }),
+
+    "q_zipf" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.zipfFit(Tables.documents(s, dir))
+    }),
+
+    "q_burstiness" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tokenBurstiness(Tables.documents(s, dir))
+        .orderBy(col("token"))
+    }),
+
+    // ---- batch 17: crawl hygiene + pipeline health ----
+
+    "q_dedup_url" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // three URL variants per page — tracking query, cased host +
+      // trailing slash, bare — that canonicalization must collapse
+      val page = expr("doc_id div 3")
+      val src = concat(lit("src"), pmod(page, lit(20L)).cast("string"))
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("https://"), src, lit(".example.com/page/"),
+            page.cast("string"), lit("?utm_source=feed")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://"), upper(src), lit(".EXAMPLE.com/page/"),
+            page.cast("string"), lit("/")))
+        .otherwise(
+          concat(lit("https://"), src, lit(".example.com/page/"),
+            page.cast("string")))
+      Text.canonicalUrlDedup(
+          Tables.documents(s, dir).select(col("doc_id"), raw.as("url")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_anomaly_days" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.dailyVolumeAnomalies(Tables.events(s, dir), "ts_us", 3.0)
+        .orderBy(col("day"))
+    }),
+
+    "q_ppl_buckets" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Corpus.perplexityBuckets(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_cdc_apply" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // binlog replay: base = pre-T1 per-user state; two cumulative
+      // update batches (seq 1, 2) + a delete batch (seq 3, every 7th
+      // user) — last writer wins, the delete outranks everything
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      def agg(upTo: Long) = e.filter(col("ts_us") < upTo)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_v_r"))
+      val base = agg(Tables.D2024_01_10_US)
+      val c1 = agg(Tables.D2024_01_15_US)
+        .join(e.filter(col("ts_us") >= Tables.D2024_01_10_US &&
+          col("ts_us") < Tables.D2024_01_15_US).select(col("user_id")).distinct(),
+          Seq("user_id"), "left_semi")
+        .select(col("user_id"), lit("U").as("op"), lit(1L).as("seq"),
+          col("n_events"), col("sum_v_r"))
+      val c2 = agg(Long.MaxValue)
+        .join(e.filter(col("ts_us") >= Tables.D2024_01_15_US)
+          .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+        .select(col("user_id"), lit("U").as("op"), lit(2L).as("seq"),
+          col("n_events"), col("sum_v_r"))
+      val c3 = e.select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), lit("D").as("op"), lit(3L).as("seq"),
+          lit(null).cast("long").as("n_events"),
+          lit(null).cast("double").as("sum_v_r"))
+      Mutations.applyChangelog(base, c1.unionByName(c2).unionByName(c3),
+          "user_id", "seq")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- batch 18 (round 7): in-doc gates + smoothing + cluster audit ----
+
+    "q_repetition" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.repetitionSignals(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lm_interp" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.interpolatedLogProb(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_cluster_purity" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // same trained quantizer configuration as q_sim_ann_kmeans /
+      // q_dedup_semantic, so the dynamic oracle shares one model build
+      Sim.clusterPurity(Tables.embeddings(s, dir),
+          nCells = 8, iters = 4, sampleMod = 2)
+        .orderBy(col("cell"))
+    }),
+
+    "q_media_decode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // REAL binary round-trip: deterministic solid-color PPMs are
+      // ENCODED from doc_id, every 10th payload truncated (corrupt),
+      // then the actual PpmCodec decode → resize(2x2) → channel-stat
+      // path runs; the oracle derives the same stats arithmetically
+      // from doc_id, so a header-parse, quarantine, resample, or
+      // statistics bug all hash-mismatch.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            rgb(p * 3) = (id % 256).toByte
+            rgb(p * 3 + 1) = ((id * 7) % 256).toByte
+            rgb(p * 3 + 2) = ((id * 13) % 256).toByte
+            p += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(w, h, rgb))
+          val bytes = if (id % 10 == 0) bytes0.take(8) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      def feat(i: Int) = when(col("n_frames") === 0, lit(null).cast("double"))
+        .otherwise(element_at(col("features"), i))
+      Multimodal.decodePpmFeatures(media, resizeTo = Some((2, 2))).toDF()
+        .select(
+          col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          feat(1).as("w"), feat(2).as("h"),
+          feat(3).as("mean_r"), feat(4).as("mean_g"), feat(5).as("mean_b"),
+          round(feat(6), 4).as("luma_mean_r"), round(feat(7), 4).as("luma_std_r"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_audio_decode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // the audio twin of q_media_decode: deterministic 8 kHz square
+      // waves (period 8, amplitude from doc_id) ENCODED as real WAV
+      // bytes, every 7th payload truncated, then the actual RIFF/PCM16
+      // decode + signal-stat path runs. Square waves make duration,
+      // RMS (= amp/2^15, exact in IEEE), and zero-crossing rate
+      // arithmetically derivable, so the oracle restates them from
+      // doc_id alone.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (800 + (id % 5) * 400).toInt
+          val amp = (500 + (id % 100) * 100).toShort
+          val samples = Array.tabulate(n)(i =>
+            if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+          val bytes0 = Multimodal.WavCodec.encode(
+            Multimodal.WavCodec.Audio(8000, 1, samples))
+          val bytes = if (id % 7 == 0) bytes0.take(20) else bytes0
+          Multimodal.MediaRow(id, "audio", bytes, bytes.length.toLong, "wav")
+        }
+      def feat(i: Int) = when(col("n_frames") === 0, lit(null).cast("double"))
+        .otherwise(element_at(col("features"), i))
+      Multimodal.decodeWavFeatures(media).toDF()
+        .select(
+          col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          feat(1).as("dur_sec"), feat(2).as("rms"), feat(3).as("zcr"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_ngram_novelty" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the perturbed corpus plants known non-novel docs: each
+      // doc_id+100000 copy shares every original shingle, so its
+      // novelty collapses while the original keeps scoring high
+      Dedup.ngramNovelty(perturbedCorpus(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_recency_score" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.recencyScore(Tables.events(s, dir),
+          Tables.D2024_01_20_US, halflifeDays = 2.0)
+        .orderBy(col("user_id"))
+    }),
+
+    "q_dup_cluster_stats" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the post-dedup audit composed over the SAME keeper run as
+      // q_dedup_cc (chain corpus -> CC keepers -> size histogram)
+      Dedup.clusterSizeHistogram(
+          Dedup.connectedComponentKeepers(chainCorpus(s, dir, cap = 500), minJaccard = 0.7))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // ---- batch 19: sub-doc dedup, sparse retrieval, KN smoothing,
+    //      l-diversity, SQ ANN, perceptual image hash ----
+
+    "q_dedup_lines" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the perturbed corpus plants sub-document duplication: each
+      // +100000 copy repeats every full 8-token segment of its
+      // original, so copies score high dup_frac while originals keep
+      // first-occurrence credit
+      Dedup.segmentDedup(perturbedCorpus(s, dir), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sparse_cosine" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.tfidfCosineTopK(Tables.documents(s, dir),
+          nQueries = 20, k = 5, dfCapFrac = 0.85)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_kn_bigram" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.knBigramLogProb(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          discount = 0.75)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_l_diversity" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // QI = (event_type, day); subject = user_id; sensitive = the
+      // coarse value band floor(value/100). The value distribution is
+      // right-skewed (bands 2-4 per group), so k = 50 and l = 3 each
+      // suppress a REAL subset of groups — both gates are exercised
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .withColumn("v_band", floor(col("value") / 100).cast("long"))
+      Relational.lDiversity(ev, Seq("event_type", "day"), "user_id", "v_band",
+          "value", k = 50, l = 3)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q_sim_sq" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.cosineTopKSq(Tables.embeddings(s, dir),
+          nQueries = 10, k = 5, shortlist = 20)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_media_phash" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // REAL perceptual-hash round trip: 16x16 two-tone rasters whose
+      // 2x2 blocks follow a bijective bit pattern seeded by doc_id % 5
+      // are ENCODED as PPM bytes, every 9th truncated; the actual
+      // decode -> resize(8x8) -> luma -> mean-threshold path then runs,
+      // and exact-hash grouping assigns keepers. The oracle derives the
+      // same 64-bit pattern arithmetically from doc_id, so a decode,
+      // resize-sampling, luma, threshold, or grouping bug all mismatch.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = (id % 5).toInt * 13
+          val rgb = new Array[Byte](16 * 16 * 3)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val i8 = (y / 2) * 8 + (x / 2)
+              val v: Byte = if ((i8 * 31 + seed) % 64 < 32) 255.toByte else 0.toByte
+              val p = (y * 16 + x) * 3
+              rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(16, 16, rgb))
+          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      val byHash = Window.partitionBy(col("ahash"))
+      Multimodal.averageHash(media, size = 8).toDF()
+        .withColumn("group_n", when(col("decoded") === 0, 0L)
+          .otherwise(count(lit(1)).over(byHash).cast("long")))
+        .withColumn("keep", when(col("decoded") === 0, 0L)
+          .otherwise(when(col("media_id") === min(col("media_id")).over(byHash), 1L)
+            .otherwise(0L)))
+        .select(col("media_id"), col("decoded").cast("long").as("decoded"),
+          col("ahash"), col("group_n"), col("keep"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- batch 20: BM25, hybrid fusion, late interaction, skew
+    //      salting, perceptual-hash banding ----
+
+    "q_bm25" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Text.bm25TopK(Tables.documents(s, dir), nQueries = 20, k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_rrf" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // hybrid retrieval: fuse the tf-idf cosine ranking and the BM25
+      // ranking (incomparable score scales) per query via RRF
+      val docs = Tables.documents(s, dir)
+      Text.rrfFuse(Seq(
+          Text.tfidfCosineTopK(docs, nQueries = 10, k = 20, dfCapFrac = 0.85),
+          Text.bm25TopK(docs, nQueries = 10, k = 20)), c = 60.0, k = 5)
+        .orderBy(col("q_id"), col("fused_rnk"))
+    }),
+
+    "q_salted_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // events ⋈ per-event-type stats dim: 5 dim rows = EVERY key is
+      // hot, the worst case a plain shuffle join degenerates on. The
+      // salted plan fans each key 8 ways; the oracle is the UNSALTED
+      // join — identical result set is the operator's contract
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type").as("et")).agg(
+        count(lit(1)).as("n_t"),
+        round(sum(col("value")), 4).as("sum_v_r"))
+      Relational.saltedJoin(
+          ev.select(col("event_id"), col("event_type")),
+          dim, probeKey = "event_type", buildKey = "et", salt = 8)
+        .select(col("event_id"), col("event_type"), col("n_t"), col("sum_v_r"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_maxsim" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Sim.maxSimTopK(Tables.embeddings(s, dir),
+          groupEvery = 4, nQueryDocs = 5, k = 5)
+        .orderBy(col("q_doc"), col("rnk"))
+    }),
+
+    "q_media_phash_band" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // near-dup image planting: base pattern from doc_id % 64, odd
+      // ids flip ONE bit at (doc_id/64) % 64 — same-base pairs sit at
+      // hamming 0/1/2 and banding must find them all; every 9th
+      // payload corrupt (quarantined out before banding). The pattern
+      // bits come from an XOR MIX of (base, i) — NOT an additive
+      // shift family: any pattern of the form f(s + step·i) makes
+      // different bases collide on whole 16-bit bands (and sit at
+      // small hamming), flooding the verify with cross-group
+      // candidates — measured 49 s at sf0.1 before the mix; the XOR
+      // decorrelates bands across bases (measured: candidates ==
+      // within-group pairs)
+      val media = Tables.documents(s, dir)
+        .filter(col("doc_id") < 2000).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id % 64
+          val flip = if (id % 2 == 1) ((id / 64) % 64).toInt else -1
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val bright =
+              (((i * 144115188075855881L) ^ (base * 2654435761L)) % 97 < 48) !=
+                (i == flip)
+            val v: Byte = if (bright) 255.toByte else 0.toByte
+            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+            i += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(8, 8, rgb))
+          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      Multimodal.phashNearDupPairs(
+          Multimodal.averageHash(media, size = 8).toDF(),
+          hashBits = 64, bands = 4, maxHamming = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- batch 21: actionable trim + sketch audit ----
+
+    "q_dedup_lines_trim" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the rewrite form of q_dedup_lines: copies lose every segment
+      // they repeat (most come back near-empty), originals keep their
+      // text verbatim minus natural collisions
+      Dedup.segmentTrim(perturbedCorpus(s, dir), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_minhash_error" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.minhashEstimatorAudit(perturbedCorpus(s, dir, cap = 2000))
+        .orderBy(col("n_pairs"))
+    }),
+
+    "q_video_decode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // REAL multi-frame round trip: 3-6 solid-gray 4x4 frames per
+      // video, luma alternating base / base+delta frame to frame, are
+      // ENCODED as a concatenated-P6 stream (ffmpeg's image2pipe ppm
+      // form); every 8th payload loses its final frame mid-raster.
+      // The actual stream-walking decode + frame-order luma fold +
+      // shot-boundary count then runs; the oracle derives frame count,
+      // truncation, mean luma, and scene changes (delta > 64 ⟺ every
+      // consecutive pair cuts) arithmetically from doc_id.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (3 + id % 4).toInt
+          val base = (id % 120).toInt
+          val delta = (30 + (id % 10) * 10).toInt
+          val frames = (0 until nf).map { f =>
+            val v = (base + (f % 2) * delta).toByte
+            Multimodal.PpmCodec.Image(4, 4, Array.fill(4 * 4 * 3)(v))
+          }
+          val bytes0 = Multimodal.PpmVideoCodec.encode(frames)
+          val bytes = if (id % 8 == 0) bytes0.dropRight(10) else bytes0
+          Multimodal.MediaRow(id, "video", bytes, bytes.length.toLong, "ppms")
+        }
+      def feat(i: Int) = element_at(col("features"), i)
+      Multimodal.decodeVideoFeatures(media, sceneThreshold = 64.0).toDF()
+        .select(
+          col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          feat(1).cast("long").as("truncated"),
+          round(feat(2), 4).as("mean_luma_r"),
+          feat(3).cast("long").as("n_scenes"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_audio_vad" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // REAL VAD round trip: 4-8 alternating speech/silence blocks of
+      // 400 samples (speech first) encoded as WAV, every 6th payload
+      // truncated; energy VAD with block-aligned 400-sample windows
+      // makes speech windows, isolated segments, and speech seconds
+      // (0.05 s per window at 8 kHz) arithmetically derivable
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val nb = (4 + id % 5).toInt
+          val amp = (500 + (id % 40) * 50).toShort
+          val samples = Array.tabulate(nb * 400) { i =>
+            val block = i / 400
+            if (block % 2 == 0) { if (i % 8 < 4) amp else (-amp).toShort }
+            else 0.toShort
+          }
+          val bytes0 = Multimodal.WavCodec.encode(
+            Multimodal.WavCodec.Audio(8000, 1, samples))
+          val bytes = if (id % 6 == 0) bytes0.take(24) else bytes0
+          Multimodal.MediaRow(id, "audio", bytes, bytes.length.toLong, "wav")
+        }
+      Multimodal.vadSegments(media, windowSamples = 400, rmsThreshold = 0.001)
+        .toDF()
+        .select(col("media_id"), col("decoded").cast("long").as("decoded"),
+          col("n_windows"), col("n_speech"), col("n_segments"),
+          when(col("decoded") === 0, lit(null).cast("double"))
+            .otherwise(round(col("speech_sec"), 4)).as("speech_sec_r"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_media_dedup_cc" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // the capstone composition: IMAGE near-dup pairs (real decode →
+      // aHash → hamming banding) feed the SAME transitive CC keeper
+      // machinery the text path uses — dedup is modality-agnostic once
+      // candidates exist. Same planted rasters as q_media_phash_band:
+      // every same-base pair sits within hamming 2, so components are
+      // exactly the base groups and the oracle derives keepers
+      // arithmetically
+      val media = Tables.documents(s, dir)
+        .filter(col("doc_id") < 2000).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id % 64
+          val flip = if (id % 2 == 1) ((id / 64) % 64).toInt else -1
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val bright =
+              (((i * 144115188075855881L) ^ (base * 2654435761L)) % 97 < 48) !=
+                (i == flip)
+            val v: Byte = if (bright) 255.toByte else 0.toByte
+            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+            i += 1
+          }
+          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(8, 8, rgb))
+          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
+          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
+        }
+      val hashes = Multimodal.averageHash(media, size = 8).toDF()
+      val pairs = Multimodal.phashNearDupPairs(hashes,
+          hashBits = 64, bands = 4, maxHamming = 2)
+        .select(col("a"), col("b"))
+      val vertices = hashes.filter(col("decoded") === 1)
+        .select(col("media_id").as("doc_id"))
+      Dedup.ccKeepersFromEdges(pairs, vertices)
+        .select(col("doc_id").as("media_id"), col("keep_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_rfm" -> ((s0, dir) => {
+      val s = ensure(s0)
+      EventOps.rfmSegments(Tables.events(s, dir), Tables.D2024_01_20_US)
+        .orderBy(col("user_id"))
+    })
+  )
+}

@@ -26,7 +26,7 @@ object ProfCc {
       val chain = graft.ops.Dedup
       for (sample <- 1 to 2) {
         CacheScope.flush()
-        val c = SparkEntry.chainCorpusForProf(spark, sfDir)
+        val c = EntrySupport.chainCorpusForProf(spark, sfDir)
         t(s"[$sample] chain corpus read+cache")(c.count())
         val sh = CacheScope.cached(chain.hashedShingles(c))
         t(s"[$sample] hashedShingles")(sh.count())
