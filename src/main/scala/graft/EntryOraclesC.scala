@@ -638,6 +638,39 @@ private[graft] object EntryOraclesC {
         |         ntile(5) OVER (ORDER BY recency_days, user_id),
         |         ntile(5) OVER (ORDER BY frequency DESC, user_id),
         |         ntile(5) OVER (ORDER BY monetary_r DESC, user_id)) AS segment
-        |FROM pu ORDER BY user_id""".stripMargin
+        |FROM pu ORDER BY user_id""".stripMargin,
+
+    // bit-band LSH has 100% recall at hamming <= k (pigeonhole over
+    // k+1 bands), so the oracle can state the TRUE hamming-<=2
+    // neighborhood directly from an all-pairs popcount — band
+    // bucketing is an execution strategy, not a semantic
+    "q_dedup_simhash_band" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents WHERE doc_id < 1000),
+        |hx AS (
+        |  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |         CASE WHEN sum(2 * ((h >> b.b) & 1) - 1) > 0
+        |              THEN CAST(1 AS BIGINT) << b.b ELSE 0 END AS bit
+        |  FROM hx, (SELECT unnest(generate_series(0, 31)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |fp AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS fp FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.fp, y.fp)) <= 2),
+        |nbrs AS (
+        |  SELECT doc_id, count(*) AS n_near, min(nbr) AS min_nbr FROM (
+        |    SELECT a AS doc_id, b AS nbr FROM pairs
+        |    UNION ALL SELECT b, a FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT f.doc_id, f.fp,
+        |       CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+        |       least(f.doc_id, coalesce(n.min_nbr, f.doc_id)) AS keep_id
+        |FROM fp f LEFT JOIN nbrs n ON n.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin
   )
 }

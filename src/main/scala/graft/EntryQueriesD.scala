@@ -607,6 +607,20 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       EventOps.rfmSegments(Tables.events(s, dir), Tables.D2024_01_20_US)
         .orderBy(col("user_id"))
+    }),
+
+    "q_dedup_simhash_band" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // hamming-≤2 bit-band LSH over the first 1000 docs (the synthetic
+      // corpus's 31-token vocabulary makes near-identical token bags —
+      // and therefore near-dup pairs — far denser than web text, so the
+      // block cap keeps the verified pair stream bench-sized, the same
+      // move as q_media_dedup_cc)
+      Dedup.simhashBandStats(
+          Tables.documents(s, dir).filter(col("doc_id") < 1000)
+            .select(col("doc_id"), col("text")),
+          k = 2)
+        .orderBy(col("doc_id"))
     })
   )
 }

@@ -513,6 +513,17 @@ object Dedup {
     * [[minhashLshCandidates]].
     */
   def simhashClusters(corpus: DataFrame): DataFrame = {
+    // read twice: fingerprint emit + cluster-keeper lookup
+    val cachedFps = CacheScope.cached(simhashFps(corpus))
+    val byFp = cachedFps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    cachedFps.join(byFp, "fp").select(col("doc_id"), col("fp"), col("keep_id"))
+  }
+
+  /** The 32-bit SimHash fingerprint table (doc_id, fp) both
+    * [[simhashClusters]] (hamming-0) and [[simhashBandStats]]
+    * (hamming-≤k) build on.
+    */
+  def simhashFps(corpus: DataFrame): DataFrame = {
     val tok = corpus
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
       .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10).cast("long"))
@@ -522,16 +533,76 @@ object Dedup {
     val bitAggs = (0 until 32).map { b =>
       sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
     }
-    val fps = tok.groupBy(col("doc_id"))
+    tok.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("fp", (0 until 32).map { b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _))
       .select(col("doc_id"), col("fp"))
-    // read twice: fingerprint emit + cluster-keeper lookup
-    val cachedFps = CacheScope.cached(fps)
-    val byFp = cachedFps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    cachedFps.join(byFp, "fp").select(col("doc_id"), col("fp"), col("keep_id"))
+  }
+
+  /** Hamming-≤k SimHash near-dup via BIT-BAND LSH — the k>0
+    * generalization [[simhashClusters]]'s docstring names: split the
+    * 32-bit fingerprint into k+1 contiguous bands (pigeonhole: any
+    * pair within hamming distance k differs in at most k bands, so it
+    * MATCHES EXACTLY on at least one — banding has 100% recall, no
+    * probabilistic miss), pair only within (band_id, band_value)
+    * buckets, then verify the true popcount(xor) ≤ k on candidates.
+    * Per doc: fingerprint, verified near-neighbor count, and the
+    * cluster keeper (min doc id among self + neighbors — the same
+    * greedy keeper rule as [[simhashClusters]], which this reproduces
+    * exactly at k = 0).
+    *
+    * Shape at 100 TB: fingerprints are one corpus pass (map-side
+    * hashing, one doc-keyed aggregate); banding explodes ×(k+1) on the
+    * FINGERPRINT table (8 bytes/doc, never the corpus); pairing is a
+    * bucket-keyed self-join — all-pairs never happens; the verify is a
+    * map-side popcount on the candidate stream. A boilerplate-heavy
+    * bucket can still go quadratic, so `bucketCap` drops buckets
+    * larger than the cap before pairing (the [[ngramJaccardPairs]]
+    * dfCap move; capped buckets are near-identical template spam that
+    * the hamming-0 [[simhashClusters]] path already collapses
+    * exactly).
+    */
+  def simhashBandStats(corpus: DataFrame, k: Int,
+                       bucketCap: Long = 1000000L): DataFrame = {
+    require(k >= 0 && k < 32, "hamming radius must be in [0, 32)")
+    val nBands = k + 1
+    val widths = Array.tabulate(nBands)(i =>
+      32 / nBands + (if (i < 32 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val fps = CacheScope.cached(simhashFps(corpus))
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftrightunsigned(col("fp"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
+    }
+    val banded = fps
+      .select(col("doc_id"), col("fp"), explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("fp"), col("bv.band_id"), col("bv.v"))
+    val capped = banded.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("v"))))
+      .filter(col("bucket_n") <= bucketCap)
+    val x = capped.select(col("doc_id").as("a"), col("fp").as("afp"),
+      col("band_id"), col("v"))
+    val y = capped.select(col("doc_id").as("b"), col("fp").as("bfp"),
+      col("band_id"), col("v"))
+    val pairs = x.join(y, Seq("band_id", "v"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("afp"), col("bfp"))
+      .distinct()
+      .filter(bit_count(col("afp").bitwiseXOR(col("bfp"))) <= k)
+    // per-doc fold over both directions; singletons keep themselves
+    val nbrs = pairs.select(col("a").as("doc_id"), col("b").as("nbr"))
+      .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("nbr")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("nbr")).as("min_nbr"))
+    fps.select(col("doc_id"), col("fp"))
+      .join(nbrs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("keep_id"))
   }
 
   /** Embedding-cosine near-dup: top `n` most-similar pairs within a
