@@ -332,14 +332,17 @@ object EventOps {
     * engines band identically.
     */
   def rfmSegments(events: DataFrame, anchorUs: Long, nBands: Int = 5): DataFrame = {
-    val perUser = events
+    // cached: each banding pass probes its input size and then bands —
+    // without the cache the three chained passes would re-run the
+    // event aggregation (and prior bandings) once per probe
+    val perUser = graft.CacheScope.cached(events
       .filter(col("user_id").isNotNull && col("ts_us") <= anchorUs)
       .groupBy(col("user_id"))
       .agg(
         floor((lit(anchorUs) - max(col("ts_us"))) / lit(86400e6)).cast("long")
           .as("recency_days"),
         count(lit(1)).as("frequency"),
-        round(sum(col("value")), 4).as("monetary_r"))
+        round(sum(col("value")), 4).as("monetary_r")))
     val banded = Seq(
       ("r_band", Seq(col("recency_days").asc, col("user_id").asc)),
       ("f_band", Seq(col("frequency").desc, col("user_id").asc)),

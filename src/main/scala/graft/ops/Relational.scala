@@ -261,15 +261,19 @@ object Relational {
   def bandedNtile(df: DataFrame, n: Int, orderKeys: Seq[Column], out: String,
                   maxWindowRows: Long = NtileWindowMaxRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cached = graft.CacheScope.cached(df) // read twice: size probe + band pass
-    val total = cached.count()
+    // The size probe reads the input once uncached: on the window path
+    // the input is then read exactly once more, so a cache would cost
+    // more than the recompute (measured +0.2 s on q_ntile at sf0.1);
+    // the scale path below caches, because range-partitioning samples
+    // its child and then shuffles it — two more reads.
+    val total = df.count()
     if (total <= maxWindowRows && !testForceScaleNtile) {
-      cached.withColumn(out,
+      df.withColumn(out,
         ntile(n).over(Window.orderBy(orderKeys: _*)).cast("long"))
     } else {
       val parts = df.sparkSession.sparkContext.defaultParallelism
       val ranged = graft.CacheScope.cached(
-        cached.repartitionByRange(parts, orderKeys: _*)
+        graft.CacheScope.cached(df).repartitionByRange(parts, orderKeys: _*)
           .withColumn("__pid", spark_partition_id()))
       // one row per partition — bounded by cluster parallelism, the
       // same documented collect family as broadcast model builds
