@@ -134,6 +134,23 @@ object ScaleStress {
     println(f"[scale] IVF-PQ+refine recall@$k = ${pqHits.toDouble / (nQ * k)}%.3f")
     CacheScope.flush()
 
+    // 6c. SQ8 flat scan at the same 1M x 64-d: the round-8 rebuild —
+    //     the resident index is (id, scale, int8 codes) ONLY (8 bytes
+    //     + d bytes/vector vs 8d for the double math), the shortlist
+    //     runs integer dots through graft_all_cos_i8, and refine reads
+    //     full vectors from the base table. Recall vs brute force is
+    //     the quantization-quality number; the scan wall is the
+    //     bandwidth claim.
+    val sq = timed("cosineTopKSq (int8 flat scan)") {
+      val r = ops.Sim.cosineTopKSq(emb, nQ, k, shortlist = 64).cache()
+      println(s"[scale]   rows=${r.count()}")
+      r
+    }
+    val sqHits = brute.select(col("q_id"), col("c_id"))
+      .join(sq.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
+    println(f"[scale] SQ8+refine recall@$k = ${sqHits.toDouble / (nQ * k)}%.3f (shortlist=64)")
+    CacheScope.flush()
+
     // 7. SemDeDup at 100x the bench's embeddings table: the
     //    cluster-bounded pairwise search must stay Σ|cell|²/2, never
     //    N²/2 — nCells is the paper's lever, scaled here so cells hold
@@ -415,6 +432,37 @@ object ScaleStress {
         println(s"[scale]   3-segment payloads=$segs (expect $nMedia)")
         assert(segs == nMedia, "VAD segment counts drifted")
       }
+    }
+
+    // 12. Hamming-banded SimHash at full width: banding stays
+    //     bucket-keyed (never all-pairs) however the fingerprints
+    //     distribute. The planted cliques don't guarantee hamming ≤ 2
+    //     (one tail token of 33 flips ~4-5 near-tied bits on average),
+    //     so the invariant here is EXACTNESS, not a planted count: a
+    //     200-doc sample's banded neighborhoods must equal a
+    //     broadcast brute-force popcount against the ENTIRE fp table —
+    //     the completeness law the unit spec pins at toy size,
+    //     re-proven at 1M.
+    timed("simhashBandStats (k=2)") {
+      val out = ops.Dedup.simhashBandStats(corpus, k = 2).cache()
+      val links = out.agg(sum(col("n_near"))).collect().head.getLong(0)
+      println(s"[scale]   docs=${out.count()} near-links=$links")
+      val fps = ops.Dedup.simhashFps(corpus)
+      val sample = fps.filter(pmod(col("doc_id"), lit(math.max(nDocs / 200L, 1L))) === 0)
+        .select(col("doc_id").as("s_id"), col("fp").as("s_fp"))
+      val brute = fps.crossJoin(broadcast(sample))
+        .filter(col("doc_id") =!= col("s_id") &&
+          bit_count(col("fp").bitwiseXOR(col("s_fp"))) <= 2)
+        .groupBy(col("s_id")).agg(count(lit(1)).as("bn"))
+      val mismatches = out.select(col("doc_id").as("s_id"), col("n_near"))
+        .join(sample.select(col("s_id")), Seq("s_id"))
+        .join(brute, Seq("s_id"), "left")
+        .filter(coalesce(col("bn"), lit(0L)) =!= col("n_near"))
+        .count()
+      println(s"[scale]   sampled-neighborhood mismatches=$mismatches (expect 0)")
+      assert(mismatches == 0, "banded simhash lost a hamming-<=2 pair")
+      out.unpersist()
+      CacheScope.flush()
     }
     spark.stop()
   }
