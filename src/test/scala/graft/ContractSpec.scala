@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 189)
+    assert(SparkEntry.queries.size === 190)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
