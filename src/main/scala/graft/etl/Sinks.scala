@@ -224,6 +224,75 @@ object Sinks {
     inserted.value
   }
 
+  /** Warehouse-scale Postgres load — the form the reference's
+    * row-batched `execute_batch(INSERT ... ON CONFLICT)` loop
+    * (`/root/reference/extract_bq.py:247-252`) takes at 100 TB: each
+    * partition streams CSV through `COPY ... FROM STDIN` into an
+    * UNLOGGED staging table (PostgreSQL's bulk fast path — no WAL, no
+    * per-row round trip, concurrent COPY writers are safe), then ONE
+    * set-based `INSERT ... SELECT ... ON CONFLICT (keys) DO NOTHING`
+    * moves staging into the target atomically and reports the inserted
+    * count (the reference's `cursor.rowcount` accounting, exactly).
+    *
+    * Transport is the `psql` CLI pipe (this sandbox ships a real
+    * PostgreSQL 15 but no pgJDBC jar); production swaps the pipe for
+    * the JDBC `CopyManager` — the byte stream and the SQL are
+    * identical. Returns rows inserted into the TARGET (conflicts
+    * skipped), like [[jdbcUpsert]].
+    *
+    * CSV contract: every non-null field is quoted (embedded quotes
+    * doubled), nulls are unquoted empty (COPY csv's NULL spelling) —
+    * lossless for arbitrary strings including delimiters/newlines.
+    */
+  def copyUpsertPostgres(df: DataFrame, psqlArgs: Seq[String], table: String,
+                         keys: Seq[String]): Long = {
+    import scala.sys.process._
+    val cols = df.schema.fieldNames.toSeq
+    val colList = cols.mkString(", ")
+    val staging = s"${table}_stage"
+    def psql(sql: String): String =
+      (Seq("psql") ++ psqlArgs ++
+        Seq("-X", "-t", "-A", "-v", "ON_ERROR_STOP=1", "-c", sql)).!!.trim
+    psql(s"DROP TABLE IF EXISTS $staging")
+    psql(s"CREATE UNLOGGED TABLE $staging (LIKE $table INCLUDING DEFAULTS)")
+    try {
+      val argsSer = psqlArgs // serializable capture for the task closure
+      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val cmd = Seq("psql") ++ argsSer ++ Seq("-X", "-v", "ON_ERROR_STOP=1",
+            "-c", s"COPY $staging ($colList) FROM STDIN WITH (FORMAT csv)")
+          val pb = new java.lang.ProcessBuilder(cmd: _*)
+            .redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
+            .redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+          val proc = pb.start()
+          val out = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+          def field(v: Any): String = v match {
+            case null => ""
+            case s: String => "\"" + s.replace("\"", "\"\"") + "\""
+            case other => other.toString
+          }
+          rows.foreach { r =>
+            out.write((0 until r.length).map(i => field(r.get(i))).mkString(","))
+            out.write("\n")
+          }
+          out.close()
+          val rc = proc.waitFor()
+          require(rc == 0, s"COPY writer exited $rc")
+        }
+      }
+      val res = psql(
+        s"""INSERT INTO $table ($colList)
+           |SELECT $colList FROM $staging
+           |ON CONFLICT (${keys.mkString(", ")}) DO NOTHING""".stripMargin)
+      // psql prints the command tag "INSERT 0 <n>" even under -t -A —
+      // the reference's cursor.rowcount, read from the same place
+      "INSERT\\s+\\d+\\s+(\\d+)".r.findFirstMatchIn(res)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"unexpected INSERT tag: '$res'"))
+    } finally psql(s"DROP TABLE IF EXISTS $staging")
+  }
+
   /** S6 — idempotent upsert: append only rows whose natural key is not
     * already in the sink. Returns the number of rows appended (the
     * reference's `cursor.rowcount`, `/root/reference/flask_server.py:197`).

@@ -74,6 +74,48 @@ class PostgresDialectSpec extends AnyFunSuite {
     } finally psql("DROP TABLE IF EXISTS graft_pg_dialect_spec")
   }
 
+  test("COPY-staging upsert loads real events into live Postgres end to end") {
+    // The 100 TB load path (Sinks.copyUpsertPostgres): per-partition
+    // COPY into unlogged staging + one set-based ON CONFLICT insert —
+    // run against the real server with the real sf0.001 events table,
+    // including a replay-with-overlap to prove idempotent accounting.
+    import scala.sys.process._
+    val defaultArgs = Seq("-h", "/tmp/graft_pg", "-p", "54329", "-U", "postgres")
+    def reachable: Boolean =
+      try (Seq("psql") ++ defaultArgs ++ Seq("-X", "-t", "-A", "-c", "SELECT 1"))
+        .!(ProcessLogger(_ => ())) == 0
+      catch { case _: Throwable => false }
+    assume(reachable, "no psql-reachable Postgres in this environment")
+    def psql(sql: String): String =
+      (Seq("psql") ++ defaultArgs ++
+        Seq("-X", "-t", "-A", "-v", "ON_ERROR_STOP=1", "-c", sql)).!!.trim
+    val spark = SparkTestSession.spark
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_us", "event_type", "props")
+    psql("DROP TABLE IF EXISTS graft_pg_events")
+    psql("""CREATE TABLE graft_pg_events (
+            event_id BIGINT PRIMARY KEY, user_id BIGINT, ts_us BIGINT,
+            event_type VARCHAR(32), props TEXT)""")
+    try {
+      val total = ev.count()
+      val firstHalf = ev.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+      val n1 = Sinks.copyUpsertPostgres(firstHalf, defaultArgs, "graft_pg_events", Seq("event_id"))
+      assert(n1 === firstHalf.count())
+      // full replay: the first half conflicts row-for-row, only the
+      // second half lands — the reference's idempotent re-run contract
+      val n2 = Sinks.copyUpsertPostgres(ev, defaultArgs, "graft_pg_events", Seq("event_id"))
+      assert(n2 === total - n1, s"expected ${total - n1} fresh rows, got $n2")
+      assert(psql("SELECT count(*) FROM graft_pg_events").toLong === total)
+      // spot-check content fidelity through the CSV pipe (props holds
+      // JSON with quotes/commas — the quoting contract's worst case)
+      val probe = ev.orderBy("event_id").limit(1).collect().head
+      val got = psql(s"SELECT user_id, ts_us, event_type, props FROM graft_pg_events " +
+        s"WHERE event_id = ${probe.getLong(0)}")
+      val want = s"${probe.get(1)}|${probe.get(2)}|${probe.get(3)}|${probe.get(4)}"
+      assert(got === want)
+    } finally psql("DROP TABLE IF EXISTS graft_pg_events")
+  }
+
   test("ON CONFLICT upsert is idempotent against a live Postgres") {
     val url = sys.env.get("SPARK_GRAFT_PG_URL")
     assume(url.isDefined, "SPARK_GRAFT_PG_URL not set — no Postgres in this environment")
