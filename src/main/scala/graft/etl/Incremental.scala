@@ -67,6 +67,25 @@ object Incremental {
       statePath: String,
       sinkDir: String,
       defaultWatermarkUs: Long,
+      transform: DataFrame => DataFrame = identity): Option[RunResult] =
+    runOnceTo(spark, source, tsCol, keys, statePath, defaultWatermarkUs,
+      batch => Sinks.upsertAppend(spark, batch, sinkDir, keys), transform)
+
+  /** [[runOnce]] with a pluggable idempotent sink — the same watermark
+    * / dedup / advance-after-commit protocol feeding any conflict-skip
+    * writer: the parquet upsertAppend (default above), a live-Postgres
+    * [[Sinks.copyUpsertPostgres]] (the reference's actual target,
+    * exercised in PostgresDialectSpec), or a test double. The sink
+    * returns rows actually inserted (cursor.rowcount semantics).
+    */
+  def runOnceTo(
+      spark: SparkSession,
+      source: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      statePath: String,
+      defaultWatermarkUs: Long,
+      sink: DataFrame => Long,
       transform: DataFrame => DataFrame = identity): Option[RunResult] = {
     if (!running.compareAndSet(false, true)) return None
     try {
@@ -76,7 +95,7 @@ object Incremental {
         .dedupFirstWrite(fresh, keys, tsCol, keys.head)
         .cache()
       val fetched = batch.count()
-      val inserted = Sinks.upsertAppend(spark, batch, sinkDir, keys)
+      val inserted = sink(batch)
       // Advance only forward, only after the sink write committed —
       // mirrors flask_server.py:204-207 ordering.
       val maxRow = batch.agg(max(col(tsCol))).head()

@@ -116,6 +116,67 @@ class PostgresDialectSpec extends AnyFunSuite {
     } finally psql("DROP TABLE IF EXISTS graft_pg_events")
   }
 
+  test("the full incremental pipeline runs against live Postgres: watermark -> extract -> upsert -> advance") {
+    // The reference's COMPLETE flow (flask_server.py run_etl):
+    // read watermark, extract rows past it, natural-key dedup,
+    // conflict-skip insert into Postgres, advance the watermark only
+    // after the sink commit — executed here with the real sf0.001
+    // events and the real server, across two incremental runs plus an
+    // idempotent no-new-data replay.
+    import scala.sys.process._
+    import graft.etl.{Incremental, Sinks}
+    val pgArgs = Seq("-h", "/tmp/graft_pg", "-p", "54329", "-U", "postgres")
+    def reachable: Boolean =
+      try (Seq("psql") ++ pgArgs ++ Seq("-X", "-t", "-A", "-c", "SELECT 1"))
+        .!(ProcessLogger(_ => ())) == 0
+      catch { case _: Throwable => false }
+    assume(reachable, "no psql-reachable Postgres in this environment")
+    def psql(sql: String): String =
+      (Seq("psql") ++ pgArgs ++
+        Seq("-X", "-t", "-A", "-v", "ON_ERROR_STOP=1", "-c", sql)).!!.trim
+    val spark = SparkTestSession.spark
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_us", "event_type")
+    val Array(tsLo, tsMid, tsHi) = ev
+      .agg(org.apache.spark.sql.functions.min("ts_us"),
+        org.apache.spark.sql.functions.expr("percentile(ts_us, 0.5)").cast("long"),
+        org.apache.spark.sql.functions.max("ts_us"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val state = java.nio.file.Files.createTempDirectory("graft-pg-inc").toString + "/wm.txt"
+    psql("DROP TABLE IF EXISTS graft_pg_inc")
+    psql("""CREATE TABLE graft_pg_inc (
+            event_id BIGINT PRIMARY KEY, user_id BIGINT, ts_us BIGINT,
+            event_type VARCHAR(32))""")
+    try {
+      val sink = (b: org.apache.spark.sql.DataFrame) =>
+        Sinks.copyUpsertPostgres(b, pgArgs, "graft_pg_inc", Seq("event_id"))
+      // run 1: the source "so far" is everything up to the median ts
+      val r1 = Incremental.runOnceTo(spark,
+        ev.filter(org.apache.spark.sql.functions.col("ts_us") <= tsMid),
+        "ts_us", Seq("event_id"), state, tsLo - 1, sink).get
+      assert(r1.rowsInserted === r1.rowsFetched && r1.rowsFetched > 0)
+      // the watermark lands on the max OBSERVED ts, not the filter cut
+      // (percentile interpolates between middle values)
+      val wm1 = ev.filter(org.apache.spark.sql.functions.col("ts_us") <= tsMid)
+        .agg(org.apache.spark.sql.functions.max("ts_us")).collect().head.getLong(0)
+      assert(r1.newWatermarkUs === wm1)
+      assert(psql("SELECT count(*) FROM graft_pg_inc").toLong === r1.rowsInserted)
+      // run 2: the full source arrives; only rows past the watermark move
+      val r2 = Incremental.runOnceTo(spark, ev, "ts_us", Seq("event_id"),
+        state, tsLo - 1, sink).get
+      assert(r2.rowsInserted === r2.rowsFetched)
+      assert(r2.newWatermarkUs === tsHi)
+      val total = psql("SELECT count(*) FROM graft_pg_inc").toLong
+      assert(total === r1.rowsInserted + r2.rowsInserted)
+      assert(total === ev.select("event_id").distinct().count())
+      // run 3: no new data — zero fetched, zero inserted, watermark holds
+      val r3 = Incremental.runOnceTo(spark, ev, "ts_us", Seq("event_id"),
+        state, tsLo - 1, sink).get
+      assert(r3.rowsFetched === 0 && r3.rowsInserted === 0 &&
+        r3.newWatermarkUs === tsHi)
+    } finally psql("DROP TABLE IF EXISTS graft_pg_inc")
+  }
+
   test("ON CONFLICT upsert is idempotent against a live Postgres") {
     val url = sys.env.get("SPARK_GRAFT_PG_URL")
     assume(url.isDefined, "SPARK_GRAFT_PG_URL not set — no Postgres in this environment")
