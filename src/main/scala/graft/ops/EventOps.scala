@@ -343,12 +343,16 @@ object EventOps {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         round(sum(col("value")), 4).as("monetary_r")))
+    // ONE size probe shared by the three band passes: banding is
+    // row-preserving, so |users| measured once on the cached aggregate
+    // serves every dimension (r8 paid the probe job 3×)
+    val nUsers = perUser.count()
     val banded = Seq(
       ("r_band", Seq(col("recency_days").asc, col("user_id").asc)),
       ("f_band", Seq(col("frequency").desc, col("user_id").asc)),
       ("m_band", Seq(col("monetary_r").desc, col("user_id").asc)))
       .foldLeft(perUser) { case (df, (out, keys)) =>
-        Relational.bandedNtile(df, nBands, keys, out)
+        Relational.bandedNtile(df, nBands, keys, out, knownSize = Some(nUsers))
       }
     banded.withColumn("segment",
       concat_ws("-", col("r_band"), col("f_band"), col("m_band")))

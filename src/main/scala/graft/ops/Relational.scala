@@ -259,14 +259,19 @@ object Relational {
   @volatile private[graft] var testForceScaleNtile: Boolean = false
 
   def bandedNtile(df: DataFrame, n: Int, orderKeys: Seq[Column], out: String,
-                  maxWindowRows: Long = NtileWindowMaxRows): DataFrame = {
+                  maxWindowRows: Long = NtileWindowMaxRows,
+                  knownSize: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The size probe reads the input once uncached: on the window path
     // the input is then read exactly once more, so a cache would cost
     // more than the recompute (measured +0.2 s on q_ntile at sf0.1);
     // the scale path below caches, because range-partitioning samples
-    // its child and then shuffles it — two more reads.
-    val total = df.count()
+    // its child and then shuffles it — two more reads. Composite
+    // callers that band the same frame repeatedly (RFM's three
+    // dimensions) pass `knownSize` so the probe job runs once, not
+    // once per dimension — a row count is row-preserving under
+    // withColumn, so the first probe stays valid for every pass.
+    val total = knownSize.getOrElse(df.count())
     if (total <= maxWindowRows && !testForceScaleNtile) {
       df.withColumn(out,
         ntile(n).over(Window.orderBy(orderKeys: _*)).cast("long"))

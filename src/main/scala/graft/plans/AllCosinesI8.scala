@@ -135,7 +135,12 @@ object AllCosinesI8 {
     * accumulation is long arithmetic the JIT can unroll/vectorize.
     */
   def compute(v: ArrayData, m: Model): ArrayData = {
-    val dim = math.min(m.dim, v.numElements())
+    // hard shape check (matches the query-matrix require at planning):
+    // truncating a mismatched candidate would return plausible-but-
+    // wrong cosines (prefix dot over a prefix norm) instead of failing
+    require(v.numElements() == m.dim,
+      s"graft_all_cos_i8: candidate code length ${v.numElements()} != model dim ${m.dim}")
+    val dim = m.dim
     var cs = 0L
     var i = 0
     while (i < dim) { val x = v.getByte(i).toLong; cs += x * x; i += 1 }

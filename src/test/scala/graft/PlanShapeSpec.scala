@@ -328,19 +328,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"global exchange leaked into:\n$p")
   }
 
-  test("interpolatedLogProb: both lookup tables broadcast, instance side never sort-merges") {
+  test("interpolatedLogProb: ONE merged lookup broadcast, instance side never sort-merges") {
     val p = plan(graft.ops.Text.interpolatedLogProb(docs, 0.5))
-    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
-      s"bigram/unigram lookups must broadcast:\n$p")
+    // r9: the unigram columns ride windows over the lookup frame, so
+    // the plan carries exactly one broadcast lookup join (two separate
+    // broadcasts would mean the sub-aggregate merge came back)
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 1,
+      s"merged bigram/unigram lookup must be ONE broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"instance stream shuffled for a lookup join:\n$p")
     CacheScope.flush()
   }
 
-  test("knBigramLogProb: lookup/continuation broadcast; instance side never sort-merges") {
+  test("knBigramLogProb: ONE merged lookup broadcast; instance side never sort-merges") {
     val p = plan(graft.ops.Text.knBigramLogProb(docs, 0.75))
-    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
-      s"KN lookups must broadcast:\n$p")
+    // r9: continuation columns ride windows over the lookup frame —
+    // exactly one broadcast lookup join (see interpolatedLogProb)
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 1,
+      s"merged KN lookup must be ONE broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"instance stream shuffled for a lookup join:\n$p")
     CacheScope.flush()
