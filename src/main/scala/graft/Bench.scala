@@ -320,7 +320,8 @@ object Bench {
       "q_minhash_error" -> "r9: exact truth computed ONLY for audited candidate pairs (left-join fill 0 preserved) over the ddf fixture; was a full all-pairs join",
       "q_dedup_simhash" -> "r7 artifact 2.49s was a noise burst: r8 JobProfile steady 0.9s / bench-condition 0.75s, 2 jobs, unchanged code",
       "q_dedup_substring" -> "r7 artifact 1.20s was a noise burst: r8 JobProfile steady 0.52s / bench-condition 0.27s, 1 job, unchanged code",
-      "q_knn_vote" -> "holdout model collect + one compiled all-cosines pass + skinny top-k exchange + in-array HOF vote (r7; 0.77s -> 0.29s)")
+      "q_knn_vote" -> "holdout model collect + one compiled all-cosines pass + skinny top-k exchange + in-array HOF vote (r7; 0.77s -> 0.29s)",
+      "q_media_jpeg" -> "nominal ratio only: the DuckDB 'oracle' restates the planted answer arithmetically from doc_id while Spark runs a REAL baseline-JPEG Huffman+IDCT decode per payload (same exclusion rationale as q_media_dedup_cc)")
     val floorNotesJson = floorNotes
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")

@@ -187,6 +187,101 @@ private[graft] object EntryOraclesC {
         |             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // full ExactSubstr: duplicated-8-gram runs merged into maximal
+    // covered-token intervals; pk packing mirrors the engine
+    // (doc_id·2^20 + i)
+    "q_dedup_substr_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents WHERE doc_id < 2000),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |pos AS (
+        |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |gs AS (
+        |  SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS total FROM pos),
+        |dup AS (SELECT doc_id, i FROM gs WHERE total >= 2),
+        |m AS (
+        |  SELECT doc_id, i,
+        |         max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dup),
+        |segd AS (
+        |  SELECT doc_id, i,
+        |         sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        |  FROM m),
+        |spans AS (SELECT doc_id, sid, min(i) AS s, max(i) + 7 AS e
+        |          FROM segd GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+        |         CAST(max(e - s + 1) AS BIGINT) AS longest_span
+        |  FROM spans GROUP BY 1)
+        |SELECT b.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       coalesce(n_spans, 0) AS n_spans,
+        |       coalesce(covered_tokens, 0) AS covered_tokens,
+        |       coalesce(longest_span, 0) AS longest_span,
+        |       round(coalesce(covered_tokens, 0)
+        |             / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS covered_frac
+        |FROM base b LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the trim twin: non-first occurrences of duplicated spans cut,
+    // kept tokens reassembled in position order
+    "q_dedup_substr_trim" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents WHERE doc_id < 2000),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM corpus),
+        |pos AS (
+        |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram,
+        |         doc_id * 1048576 + i AS pk
+        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |gs AS (
+        |  SELECT doc_id, i, pk,
+        |         count(*) OVER (PARTITION BY gram) AS total,
+        |         min(pk) OVER (PARTITION BY gram) AS first_pk
+        |  FROM pos),
+        |dup AS (SELECT doc_id, i FROM gs WHERE total >= 2 AND pk <> first_pk),
+        |m AS (
+        |  SELECT doc_id, i,
+        |         max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dup),
+        |segd AS (
+        |  SELECT doc_id, i,
+        |         sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        |  FROM m),
+        |spans AS (SELECT doc_id, sid, min(i) AS s, max(i) + 7 AS e
+        |          FROM segd GROUP BY 1, 2),
+        |tok AS (
+        |  SELECT doc_id, j, toks[j] AS tok
+        |  FROM base, unnest(generate_series(1, len(toks))) AS u(j)),
+        |cut AS (
+        |  SELECT DISTINCT t.doc_id, t.j
+        |  FROM tok t JOIN spans sp
+        |    ON sp.doc_id = t.doc_id AND t.j BETWEEN sp.s AND sp.e),
+        |keptagg AS (
+        |  SELECT t.doc_id,
+        |         CAST(count(CASE WHEN c.j IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(CASE WHEN c.j IS NULL THEN t.tok END,
+        |                             ' ' ORDER BY t.j), '') AS kept_text
+        |  FROM tok t LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.j = t.j
+        |  GROUP BY t.doc_id)
+        |SELECT b.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       coalesce(n_kept, 0) AS n_kept,
+        |       coalesce(kept_text, '') AS kept_text
+        |FROM base b LEFT JOIN keptagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q_sparse_cosine" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf

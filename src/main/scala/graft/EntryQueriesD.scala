@@ -252,39 +252,23 @@ private[graft] object EntryQueriesD {
 
     "q_media_jpeg" -> ((s0, dir) => {
       val s = ensure(s0)
-      import s.implicits._
-      // REAL baseline-JPEG round trip (ops.Jpeg — actual Huffman/DCT
-      // encode AND marker-walk → Huffman → dequant → IDCT decode, the
-      // codec slot SURVEY 7.5h reserved for JNI/FFI): per-8×8-block-
-      // constant gray rasters whose values are even offsets from 128,
-      // so the DC path is exact integer arithmetic and every block
-      // round-trips bit-losslessly while still exercising DC
-      // prediction, AC run-length, and the MCU walk. Every 9th payload
-      // truncates mid-stream (quarantine). The oracle derives dims,
-      // the whole-image mean (an integer by construction: block k
-      // carries base+2k, so the mean is base+nb−1), and the per-pixel
-      // std (√((nb²−1)/3), the arithmetic-sequence variance) from
-      // doc_id alone. Conformance against the JDK's libjpeg-derived
-      // ImageIO decoder is spec-pinned in JpegCodecSpec.
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .map { id =>
-          val wb = (2 + id % 3).toInt; val hb = (2 + id % 2).toInt
-          val w = wb * 8; val h = hb * 8
-          val base = (60 + (id % 80) * 2).toInt
-          val y = new Array[Byte](w * h)
-          var p = 0
-          while (p < w * h) {
-            val bk = (p / w / 8) * wb + (p % w) / 8
-            y(p) = (base + 2 * bk).toByte
-            p += 1
-          }
-          val bytes0 = graft.ops.Jpeg.encodeGray(w, h, y)
-          val bytes = if (id % 9 == 0) bytes0.take(10) else bytes0
-          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "jpeg")
-        }
+      // REAL baseline-JPEG decode (ops.Jpeg — the full marker-walk →
+      // Huffman → dequant → IDCT path, the codec slot SURVEY 7.5h
+      // reserved for JNI/FFI) over the materialized media table
+      // (EntrySupport.jpegMedia): per-8×8-block-constant gray rasters
+      // whose values are even offsets from 128, so the DC path is
+      // exact integer arithmetic and every block round-trips
+      // bit-losslessly while still exercising DC prediction, AC
+      // run-length, and the MCU walk. Every 9th payload truncates
+      // mid-stream (quarantine). The oracle derives dims, the
+      // whole-image mean (an integer by construction: block k carries
+      // base+2k, so the mean is base+nb−1), and the per-pixel std
+      // (√((nb²−1)/3), the arithmetic-sequence variance) from doc_id
+      // alone. Conformance against the JDK's libjpeg-derived ImageIO
+      // decoder is spec-pinned in JpegCodecSpec.
       def feat(i: Int) = when(col("n_frames") === 0, lit(null).cast("double"))
         .otherwise(element_at(col("features"), i))
-      graft.ops.Jpeg.decodeJpegFeatures(media).toDF()
+      graft.ops.Jpeg.decodeJpegFeatures(jpegMedia(s, dir)).toDF()
         .select(
           col("media_id"), col("n_frames").cast("long").as("n_frames"),
           feat(1).as("w"), feat(2).as("h"),
@@ -538,6 +522,29 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       Dedup.minhashEstimatorAuditFromFrame(ddfPerturbedCap(s, dir, 2000))
         .orderBy(col("n_pairs"))
+    }),
+
+    // ---- batch 23 (round 9): full ExactSubstr spans + trim ----
+
+    "q_dedup_substr_spans" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the FULL Lee et al. 2022 ExactSubstr form (vs
+      // q_dedup_substring's per-position score): maximal duplicated
+      // spans from merged runs of duplicated 8-grams. The perturbed
+      // corpus plants whole-doc duplicated spans (each +100000 copy
+      // repeats its original verbatim before the suffix), so both
+      // full-coverage and partial-overlap cases exist.
+      Dedup.exactSubstrSpans(perturbedCorpus(s, dir, cap = 2000), L = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_substr_trim" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the actionable rewrite: duplicated spans cut everywhere except
+      // their corpus-first occurrence — originals keep their text,
+      // copies lose the repeated region and keep the fresh suffix
+      Dedup.exactSubstrTrim(perturbedCorpus(s, dir, cap = 2000), L = 8)
+        .orderBy(col("doc_id"))
     }),
 
     "q_video_decode" -> ((s0, dir) => {

@@ -158,6 +158,41 @@ private[graft] object EntrySupport {
     s.read.parquet(path).repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** The materialized JPEG media table — deterministic per-8×8-block-
+    * constant gray rasters ENCODED once by the real baseline encoder
+    * ([[graft.ops.Jpeg.encodeGray]]) and stored as payload rows, every
+    * 9th truncated mid-stream. Payload construction is input-building
+    * (this sandbox's testdata ships no real media bytes — same
+    * precedent as the GA4 parquet and the chain corpus); the operator
+    * under test is the DECODE, which runs fully per query.
+    */
+  private[graft] def jpegMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    val path = tmpDir("jpeg_media", dir)
+    Sinks.ensureWritten(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val wb = (2 + id % 3).toInt; val hb = (2 + id % 2).toInt
+          val w = wb * 8; val h = hb * 8
+          val base = (60 + (id % 80) * 2).toInt
+          val y = new Array[Byte](w * h)
+          var p = 0
+          while (p < w * h) {
+            val bk = (p / w / 8) * wb + (p % w) / 8
+            y(p) = (base + 2 * bk).toByte
+            p += 1
+          }
+          val bytes0 = graft.ops.Jpeg.encodeGray(w, h, y)
+          val bytes = if (id % 9 == 0) bytes0.take(10) else bytes0
+          graft.ops.Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "jpeg")
+        }.toDF(),
+      path)
+    s.read.parquet(path).as[graft.ops.Multimodal.MediaRow]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** The materialized (doc_id, prev, next, c) bigram collapse every
     * LM scorer reads ([[graft.ops.Text.bigramCollapse]]) — the KenLM
     * count-table move: tokenize the corpus ONCE per version, serve

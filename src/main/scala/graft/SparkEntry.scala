@@ -69,6 +69,7 @@ object SparkEntry {
     ddfChain(s, sfDir)
     ccKeepers(s, sfDir)
     lmCollapse(s, sfDir)
+    jpegMedia(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))

@@ -755,6 +755,135 @@ object Dedup {
         round(col("n_dup") / col("n_pos").cast("double"), 4))
   }
 
+  /** FULL exact-substring dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * tool) — the step up from [[substringDupScores]]' per-position
+    * score: maximal duplicated SPANS. A position is duplicated when
+    * its `L`-token gram occurs ≥ 2 times corpus-wide (any doc,
+    * self-repetition included); maximal runs of consecutive duplicated
+    * positions merge into spans covering tokens [i, j+L−1] — exactly
+    * the contiguous regions a suffix-array walk reports for
+    * length-≥-L repeats, computed with sorted-gram machinery instead
+    * of a monolithic suffix array (the distributed form: the suffix
+    * array's gram-rank bucketing IS a sort by gram, which is the
+    * shuffle below).
+    *
+    * Returns per doc: token count, span count, covered-token count
+    * (union of span intervals — adjacent/overlapping token ranges
+    * merge), longest span, covered fraction. Docs with no duplicated
+    * span report zeros — surfaced, never dropped.
+    *
+    * Shape: one position explode (map-side Generator), ONE gram-keyed
+    * shuffle where the occurrence count and the first-occurrence key
+    * ride windows over the gram partition (no join), then a per-doc
+    * window pass for the interval merge (doc-keyed, partial). At
+    * 100 TB: hash the gram to 8 bytes (xxhash64 — overcounting on
+    * collision is the safe direction, same note as
+    * [[hashedShinglesFast]]) and range-partition the gram sort; the
+    * per-doc merge state is one (position, running-end) pair.
+    *
+    * Position keys pack as doc_id·2²⁰ + i for the cross-engine
+    * first-occurrence min (DuckDB mirrors the same packing): documents
+    * must stay under 2²⁰ tokens — the Lee et al. pipeline chunks
+    * far below that, and ExactSubstrSpec pins the bound.
+    */
+  def exactSubstrSpans(corpus: DataFrame, L: Int): DataFrame = {
+    val spans = substrSpansFrom(dupPositions(corpus, L), L)
+    val stats = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"),
+        max(col("e") - col("s") + 1).as("longest_span"))
+    corpus
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        round(coalesce(col("covered_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4).as("covered_frac"))
+  }
+
+  /** The TRIM twin of [[exactSubstrSpans]] — the actionable rewrite
+    * (ExactSubstr's actual output): every duplicated span is cut from
+    * every occurrence EXCEPT the corpus-first one (min packed
+    * (doc_id, position) per gram — the same keeper rule as
+    * [[Text.exactDedup]], applied at span granularity), so repeated
+    * boilerplate survives exactly once corpus-wide. Docs losing every
+    * token come back empty (n_kept = 0, kept_text '') — surfaced for
+    * an explicit downstream length gate, like [[segmentTrim]].
+    *
+    * Shape: [[exactSubstrSpans]]' two window passes on the NON-owner
+    * position subset, spans collected per doc (span-count-sized
+    * state), one doc-keyed left join back, and a map-side HOF filter
+    * of the token array against the span list.
+    */
+  def exactSubstrTrim(corpus: DataFrame, L: Int): DataFrame = {
+    val cuts = substrSpansFrom(
+      dupPositions(corpus, L).filter(!col("owner")), L)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("segs"))
+    corpus
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("segs"), array().cast("array<struct<s:long,e:long>>")).as("segs"),
+        col("t"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("""filter(transform(sequence(1, size(t)),
+               |                 j -> struct(j as j, element_at(t, j) as tok)),
+               |       p -> NOT exists(segs, g -> p.j >= g.s AND p.j <= g.e))"""
+          .stripMargin).as("kept"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(expr("transform(kept, p -> p.tok)"), " ").as("kept_text"))
+  }
+
+  /** (doc_id, i, owner) for every position whose L-gram duplicates
+    * corpus-wide; owner ⟺ this is the gram's first corpus occurrence.
+    */
+  private def dupPositions(corpus: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wGram = Window.partitionBy(col("gram"))
+    corpus
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), (size(col("t")) - (L - 1)).cast("long"))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("t"), col("i").cast("int"), lit(L))).as("gram"),
+        (col("doc_id") * 1048576L + col("i")).as("pk"))
+      .withColumn("total", count(lit(1)).over(wGram))
+      .withColumn("first_pk", min(col("pk")).over(wGram))
+      .filter(col("total") >= 2)
+      .select(col("doc_id"), col("i"), (col("pk") === col("first_pk")).as("owner"))
+  }
+
+  /** Merge a set of duplicated positions into maximal covered-token
+    * intervals [s, e] per doc (runs whose token ranges touch or
+    * overlap coalesce).
+    */
+  private def substrSpansFrom(dup: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    dup
+      .withColumn("prev_end",
+        max(col("i") + (L - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (L - 1)).as("e"))
+  }
+
   /** Incremental batch dedup — the PRODUCTION shape of exact dedup
     * once a corpus exists: a new batch is checked against the standing
     * corpus's content-hash index (never against the corpus text), and

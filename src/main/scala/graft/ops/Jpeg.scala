@@ -246,6 +246,7 @@ object Jpeg {
     val acT = buildEncodeTable(AcLumBits, AcLumVals)
     val bw = new BitWriter(out)
     val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
     val coef = new Array[Int](64)
     var prevDc = 0
     var by = 0
@@ -260,21 +261,29 @@ object Jpeg {
           block(i) = (y(py * width + px) & 0xff) - 128.0
           i += 1
         }
-        // forward DCT (separable, double precision) + quantize
+        // forward DCT — SEPARABLE row/column passes (8 mults per
+        // output per pass instead of the 64 of the naive double sum;
+        // the zero AC terms of constant blocks still cancel exactly,
+        // so the integer-DC family stays bit-stable) + quantize
+        var u0 = 0
+        while (u0 < 8) { // tmp(u, y) = Σx block(y, x)·cos(x, u)
+          var yy = 0
+          while (yy < 8) {
+            var s = 0.0
+            var x = 0
+            while (x < 8) { s += block(yy * 8 + x) * CosTab(x)(u0); x += 1 }
+            tmp(u0 * 8 + yy) = s
+            yy += 1
+          }
+          u0 += 1
+        }
         var v = 0
         while (v < 8) {
           var u = 0
           while (u < 8) {
             var s = 0.0
-            var x = 0
-            while (x < 8) {
-              var yy = 0
-              while (yy < 8) {
-                s += block(yy * 8 + x) * CosTab(x)(u) * CosTab(yy)(v)
-                yy += 1
-              }
-              x += 1
-            }
+            var yy = 0
+            while (yy < 8) { s += tmp(u * 8 + yy) * CosTab(yy)(v); yy += 1 }
             val f = 0.25 * C(u) * C(v) * s
             coef(v * 8 + u) = math.rint(f / QLum(v * 8 + u)).toInt
             u += 1
@@ -438,6 +447,7 @@ object Jpeg {
     val r = new BitReader(bytes, scanStart)
     val prevDc = new Array[Int](comps.length)
     val coef = new Array[Int](64)
+    val itmp = new Array[Double](64)
     val pix = new Array[Int](64)
     var mcu = 0
     val nMcus = mcusX * mcusY
@@ -487,21 +497,30 @@ object Jpeg {
                 zi += 1
               }
             }
-            // IDCT (separable, double precision; AAN is the fast swap)
+            // IDCT — SEPARABLE row/column passes (the clarity-first
+            // double-precision form; AAN integer is the next speed
+            // tier). g(x, v) = Σu C(u)·coef(v,u)·cos(x, u); zero
+            // coefficients contribute exactly 0.0, so the integer-DC
+            // family decodes bit-identically to the naive double sum.
+            var xx0 = 0
+            while (xx0 < 8) {
+              var v = 0
+              while (v < 8) {
+                var s = 0.0
+                var u = 0
+                while (u < 8) { s += C(u) * coef(v * 8 + u) * CosTab(xx0)(u); u += 1 }
+                itmp(xx0 * 8 + v) = s
+                v += 1
+              }
+              xx0 += 1
+            }
             var yy = 0
             while (yy < 8) {
               var xx = 0
               while (xx < 8) {
                 var s = 0.0
                 var v = 0
-                while (v < 8) {
-                  var u = 0
-                  while (u < 8) {
-                    s += C(u) * C(v) * coef(v * 8 + u) * CosTab(xx)(u) * CosTab(yy)(v)
-                    u += 1
-                  }
-                  v += 1
-                }
+                while (v < 8) { s += C(v) * itmp(xx * 8 + v) * CosTab(yy)(v); v += 1 }
                 val p0 = math.rint(s / 4.0).toInt + 128
                 pix(yy * 8 + xx) = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
                 xx += 1

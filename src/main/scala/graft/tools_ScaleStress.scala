@@ -282,6 +282,33 @@ object ScaleStress {
       assert(full == nDupDocs / 4 * 3 - 3, "segment first-seen attribution drifted")
     }
 
+    // 10e. FULL ExactSubstr (round 9) at full width: ~26M positions
+    //      through the gram-keyed count/first-occurrence window and
+    //      the per-doc interval merge. Planted exact: a clique doc's
+    //      25 base-gram positions (grams fully inside the shared
+    //      32-token base) merge into ONE [1,32] span — covered 32 of
+    //      33 tokens; the tail-crossing gram at position 26 is unique
+    //      per member. Singletons have no duplicated gram at all.
+    timed("exactSubstrSpans") {
+      val spans = ops.Dedup.exactSubstrSpans(corpus, L = 8)
+      val full = spans.filter(col("n_spans") === 1 && col("covered_tokens") === 32).count()
+      val none = spans.filter(col("n_spans") === 0).count()
+      println(s"[scale]   one-span docs=$full (expect $nDupDocs), " +
+        s"span-free=$none (expect ${nDocs - nDupDocs})")
+      assert(full == nDupDocs && none == nDocs - nDupDocs,
+        "span merge drifted at scale")
+    }
+    //      ... and the trim twin: the cluster head owns every base
+    //      gram's first occurrence (minimal packed (doc, pos)), so
+    //      heads and singletons keep all 33 tokens while the 3 later
+    //      members of every clique are cut to exactly their tail token.
+    timed("exactSubstrTrim") {
+      val tailOnly = ops.Dedup.exactSubstrTrim(corpus, L = 8)
+        .filter(col("n_kept") === 1).count()
+      println(s"[scale]   tail-only docs=$tailOnly (expect ${nDupDocs / 4 * 3})")
+      assert(tailOnly == nDupDocs / 4 * 3, "first-occurrence trim drifted at scale")
+    }
+
     // 10d. BM25 retrieval at full width: the posting join must ride
     //      the broadcast query term set over 33M (doc, token) postings
     //      — including the deliberately HOT tail tokens (df = nDocs/4,

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Full ExactSubstr (Lee et al. 2022) — planted-span cases: a shared
+  * span lands as ONE maximal interval in both sharers; the trim cuts
+  * it from every occurrence except the corpus-first; overlapping gram
+  * runs coalesce; self-repetition counts as duplication; short docs
+  * and span-free docs surface with zeros, never drop.
+  */
+class ExactSubstrSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val L = 4
+
+  test("a planted shared span reports one maximal interval in both docs") {
+    // docs 1 and 2 share tokens s1..s8 (8 tokens ⇒ positions of 5
+    // duplicated 4-grams, one merged span of 8 tokens); surroundings
+    // are unique
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val c = corpus(
+      1L -> s"a1 a2 a3 $shared a4 a5",
+      2L -> s"b1 b2 $shared b3 b4 b5 b6")
+    val out = Dedup.exactSubstrSpans(c, L).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((1L, 1L, 8L, 8L), (2L, 1L, 8L, 8L)))
+  }
+
+  test("trim keeps the corpus-first occurrence and cuts the later one") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val c = corpus(
+      1L -> s"a1 a2 a3 $shared a4 a5",
+      2L -> s"b1 b2 $shared b3 b4 b5 b6")
+    val out = Dedup.exactSubstrTrim(c, L).orderBy("doc_id").collect()
+    // doc 1 owns the span (earlier doc_id) — text survives verbatim
+    assert(out(0).getLong(2) === 13L)
+    assert(out(0).getString(3) === s"a1 a2 a3 $shared a4 a5")
+    // doc 2 loses exactly the 8 shared tokens
+    assert(out(1).getLong(2) === 6L)
+    assert(out(1).getString(3) === "b1 b2 b3 b4 b5 b6")
+  }
+
+  test("self-repetition inside one doc is a duplicated span; first copy survives trim") {
+    val rep = (1 to 4).map(i => s"r$i").mkString(" ")
+    val c = corpus(3L -> s"$rep x1 x2 $rep")
+    val spans = Dedup.exactSubstrSpans(c, L).collect().head
+    // both occurrences' positions are duplicated: spans at [1,4] and [7,10]
+    assert(spans.getLong(2) === 2L && spans.getLong(3) === 8L && spans.getLong(4) === 4L)
+    val trim = Dedup.exactSubstrTrim(c, L).collect().head
+    assert(trim.getLong(2) === 6L)
+    assert(trim.getString(3) === s"$rep x1 x2")
+  }
+
+  test("overlapping and adjacent duplicated runs coalesce into one interval") {
+    // doc 5 repeats doc 4's 10-token prefix: ALL its covering 4-grams
+    // duplicate, and the merged interval must be exactly [1,10], not
+    // seven length-4 fragments
+    val pre = (1 to 10).map(i => s"p$i").mkString(" ")
+    val c = corpus(4L -> s"$pre t1 t2", 5L -> s"$pre u1 u2 u3")
+    val out = Dedup.exactSubstrSpans(c, L).orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 1L && out(0).getLong(3) === 10L && out(0).getLong(4) === 10L)
+    assert(out(1).getLong(2) === 1L && out(1).getLong(3) === 10L)
+  }
+
+  test("span-free and shorter-than-L docs surface with zeros") {
+    val c = corpus(6L -> "q1 q2 q3 q4 q5", 7L -> "w1 w2")
+    val out = Dedup.exactSubstrSpans(c, L).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((6L, 5L, 0L), (7L, 2L, 0L)))
+    val trim = Dedup.exactSubstrTrim(c, L).orderBy("doc_id").collect()
+    assert(trim.map(_.getString(3)).toSeq === Seq("q1 q2 q3 q4 q5", "w1 w2"))
+  }
+
+  test("covered_frac and position packing stay exact on a 1500-token doc") {
+    // the 2^20 packing bound leaves six orders of magnitude of head-
+    // room; a doc well past the old 1000-segment aliasing regression
+    // keeps exact first-occurrence attribution
+    val big = (1 to 1500).map(i => s"t$i").mkString(" ")
+    val c = corpus(8L -> big, 9L -> big)
+    val out = Dedup.exactSubstrSpans(c, L).orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === 1500L)
+      assert(r.getDouble(5) === 1.0)
+    }
+    val trim = Dedup.exactSubstrTrim(c, L).orderBy("doc_id").collect()
+    assert(trim(0).getLong(2) === 1500L, "owner doc keeps everything")
+    assert(trim(1).getLong(2) === 0L && trim(1).getString(3) === "",
+      "full-duplicate doc comes back empty, surfaced not dropped")
+  }
+}
