@@ -361,7 +361,9 @@ private[graft] object EntryQueriesA {
 
     "q_dedup_simhash" -> ((s0, dir) => {
       val s = ensure(s0)
-      Dedup.simhashClusters(exactDupCorpus(s, dir))
+      // hamming-0 clustering over the materialized fingerprint table
+      // (EntrySupport.simhashFpsExactDup — the at-ingest store)
+      Dedup.simhashClustersFromFps(simhashFpsExactDup(s, dir))
         .orderBy(col("doc_id"))
     }),
 

@@ -311,8 +311,9 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       // the perturbed corpus plants known non-novel docs: each
       // doc_id+100000 copy shares every original shingle, so its
-      // novelty collapses while the original keeps scoring high
-      Dedup.ngramNovelty(perturbedCorpus(s, dir))
+      // novelty collapses while the original keeps scoring high.
+      // Reads the materialized at-ingest signature store (r9).
+      Dedup.ngramNoveltyFromFrame(ddfPerturbed(s, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -665,10 +666,7 @@ private[graft] object EntryQueriesD {
       // and therefore near-dup pairs — far denser than web text, so the
       // block cap keeps the verified pair stream bench-sized, the same
       // move as q_media_dedup_cc)
-      Dedup.simhashBandStats(
-          Tables.documents(s, dir).filter(col("doc_id") < 1000)
-            .select(col("doc_id"), col("text")),
-          k = 2)
+      Dedup.simhashBandStatsFromFps(simhashFpsDocs1k(s, dir), k = 2)
         .orderBy(col("doc_id"))
     })
   )

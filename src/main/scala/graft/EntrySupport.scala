@@ -158,6 +158,26 @@ private[graft] object EntrySupport {
     s.read.parquet(path).repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** Materialized SimHash fingerprint tables — the at-ingest form
+    * (crawl dedup stores one fingerprint per document, Manku et al.
+    * 2007): one over the exact-dup corpus (hamming-0 clustering), one
+    * over the first 1000 documents (the hamming-≤k banding query).
+    */
+  private[graft] def simhashFpsExactDup(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("simhash_fps_exactdup", dir)
+    Sinks.ensureWritten(Dedup.simhashFps(exactDupCorpus(s, dir)), path)
+    s.read.parquet(path).repartition(s.sparkContext.defaultParallelism)
+  }
+
+  private[graft] def simhashFpsDocs1k(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("simhash_fps_1k", dir)
+    Sinks.ensureWritten(
+      Dedup.simhashFps(Tables.documents(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))),
+      path)
+    s.read.parquet(path).repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** The materialized JPEG media table — deterministic per-8×8-block-
     * constant gray rasters ENCODED once by the real baseline encoder
     * ([[graft.ops.Jpeg.encodeGray]]) and stored as payload rows, every

@@ -70,6 +70,8 @@ object SparkEntry {
     ccKeepers(s, sfDir)
     lmCollapse(s, sfDir)
     jpegMedia(s, sfDir)
+    simhashFpsExactDup(s, sfDir)
+    simhashFpsDocs1k(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))

@@ -598,11 +598,17 @@ object Dedup {
     * within distance k shares an exact band) — same join shape as
     * [[minhashLshCandidates]].
     */
-  def simhashClusters(corpus: DataFrame): DataFrame = {
+  def simhashClusters(corpus: DataFrame): DataFrame =
     // read twice: fingerprint emit + cluster-keeper lookup
-    val cachedFps = CacheScope.cached(simhashFps(corpus))
-    val byFp = cachedFps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    cachedFps.join(byFp, "fp").select(col("doc_id"), col("fp"), col("keep_id"))
+    simhashClustersFromFps(CacheScope.cached(simhashFps(corpus)))
+
+  /** [[simhashClusters]] over a pre-built (doc_id, fp) fingerprint
+    * table — the at-ingest materialized form (SimHash fingerprints are
+    * stored per document in production crawl dedup, Manku et al. 2007).
+    */
+  def simhashClustersFromFps(fps: DataFrame): DataFrame = {
+    val byFp = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    fps.join(byFp, "fp").select(col("doc_id"), col("fp"), col("keep_id"))
   }
 
   /** The 32-bit SimHash fingerprint table (doc_id, fp) both
@@ -651,13 +657,19 @@ object Dedup {
     * exactly).
     */
   def simhashBandStats(corpus: DataFrame, k: Int,
-                       bucketCap: Long = 1000000L): DataFrame = {
+                       bucketCap: Long = 1000000L): DataFrame =
+    simhashBandStatsFromFps(CacheScope.cached(simhashFps(corpus)), k, bucketCap)
+
+  /** [[simhashBandStats]] over a pre-built fingerprint table — see
+    * [[simhashClustersFromFps]].
+    */
+  def simhashBandStatsFromFps(fps: DataFrame, k: Int,
+                              bucketCap: Long = 1000000L): DataFrame = {
     require(k >= 0 && k < 32, "hamming radius must be in [0, 32)")
     val nBands = k + 1
     val widths = Array.tabulate(nBands)(i =>
       32 / nBands + (if (i < 32 % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val fps = CacheScope.cached(simhashFps(corpus))
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("fp"), offsets(b))
@@ -967,8 +979,18 @@ object Dedup {
     * maintained incremental artifact (merge min per batch), exactly
     * like [[corpusHashIndex]].
     */
-  def ngramNovelty(corpus: DataFrame): DataFrame = {
-    val hs = graft.CacheScope.cached(hashedShingles(corpus))
+  def ngramNovelty(corpus: DataFrame): DataFrame =
+    ngramNoveltyFromHashed(graft.CacheScope.cached(hashedShingles(corpus)))
+
+  /** [[ngramNovelty]] over a pre-built per-doc dedup frame
+    * ([[docDedupFrame]]): `explode(hs)` reproduces the hashed-shingle
+    * rows with zero tokenize/md5 work.
+    */
+  def ngramNoveltyFromFrame(frame: DataFrame): DataFrame =
+    ngramNoveltyFromHashed(graft.CacheScope.cached(
+      frame.select(col("doc_id"), explode(col("hs")).as("h"))))
+
+  private def ngramNoveltyFromHashed(hs: DataFrame): DataFrame = {
     val first = hs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
     hs.join(first, Seq("h"))
       .groupBy(col("doc_id"))

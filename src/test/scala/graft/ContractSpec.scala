@@ -31,7 +31,8 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    assert(SparkEntry.queries.size === 190)
+    // round 9: 190 + q_media_jpeg + q_dedup_substr_spans + q_dedup_substr_trim
+    assert(SparkEntry.queries.size === 193)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
