@@ -321,7 +321,9 @@ object Bench {
       "q_dedup_simhash" -> "r7 artifact 2.49s was a noise burst: r8 JobProfile steady 0.9s / bench-condition 0.75s, 2 jobs, unchanged code",
       "q_dedup_substring" -> "r7 artifact 1.20s was a noise burst: r8 JobProfile steady 0.52s / bench-condition 0.27s, 1 job, unchanged code",
       "q_knn_vote" -> "holdout model collect + one compiled all-cosines pass + skinny top-k exchange + in-array HOF vote (r7; 0.77s -> 0.29s)",
-      "q_media_jpeg" -> "nominal ratio only: the DuckDB 'oracle' restates the planted answer arithmetically from doc_id while Spark runs a REAL baseline-JPEG Huffman+IDCT decode per payload (same exclusion rationale as q_media_dedup_cc)")
+      "q_media_jpeg" -> "nominal ratio only: the DuckDB 'oracle' restates the planted answer arithmetically from doc_id while Spark runs a REAL baseline-JPEG Huffman+IDCT decode per payload (same exclusion rationale as q_media_dedup_cc)",
+      "q_rrf" -> "fused single-pass since r9 (tfidf+bm25 as two columns of ONE posting join; 9 -> 5 jobs, 1.64 -> 0.50-0.54s quiet); remaining cost is 4 broadcast-build jobs + the scored window pass, job-floor bound",
+      "q_sink_zorder" -> "4 jobs including two REAL parquet writes (range-partition + in-partition sort + write, then the read-back check) - sink queries time actual file I/O each sample")
     val floorNotesJson = floorNotes
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
