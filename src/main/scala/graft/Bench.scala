@@ -373,7 +373,7 @@ object Bench {
         if (duckTotal > 0 && isSf01)
           s""","oracle_total_sec":${f"$duckTotal%.2f"},"n_over_2x_and_ge_half_sec":${over2x.size}"""
         else ""
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"effective_cores":${f"$effectiveCoresStart%.1f"},"effective_cores_end":${f"$effectiveCoresEnd%.1f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"}$tpErr$oracleBit,"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"effective_cores_start":${f"$effectiveCoresStart%.1f"},"effective_cores_end":${f"$effectiveCoresEnd%.1f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"}$tpErr$oracleBit,"queries":$qs}"""
     }
     val line = Seq(40, 30, 20, 10, 0).iterator.map(headParts)
       .find(_.length <= 1700)

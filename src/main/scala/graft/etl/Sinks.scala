@@ -80,24 +80,35 @@ object Sinks {
     * day, so a date predicate prunes whole directories at planning
     * time instead of reading and filtering.
     */
-  def ensurePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit = {
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) {
-      df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+  def ensurePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
+    ensureLock.synchronized {
+      val marker = new java.io.File(dir, "_SUCCESS")
+      if (!marker.exists()) {
+        df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+      }
     }
-  }
 
   /** Write-once materialization: write `df` to `dir` unless a previous
     * run already completed there (the _SUCCESS marker). `df` is
     * by-name so the frame isn't even planned on the hit path.
     */
-  def ensureWritten(df: => DataFrame, dir: String): Unit = {
+  /** In-JVM guard for the check-then-write below: the bench's 8-way
+    * throughput phase can race two lazily-ensured consumers of the
+    * same fixture path in ONE JVM (e.g. after a failed prepare());
+    * without the lock both see no marker and overwrite each other's
+    * in-flight files. Writers in separate JVMs still need external
+    * coordination — these fixtures are per-session scratch, so the
+    * JVM-wide lock is the honest scope.
+    */
+  private val ensureLock = new Object
+
+  def ensureWritten(df: => DataFrame, dir: String): Unit = ensureLock.synchronized {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) df.write.mode("overwrite").parquet(dir)
   }
 
   /** [[ensureWritten]] for raw text lines (a single `value` column). */
-  def ensureTextWritten(df: => DataFrame, dir: String): Unit = {
+  def ensureTextWritten(df: => DataFrame, dir: String): Unit = ensureLock.synchronized {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) df.write.mode("overwrite").text(dir)
   }
@@ -255,7 +266,13 @@ object Sinks {
     // silently lose rows. Callers here are serialized (Incremental's
     // CAS guard, AvailableNow triggers), but the sink must not depend
     // on that.
-    val staging = s"${table}_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.take(13).replace("-", "")}"
+    // PostgreSQL truncates identifiers to 63 bytes with only a NOTICE —
+    // a long target name would silently truncate the unique suffix away
+    // and re-open the concurrent-clobber hole. Fail loudly instead.
+    require(staging.getBytes("UTF-8").length <= 63,
+      s"copyUpsertPostgres: staging identifier '$staging' exceeds PostgreSQL's " +
+        "63-byte limit — use a shorter target table name")
     def psql(sql: String): String =
       (Seq("psql") ++ psqlArgs ++
         Seq("-X", "-t", "-A", "-v", "ON_ERROR_STOP=1", "-c", sql)).!!.trim

@@ -363,8 +363,16 @@ object Dedup {
     * (doc_id, minhashes — e.g. a materialized [[docDedupFrame]]).
     */
   def minhashJaccardEstimatesFromFrame(sigs: DataFrame, numHashes: Int = 16,
-                                       bands: Int = 4): DataFrame = {
-    val cands = lshCandidatesFromSigs(sigs, numHashes, bands)
+                                       bands: Int = 4): DataFrame =
+    estimatesForCandidates(sigs, lshCandidatesFromSigs(sigs, numHashes, bands), numHashes)
+
+  /** The signature-agreement estimate for a GIVEN candidate set — the
+    * single home of the j_est formula, shared by the estimator and the
+    * audit (so the audit can never drift from the estimator it
+    * measures).
+    */
+  private def estimatesForCandidates(sigs: DataFrame, cands: DataFrame,
+                                     numHashes: Int): DataFrame =
     cands
       .join(sigs.select(col("doc_id").as("a"), col("minhashes").as("sa")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("minhashes").as("sb")), Seq("b"))
@@ -373,7 +381,6 @@ object Dedup {
         round(
           expr(s"cast(size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p)) as double) / $numHashes"),
           4).as("j_est"))
-  }
 
   /** Verified near-dup edge set: LSH candidates → EXACT Jaccard
     * verification restricted to candidate pairs (the quadratic check
@@ -848,8 +855,11 @@ object Dedup {
         col("t"))
       .select(
         col("doc_id"), col("n_tokens"),
-        expr("""filter(transform(sequence(1, size(t)),
-               |                 j -> struct(j as j, element_at(t, j) as tok)),
+        // index-carrying transform over the token array itself (NOT a
+        // sequence(1, size) explode: for an EMPTY array that sequence
+        // is the descending [1, 0] and element_at(t, 0) throws) —
+        // zero-token docs flow through as empty keeps
+        expr("""filter(transform(t, (tok, j0) -> struct(j0 + 1L as j, tok as tok)),
                |       p -> NOT exists(segs, g -> p.j >= g.s AND p.j <= g.e))"""
           .stripMargin).as("kept"))
       .select(
@@ -867,6 +877,16 @@ object Dedup {
     corpus
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= L)
+      // LOUD guard for the packing bound the scaladoc states: an
+      // oversized doc would alias pk into the next doc_id's range and
+      // silently misattribute first occurrences — fail instead. The
+      // guard lives IN the t projection (an unused assert column
+      // would be pruned away by the optimizer).
+      .withColumn("t", when(size(col("t")) < 1048576, col("t"))
+        .otherwise(raise_error(concat(
+          lit("exactSubstr: doc "), col("doc_id").cast("string"),
+          lit(" exceeds the 2^20-token packing bound — chunk it first")))
+          .cast("array<string>")))
       .select(col("doc_id"),
         explode(sequence(lit(1L), (size(col("t")) - (L - 1)).cast("long"))).as("i"),
         col("t"))
@@ -1131,13 +1151,10 @@ object Dedup {
     // (it feeds both the estimate joins and the exact restriction).
     val f = CacheScope.cached(frame)
     val cands = CacheScope.cached(lshCandidatesFromSigs(f, 16, 4))
-    val est = cands
-      .join(f.select(col("doc_id").as("a"), col("minhashes").as("sa_sig")), Seq("a"))
-      .join(f.select(col("doc_id").as("b"), col("minhashes").as("sb_sig")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(expr(
-          "cast(size(filter(zip_with(sa_sig, sb_sig, (x, y) -> x = y), p -> p)) as double) / 16"),
-          4).as("j_est"))
+    // the estimate comes from the SAME formula home as the estimator
+    // query (estimatesForCandidates) — the audit measures that code,
+    // so a drift between the two would defeat its purpose
+    val est = estimatesForCandidates(f, cands, numHashes = 16)
     // exact truth computed ONLY for the audited (candidate) pairs and
     // with the df cap OFF — same uncapped values as the all-pairs form
     // restricted to candidates, at candidate-join cost (an audit pair

@@ -69,13 +69,17 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out(1).getLong(2) === 1L && out(1).getLong(3) === 10L)
   }
 
-  test("span-free and shorter-than-L docs surface with zeros") {
-    val c = corpus(6L -> "q1 q2 q3 q4 q5", 7L -> "w1 w2")
+  test("span-free, shorter-than-L, and ZERO-token docs surface with zeros") {
+    // the empty doc is the regression case: a sequence(1, size)-based
+    // index walk evaluates the descending [1, 0] range and throws on
+    // element_at(t, 0) — the index-carrying transform must not
+    val c = corpus(6L -> "q1 q2 q3 q4 q5", 7L -> "w1 w2", 8L -> "")
     val out = Dedup.exactSubstrSpans(c, L).orderBy("doc_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
-      Seq((6L, 5L, 0L), (7L, 2L, 0L)))
+      Seq((6L, 5L, 0L), (7L, 2L, 0L), (8L, 0L, 0L)))
     val trim = Dedup.exactSubstrTrim(c, L).orderBy("doc_id").collect()
-    assert(trim.map(_.getString(3)).toSeq === Seq("q1 q2 q3 q4 q5", "w1 w2"))
+    assert(trim.map(_.getString(3)).toSeq === Seq("q1 q2 q3 q4 q5", "w1 w2", ""))
+    assert(trim.map(_.getLong(2)).toSeq === Seq(5L, 2L, 0L))
   }
 
   test("covered_frac and position packing stay exact on a 1500-token doc") {
