@@ -115,4 +115,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.Multimodal.decodePpmFeatures(emptyMedia).count() === 0)
     assert(graft.ops.Multimodal.decodeWavFeatures(emptyMedia).count() === 0)
   }
+
+  test("round-9 ops on empty inputs") {
+    assert(Dedup.exactSubstrSpans(emptyDocs, 8).count() === 0)
+    assert(Dedup.exactSubstrTrim(emptyDocs, 8).count() === 0)
+    val emptyMedia = spark.emptyDataset[graft.ops.Multimodal.MediaRow]
+    assert(graft.ops.Jpeg.decodeJpegFeatures(emptyMedia).count() === 0)
+    val emptyFrame = Seq.empty[(Long, Array[Long], Long, Array[Long])]
+      .toDF("doc_id", "hs", "sz", "minhashes")
+    assert(Dedup.minhashLshCandidatesFromFrame(emptyFrame).count() === 0)
+    assert(Dedup.ngramJaccardPairsFromFrame(emptyFrame, 0.7).count() === 0)
+    assert(Dedup.verifiedNearDupPairsFromFrame(emptyFrame, 0.7).count() === 0)
+    assert(Dedup.lshDedupKeepersFromFrame(emptyFrame, 0.7).count() === 0)
+    assert(Dedup.ngramNoveltyFromFrame(emptyFrame).count() === 0)
+    assert(Dedup.minhashEstimatorAuditFromFrame(emptyFrame).count() === 1,
+      "the audit is a single summary row even over zero pairs")
+    val emptyFps = Seq.empty[(Long, Long)].toDF("doc_id", "fp")
+    assert(Dedup.simhashClustersFromFps(emptyFps).count() === 0)
+    assert(Dedup.simhashBandStatsFromFps(emptyFps, 2).count() === 0)
+    assert(Text.hybridRrfTopK(emptyDocs, 5, 10, 5, 0.85).count() === 0)
+    assert(Text.bigramLogProbFrom(
+      Seq.empty[(Long, String, String, Long)].toDF("doc_id", "prev", "next", "c"))
+      .count() === 0)
+  }
 }
