@@ -81,7 +81,7 @@ object Sinks {
     * time instead of reading and filtering.
     */
   def ensurePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
-    ensureLock.synchronized {
+    lockFor(dir).synchronized {
       val marker = new java.io.File(dir, "_SUCCESS")
       if (!marker.exists()) {
         df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
@@ -95,20 +95,26 @@ object Sinks {
   /** In-JVM guard for the check-then-write below: the bench's 8-way
     * throughput phase can race two lazily-ensured consumers of the
     * same fixture path in ONE JVM (e.g. after a failed prepare());
-    * without the lock both see no marker and overwrite each other's
-    * in-flight files. Writers in separate JVMs still need external
-    * coordination — these fixtures are per-session scratch, so the
-    * JVM-wide lock is the honest scope.
+    * without a lock both see no marker and overwrite each other's
+    * in-flight files. PER-DIRECTORY locks (not one global monitor): an
+    * in-flight write of one fixture must not stall every unrelated
+    * fixture's marker check during the throughput phase — only writers
+    * of the SAME path serialize. Writers in separate JVMs still need
+    * external coordination — these fixtures are per-session scratch,
+    * so the JVM-wide scope is the honest one.
     */
-  private val ensureLock = new Object
+  private val ensureLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def lockFor(dir: String): Object =
+    ensureLocks.computeIfAbsent(dir, _ => new Object)
 
-  def ensureWritten(df: => DataFrame, dir: String): Unit = ensureLock.synchronized {
+  def ensureWritten(df: => DataFrame, dir: String): Unit = lockFor(dir).synchronized {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) df.write.mode("overwrite").parquet(dir)
   }
 
   /** [[ensureWritten]] for raw text lines (a single `value` column). */
-  def ensureTextWritten(df: => DataFrame, dir: String): Unit = ensureLock.synchronized {
+  def ensureTextWritten(df: => DataFrame, dir: String): Unit = lockFor(dir).synchronized {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) df.write.mode("overwrite").text(dir)
   }

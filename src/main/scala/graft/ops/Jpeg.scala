@@ -226,6 +226,10 @@ object Jpeg {
   def encodeGray(width: Int, height: Int, y: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0 && y.length == width * height,
       s"raster shape mismatch: $width x $height vs ${y.length} bytes")
+    // SOF0/APP0 carry dimensions as 16-bit fields (T.81 B.2.2): larger
+    // values would silently truncate into a structurally corrupt stream.
+    require(width <= 65535 && height <= 65535,
+      s"baseline JPEG dimensions are 16-bit: $width x $height")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -346,6 +350,11 @@ object Jpeg {
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     while (pos + 4 <= bytes.length) {
       if ((bytes(pos) & 0xff) != 0xff) return None
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+      // marker code — skip padding so conformant streams from other
+      // encoders don't quarantine on the second 0xFF.
+      while (pos + 4 <= bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 4 > bytes.length) return None // fill bytes ran into EOF
       val m = bytes(pos + 1) & 0xff
       pos += 2
       m match {

@@ -813,8 +813,14 @@ object Text {
     * as two score columns of the SAME (q_id, c_id) aggregate over one
     * shared posting join, ranked twice (two window sorts over one
     * query-partitioned exchange of the model-sized aggregate), then
-    * RRF-fused ([[rrfFuse]] semantics, bit-identical output to running
-    * the three operators separately — the r8 composition re-ran the
+    * RRF-fused ([[rrfFuse]] semantics — identical to running the three
+    * operators separately up to rounding-boundary ties: the fused plan
+    * sums conditional 0.0 terms in a different join/partition order,
+    * so a float score landing EXACTLY on a round(...,4)/round(...,6)
+    * boundary could tip the other way and swap adjacent ranks. No such
+    * boundary score exists in the tested corpora — HybridRrfSpec pins
+    * bit-equality there — and ties inside a rank order break on the
+    * exact integer c_id key either way. The r8 composition re-ran the
     * tokenize → posting join → aggregate chain once per ranker).
     *
     * The two rankers disagree only on (a) the per-(q,c,token) score

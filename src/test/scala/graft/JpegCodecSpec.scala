@@ -146,6 +146,45 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(flipped && Jpeg.decode(prog) === None, "progressive must quarantine")
   }
 
+  test("0xFF fill bytes before markers are T.81-legal padding, not corruption") {
+    // B.1.1.2: any number of 0xFF bytes may precede a marker code.
+    // Splice extra 0xFF padding in front of every marker segment after
+    // SOI and assert the stream still decodes to the same raster.
+    val w = 16; val h = 16
+    val y = grayRaster(w, h)((x, _) => 100 + 2 * (x / 8))
+    val good = Jpeg.encodeGray(w, h, y)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good(0)); out.write(good(1)) // SOI verbatim
+    var i = 2
+    var inEntropy = false
+    while (i < good.length) {
+      if (!inEntropy && (good(i) & 0xff) == 0xff && i + 1 < good.length &&
+          (good(i + 1) & 0xff) != 0x00) {
+        out.write(0xff); out.write(0xff) // two fill bytes before the marker
+        if ((good(i + 1) & 0xff) == 0xda) inEntropy = true // SOS: stop splicing
+      }
+      out.write(good(i)); i += 1
+    }
+    val padded = out.toByteArray
+    assert(padded.length > good.length, "padding was spliced")
+    val dec = Jpeg.decode(padded)
+    assert(dec.isDefined, "fill-byte-padded stream must decode")
+    val ref = Jpeg.decode(good).get
+    assert(dec.get.rgb.sameElements(ref.rgb) &&
+      dec.get.width === ref.width && dec.get.height === ref.height)
+    // padding that runs straight into EOF still quarantines cleanly
+    assert(Jpeg.decode(good.take(2) ++ Array.fill(5)(0xff.toByte)) === None)
+  }
+
+  test("encodeGray rejects dimensions that overflow the 16-bit SOF0 fields") {
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeGray(65536, 1, new Array[Byte](65536))
+    }
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeGray(1, 70000, new Array[Byte](70000))
+    }
+  }
+
   test("Spark decode path: features for clean rows, quarantine for corrupt") {
     val rows = (0L until 6L).map { id =>
       val v = (100 + 2 * id).toInt
