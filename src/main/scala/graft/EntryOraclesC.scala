@@ -99,6 +99,25 @@ private[graft] object EntryOraclesC {
         |            ELSE round(sqrt((wb * hb * wb * hb - 1) / 3.0), 4) END AS luma_std_r
         |FROM d ORDER BY media_id""".stripMargin,
 
+    // PNG derivation oracle: pixel = base + x%4 + 2·(y%2) with w a
+    // multiple of 4 and h even ⇒ offsets balance exactly; lossless
+    // decode ⇒ mean = base+2.5 and std = √(1.25+1.0) = 1.5 hold
+    // bit-exactly; every 11th payload truncated, every 13th CRC-flipped
+    // ⇒ quarantined rows
+    "q_media_png" ->
+      """WITH d AS (
+        |  SELECT doc_id, 12 + (doc_id % 7) * 4 AS w, 10 + (doc_id % 5) * 6 AS h,
+        |         40 + doc_id % 150 AS base,
+        |         (doc_id % 11 = 0 OR doc_id % 13 = 0) AS bad
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+        |       CASE WHEN bad THEN NULL ELSE CAST(w AS DOUBLE) END AS w,
+        |       CASE WHEN bad THEN NULL ELSE CAST(h AS DOUBLE) END AS h,
+        |       CASE WHEN bad THEN NULL ELSE CAST(base AS DOUBLE) + 2.5 END AS mean_gray,
+        |       CASE WHEN bad THEN NULL ELSE CAST(1.5 AS DOUBLE) END AS luma_std_r
+        |FROM d ORDER BY media_id""".stripMargin,
+
     // square-wave derivation oracle: n samples at 8 kHz, period 8 →
     // duration n/8000, rms amp/2^15 (exact), flips floor((n-1)/4)
     "q_audio_decode" ->

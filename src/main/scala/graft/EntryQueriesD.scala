@@ -277,6 +277,30 @@ private[graft] object EntryQueriesD {
         .orderBy(col("media_id"))
     }),
 
+    "q_media_png" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // REAL PNG decode (ops.Png — signature → CRC-validated chunk
+      // walk → Inflater → five-filter scanline reconstruction, the
+      // lossless half of the JPEG+PNG crawl-image pair) over the
+      // materialized media table (EntrySupport.pngMedia): gray rasters
+      // pixel = base + x%4 + 2·(y%2) with w≡0 (mod 4) and h even, so
+      // the offsets balance exactly and the oracle derives dims, mean
+      // (base+2.5) and per-pixel std (√2.25 = 1.5) from doc_id alone
+      // — PNG is lossless, so these hold bit-exactly, not within an
+      // IDCT variance. Every 11th payload truncates mid-chunk, every
+      // 13th flips its final CRC byte (both quarantine). Conformance
+      // against ImageIO is spec-pinned both directions in PngCodecSpec.
+      def feat(i: Int) = when(col("n_frames") === 0, lit(null).cast("double"))
+        .otherwise(element_at(col("features"), i))
+      graft.ops.Png.decodePngFeatures(pngMedia(s, dir)).toDF()
+        .select(
+          col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          feat(1).as("w"), feat(2).as("h"),
+          feat(3).as("mean_gray"),
+          round(feat(7), 4).as("luma_std_r"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_audio_decode" -> ((s0, dir) => {
       val s = ensure(s0)
       import s.implicits._

@@ -295,6 +295,45 @@ private[graft] object EntrySupport {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** The PNG twin of [[jpegMedia]]: deterministic gray rasters
+    * (pixel = base + x%4 + 2·(y%2), so mean and std derive from doc_id
+    * arithmetically) ENCODED once by the real PNG encoder
+    * ([[graft.ops.Png.encodeGray]]). Two corruption modes — every 11th
+    * payload truncated mid-chunk, every 13th with a flipped final CRC
+    * byte — so the quarantine path covers both torn and bit-rotted
+    * streams. Payload construction is input-building (same precedent
+    * as jpegMedia); the operator under test is the DECODE.
+    */
+  private[graft] def pngMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    val path = tmpDir("png_media", dir)
+    Sinks.ensureWritten(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val w = (12 + (id % 7) * 4).toInt // multiple of 4: x%4 offsets balance
+          val h = (10 + (id % 5) * 6).toInt // even: y%2 offsets balance
+          val base = (40 + id % 150).toInt
+          val y = new Array[Byte](w * h)
+          var p = 0
+          while (p < w * h) {
+            y(p) = (base + (p % w) % 4 + 2 * ((p / w) % 2)).toByte
+            p += 1
+          }
+          val bytes0 = graft.ops.Png.encodeGray(w, h, y)
+          val bytes =
+            if (id % 11 == 0) bytes0.take(25)
+            else if (id % 13 == 0) {
+              val b = bytes0.clone(); b(b.length - 1) = (b(b.length - 1) ^ 1).toByte; b
+            } else bytes0
+          graft.ops.Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "png")
+        }.toDF(),
+      path)
+    s.read.parquet(path).as[graft.ops.Multimodal.MediaRow]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** The materialized (doc_id, prev, next, c) bigram collapse every
     * LM scorer reads ([[graft.ops.Text.bigramCollapse]]) — the KenLM
     * count-table move: tokenize the corpus ONCE per version, serve

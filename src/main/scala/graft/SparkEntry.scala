@@ -70,6 +70,7 @@ object SparkEntry {
     ccKeepers(s, sfDir)
     lmCollapse(s, sfDir)
     jpegMedia(s, sfDir)
+    pngMedia(s, sfDir)
     simhashFpsExactDup(s, sfDir)
     simhashFpsDocs1k(s, sfDir)
     Sinks.ensureTextWritten(
