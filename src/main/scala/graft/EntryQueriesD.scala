@@ -692,6 +692,23 @@ private[graft] object EntryQueriesD {
       // move as q_media_dedup_cc)
       Dedup.simhashBandStatsFromFps(simhashFpsDocs1k(s, dir), k = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_classifier" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // trained quality gate (Text.qualityClassifier): logistic
+      // regression over length-normalized hashed-BoW features, trained
+      // driver-locally on a bounded per-class sample of the planted
+      // clean/spam corpus, scored map-side with the weights as column
+      // literals — the GPT-3/CCNet classifier-filter shape. The oracle
+      // re-runs the IDENTICAL deterministic training at Verify time
+      // and recomputes the whole score path from the pinned weights
+      // (the q_sim_lsh trick); classifier QUALITY is separately pinned
+      // by QualityClassifierSpec's precision/recall bounds.
+      Text.qualityClassifier(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("doc_id"))
     })
   )
 }

@@ -452,4 +452,32 @@ private[graft] object EntrySupport {
         |  UNION
         |  SELECT rc.doc_id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)""".stripMargin
 
+  /** For each query whose Spark side reads a prepare-materialized qtmp
+    * fixture while its DuckDB oracle recomputes the same stage from raw
+    * text, the name of the oracle CTE at the fixture boundary — i.e.
+    * the prefix of the oracle that corresponds to work the engine did
+    * once at ingest. Verify dumps this as oracle_fixture_cte.json;
+    * tools/time_oracle.py times `SELECT count(*) FROM <cte>` under the
+    * same WITH chain and publishes the split so BENCH's
+    * ratio_vs_duckdb for this family can be read like-for-like
+    * (VERDICT r9 #2). Media derivation oracles are absent on purpose:
+    * they restate planted answers arithmetically and are already
+    * flagged nominal in floor_notes. FixtureCteSpec pins every entry
+    * to a declared query and an existing CTE.
+    */
+  private[graft] val oracleFixtureCte: Map[String, String] = Map(
+    "q_dedup_minhash"      -> "mh",   // fixture stores minhash signatures
+    "q_dedup_minhash_est"  -> "mh",
+    "q_minhash_error"      -> "mh",
+    "q_dedup_ngram"        -> "hx",   // fixture stores shingle-hash arrays
+    "q_dedup_contain"      -> "hx",
+    "q_ngram_novelty"      -> "hx",
+    "q_dedup_pipeline"     -> "mh",
+    "q_dedup_simhash"      -> "fps",  // fixture stores simhash fingerprints
+    "q_dedup_simhash_band" -> "fp",
+    "q_dedup_cc"           -> "reach", // fixture stores the CC keeper fixpoint
+    "q_dup_cluster_stats"  -> "keep",
+    "q_bigram_lm"          -> "bi",   // fixture stores the (doc,prev,next,c) collapse
+    "q_lm_interp"          -> "db",
+    "q_kn_bigram"          -> "db")
 }

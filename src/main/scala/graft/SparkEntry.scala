@@ -114,6 +114,15 @@ object SparkEntry {
         ops.Sim.ivfPqSearchOracleSql(cents, cbs, nQueries = 10, k = 5,
           nProbe = 2, refine = 20),
       "q_cluster_purity" ->
-        ops.Sim.clusterPurityOracleSql(cents))
+        ops.Sim.clusterPurityOracleSql(cents),
+      "q_quality_classifier" -> {
+        // identical training call to the query body (deterministic:
+        // bounded sorted sample, zero init, fixed-order full-batch GD)
+        val docs = Tables.documents(s, sfDir)
+          .repartition(s.sparkContext.defaultParallelism)
+        val (w, b) = ops.Text.trainQualityLrLocal(
+          ops.Text.qualityCorpus(docs), dim = 256)
+        ops.Text.qualityClassifierOracleSql(256, w, b)
+      })
   }
 }

@@ -54,6 +54,11 @@ object Verify {
     val json = only.fold(all)(ks => all.filter(kv => ks(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fixture-boundary annotations for tools/time_oracle.py's split
+    // timings (see EntrySupport.oracleFixtureCte)
+    val cteJson = EntrySupport.oracleFixtureCte.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_fixture_cte.json"), cteJson)
     spark.stop()
   }
 }

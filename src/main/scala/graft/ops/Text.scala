@@ -1442,4 +1442,172 @@ object Text {
         col("doc_id"), col("n_tok"), col("n_oov"),
         round(col("n_oov") / col("n_tok").cast("double"), 6).as("oov_rate_r"))
   }
+
+  // ------------------------------------------------------------------
+  // Trained quality-classifier gate — the step up from the heuristic
+  // tier (Gopher/C4 rules): production pipelines gate on a TRAINED
+  // linear classifier (GPT-3's LR-over-features quality filter, Brown
+  // et al. 2020 App. A; CCNet's fastText LM filter, Wenzek et al.
+  // 2020; fastText itself: Joulin et al. 2016 — a linear model over
+  // averaged hashed-n-gram features). This is that shape on Spark:
+  // features = the existing hashedBowVectors (hashing trick), model =
+  // logistic regression trained DRIVER-LOCALLY on a bounded per-class
+  // sample (the k-means/PQ precedent — a classifier needs ~10³
+  // labeled examples regardless of corpus size), scoring = one
+  // map-side weighted fold per doc, model broadcast as literals. At
+  // 100 TB the corpus never shuffles for the model: train on a sample,
+  // score map-side.
+  // ------------------------------------------------------------------
+
+  /** Spam-boilerplate suffix planted on the negative class of
+    * [[qualityCorpus]] — unmistakable zz-prefixed tokens (the corpus
+    * perturbation convention) so the planted task is genuinely
+    * separable and the classifier's recall/precision is gradeable.
+    */
+  val qualitySpamSuffix: String =
+    " zzclick zzspam zzbuy zzcheap zzfree zzclick zzspam zzbuy zzcheap zzfree"
+
+  /** Labeled quality corpus: every document clean (label 1) and once
+    * more with the spam suffix appended (label 0, doc_id + 100000).
+    */
+  def qualityCorpus(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"), lit(1).as("label"))
+      .unionAll(documents.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(qualitySpamSuffix)).as("text"),
+        lit(0).as("label")))
+
+  /** Deterministic driver-local logistic regression over
+    * length-normalized hashed-BoW features (x = v / n_toks — the
+    * fastText averaging). Sample is bounded PER CLASS (lowest
+    * `maxPerClass` doc_ids with doc_id % sampleMod == 0), so the
+    * collect is ≤ 2·maxPerClass·dim cells no matter the corpus size.
+    * Full-batch GD in doc_id-sorted order, zero init — bit-reproducible
+    * across calls, which is what lets the oracle re-run the identical
+    * training and embed the weights as SQL literals.
+    *
+    * @return (weights(dim), bias)
+    */
+  def trainQualityLrLocal(corpus: DataFrame, dim: Int, sampleMod: Int = 1,
+                          maxPerClass: Int = 1000, iters: Int = 800,
+                          lr: Double = 5.0): (Array[Double], Double) = {
+    val spark = corpus.sparkSession
+    val base = corpus
+      .filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === 0L)
+    val ids = base.filter(col("label") === 1)
+      .orderBy(col("doc_id")).limit(maxPerClass)
+      .unionAll(base.filter(col("label") === 0)
+        .orderBy(col("doc_id")).limit(maxPerClass))
+      .select(col("doc_id"), col("label"),
+        greatest(size(Dedup.tokens(col("text"))), lit(1)).as("n"))
+    val idRows = ids.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val idSet = idRows.map(_._1).toSet
+    // one tokenize pass over the SAMPLE only (broadcast semi-join)
+    import spark.implicits._
+    val sampleCorpus = corpus.join(
+      broadcast(idSet.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+    val feats = hashedBowVectors(sampleCorpus, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    val byDoc = feats.groupBy(_._1)
+      .map { case (id, fs) => id -> fs.map(f => (f._2, f._3)).sortBy(_._1) }
+    val docs = idRows.map { case (id, label, n) =>
+      (label, n, byDoc.getOrElse(id, Array.empty[(Int, Long)]))
+    }
+    val w = new Array[Double](dim); var b = 0.0
+    if (docs.isEmpty) return (w, b) // empty corpus: all-zero model, σ(0)=0.5 scores
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](dim); var gb = 0.0
+      docs.foreach { case (label, n, fs) =>
+        var z = b
+        fs.foreach { case (bk, v) => z += v.toDouble / n * w(bk) }
+        val err = 1.0 / (1.0 + math.exp(-z)) - label
+        gb += err
+        fs.foreach { case (bk, v) => gw(bk) += err * v.toDouble / n }
+      }
+      val m = docs.length.toDouble
+      var i = 0
+      while (i < dim) { w(i) -= lr * gw(i) / m; i += 1 }
+      b -= lr * gb / m
+      it += 1
+    }
+    (w, b)
+  }
+
+  /** Map-side scoring of a labeled corpus under pinned (w, b):
+    * z = (Σ v·w[bucket]) / n_toks + b, score = σ(z), pred = [z ≥ 0]
+    * (the σ(z) ≥ 0.5 boundary stated float-safely). One feature
+    * aggregate + one doc_id-keyed fold; the model rides as column
+    * literals, never a join side.
+    */
+  def qualityScoreFrom(corpus: DataFrame, dim: Int, w: Array[Double],
+                       b: Double): DataFrame = {
+    val wArr = array(w.map(lit): _*)
+    val sums = hashedBowVectors(corpus, dim)
+      .withColumn("contrib", col("v").cast("double") *
+        element_at(wArr, (col("bucket") + 1).cast("int")))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("s"))
+    corpus.select(col("doc_id"), col("label"),
+        greatest(size(Dedup.tokens(col("text"))), lit(1))
+          .cast("double").as("n"))
+      .join(sums, Seq("doc_id"), "left")
+      .withColumn("z", coalesce(col("s"), lit(0.0)) / col("n") + lit(b))
+      .select(col("doc_id"), col("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score_r"),
+        when(col("z") >= 0, 1).otherwise(0).as("pred"))
+  }
+
+  /** The full gate: plant the labeled corpus, train on the bounded
+    * sample, score everything map-side.
+    */
+  def qualityClassifier(documents: DataFrame, dim: Int = 256,
+                        sampleMod: Int = 1, maxPerClass: Int = 1000)
+      : DataFrame = {
+    val corpus = qualityCorpus(documents)
+    val (w, b) = trainQualityLrLocal(corpus, dim, sampleMod, maxPerClass)
+    qualityScoreFrom(corpus, dim, w, b)
+  }
+
+  /** Pinned-weights DuckDB oracle for [[qualityClassifier]] — the
+    * `q_sim_lsh` trick: the trained model is DATA, so the oracle
+    * embeds the weight doubles as literals (Scala's toString is the
+    * shortest round-trip form, so DuckDB parses back the identical
+    * binary double) and independently recomputes corpus, features,
+    * fold, sigmoid, and the z ≥ 0 decision.
+    */
+  def qualityClassifierOracleSql(dim: Int, w: Array[Double], b: Double)
+      : String = {
+    val wRows = w.zipWithIndex
+      .map { case (x, i) => s"($i, CAST($x AS DOUBLE))" }.mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, 1 AS label FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || '$qualitySpamSuffix', 0 AS label
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != ''))
+       |    AS token
+       |  FROM corpus),
+       |feat AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(token), 1, 8))::BIGINT % $dim AS bucket,
+       |         sum(('0x' || substr(md5(token), 9, 1))::BIGINT % 2 * 2 - 1) AS v
+       |  FROM tok GROUP BY 1, 2 HAVING sum(('0x' || substr(md5(token), 9, 1))::BIGINT % 2 * 2 - 1) != 0),
+       |w AS (SELECT * FROM (VALUES $wRows) AS t(bucket, wgt)),
+       |lens AS (
+       |  SELECT doc_id, label,
+       |         greatest(len(list_filter(string_split(text, ' '), t -> t != '')), 1) AS n
+       |  FROM corpus),
+       |zs AS (
+       |  SELECT l.doc_id, l.label,
+       |         coalesce(sum(f.v * w.wgt), 0) / max(l.n) + CAST($b AS DOUBLE) AS z
+       |  FROM lens l
+       |  LEFT JOIN feat f ON f.doc_id = l.doc_id
+       |  LEFT JOIN w ON w.bucket = f.bucket
+       |  GROUP BY l.doc_id, l.label)
+       |SELECT doc_id, label, round(1 / (1 + exp(-z)), 4) AS score_r,
+       |       CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+       |FROM zs ORDER BY doc_id""".stripMargin
+  }
 }

@@ -491,6 +491,33 @@ object ScaleStress {
       out.unpersist()
       CacheScope.flush()
     }
+
+    // 13. Trained quality gate at width: the model trains on a BOUNDED
+    //     per-class sample (2·1000 docs collected, whatever nDocs is)
+    //     and scoring is one map-side fold — the cost must track the
+    //     corpus linearly with no N² or driver blowup. Labeled corpus
+    //     built inline (qualityCorpus's +100000 id offset is a
+    //     testdata-scale convention; here ids run to nDocs), spam
+    //     class = the same planted zz-token suffix, so accuracy has a
+    //     known target: the suffix tokens are unique in the synthetic
+    //     vocabulary and the classes are separable.
+    timed("qualityClassifier") {
+      val labeled = corpus.select(col("doc_id"), col("text"), lit(1).as("label"))
+        .unionAll(corpus.select(
+          (col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(ops.Text.qualitySpamSuffix)).as("text"),
+          lit(0).as("label")))
+      val (w, b) = ops.Text.trainQualityLrLocal(labeled, dim = 256)
+      val scored = ops.Text.qualityScoreFrom(labeled, 256, w, b)
+      val agg = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("ok"))
+        .collect().head
+      val acc = agg.getLong(1).toDouble / agg.getLong(0)
+      println(f"[scale]   scored=${agg.getLong(0)} accuracy=$acc%.4f (expect ~1.0)")
+      assert(acc >= 0.99, "planted separable classes stopped separating")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ class ContractSpec extends AnyFunSuite {
     // centroid literals), so they are absent from the static map only.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
-        "q_sim_ann_pq_refine", "q_cluster_purity"))
+        "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -31,8 +31,8 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    // round 9: 190 + q_media_jpeg + q_dedup_substr_spans + q_dedup_substr_trim
-    assert(SparkEntry.queries.size === 193)
+    // round 10: 193 + q_media_png + q_quality_classifier
+    assert(SparkEntry.queries.size === 195)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[EntrySupport.oracleFixtureCte]] — the bench-transparency
+  * annotation mapping each fixture-reading query to the oracle CTE at
+  * its fixture boundary (tools/time_oracle.py times that prefix
+  * standalone so BENCH's like-for-like ratios are auditable). A stale
+  * entry here would silently drop a query from the split, so every
+  * entry must name a declared query and a CTE that exists in its
+  * oracle SQL.
+  */
+class FixtureCteSpec extends AnyFunSuite {
+
+  test("every annotated query is declared with a static oracle") {
+    EntrySupport.oracleFixtureCte.keys.foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"$q not in SparkEntry.queries")
+      assert(SparkEntry.oracleSql.contains(q), s"$q not in SparkEntry.oracleSql")
+    }
+  }
+
+  test("every annotated CTE exists in its oracle's WITH chain") {
+    EntrySupport.oracleFixtureCte.foreach { case (q, cte) =>
+      val sql = SparkEntry.oracleSql(q)
+      assert(("""(?s).*\b""" + cte + """\s+AS\s*\(.*""").r.matches(sql),
+        s"$q: CTE '$cte' not found in oracle SQL")
+    }
+  }
+
+  test("the known fixture-reading lexical/LM family is annotated") {
+    // the families whose Spark side reads a qtmp store while the
+    // oracle recomputes from raw text (media derivation oracles are
+    // deliberately absent — they are nominal by construction)
+    val expected = Set(
+      "q_dedup_minhash", "q_dedup_minhash_est", "q_minhash_error",
+      "q_dedup_ngram", "q_dedup_contain", "q_ngram_novelty",
+      "q_dedup_pipeline", "q_dedup_simhash", "q_dedup_simhash_band",
+      "q_dedup_cc", "q_dup_cluster_stats",
+      "q_bigram_lm", "q_lm_interp", "q_kn_bigram")
+    assert(EntrySupport.oracleFixtureCte.keySet == expected)
+  }
+}
