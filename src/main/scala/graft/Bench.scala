@@ -321,15 +321,18 @@ object Bench {
     // denominator drops the fixture-equivalent CTE prefix (timed by
     // tools/time_oracle.py; see its docstring for the approximation
     // caveat), since the Spark numerator reads that stage from a
-    // prepare-materialized store. Denominator floored at 5 ms so a
-    // query whose oracle IS almost entirely fixture build (q_dedup_cc)
-    // reads as "floor-bound", not as a fake thousand-x.
+    // prepare-materialized store. When the remainder is below 20 ms
+    // the oracle was essentially ALL fixture build — no meaningful
+    // like-for-like denominator exists (the Spark side is job-floor
+    // bound there), so no ratio is emitted and the split seconds
+    // speak for themselves.
     val duckFixtureJson = results.flatMap { case (k, _, _, _, _, _, _) =>
       duckFixtureTimes.get(k).map(d => "\"" + k + "\":" + f"$d%.3f") }
       .mkString("{", ",", "}")
     val ratioLikeJson = results.flatMap { case (k, v, _, _, _, _, _) =>
-      for { d <- duckTimes.get(k); fx <- duckFixtureTimes.get(k) }
-        yield "\"" + k + "\":" + f"${v / math.max(d - fx, 0.005)}%.2f" }
+      for { d <- duckTimes.get(k); fx <- duckFixtureTimes.get(k)
+            if d - fx >= 0.02 }
+        yield "\"" + k + "\":" + f"${v / (d - fx)}%.2f" }
       .mkString("{", ",", "}")
     val duckTotal = results.flatMap(r => duckTimes.get(r._1)).sum
     // the flagged set: >= 0.5 s AND > 2x its own oracle (only
@@ -344,8 +347,13 @@ object Bench {
     // caveat in view. duckdb_sec_fixture_input (when present in
     // tools/duckdb_sf01_times.json) gives the like-for-like
     // denominator for exactly this set.
-    val fixtureReadersJson = results.collect { case (k, _, _, _, _, _, true) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val fixtureReadersJson =
+      (results.collect { case (k, _, _, _, _, _, true) => k } ++
+        // driver-side model loads (weights read from a qtmp store and
+        // embedded as literals) never appear in the plan — declared
+        // membership keeps them visible
+        EntrySupport.modelStoreReaders.filter(selected.contains))
+        .distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cap the error detail so a widespread failure can't blow the
     // summary line past the harness's output-tail budget — the full
     // messages are in the log above; the line keeps names + count
@@ -379,7 +387,19 @@ object Bench {
       "q_knn_vote" -> "holdout model collect + one compiled all-cosines pass + skinny top-k exchange + in-array HOF vote (r7; 0.77s -> 0.29s)",
       "q_media_jpeg" -> "nominal ratio only: the DuckDB 'oracle' restates the planted answer arithmetically from doc_id while Spark runs a REAL baseline-JPEG Huffman+IDCT decode per payload (same exclusion rationale as q_media_dedup_cc)",
       "q_rrf" -> "fused single-pass since r9 (tfidf+bm25 as two columns of ONE posting join; 9 -> 5 jobs, 1.64 -> 0.50-0.54s quiet); remaining cost is 4 broadcast-build jobs + the scored window pass, job-floor bound",
-      "q_sink_zorder" -> "4 jobs including two REAL parquet writes (range-partition + in-partition sort + write, then the read-back check) - sink queries time actual file I/O each sample")
+      "q_sink_zorder" -> "4 jobs including two REAL parquet writes (range-partition + in-partition sort + write, then the read-back check) - sink queries time actual file I/O each sample",
+      "q_media_dedup_cc" -> "7 jobs, each real work: 2000-image decode+aHash cache, band-pair build, undirected-edge cache, fused-hop label checkpoint, convergence probe, keeper fold; ratio NOMINAL - the DuckDB oracle restates the planted answer arithmetically from doc_id (same exclusion rationale as q_media_jpeg)",
+      "q_sim_ann_pq_refine" -> "r10: model loads from the pq_model store (training jobs gone); remaining jobs = code-assign cache, ADC shortlist window, full-vector refine join-back - the faiss two-stage shape, job-floor bound",
+      "q_sim_ann_pq" -> "r10: model loads from the pq_model store; code-assign cache + ADC scan + rank window",
+      "q_sparse_cosine" -> "6 jobs: cached tokenize collapse, df broadcast, nDocs scalar, unit-norm fold, query-slice broadcast, scored posting join (Bayardo) - corpus shuffles once; windowizing the agg+join pair measured SLOWER (BASELINE dead-ends)",
+      "q_bm25" -> "5 jobs: shared tokenize collapse cache + df/avgdl broadcast builds + posting join + top-k window; same skeleton as q_sparse_cosine, same dead-end note",
+      "q_sim_sq" -> "5 jobs: max-abs int8 quantize pass, query-matrix collect, compiled int8 flat scan, shortlist exchange, full-precision refine - the no-training compression tier; every job is a distinct stage of the two-phase scan",
+      "q_dedup_minhash_est" -> "4 jobs over the ddf signature store: band-candidates join + per-pair estimate fold + 2 broadcast builds",
+      "q_kl_sources" -> "4 jobs: global unigram distribution broadcast + per-source distributions + KL fold + count scalar; vocabulary-sized broadcasts, corpus shuffles once",
+      "q_pmi" -> "4 jobs: adjacent-bigram counts + two marginal broadcasts + scored join; all vocabulary-sized",
+      "q_ppl_buckets" -> "4 jobs: LM lookup broadcast + per-doc score + bucket stats agg + count scalar",
+      "q_quality_classifier" -> "r10: weights load from the quality_lr model store (training jobs gone); scoring = one feature aggregate + one doc-keyed fold with the model as column literals",
+      "q_sink_append" -> "4 jobs incl. two REAL parquet writes (overwrite then append) + the re-scan check - sink queries time actual file I/O each sample")
     val floorNotesJson = floorNotes
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")

@@ -42,10 +42,11 @@ private[graft] object EntryQueriesB {
 
     "q_sim_ann_kmeans" -> ((s0, dir) => {
       val s = ensure(s0)
-      // sampleMod=2: the coarse quantizer trains on every 2nd vector
-      // (~125·nCells training points — faiss-style bounded sample)
-      Sim.cosineTopKIvfKmeans(Tables.embeddings(s, dir),
-        nQueries = 10, k = 5, nCells = 8, iters = 4, nProbe = 2, sampleMod = 2)
+      // model (8 cells trained on every 2nd vector — faiss-style
+      // bounded sample) loads from the corpus-versioned store
+      // (EntrySupport.pqModel — index training is a build step)
+      Sim.cosineTopKIvfFrom(Tables.embeddings(s, dir),
+        pqModel(s, dir)._1, nQueries = 10, k = 5, nProbe = 2)
         .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     }),
@@ -57,9 +58,9 @@ private[graft] object EntryQueriesB {
       // m-byte code reconstructions, not raw vectors). dim 64, m=8 →
       // 8-dim subspaces × 16 codes; same coarse quantizer as
       // q_sim_ann_kmeans.
-      Sim.cosineTopKIvfPq(Tables.embeddings(s, dir),
-        nQueries = 10, k = 5, nCells = 8, m = 8, ks = 16, iters = 4,
-        nProbe = 2, sampleMod = 2)
+      locally { val (cents, cbs) = pqModel(s, dir)
+        Sim.cosineTopKIvfPqFrom(Tables.embeddings(s, dir), cents, cbs,
+          nQueries = 10, k = 5, nProbe = 2) }
         .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     }),
@@ -69,9 +70,9 @@ private[graft] object EntryQueriesB {
       // The production two-stage shape: PQ codes shortlist 20
       // candidates per query, full vectors rescore only the shortlist
       // (faiss IndexRefine). Oracle recomputes BOTH stages.
-      Sim.cosineTopKIvfPq(Tables.embeddings(s, dir),
-        nQueries = 10, k = 5, nCells = 8, m = 8, ks = 16, iters = 4,
-        nProbe = 2, sampleMod = 2, refine = 20)
+      locally { val (cents, cbs) = pqModel(s, dir)
+        Sim.cosineTopKIvfPqFrom(Tables.embeddings(s, dir), cents, cbs,
+          nQueries = 10, k = 5, nProbe = 2, refine = 20) }
         .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     }),
@@ -83,8 +84,8 @@ private[graft] object EntryQueriesB {
       // threshold is tuned to this synthetic table's cosine range
       // (top pairs ~0.5-0.6) so the pair/keeper path is exercised —
       // production text embeddings use ~0.95+ (the paper's range).
-      Sim.semanticDedupKeepers(Tables.embeddings(s, dir),
-        nCells = 8, iters = 4, sampleMod = 2, minCos = 0.40)
+      Sim.semanticDedupKeepersFrom(Tables.embeddings(s, dir),
+        pqModel(s, dir)._1, minCos = 0.40)
         .orderBy(col("vec_id"))
     }),
 

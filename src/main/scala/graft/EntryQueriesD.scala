@@ -210,8 +210,7 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       // same trained quantizer configuration as q_sim_ann_kmeans /
       // q_dedup_semantic, so the dynamic oracle shares one model build
-      Sim.clusterPurity(Tables.embeddings(s, dir),
-          nCells = 8, iters = 4, sampleMod = 2)
+      Sim.clusterPurityFrom(Tables.embeddings(s, dir), pqModel(s, dir)._1)
         .orderBy(col("cell"))
     }),
 
@@ -704,10 +703,14 @@ private[graft] object EntryQueriesD {
       // re-runs the IDENTICAL deterministic training at Verify time
       // and recomputes the whole score path from the pinned weights
       // (the q_sim_lsh trick); classifier QUALITY is separately pinned
-      // by QualityClassifierSpec's precision/recall bounds.
-      Text.qualityClassifier(
-          Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism))
+      // by QualityClassifierSpec's precision/recall bounds. The model
+      // loads from the corpus-versioned store (EntrySupport
+      // .qualityModel — the shipped-artifact shape); scoring is the
+      // whole query: one feature aggregate + one doc-keyed fold.
+      val (w, b) = qualityModel(s, dir)
+      Text.qualityScoreFrom(
+          Text.qualityCorpus(Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism)), 256, w, b)
         .orderBy(col("doc_id"))
     })
   )

@@ -452,6 +452,91 @@ private[graft] object EntrySupport {
         |  UNION
         |  SELECT rc.doc_id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)""".stripMargin
 
+  /** Materialized trained quality-classifier model — (idx, w) rows,
+    * idx −1 carrying the bias ([[graft.ops.Text.trainQualityLrLocal]],
+    * deterministic, so this is a derived corpus-versioned constant
+    * exactly like the PQ codebooks). Production ships the trained
+    * gate as an artifact (the fastText .bin analog) and every scoring
+    * run loads it; training per query invocation would re-collect and
+    * re-tokenize the sample each time. Memoized per JVM after the
+    * first read (a model constant, not a data cache — CacheScope
+    * hygiene does not apply); doubles round-trip parquet bit-exactly,
+    * and the dynamic oracle re-trains INDEPENDENTLY at Verify time,
+    * so a drifted store fails the hash gate rather than hiding.
+    */
+  private[graft] def qualityModel(s: SparkSession, dir: String)
+      : (Array[Double], Double) = {
+    import s.implicits._
+    val path = tmpDir("quality_lr", dir)
+    qualityModelMemo.computeIfAbsent(path, { _ =>
+      Sinks.ensureWritten({
+        val docs = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+        val (w, b) = graft.ops.Text.trainQualityLrLocal(
+          graft.ops.Text.qualityCorpus(docs), dim = 256)
+        (w.zipWithIndex.map { case (x, i) => (i, x) }.toSeq :+ ((-1, b)))
+          .toDF("idx", "w")
+      }, path)
+      val rows = s.read.parquet(path).collect()
+        .map(r => (r.getInt(0), r.getDouble(1)))
+      val w = new Array[Double](256)
+      var b = 0.0
+      rows.foreach { case (i, x) => if (i < 0) b = x else w(i) = x }
+      (w, b)
+    })
+  }
+  private val qualityModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]
+
+  /** Materialized IVF/PQ model — the coarse centroids and per-subspace
+    * codebooks every trained-ANN query shares (nCells=8, m=8, ks=16,
+    * iters=4, sampleMod=2 — the q_sim_ann_kmeans configuration; the
+    * dynamic oracles re-run [[graft.ops.Sim.pqTrainLocal]]
+    * INDEPENDENTLY at Verify time, so store drift fails the hash
+    * gate). faiss trains an index as a build step and serves it to
+    * every search; this is that artifact. Same memo/round-trip
+    * reasoning as [[qualityModel]].
+    */
+  private[graft] def pqModel(s: SparkSession, dir: String)
+      : (graft.ops.Sim.Centroids, graft.ops.Sim.Codebooks) = {
+    import s.implicits._
+    val path = tmpDir("pq_model", dir)
+    pqModelMemo.computeIfAbsent(path, { _ =>
+      Sinks.ensureWritten({
+        val (cents, cbs) = graft.ops.Sim.pqTrainLocal(
+          Tables.embeddings(s, dir), nCells = 8, m = 8, ks = 16,
+          iters = 4, sampleMod = 2)
+        (cents.map { case (id, v) => ("cent", id.toInt, 0, v.toSeq) } ++
+          cbs.zipWithIndex.flatMap { case (codes, j) =>
+            codes.zipWithIndex.map { case (cv, c) => ("cb", j, c, cv.toSeq) }
+          }).toDF("kind", "i", "j", "vec")
+      }, path)
+      val rows = s.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Double](3).toArray))
+      val cents: graft.ops.Sim.Centroids = rows.filter(_._1 == "cent")
+        .sortBy(_._2).map(r => (r._2.toLong, r._4)).toSeq
+      val nSub = rows.filter(_._1 == "cb").map(_._2).max + 1
+      val cbs: graft.ops.Sim.Codebooks = (0 until nSub).map { j =>
+        rows.filter(r => r._1 == "cb" && r._2 == j)
+          .sortBy(_._3).map(_._4).toSeq
+      }
+      (cents, cbs)
+    })
+  }
+  private val pqModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.ops.Sim.Centroids, graft.ops.Sim.Codebooks)]
+
+  /** Queries whose MODEL loads driver-side from a qtmp store (weights
+    * collected and embedded as literals), which Bench's plan-walk
+    * fixture detection cannot see — declared here so fixture_readers
+    * stays complete. FixtureCteSpec pins every name to a declared
+    * query.
+    */
+  private[graft] val modelStoreReaders: Set[String] = Set(
+    "q_quality_classifier", "q_sim_ann_kmeans", "q_sim_ann_pq",
+    "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity")
+
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw
     * text, the name of the oracle CTE at the fixture boundary — i.e.

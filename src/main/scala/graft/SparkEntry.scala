@@ -73,6 +73,8 @@ object SparkEntry {
     pngMedia(s, sfDir)
     simhashFpsExactDup(s, sfDir)
     simhashFpsDocs1k(s, sfDir)
+    qualityModel(s, sfDir)
+    pqModel(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))

@@ -580,8 +580,18 @@ object Sim {
   def cosineTopKIvfKmeans(embeddings: DataFrame, nQueries: Int, k: Int,
                           nCells: Int, iters: Int = 4, nProbe: Int = 2,
                           sampleMod: Int = 1): DataFrame = {
-    val dotF = dotNative(embeddings.sparkSession) _
     val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
+    cosineTopKIvfFrom(embeddings, cents, nQueries, k, nProbe)
+  }
+
+  /** [[cosineTopKIvfKmeans]] under a PRE-TRAINED coarse quantizer —
+    * the production separation: the model is a corpus-versioned
+    * artifact (faiss index training is a build step, not a query
+    * step), so a search invocation pays zero training jobs.
+    */
+  def cosineTopKIvfFrom(embeddings: DataFrame, cents: Centroids,
+                        nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
     searchCells(withNormed(embeddings, dotF), dotF, cents, nQueries, k, nProbe)
   }
 
@@ -690,8 +700,15 @@ object Sim {
     */
   def semanticDedupKeepers(embeddings: DataFrame, nCells: Int, iters: Int,
                            sampleMod: Int, minCos: Double): DataFrame = {
-    val dotF = dotNative(embeddings.sparkSession) _
     val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
+    semanticDedupKeepersFrom(embeddings, cents, minCos)
+  }
+
+  /** [[semanticDedupKeepers]] under a pre-trained coarse quantizer
+    * (see [[cosineTopKIvfFrom]] — models are build-step artifacts). */
+  def semanticDedupKeepersFrom(embeddings: DataFrame, cents: Centroids,
+                               minCos: Double): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
     val assigned = CacheScope.cached(
       withNormed(embeddings, dotF)
         .withColumn("cell", argmaxCell(dotF, cents)(col("v"), col("nrm")))
@@ -774,8 +791,13 @@ object Sim {
     */
   def clusterPurity(embeddings: DataFrame, nCells: Int, iters: Int = 4,
                     sampleMod: Int = 1): DataFrame = {
-    val dotF = dotNative(embeddings.sparkSession) _
     val cents = kmeansCentroidsSampledLocal(embeddings, nCells, iters, sampleMod)
+    clusterPurityFrom(embeddings, cents)
+  }
+
+  /** [[clusterPurity]] under a pre-trained quantizer. */
+  def clusterPurityFrom(embeddings: DataFrame, cents: Centroids): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
     if (cents.isEmpty) {
       // empty table → empty audit, never a fault (EmptyInputSpec contract)
       val spark = embeddings.sparkSession
@@ -1011,8 +1033,17 @@ object Sim {
                       nCells: Int, m: Int, ks: Int, iters: Int = 4,
                       nProbe: Int = 2, sampleMod: Int = 1,
                       refine: Int = 0): DataFrame = {
-    val dotF = dotNative(embeddings.sparkSession) _
     val (cents, cb) = pqTrainLocal(embeddings, nCells, m, ks, iters, sampleMod)
+    cosineTopKIvfPqFrom(embeddings, cents, cb, nQueries, k, nProbe, refine)
+  }
+
+  /** [[cosineTopKIvfPq]] under a pre-trained (centroids, codebooks)
+    * model (see [[cosineTopKIvfFrom]]). */
+  def cosineTopKIvfPqFrom(embeddings: DataFrame, cents: Centroids,
+                          cb: Codebooks, nQueries: Int, k: Int,
+                          nProbe: Int = 2, refine: Int = 0): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    val m = cb.size
     val d = cents.head._2.length / m
     val assigned = CacheScope.cached(
       withNormed(embeddings, dotF)

@@ -27,6 +27,12 @@ class FixtureCteSpec extends AnyFunSuite {
     }
   }
 
+  test("every declared model-store reader is a declared query") {
+    EntrySupport.modelStoreReaders.foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"$q not in SparkEntry.queries")
+    }
+  }
+
   test("the known fixture-reading lexical/LM family is annotated") {
     // the families whose Spark side reads a qtmp store while the
     // oracle recomputes from raw text (media derivation oracles are
