@@ -805,6 +805,28 @@ private[graft] object EntryOraclesC {
         |       CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
         |       least(f.doc_id, coalesce(n.min_nbr, f.doc_id)) AS keep_id
         |FROM fp f LEFT JOIN nbrs n ON n.doc_id = f.doc_id
-        |ORDER BY f.doc_id""".stripMargin
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // the EXACT brute-force top-k (same text as q_sim_cosine_topk's
+    // oracle): the HNSW query saturates its segment graphs at verify
+    // scale (efSearch ≥ segment size), so matching this oracle IS the
+    // proof that graph build + scatter-gather merge lose nothing
+    "q_sim_hnsw" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_r
+        |  FROM n q, n c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM pairs)
+        |SELECT q_id, c_id, cos_r, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   )
 }

@@ -712,6 +712,22 @@ private[graft] object EntryQueriesD {
           Text.qualityCorpus(Tables.documents(s, dir)
             .repartition(s.sparkContext.defaultParallelism)), 256, w, b)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_sim_hnsw" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // graph-tier ANN (ops.Hnsw): segment-local HNSW graphs +
+      // scatter-gather merge (the Vespa/Milvus/Lucene distribution
+      // shape). At the verify scales efSearch=512 ≥ every segment, so
+      // the graph walk is saturated and the EXACT brute-force oracle
+      // is the recall claim itself (a detached level-0 component or a
+      // broken merge fails the hash gate); HnswSpec grades the
+      // production configuration (efSearch=64) by recall at sf0.1.
+      graft.ops.Hnsw.hnswTopK(
+          Tables.embeddings(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          nQueries = 10, k = 5, m = 8, efConstruction = 64, efSearch = 512)
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 }

@@ -151,6 +151,25 @@ object ScaleStress {
     println(f"[scale] SQ8+refine recall@$k = ${sqHits.toDouble / (nQ * k)}%.3f (shortlist=64)")
     CacheScope.flush()
 
+    // 6d. Graph-tier HNSW at the same 1M x 64-d: 64 segment-local
+    //     graphs of ~nDocs/64 vectors each build INDEPENDENTLY inside
+    //     their partitions (the per-segment build is the scale cost:
+    //     O(|seg| · efC · log|seg|) dots, embarrassingly parallel,
+    //     zero shuffle), then 16 queries scatter to every segment and
+    //     gather on one skinny q_id exchange. The walk is genuinely
+    //     ef-bounded here (ef=64 « |seg|), so recall vs brute is the
+    //     graph-quality number, not a saturation tautology.
+    val hnsw = timed("hnswTopK (segment graphs)") {
+      val r = ops.Hnsw.hnswTopK(emb, nQ, k,
+        m = 8, efConstruction = 64, efSearch = 64).cache()
+      println(s"[scale]   rows=${r.count()}")
+      r
+    }
+    val hnswHits = brute.select(col("q_id"), col("c_id"))
+      .join(hnsw.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
+    println(f"[scale] HNSW recall@$k = ${hnswHits.toDouble / (nQ * k)}%.3f (ef=64, m=8)")
+    CacheScope.flush()
+
     // 7. SemDeDup at 100x the bench's embeddings table: the
     //    cluster-bounded pairwise search must stay Σ|cell|²/2, never
     //    N²/2 — nCells is the paper's lever, scaled here so cells hold

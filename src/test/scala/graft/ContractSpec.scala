@@ -31,8 +31,8 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("declared inventory has the expected size") {
-    // round 10: 193 + q_media_png + q_quality_classifier
-    assert(SparkEntry.queries.size === 195)
+    // round 10: 193 + q_media_png + q_quality_classifier + q_sim_hnsw
+    assert(SparkEntry.queries.size === 196)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

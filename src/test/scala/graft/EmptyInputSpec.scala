@@ -138,4 +138,16 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, String, String, Long)].toDF("doc_id", "prev", "next", "c"))
       .count() === 0)
   }
+
+  test("round-10 ops on empty inputs") {
+    val emptyMedia = spark.emptyDataset[graft.ops.Multimodal.MediaRow]
+    assert(graft.ops.Png.decodePngFeatures(emptyMedia).count() === 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.Hnsw.hnswTopK(emptyEmb, nQueries = 4, k = 3).count() === 0)
+    // scoring an empty corpus with pre-trained weights is the real
+    // first-run-of-the-day case (training on empty is a config error)
+    assert(Text.qualityScoreFrom(
+      Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "label"),
+      256, Array.fill(256)(0.0), 0.0).count() === 0)
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Hnsw, Sim}
+
+/** Contracts for the graph-tier ANN ([[Hnsw]]): segment-local HNSW
+  * graphs + scatter-gather merge.
+  *
+  * Grading follows the family convention (KmeansIvfSpec): production
+  * configurations are graded by RECALL against the brute-force
+  * [[Sim.cosineTopK]] ground truth on a CLUSTERED fixture (8 Gaussian
+  * blobs in 64d — isotropic random vectors make every sub-linear index
+  * score ≈ its scan fraction, distinguishing nothing). The saturated
+  * configuration (efSearch ≥ segment size ⇒ exhaustive layer-0 scan)
+  * must match brute force EXACTLY — that equality is also what the
+  * `q_sim_hnsw` DuckDB oracle pins at verify scale.
+  */
+class HnswSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  private val nQ = 10
+  private val k = 5
+
+  /** Same blob recipe as KmeansIvfSpec (8 blobs × 60 pts, 64d, seeded;
+    * id % 8 = blob so the nQ queries span 8 blobs). */
+  private lazy val emb = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 480).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private lazy val truthRows: Array[(Long, Long, Double, Long)] =
+    Sim.cosineTopK(emb, nQueries = nQ, k = k)
+      .orderBy("q_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+  private def recall(found: Array[(Long, Long)]): Double = {
+    val truth = truthRows.map(t => (t._1, t._2)).toSet
+    truth.intersect(found.toSet).size.toDouble / truth.size
+  }
+
+  test("saturated efSearch (>= segment size) is EXACTLY brute force, row for row") {
+    val out = Hnsw.hnswTopK(emb.repartition(4), nQueries = nQ, k = k,
+        m = 8, efConstruction = 64, efSearch = 512)
+      .orderBy("q_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === truthRows.toSeq)
+  }
+
+  test("saturated result is invariant to partitioning (2 vs 8 segments)") {
+    def run(parts: Int) = Hnsw.hnswTopK(emb.repartition(parts),
+        nQueries = nQ, k = k, m = 8, efConstruction = 64, efSearch = 512)
+      .orderBy("q_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(run(2).toSeq === run(8).toSeq)
+  }
+
+  test("production efSearch=64 on UNSATURATED segments (240 vecs/segment) keeps recall@5 >= 0.95") {
+    // 2 partitions of ~240 vectors each — the graph walk is the real
+    // ef-bounded best-first search, not an exhaustive scan
+    val out = Hnsw.hnswTopK(emb.repartition(2), nQueries = nQ, k = k,
+        m = 8, efConstruction = 64, efSearch = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = recall(out)
+    assert(r >= 0.95, s"recall@$k = $r")
+  }
+
+  test("graph build is deterministic: two independent builds agree at efSearch=64") {
+    def run() = Hnsw.hnswTopK(emb.repartition(2), nQueries = nQ, k = k,
+        m = 8, efConstruction = 64, efSearch = 64)
+      .orderBy("q_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(run().toSeq === run().toSeq)
+  }
+
+  test("sf0.1 testdata: production efSearch=64 recall@5 >= 0.95 vs brute force") {
+    // isotropic vectors, but segments are ~250 (8 parts × 2000) so
+    // ef=64 is a real graph walk; HNSW's layer-0 degree-2M neighborhood
+    // expansion keeps recall high even on structureless data at this
+    // corpus/ef ratio — this is the sf0.1 claim cited from the
+    // q_sim_hnsw query body
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = Tables.embeddings(spark, dir)
+    val truth01 = Sim.cosineTopK(e, nQueries = nQ, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Hnsw.hnswTopK(e.repartition(8), nQueries = nQ, k = k,
+        m = 8, efConstruction = 64, efSearch = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = truth01.intersect(out.toSet).size.toDouble / truth01.size
+    assert(r >= 0.95, s"recall@$k = $r")
+  }
+}
