@@ -263,8 +263,13 @@ private[graft] object EntryQueriesC {
 
     "q_cooccur" -> ((s0, dir) => {
       val s = ensure(s0)
+      // container day as an integer epoch-day: session tz is pinned
+      // UTC, so `ts_us div 86400e6` partitions identically to the
+      // formatted yyyy-MM-dd string (the oracle's strftime day) while
+      // skipping a per-row formatter — the key is internal to the
+      // grouping and never reaches the output
       val ev = Tables.events(s, dir).withColumn(
-        "day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        "day", expr("ts_us div 86400000000"))
       EventOps.cooccurrence(ev, Seq(col("user_id"), col("day")), "event_type")
         .orderBy(col("t_a"), col("t_b"))
     }),

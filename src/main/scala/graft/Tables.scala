@@ -61,10 +61,37 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Fact/corpus tables whose consumers do real per-row work (tokenize,
+    * JSON parse, vector math). At test scale each ships as ONE parquet
+    * split, so without an explicit spread every map-side operator over
+    * them runs single-threaded — the reader repartitions to the
+    * session's parallelism so the cached base frame (and every scan)
+    * fans out. At 100 TB the files bring their own splits and this
+    * round-robin is a no-op in spirit (n ≈ cluster parallelism either
+    * way); predicates and column pruning push through Repartition, so
+    * nothing is lost at the scan. Dimension tables stay single-split:
+    * they feed broadcasts, where extra partitions are pure task
+    * overhead.
+    */
+  private val spreadTables = Set("events", "documents", "embeddings", "lineitem")
+
+  /** Spread width for [[spreadTables]] — `SPARK_GRAFT_SPREAD` overrides
+    * (0 disables; measurement knob, same spirit as
+    * SPARK_GRAFT_EXTRA_CONF). Default 8: enough fan-out to collapse the
+    * tokenize/parse/decode map stages (~8× on one-split inputs) while
+    * keeping the per-task scheduling overhead off the 1-job floor
+    * queries.
+    */
+  private def spreadParts(spark: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
+      .getOrElse(math.min(8, spark.sparkContext.defaultParallelism))
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    val df = spark.read.schema(schema).parquet(path)
+    val n = if (spreadTables(name)) spreadParts(spark) else 0
+    if (n > 1) df.repartition(n) else df
   }
 
   /** events with `ts_us` (epoch micros, bigint) added. `ts` is kept

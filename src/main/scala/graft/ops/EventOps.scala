@@ -424,13 +424,30 @@ object EventOps {
     * 100 TB: swap count_distinct for approx_count_distinct.
     */
   def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
-    val total = df.agg(count(lit(1)).as("__total"))
-    df.select(explode(from_json(col(jsonCol), MapType(StringType, StringType))).as(Seq("key", "val")))
+    import org.apache.spark.sql.expressions.Window
+    // Single pass: every input row contributes one NULL-keyed sentinel
+    // entry (a JSON object key can never be null, so no real key can
+    // collide) alongside its parsed entries, so the row total rides the
+    // SAME key-keyed aggregate as the histogram instead of a second
+    // scan + broadcast-scalar job. The total then fans back over a
+    // partition-less window on the KEY-VOCABULARY frame (a handful of
+    // rows -- never corpus-sized).
+    val parsed = map_entries(coalesce(
+      from_json(col(jsonCol), MapType(StringType, StringType)),
+      map().cast(MapType(StringType, StringType))))
+    val sentinel = array(struct(
+      lit(null).cast(StringType).as("key"),
+      lit(null).cast(StringType).as("value")))
+    df
+      .select(explode(concat(parsed, sentinel)).as("e"))
+      .select(col("e.key").as("key"), col("e.value").as("val"))
       .groupBy(col("key"))
       .agg(
         count(lit(1)).as("n_rows"),
         count_distinct(col("val")).as("n_vals"))
-      .crossJoin(broadcast(total))
+      .withColumn("__total",
+        max(when(col("key").isNull, col("n_rows"))).over(Window.partitionBy()))
+      .filter(col("key").isNotNull)
       .select(col("key"), col("n_rows"), col("n_vals"),
         round(col("n_rows") / col("__total"), 4).as("share_r"))
   }
@@ -468,17 +485,22 @@ object EventOps {
     * degenerates to NULL z (the [[Relational.madOutliers]] guard).
     *
     * Shape: the corpus collapses to |days| rows FIRST; the median/MAD
-    * scalars ride back via crossJoin(broadcast(1-row)) — nothing
-    * event-sized is ever re-shuffled.
+    * scalars then ride two partition-less windows over that DAY-COUNT
+    * frame — bounded by the calendar (a century of days is 36 525
+    * rows), never event-sized, so the single window task is free and
+    * the whole operator is ONE job (the former shape built two
+    * broadcast-scalar frames — two extra job launches to aggregate
+    * ≤|days| rows each).
     */
   def dailyVolumeAnomalies(events: DataFrame, tsCol: String, k: Double): DataFrame = {
-    val daily = graft.CacheScope.cached(events
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val withMed = events
       .groupBy(date_format(timestamp_micros(col(tsCol)), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n")))
-    val med = daily.agg(expr("percentile(n, 0.5)").as("med"))
-    val withMed = daily.crossJoin(broadcast(med))
-    val mad = withMed.agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
-    withMed.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("med", expr("percentile(n, 0.5)").over(wAll))
+      .withColumn("mad", expr("percentile(abs(n - med), 0.5)").over(wAll))
+    withMed
       .select(
         col("day"), col("n"),
         round(col("med"), 4).as("med_r"),

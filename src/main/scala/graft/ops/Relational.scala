@@ -461,13 +461,17 @@ object Relational {
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   cutoff: Double): DataFrame = {
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val mad = df.join(broadcast(med), Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
-    df.join(broadcast(med), Seq(groupCol))
-      .join(broadcast(mad), Seq(groupCol))
+    // med/MAD as two stacked group-partitioned windows: ONE exchange on
+    // the group key and one job end-to-end. The former two broadcast
+    // group-stat frames cost a job launch each and bought nothing —
+    // exact percentile buffers a group's values wherever it runs, so
+    // the window has the same memory shape as the aggregate, and both
+    // are bounded by the largest group either way (at 100 TB a skewed
+    // group needs approx_percentile under both formulations).
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df
+      .withColumn("med", expr(s"percentile($valueCol, 0.5)").over(wg))
+      .withColumn("mad", expr(s"percentile(abs($valueCol - med), 0.5)").over(wg))
       // a zero-MAD group (≥50% identical values) would put ±Inf/NaN in
       // robust_z and flag every non-median row; NULL it instead so the
       // cutoff filter drops the group — the same null-guard pattern as

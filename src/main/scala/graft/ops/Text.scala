@@ -188,11 +188,16 @@ object Text {
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val toks = documents.select(
       col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
-    val tf = graft.CacheScope.cached(
-      toks.groupBy(col("token")).agg(count(lit(1)).as("freq")))
-    val total = tf.agg(sum(col("freq")).cast("double").as("__total"))
+    // the corpus-total scalar folds over a partition-less window on
+    // the VOCABULARY frame (Heaps-bounded, the q_zipf tier) inside the
+    // same lookup build — one job fewer than a separate broadcast-
+    // scalar aggregate, and with a single consumer the collapse no
+    // longer needs a cache
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("__total", sum(col("freq"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("double"))
     toks.join(tf, Seq("token"))
-      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_toks"),
@@ -1056,15 +1061,20 @@ object Text {
       .select(
         try_element_at(col("toks"), col("i")).as("w1"),
         try_element_at(col("toks"), col("i") + 1).as("w2"))
-    val bc = graft.CacheScope.cached(
-      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy")))
-    val left = bc.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
-    val right = bc.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
-    val total = bc.agg(sum(col("c_xy")).cast("double").as("__n"))
-    bc.filter(col("c_xy") >= minCount)
-      .join(left, Seq("w1"))
-      .join(right, Seq("w2"))
-      .crossJoin(broadcast(total))
+    // marginals and the grand total fold as windows over the BIGRAM-
+    // VOCABULARY frame (Heaps-bounded, the q_zipf/q_bpe_pairs tier —
+    // never instance-sized): one job end-to-end instead of a cached
+    // collapse plus three aggregate-and-join-back passes. At 100 TB
+    // the partition-less total window is the one to swap for a
+    // broadcast scalar; the w1/w2 marginal windows shard by token and
+    // survive as-is.
+    import org.apache.spark.sql.expressions.Window
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .withColumn("c_x", sum(col("c_xy")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c_y", sum(col("c_xy")).over(Window.partitionBy(col("w2"))))
+      .withColumn("__n",
+        sum(col("c_xy")).over(Window.partitionBy()).cast("double"))
+      .filter(col("c_xy") >= minCount)
       .select(
         col("w1"), col("w2"), col("c_xy"),
         round(log(col("c_xy") * col("__n") / (col("c_x") * col("c_y"))), 4).as("pmi"))
@@ -1191,13 +1201,18 @@ object Text {
       documents
         .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c")))
+    // the grand total is the sum of the per-source totals — fold it
+    // over a partition-less window on the SOURCE-COUNT frame (a handful
+    // of rows) instead of paying a third broadcast-build job to re-scan
+    // the collapse for one scalar
     val srcTot = st.groupBy(col("source")).agg(sum(col("c")).as("s_tot"))
+      .withColumn("g_tot", sum(col("s_tot"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("double"))
     val corpTok = st.groupBy(col("token")).agg(sum(col("c")).as("t_tot"))
-    val grand = st.agg(sum(col("c")).cast("double").as("g_tot"))
     st
       .join(broadcast(corpTok), Seq("token"))
       .join(broadcast(srcTot), Seq("source"))
-      .crossJoin(broadcast(grand))
       .select(col("source"), col("s_tot"),
         (col("c") / col("s_tot") *
           log(col("c") / col("s_tot") / (col("t_tot") / col("g_tot"))))

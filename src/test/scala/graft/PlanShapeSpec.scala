@@ -135,12 +135,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no partial aggregation before the shuffle:\n$p")
   }
 
-  test("madOutliers: per-group stats broadcast back, fact side never shuffles") {
+  test("madOutliers: one group-keyed exchange serves both stat windows, no join") {
+    // r10 shape: med and MAD are stacked windows over ONE hash exchange
+    // on the group key — the former two broadcast stat frames cost a
+    // job launch each (exact percentile buffers per group either way)
     val d = evB8.withColumn("g", (col("user_id") % 3).cast("string"))
       .withColumn("v", col("event_id").cast("double"))
     val p = plan(Relational.madOutliers(d, "g", "v", 3.0))
-    assert(p.contains("BroadcastHashJoin"), s"stats join-back must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"fact table shuffled for the stats join:\n$p")
+    assert(!p.contains("Join"), s"stats must ride windows, not a join-back:\n$p")
+    assert(!p.contains("SinglePartition"), s"stat window went global:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"madOutliers grew a second shuffle ($exchanges):\n$p")
   }
 
   test("ewma: one per-key window shuffle, never global") {
@@ -411,7 +416,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_kn_bigram" -> "vocabulary-sized scalar-total frame",
       // post-aggregation frames bounded by a group-count or model
       // argument documented at the operator site
-      "q_minhash_error" -> "bounded candidate-pair audit frame")
+      "q_minhash_error" -> "bounded candidate-pair audit frame",
+      // r10 scalar-fan-back windows over collapsed frames (the
+      // two-broadcast-build shape cost a job launch per scalar):
+      "q_anomaly_days" -> "day-count-sized frame (calendar-bounded)",
+      "q_json_keys" -> "JSON key-vocabulary-sized frame",
+      "q_kl_sources" -> "source-count-sized per-source totals frame",
+      "q_pmi" -> "bigram-vocabulary-sized frame (Heaps-bounded, zipf tier)",
+      "q_unigram_logprob" -> "vocabulary-sized scalar-total frame",
+      "q_ppl_buckets" -> "vocabulary-sized scalar-total frame")
     val sf = "/root/testdata/sf0.001"
     try SparkEntry.prepare(spark, sf) catch { case _: Throwable => () }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
