@@ -728,6 +728,21 @@ private[graft] object EntryQueriesD {
             .repartition(s.sparkContext.defaultParallelism),
           nQueries = 10, k = 5, m = 8, efConstruction = 64, efSearch = 512)
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_sim_hnsw_routed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // IVF-routed graph tier: the trained coarse quantizer (the same
+      // corpus-versioned model q_sim_ann_kmeans serves) routes each
+      // query to nProbe cells; per-cell HNSW graphs answer only routed
+      // queries. efSearch=4096 ≥ any cell at verify scale saturates
+      // the walk, so exhaustive-within-probed-cells ≡ multi-probe IVF
+      // exact search and Sim.ivfSearchOracleSql pins it row-for-row
+      // (oracleSqlDynamic); HnswSpec grades production ef by recall.
+      graft.ops.Hnsw.hnswTopKRouted(Tables.embeddings(s, dir),
+          pqModel(s, dir)._1, nQueries = 10, k = 5, nProbe = 2,
+          m = 8, efConstruction = 64, efSearch = 4096)
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 }

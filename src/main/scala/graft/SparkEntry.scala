@@ -107,6 +107,13 @@ object SparkEntry {
     Map(
       "q_sim_ann_kmeans" ->
         ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2),
+      // identical SQL on purpose: the routed-HNSW query saturates its
+      // per-cell graph walks (efSearch ≥ every cell at verify scale),
+      // and exhaustive-within-probed-cells IS multi-probe IVF exact
+      // search — matching this oracle proves routing + graph build +
+      // scatter-gather merge lose nothing vs the cell-exhaustive scan
+      "q_sim_hnsw_routed" ->
+        ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2),
       "q_dedup_semantic" ->
         ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40),
       "q_sim_ann_pq" ->

@@ -282,4 +282,76 @@ object Hnsw {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
   }
+
+  /** IVF-routed HNSW — the coarse router named in the object scaladoc,
+    * composed: the trained k-means centroids (the same corpus-versioned
+    * model `q_sim_ann_kmeans` serves) route each query to its
+    * `nProbe` best cells, vectors repartition BY CELL, one HNSW graph
+    * builds per cell inside its partition, and a query walks only its
+    * probed cells' graphs — the faiss IVF+graph / Milvus
+    * partition-routed layout. Fan-out per query drops from
+    * all-segments ([[hnswTopK]]) to `nProbe` cells; the merge contract
+    * is unchanged (any subset of segments).
+    *
+    * Assignment and probing reuse [[Sim.argmaxCell]]/[[Sim.probeCells]]
+    * — bit-identical to `q_sim_ann_kmeans`'s search, which is what
+    * makes the saturated configuration (efSearch ≥ every cell)
+    * oracle-checkable: an exhaustive walk within exactly the probed
+    * cells IS multi-probe IVF exact search, so
+    * [[Sim.ivfSearchOracleSql]] pins this operator row-for-row with the
+    * same pinned-centroid-literal SQL. A routing bug, a detached graph
+    * component, or a merge defect each breaks the hash gate; HnswSpec
+    * grades the production (ef-bounded) configuration by recall.
+    */
+  def hnswTopKRouted(embeddings: DataFrame, cents: Sim.Centroids,
+                     nQueries: Int, k: Int, nProbe: Int, m: Int = 8,
+                     efConstruction: Int = 64, efSearch: Int = 512): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dotF = Sim.dotNative(spark) _
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+      .withColumn("cell",
+        Sim.argmaxCell(dotF, cents)(col("v"), col("nrm")).cast("int"))
+    // query model build: nQueries rows with their probe lists (driver-
+    // sized, the searchCells shape)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .withColumn("probe",
+        if (nProbe <= 1) array(col("cell"))
+        else Sim.probeCells(dotF, cents, nProbe)(col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("probe").cast("array<int>"))
+      .as[(Long, Array[Double], Array[Int])]
+      .collect().sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(queries)
+    val perCell = assigned
+      .select(col("vec_id"), col("v"), col("cell"))
+      .repartition(col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { rows =>
+        // a hash partition may hold several cells — one graph per cell,
+        // each built in deterministic vec_id order
+        val byCell = rows.toArray.groupBy(_._3)
+        byCell.toSeq.sortBy(_._1).iterator.flatMap { case (cell, vecs) =>
+          val g = new Graph(m, efConstruction)
+          vecs.sortBy(_._1).foreach { case (id, v, _) => g.insert(id, v) }
+          g.repairConnectivity()
+          bq.value.iterator
+            .filter(_._3.contains(cell))
+            .flatMap { case (qId, qv, _) =>
+              g.search(qv, k + 8, efSearch).collect {
+                case (cId, s) if cId != qId => (qId, cId, s)
+              }
+            }
+        }
+      }.toDF("q_id", "c_id", "cos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("c_id").asc)
+    perCell
+      .withColumn("cos_r", round(col("cos"), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+  }
 }

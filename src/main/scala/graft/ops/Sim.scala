@@ -369,7 +369,7 @@ object Sim {
       typedlit(cents.flatMap(_._2.toSeq)), lit(cents.size), lit(nProbe)))
 
   /** Map-side argmax cell assignment — zero joins, zero shuffles. */
-  private def argmaxCell(
+  private[ops] def argmaxCell(
       dotF: (Column, Column) => Column, cents: Centroids)(
       v: Column, nrm: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -383,7 +383,7 @@ object Sim {
     * HOF transform is acceptable in the fallback: it runs on the
     * handful of query rows, never the candidate table.
     */
-  private def probeCells(
+  private[ops] def probeCells(
       dotF: (Column, Column) => Column, cents: Centroids, nProbe: Int)(
       v: Column, nrm: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active

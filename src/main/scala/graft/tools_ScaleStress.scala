@@ -170,6 +170,24 @@ object ScaleStress {
     println(f"[scale] HNSW recall@$k = ${hnswHits.toDouble / (nQ * k)}%.3f (ef=64, m=8)")
     CacheScope.flush()
 
+    // 6e. IVF-routed HNSW at 1M x 64-d: 64 trained cells, queries walk
+    //     only nProbe=4 cells' graphs — per-query work drops from 64
+    //     segment walks to 4, the billion-scale routing shape. Recall
+    //     is bounded by the router (the same nProbe=4 trade case 6
+    //     measures) times the walk; both bounds are printed side by
+    //     side above for the comparison.
+    val routed = timed("hnswTopKRouted (64 cells, nProbe=4)") {
+      val cents = ops.Sim.kmeansCentroidsSampledLocal(emb, 64, 4, 100)
+      val r = ops.Hnsw.hnswTopKRouted(emb, cents, nQ, k,
+        nProbe = 4, m = 8, efConstruction = 64, efSearch = 64).cache()
+      println(s"[scale]   rows=${r.count()}")
+      r
+    }
+    val routedHits = brute.select(col("q_id"), col("c_id"))
+      .join(routed.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
+    println(f"[scale] routed-HNSW recall@$k = ${routedHits.toDouble / (nQ * k)}%.3f (nProbe=4 of 64 cells, ef=64)")
+    CacheScope.flush()
+
     // 7. SemDeDup at 100x the bench's embeddings table: the
     //    cluster-bounded pairwise search must stay Σ|cell|²/2, never
     //    N²/2 — nCells is the paper's lever, scaled here so cells hold

@@ -17,7 +17,8 @@ class ContractSpec extends AnyFunSuite {
     // centroid literals), so they are absent from the static map only.
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
-        "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier"))
+        "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier",
+        "q_sim_hnsw_routed"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -32,7 +33,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("declared inventory has the expected size") {
     // round 10: 193 + q_media_png + q_quality_classifier + q_sim_hnsw
-    assert(SparkEntry.queries.size === 196)
+    // + q_sim_hnsw_routed
+    assert(SparkEntry.queries.size === 197)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -144,6 +144,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.Png.decodePngFeatures(emptyMedia).count() === 0)
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.ops.Hnsw.hnswTopK(emptyEmb, nQueries = 4, k = 3).count() === 0)
+    assert(graft.ops.Hnsw.hnswTopKRouted(emptyEmb,
+      Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))),
+      nQueries = 4, k = 3, nProbe = 2).count() === 0)
     // scoring an empty corpus with pre-trained weights is the real
     // first-run-of-the-day case (training on empty is a config error)
     assert(Text.qualityScoreFrom(

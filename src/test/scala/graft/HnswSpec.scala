@@ -83,6 +83,36 @@ class HnswSpec extends AnyFunSuite {
     assert(run().toSeq === run().toSeq)
   }
 
+  test("routed: saturated walk equals multi-probe IVF exact search row-for-row") {
+    // the q_sim_hnsw_routed oracle claim, checked Spark-vs-Spark: with
+    // efSearch >= every cell, walking only the probed cells' graphs
+    // must reproduce Sim.cosineTopKIvfFrom exactly (same centroids,
+    // same nProbe) — a routing, connectivity, or merge defect breaks it
+    val cents = graft.ops.Sim.kmeansCentroidsSampledLocal(emb, 8, 4, 2)
+    val ivf = graft.ops.Sim.cosineTopKIvfFrom(emb, cents, nQueries = nQ, k = k, nProbe = 2)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    CacheScope.flush()
+    val routed = Hnsw.hnswTopKRouted(emb, cents, nQueries = nQ, k = k,
+        nProbe = 2, m = 8, efConstruction = 64, efSearch = 4096)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(routed.toSeq === ivf.toSeq)
+  }
+
+  test("routed: production efSearch=64 keeps recall@5 >= 0.9 vs brute force on blobs") {
+    // nProbe=2 of 8 cells: the router bounds recall (a neighbor in an
+    // unprobed cell is unreachable — the IVF trade), the graph walk
+    // bounds it further; on 8 clean blobs the probed cells hold the
+    // true neighbors, so the bound is the IVF family's recall tier
+    val cents = graft.ops.Sim.kmeansCentroidsSampledLocal(emb, 8, 4, 2)
+    val out = Hnsw.hnswTopKRouted(emb, cents, nQueries = nQ, k = k,
+        nProbe = 2, m = 8, efConstruction = 64, efSearch = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r = recall(out)
+    assert(r >= 0.9, s"recall@$k = $r")
+  }
+
   test("sf0.1 testdata: production efSearch=64 recall@5 >= 0.95 vs brute force") {
     // isotropic vectors, but segments are ~250 (8 parts × 2000) so
     // ef=64 is a real graph walk; HNSW's layer-0 degree-2M neighborhood
