@@ -304,13 +304,26 @@ object EventOps {
   def recencyScore(events: DataFrame, anchorUs: Long, halflifeDays: Double): DataFrame = {
     val ageDays = (lit(anchorUs) - col("ts_us")) / lit(86400e6)
     val w = col("value") / pow(lit(2.0), floor(ageDays / lit(halflifeDays)))
+    // The per-user score folds in CANONICAL (event_id) order: plain
+    // sum() accumulates doubles in partition-arrival order, so a score
+    // landing exactly on the round(...,4) half-boundary can flip with
+    // the input layout (observed once at sf0.1 when the base-table
+    // spread changed arrival order by one ulp). Collect-sort-fold makes
+    // the summation a pure function of the data — the same per-user
+    // bounded-array contract as funnel/sessionize — and event_id order
+    // equals file order, which is also how a single-threaded engine
+    // (the DuckDB oracle) encounters the rows.
     events
       .filter(col("user_id").isNotNull && col("ts_us") <= anchorUs)
+      .select(col("user_id"), col("ts_us"), col("event_id"), w.as("w"))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         max(col("ts_us")).as("last_seen_us"),
-        round(sum(w), 4).as("recency_score_r"))
+        round(aggregate(
+          array_sort(collect_list(struct(col("event_id"), col("w")))),
+          lit(0.0), (acc, e) => acc + e.getField("w")), 4)
+          .as("recency_score_r"))
   }
 
   /** RFM segmentation — the classic customer-value grid (Hughes 1994;
