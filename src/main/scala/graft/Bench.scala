@@ -395,9 +395,9 @@ object Bench {
       "q_bm25" -> "5 jobs: shared tokenize collapse cache + df/avgdl broadcast builds + posting join + top-k window; same skeleton as q_sparse_cosine, same dead-end note",
       "q_sim_sq" -> "5 jobs: max-abs int8 quantize pass, query-matrix collect, compiled int8 flat scan, shortlist exchange, full-precision refine - the no-training compression tier; every job is a distinct stage of the two-phase scan",
       "q_dedup_minhash_est" -> "4 jobs over the ddf signature store: band-candidates join + per-pair estimate fold + 2 broadcast builds",
-      "q_kl_sources" -> "4 jobs: global unigram distribution broadcast + per-source distributions + KL fold + count scalar; vocabulary-sized broadcasts, corpus shuffles once",
-      "q_pmi" -> "4 jobs: adjacent-bigram counts + two marginal broadcasts + scored join; all vocabulary-sized",
-      "q_ppl_buckets" -> "4 jobs: LM lookup broadcast + per-doc score + bucket stats agg + count scalar",
+      "q_kl_sources" -> "r10: 3 jobs (grand total folds as a window over the source-count frame); vocabulary-sized broadcasts, corpus shuffles once",
+      "q_pmi" -> "r10: ONE job - marginals and total fold as windows over the bigram-vocabulary frame (was 4 jobs of aggregate-and-join-back)",
+      "q_ppl_buckets" -> "r10: 3 jobs - unigram lookup broadcast (corpus total folded in as a vocab-frame window) + per-doc score + bucket ntile",
       "q_quality_classifier" -> "r10: weights load from the quality_lr model store (training jobs gone); scoring = one feature aggregate + one doc-keyed fold with the model as column literals",
       "q_sink_append" -> "4 jobs incl. two REAL parquet writes (overwrite then append) + the re-scan check - sink queries time actual file I/O each sample")
     val floorNotesJson = floorNotes
