@@ -1124,5 +1124,10 @@ private[graft] object EntryOraclesA {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
         |       round(value, 4) AS value_r
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sink_xml" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |       round(value, 4) AS value_r
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

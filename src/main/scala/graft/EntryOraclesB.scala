@@ -592,6 +592,15 @@ private[graft] object EntryOraclesB {
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // Same derivation as q_json_intake: the oracle knows every 13th
+    // record carries the poisoned event_id cell, so it restates the
+    // bucket counts straight from the clean table.
+    "q_xml_intake" ->
+      """SELECT CASE WHEN event_id % 13 = 0 THEN 'corrupt'
+        |            ELSE event_type END AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_sink_zorder" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |FROM events WHERE user_id IS NOT NULL

@@ -406,6 +406,22 @@ private[graft] object EntryQueriesB {
       Sinks.orcRoundTrip(out, tmpDir("orc", dir), schema).orderBy(col("event_id"))
     }),
 
+    "q_sink_xml" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Fifth format surface: XML out (Spark 4's native spark-xml
+      // datasource) + schema'd read back. Same lossless-content oracle
+      // as the CSV/JSON/ORC sinks; markup-escaping fidelity is pinned
+      // separately in SinksSpec.
+      val out = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value_r", DoubleType)))
+      Sinks.xmlRoundTrip(out, tmpDir("xml", dir), schema).orderBy(col("event_id"))
+    }),
+
     "q_levenshtein" -> ((s0, dir) => {
       val s = ensure(s0)
       // Edit distance between doc_id-adjacent 40-char prefixes: the

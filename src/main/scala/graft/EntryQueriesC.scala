@@ -398,6 +398,49 @@ private[graft] object EntryQueriesC {
         .orderBy(col("bucket"))
     }),
 
+    "q_xml_intake" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // PERMISSIVE intake of a dirty LINE-DELIMITED XML feed — the XML
+      // twin of q_json_intake. Every 13th record carries a malformed
+      // VALUE (a non-numeric event_id cell inside well-formed markup):
+      // with multiLine=false the parser quarantines exactly that row to
+      // _corrupt_record (a whole-document parse would swallow the rest
+      // of the split — see Sinks.xmlPermissiveRead). event_type is
+      // entity-escaped on construction so the feed itself stays
+      // well-formed markup.
+      val feed = tmpDir("dirty_xml", dir)
+      val esc = (c: Column) =>
+        regexp_replace(regexp_replace(regexp_replace(c,
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      // a NULL field omits its element (the writer convention; reads
+      // back as NULL) — concat over a raw NULL would null the LINE and
+      // break the text sink
+      val elem = (name: String, v: Column) =>
+        when(v.isNull, lit("")).otherwise(
+          concat(lit(s"<$name>"), v, lit(s"</$name>")))
+      Sinks.ensureTextWritten(
+        Tables.events(s, dir).select(concat(
+          lit("<row>"),
+          elem("event_id",
+            when(col("event_id") % 13 === 0, concat(lit("x"), col("event_id")))
+              .otherwise(col("event_id").cast("string"))),
+          elem("event_type", esc(col("event_type"))),
+          elem("user_id", col("user_id").cast("string")),
+          elem("ts_us", col("ts_us").cast("string")),
+          lit("</row>")).as("value"))
+          .repartition(s.sparkContext.defaultParallelism),
+        feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType), StructField("ts_us", LongType)))
+      Sinks.xmlPermissiveRead(s, feed, schema)
+        .groupBy(
+          when(col("_corrupt_record").isNotNull, lit("corrupt"))
+            .otherwise(col("event_type")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_sink_zorder" -> ((s0, dir) => {
       val s = ensure(s0)
       // S8 multi-dim layout, oracle-checked for content losslessness:

@@ -63,6 +63,50 @@ object Sinks {
         .json(dir))
   }
 
+  /** XML round trip, same contract as [[csvRoundTrip]]: Spark 4 ships
+    * the (donated) spark-xml datasource natively, so XML is a
+    * first-class format surface beside CSV/JSON/ORC. Written with an
+    * explicit rowTag, re-read with the explicit schema (never
+    * inferred). The writer XML-escapes markup characters in string
+    * values and omits elements for nulls; the reader reverses both, so
+    * the trip is lossless for the scalar types used here.
+    */
+  def xmlRoundTrip(df: DataFrame, dir: String, schema: StructType,
+                   rowTag: String = "row"): DataFrame = {
+    df.write.mode("overwrite").option("rowTag", rowTag).format("xml").save(dir)
+    df.sparkSession.read.schema(schema).option("rowTag", rowTag)
+      .format("xml").load(dir)
+  }
+
+  /** PERMISSIVE XML intake with corrupt-record routing — the
+    * [[jsonPermissiveRead]] contract for the XML surface. The feed
+    * contract here is LINE-DELIMITED row elements (`multiLine=false`,
+    * one `<row>…</row>` per line): that is what keeps quarantine
+    * granularity at ONE ROW — the default whole-document parse dumps
+    * the entire remaining split into `_corrupt_record` at the first
+    * failure (and at 100 TB a line-delimited feed is also what makes
+    * the scan splittable at all, exactly like JSONL vs multi-line
+    * JSON). Malformed VALUES (a non-numeric long cell) route that row
+    * to `_corrupt_record`; well-formed neighbors are untouched —
+    * spec-pinned in SinksSpec.
+    *
+    * Cached for the same reason as the JSON twin: queries that touch
+    * only the corrupt-record column of an unmaterialized scan are
+    * rejected (SPARK-21610); persisting first is the documented
+    * pattern.
+    */
+  def xmlPermissiveRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        schema: StructType, rowTag: String = "row"): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    graft.CacheScope.cached(
+      spark.read.schema(withCorrupt)
+        .option("rowTag", rowTag)
+        .option("multiLine", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .format("xml").load(dir))
+  }
+
   /** S5 — batched append: Spark writes one file per partition per
     * batch; append mode accumulates (the `execute_batch` analogue,
     * `/root/reference/extract_bq.py:247-252`).

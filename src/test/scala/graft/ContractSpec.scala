@@ -34,7 +34,7 @@ class ContractSpec extends AnyFunSuite {
   test("declared inventory has the expected size") {
     // round 10: 193 + q_media_png + q_quality_classifier + q_sim_hnsw
     // + q_sim_hnsw_routed
-    assert(SparkEntry.queries.size === 197)
+    assert(SparkEntry.queries.size === 199)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
