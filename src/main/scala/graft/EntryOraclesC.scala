@@ -827,6 +827,26 @@ private[graft] object EntryOraclesC {
         |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
         |  FROM pairs)
         |SELECT q_id, c_id, cos_r, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // The Spark side pushes each row's fields through a constructed
+    // XML payload and back out via xpath_*/from_xml; the oracle
+    // recomputes the same answers from the raw table through DuckDB's
+    // JSON parser — same data, two parsers. first-match = the props
+    // `k` value when present else the derived param; last-match and
+    // the typed from_xml extraction are always the derived param;
+    // n_params counts the conditionally-present elements.
+    "q_xpath_extract" ->
+      """SELECT event_id,
+        |       COALESCE(json_extract_string(props, '$.k'),
+        |                CAST(event_id % 3 AS VARCHAR)) AS k_first,
+        |       event_id % 3 AS k_last,
+        |       CAST(2
+        |            + CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |                   THEN 0 ELSE 1 END
+        |            - CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+        |         AS BIGINT) AS n_params,
+        |       event_id % 3 AS k_last_typed
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -743,6 +743,51 @@ private[graft] object EntryQueriesD {
           pqModel(s, dir)._1, nQueries = 10, k = 5, nProbe = 2,
           m = 8, efConstruction = 64, efSearch = 4096)
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_xpath_extract" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // N1 params extraction through the XML parser surface (the
+      // xpath_* builtins + from_xml), first/last-match semantics
+      // included. The payload is constructed from the row's OWN
+      // fields — the JSON props `k` value rides in as the first `k`
+      // param when present, a derived `k` param is always appended —
+      // so first-match = props-or-derived, last-match = derived, and
+      // the oracle recomputes everything from the raw table through
+      // DuckDB's JSON parser: same data, two different parsers. Both
+      // extraction paths (positional XPath and schema'd from_xml +
+      // HOF filter + try_element_at(-1), the q_ga4_extract pattern)
+      // must agree with it.
+      val esc = (c: Column) =>
+        regexp_replace(regexp_replace(regexp_replace(c,
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val jk = get_json_object(col("props"), "$.k")
+      // a NULL value omits the whole param element (the writer
+      // convention, as in q_xml_intake)
+      val param = (k: String, v: Column) =>
+        when(v.isNull, lit("")).otherwise(
+          concat(lit(s"<param><k>$k</k><v>"), v, lit("</v></param>")))
+      val x = concat(
+        lit("<e><params>"),
+        param("k", esc(jk)),
+        param("u", col("user_id").cast("string")),
+        param("k", (col("event_id") % 3).cast("string")),
+        lit("</params></e>"))
+      val xmlSchema = StructType(Seq(StructField("params", StructType(Seq(
+        StructField("param", ArrayType(StructType(Seq(
+          StructField("k", StringType), StructField("v", StringType))))))))))
+      Tables.events(s, dir)
+        .select(col("event_id"), x.as("x"))
+        .select(
+          col("event_id"),
+          expr("xpath_string(x, \"//param[k='k']/v\")").as("k_first"),
+          expr("xpath_long(x, \"(//param[k='k']/v)[last()]\")").as("k_last"),
+          expr("CAST(size(xpath(x, '//param/k/text()')) AS BIGINT)").as("n_params"),
+          try_element_at(
+            filter(from_xml(col("x"), xmlSchema).getField("params").getField("param"),
+              p => p.getField("k") === lit("k")),
+            lit(-1)).getField("v").cast("long").as("k_last_typed"))
+        .orderBy(col("event_id"))
     })
   )
 }

@@ -33,8 +33,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("declared inventory has the expected size") {
     // round 10: 193 + q_media_png + q_quality_classifier + q_sim_hnsw
-    // + q_sim_hnsw_routed
-    assert(SparkEntry.queries.size === 199)
+    // + q_sim_hnsw_routed + q_sink_xml + q_xml_intake + q_xpath_extract
+    assert(SparkEntry.queries.size === 200)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
