@@ -55,6 +55,56 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming twin of the `q_xml_intake` PERMISSIVE quarantine: a
+    * line-delimited XML feed (one rowTag element per line — the
+    * contract that keeps quarantine granularity at one row, see
+    * [[graft.etl.Sinks.xmlPermissiveRead]]) arrives as text files;
+    * each line parses via `from_xml` with the corrupt-record field
+    * in-schema (PERMISSIVE fills it per ROW, for malformed values and
+    * malformed markup alike), and each micro-batch routes good typed
+    * rows to the parquet sink and corrupt RAW LINES to the quarantine
+    * sink — nothing is dropped, nothing kills the stream.
+    *
+    * Scale shape: the parse is map-side and the routing is two
+    * filters over one persisted batch — zero shuffles, no streaming
+    * state beyond the file-source log, so the twin costs the same per
+    * byte at 100 TB as at test scale.
+    */
+  def dirtyXmlIntake(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      goodSink: String,
+      quarantineSink: String,
+      rowTag: String = "row"): StreamingQuery = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val opts = new java.util.HashMap[String, String]
+    opts.put("rowTag", rowTag)
+    opts.put("mode", "PERMISSIVE")
+    opts.put("columnNameOfCorruptRecord", "_corrupt_record")
+    spark.readStream
+      .text(sourceDir)
+      .select(col("value"), from_xml(col("value"), withCorrupt, opts).as("r"))
+      .select(col("value"), col("r.*"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.filter(col("_corrupt_record").isNull)
+          .drop("value", "_corrupt_record")
+          .write.mode("append").parquet(goodSink)
+        b.filter(col("_corrupt_record").isNotNull)
+          .select(col("value"))
+          .write.mode("append").parquet(quarantineSink)
+        b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class HashedDoc(doc_id: Long, ts_us: Long, h: String, in_corpus: Boolean,
                              __event_time: java.sql.Timestamp)
   final case class DocVerdict(doc_id: Long, ts_us: Long,
