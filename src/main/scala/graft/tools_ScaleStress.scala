@@ -555,6 +555,41 @@ object ScaleStress {
       assert(acc >= 0.99, "planted separable classes stopped separating")
       CacheScope.flush()
     }
+
+    // 12. Dirty-XML intake (round 10) at nDocs lines through the
+    //     PERMISSIVE row-granular parse: every 13th line carries a
+    //     poisoned long cell. Quarantine must be EXACTLY those rows,
+    //     and the surviving ids must sum exactly — the checksum that
+    //     catches the whole-document parser's failure mode (swallowing
+    //     the rest of a split) as well as any dropped/duplicated row.
+    timed("xmlIntake") {
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft-scale-xml").toString + "/feed"
+      spark.range(0, nDocs, 1, 64).select(
+        concat(lit("<row><id>"),
+          when(col("id") % 13 === 0, concat(lit("x"), col("id")))
+            .otherwise(col("id").cast("string")),
+          lit("</id><grp>"), pmod(col("id"), lit(7L)),
+          lit("</grp></row>")).as("value"))
+        .write.mode("overwrite").text(feed)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.LongType)))
+      val got = etl.Sinks.xmlPermissiveRead(spark, feed, schema)
+      val agg = got.agg(
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("bad"),
+        sum(when(col("_corrupt_record").isNull, col("id"))).as("idsum"),
+        count(lit(1)).as("total")).collect().head
+      val expBad = (nDocs + 12) / 13
+      val expSum = nDocs * (nDocs - 1) / 2 - 13L * (expBad * (expBad - 1) / 2)
+      println(s"[scale]   total=${agg.getLong(2)} quarantined=${agg.getLong(0)} " +
+        s"(expect $expBad) good-id-sum=${agg.getLong(1)} (expect $expSum)")
+      assert(agg.getLong(2) == nDocs && agg.getLong(0) == expBad &&
+        agg.getLong(1) == expSum, "XML quarantine drifted at scale")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }
