@@ -519,7 +519,7 @@ private[graft] object EntryOraclesB {
         |  FROM c),
         |s AS (
         |  SELECT doc_id,
-        |         md5(array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ')) AS seg
+        |         hash(array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ')) AS seg
         |  FROM t, unnest(generate_series(0, CAST(len(toks) // 5 AS INT) - 1)) AS u(i)
         |  WHERE len(toks) >= 5),
         |df AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1)

@@ -326,7 +326,7 @@ private[graft] object EntryQueriesC {
       val s = ensure(s0)
       // plant a shared 5-token banner on even docs so the detector has
       // real chrome to find (the corpus itself is near-collision-free)
-      // scan fan-out: the md5-per-segment explode precedes the first
+      // scan fan-out: the hash-per-segment explode precedes the first
       // exchange and the corpus parquet is one split
       val withBanner = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)

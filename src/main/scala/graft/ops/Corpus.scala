@@ -271,14 +271,17 @@ object Corpus {
     * distinct-reduced; the df count comes from ONE segment-keyed
     * aggregation whose output is segment-vocabulary-sized; the verdict
     * joins back on the segment hash. Fraction denominators ride the
-    * per-doc aggregation — no second corpus pass. The md5 segment key
-    * makes the oracle bit-compatible; xxhash64 at 100 TB.
+    * per-doc aggregation — no second corpus pass. The segment key is
+    * xxhash64 — it never reaches the output (only distinct/join
+    * identity matters, and the oracle hashes its own way for the same
+    * counts), so the codegen'd 64-bit key beats md5 at any scale.
     */
   def boilerplate(docs: DataFrame, segLen: Int, minDocs: Int): DataFrame = {
-    // CacheScope-cached: the df branch and the probe side both read the
-    // segment stream, and the md5-per-segment explode is the operator's
-    // map-side cost — one pass instead of two.
-    val segs = graft.CacheScope.cached(docs
+    // ONE map pass with no cache: the repartition(seg) exchange below
+    // is read by BOTH the df branch and the join probe side, and the
+    // two subtrees are the same object, so ReuseExchange shares the
+    // shuffle and the tokenize+explode+hash map work runs once.
+    val segs = docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       // guard BEFORE sequence(): for size < segLen the last index is
       // -1 and sequence(0, -1) would generate a DESCENDING range, not
@@ -287,19 +290,20 @@ object Corpus {
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(0, size(toks) div $segLen - 1)")).as("i"))
       .select(col("doc_id"),
-        md5(concat_ws(" ",
-          slice(col("toks"), col("i") * segLen + 1, lit(segLen))).cast("binary")).as("seg")))
-    // one exchange for the whole df branch: hash(seg) satisfies the
-    // clustering needs of BOTH the (doc_id, seg) distinct (subset key)
-    // and the per-seg count on top of it. NOT broadcast: the df table
-    // is distinct-segment-sized (corpus-shaped, not chrome-shaped), and
-    // the join's probe side needs the same hash(seg) exchange the df
-    // branch already built — ReuseExchange shares it, so the join adds
-    // zero shuffles either way.
-    val segDf = segs.repartition(col("seg")).distinct()
+        xxhash64(concat_ws(" ",
+          slice(col("toks"), col("i") * segLen + 1, lit(segLen)))).as("seg"))
+      .repartition(col("seg"))
+    // hash(seg) clustering satisfies BOTH the (doc_id, seg) distinct
+    // (subset key) and the per-seg count on top of it. SHUFFLE_HASH,
+    // not broadcast: a broadcast build would re-run the scan+explode
+    // subtree into a BroadcastExchange, while the shuffled join lets
+    // both sides read the ONE exchange above (df table is
+    // distinct-segment-sized — corpus-shaped, not chrome-shaped — so
+    // it should not broadcast at scale anyway).
+    val segDf = segs.distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("n_docs"))
     segs
-      .join(segDf, Seq("seg"))
+      .join(segDf.hint("SHUFFLE_HASH"), Seq("seg"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segs"),
