@@ -749,8 +749,7 @@ private[graft] object EntryOraclesB {
         |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))) AS shingle
         |  FROM tok),
         |ss AS (
-        |  SELECT DISTINCT source,
-        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+        |  SELECT DISTINCT source, hash(shingle) AS h
         |  FROM shx),
         |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
         |inter AS (

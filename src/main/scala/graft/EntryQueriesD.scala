@@ -165,23 +165,32 @@ private[graft] object EntryQueriesD {
       // update batches (seq 1, 2) + a delete batch (seq 3, every 7th
       // user) — last writer wins, the delete outranks everything
       val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-      def agg(upTo: Long) = e.filter(col("ts_us") < upTo)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_v_r"))
-      val base = agg(Tables.D2024_01_10_US)
-      val c1 = agg(Tables.D2024_01_15_US)
-        .join(e.filter(col("ts_us") >= Tables.D2024_01_10_US &&
-          col("ts_us") < Tables.D2024_01_15_US).select(col("user_id")).distinct(),
-          Seq("user_id"), "left_semi")
+      // ONE conditional-aggregation pass builds every per-user
+      // snapshot the scenario needs (the old form re-scanned events
+      // once per batch: 3 aggregates + 3 distinct semijoin builds);
+      // base/c1/c2/c3 then derive from the bounded per-user frame.
+      // sum(when(cond, value)) accumulates the same rows in the same
+      // partition order as filter-then-sum, so the 4dp rounding is
+      // unchanged.
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      def sm(c: Column) = round(sum(when(c, col("value"))), 4)
+      val pre10 = col("ts_us") < Tables.D2024_01_10_US
+      val pre15 = col("ts_us") < Tables.D2024_01_15_US
+      val u = graft.CacheScope.cached(e.groupBy(col("user_id")).agg(
+        cnt(pre10).as("n1"), sm(pre10).as("s1"),
+        cnt(pre15).as("n2"), sm(pre15).as("s2"),
+        count(lit(1)).as("n3"), round(sum(col("value")), 4).as("s3"),
+        max(when(!pre10 && pre15, 1).otherwise(0)).as("in_10_15"),
+        max(when(!pre15, 1).otherwise(0)).as("ge_15")))
+      val base = u.filter(col("n1") > 0)
+        .select(col("user_id"), col("n1").as("n_events"), col("s1").as("sum_v_r"))
+      val c1 = u.filter(col("in_10_15") === 1)
         .select(col("user_id"), lit("U").as("op"), lit(1L).as("seq"),
-          col("n_events"), col("sum_v_r"))
-      val c2 = agg(Long.MaxValue)
-        .join(e.filter(col("ts_us") >= Tables.D2024_01_15_US)
-          .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+          col("n2").as("n_events"), col("s2").as("sum_v_r"))
+      val c2 = u.filter(col("ge_15") === 1)
         .select(col("user_id"), lit("U").as("op"), lit(2L).as("seq"),
-          col("n_events"), col("sum_v_r"))
-      val c3 = e.select(col("user_id")).distinct()
-        .filter(col("user_id") % 7 === 0)
+          col("n3").as("n_events"), col("s3").as("sum_v_r"))
+      val c3 = u.filter(col("user_id") % 7 === 0)
         .select(col("user_id"), lit("D").as("op"), lit(3L).as("seq"),
           lit(null).cast("long").as("n_events"),
           lit(null).cast("double").as("sum_v_r"))

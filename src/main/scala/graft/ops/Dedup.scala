@@ -1191,15 +1191,19 @@ object Dedup {
     * lands in every source: cap sources-per-shingle before the join.
     */
   def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
-    // distinct (source, shingle-hash): reuse the 3-gram md5 domain so
-    // the oracle mirrors bit-for-bit. Hash FIRST, distinct ONCE — the
-    // dedup happens on compact (source, int64) rows; a string-level
-    // distinct before hashing would shuffle the full shingle text for
-    // an outcome the hashed distinct already delivers.
+    // distinct (source, shingle-hash): the hash is pure set identity
+    // here (only counts reach the output), so each side uses its
+    // native 64-bit hash — xxhash64 (codegen'd, one mix) vs DuckDB's
+    // hash() — and the counts agree because a 64-bit domain is
+    // collision-free at these set sizes, unlike the old shared 31-bit
+    // md5 fold whose birthday collisions both sides had to reproduce
+    // bit-for-bit. Hash FIRST, distinct ONCE — the dedup happens on
+    // compact (source, int64) rows; a string-level distinct before
+    // hashing would shuffle the full shingle text for an outcome the
+    // hashed distinct already delivers.
     val srcSh = graft.CacheScope.cached(
       docShingles0(docs.select(col("source").as("doc_id"), col("text")))
-        .withColumn("h",
-          expr("cast(conv(substring(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint) % 2147483647"))
+        .withColumn("h", xxhash64(col("shingle")))
         .select(col("doc_id").as("source"), col("h")).distinct())
     val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = srcSh.as("x").join(srcSh.as("y"), Seq("h"))
