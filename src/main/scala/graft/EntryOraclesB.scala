@@ -601,6 +601,13 @@ private[graft] object EntryOraclesB {
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // Same derivation again for the CSV member of the trio.
+    "q_csv_intake" ->
+      """SELECT CASE WHEN event_id % 13 = 0 THEN 'corrupt'
+        |            ELSE event_type END AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_sink_zorder" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |FROM events WHERE user_id IS NOT NULL

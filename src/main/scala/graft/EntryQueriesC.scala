@@ -441,6 +441,36 @@ private[graft] object EntryQueriesC {
         .orderBy(col("bucket"))
     }),
 
+    "q_csv_intake" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // PERMISSIVE intake of a dirty CSV feed — the CSV member of the
+      // dirty-feed trio (q_json_intake / q_xml_intake). Every 13th
+      // line carries a non-numeric event_id cell; PERMISSIVE type
+      // enforcement quarantines exactly that line to _corrupt_record.
+      // event_type values are comma-free, so the unquoted writer is
+      // unambiguous; a NULL user_id writes as an empty cell (reads
+      // back NULL) — concat_ws would DROP the cell and shift the row.
+      val feed = tmpDir("dirty_csv", dir)
+      Sinks.ensureTextWritten(
+        Tables.events(s, dir).select(concat_ws(",",
+          when(col("event_id") % 13 === 0, concat(lit("x"), col("event_id")))
+            .otherwise(col("event_id").cast("string")),
+          col("event_type"),
+          coalesce(col("user_id").cast("string"), lit("")),
+          col("ts_us").cast("string")).as("value"))
+          .repartition(s.sparkContext.defaultParallelism),
+        feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType), StructField("ts_us", LongType)))
+      Sinks.csvPermissiveRead(s, feed, schema)
+        .groupBy(
+          when(col("_corrupt_record").isNotNull, lit("corrupt"))
+            .otherwise(col("event_type")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_sink_zorder" -> ((s0, dir) => {
       val s = ensure(s0)
       // S8 multi-dim layout, oracle-checked for content losslessness:

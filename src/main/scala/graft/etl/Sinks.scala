@@ -107,6 +107,29 @@ object Sinks {
         .format("xml").load(dir))
   }
 
+  /** PERMISSIVE CSV intake with corrupt-record routing — the
+    * [[jsonPermissiveRead]] contract for the CSV surface, completing
+    * the dirty-feed trio (JSONL / line-delimited XML / CSV). A row
+    * with a cell that fails its schema type (a non-numeric long)
+    * routes to `_corrupt_record`; well-formed neighbors parse
+    * normally. CSV is line-delimited by nature, so the scan splits at
+    * 100 TB exactly like the JSONL feed.
+    *
+    * Cached for the same reason as the JSON twin: queries that touch
+    * only the corrupt-record column of an unmaterialized scan are
+    * rejected (SPARK-21610); persisting first is the documented
+    * pattern.
+    */
+  def csvPermissiveRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    graft.CacheScope.cached(
+      spark.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir))
+  }
+
   /** S5 — batched append: Spark writes one file per partition per
     * batch; append mode accumulates (the `execute_batch` analogue,
     * `/root/reference/extract_bq.py:247-252`).

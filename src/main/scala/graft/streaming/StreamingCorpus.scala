@@ -105,6 +105,47 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming twin of the `q_csv_intake` PERMISSIVE quarantine — the
+    * [[dirtyXmlIntake]] contract for CSV: each text line parses via
+    * `from_csv` with the corrupt-record field in-schema, good typed
+    * rows append to the parquet sink and corrupt RAW LINES to the
+    * quarantine sink. Same scale shape: map-side parse, two filters
+    * over one persisted batch, zero shuffles, no state beyond the
+    * file-source log.
+    */
+  def dirtyCsvIntake(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      goodSink: String,
+      quarantineSink: String): StreamingQuery = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    spark.readStream
+      .text(sourceDir)
+      .select(col("value"), from_csv(col("value"), withCorrupt, opts).as("r"))
+      .select(col("value"), col("r.*"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.filter(col("_corrupt_record").isNull)
+          .drop("value", "_corrupt_record")
+          .write.mode("append").parquet(goodSink)
+        b.filter(col("_corrupt_record").isNotNull)
+          .select(col("value"))
+          .write.mode("append").parquet(quarantineSink)
+        b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class HashedDoc(doc_id: Long, ts_us: Long, h: String, in_corpus: Boolean,
                              __event_time: java.sql.Timestamp)
   final case class DocVerdict(doc_id: Long, ts_us: Long,
