@@ -376,7 +376,11 @@ object Bench {
       "q_cooccur" -> "2 jobs; marginals from cached per-container sets (no cube Expand since r7); steady jobs sum ~0.5s",
       "q_outliers" -> "2 jobs at ~0.08s each steady; one broadcast stats-join-back - the 100TB shape",
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
-      "q_boilerplate" -> "2 jobs ~0.4s; line-hash explode + broadcast join-back, no corpus reshuffle",
+      "q_boilerplate" -> "r10: ONE job - xxhash64 segment key + one seg-keyed exchange read by both the df branch and the SHUFFLE_HASH probe side (was 3 jobs / md5 / broadcast rebuild of the explode subtree)",
+      "q_textrank" -> "2 jobs steady ~0.4-0.6s execute; the rest is driver-side plan construction of the 5 unrolled power iterations (the measured PlanCost floor, BASELINE r10) - per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape, and the query beats its DuckDB twin (0.89x)",
+      "q_overlap_matrix" -> "3 jobs: cached distinct (source,h) build + per-source sizes + the h-keyed self-join; r10 keys on xxhash64 (no more shared 31-bit md5 collision coupling); join output bounded by sum over shingles of sources(h)^2",
+      "q_ngram_novelty" -> "3 jobs over the ddf signature store: repartition-on-read + shingle-df aggregate + join-back; windowizing the agg+join measured SLOWER on this skeleton (BASELINE r9 dead-ends)",
+      "q_cdc_apply" -> "r10: scenario builds in ONE conditional-aggregation pass over events (was 3 aggregates + 3 semijoin builds); steady 1 job - changelog apply itself is a bounded-frame window fold",
       "q_bigram_lm" -> "r9: reads the materialized lm_collapse fixture (tokenize runs once per corpus version in prepare); remaining jobs = lookup broadcast + fold, floor-bound",
       "q_lm_interp" -> "r9: lm_collapse fixture + unigram columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
       "q_kn_bigram" -> "r9: lm_collapse fixture + continuation columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
