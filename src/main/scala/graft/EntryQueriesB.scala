@@ -453,6 +453,24 @@ private[graft] object EntryQueriesB {
         .orderBy(col("cnt").desc, col("pair"))
     }),
 
+    "q_bpe_encode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // the trained tokenizer (merges.txt) loads from the
+      // corpus-versioned store; encoding is the codegen'd
+      // sequential-pass column form (Text.bpeEncodeExpr). Planted docs
+      // exercise the adjacent-occurrence / self-pair replace corners
+      // through BOTH engines — the oracle mirrors them as literals.
+      val merges = bpeMerges(s, dir)
+      val planted = bpePlantedDocs(merges).toDF("doc_id", "text")
+      Text.bpeEncodeDocs(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .unionByName(planted)
+            .repartition(s.sparkContext.defaultParallelism),
+          merges)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_chunk_docs" -> ((s0, dir) => {
       val s = ensure(s0)
       Corpus.chunkDocs(

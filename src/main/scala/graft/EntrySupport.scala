@@ -488,6 +488,47 @@ private[graft] object EntrySupport {
   private val qualityModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]
 
+  /** Materialized trained BPE merge list — (rank, a, b) rows from
+    * [[graft.ops.Text.bpeTrain]] (deterministic: exact vocab-weighted
+    * pair counts, argmax tiebreak (count DESC, pair ASC)). The trained
+    * tokenizer is THE canonical shipped artifact of an LLM data
+    * pipeline (merges.txt); every encode run loads it. Same memo /
+    * independent-retrain reasoning as [[qualityModel]]: the dynamic
+    * oracle re-trains at Verify time with the identical call, so a
+    * drifted store fails the hash gate rather than hiding.
+    */
+  private[graft] def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    import s.implicits._
+    val path = tmpDir("bpe_merges", dir)
+    bpeMergesMemo.computeIfAbsent(path, { _ =>
+      Sinks.ensureWritten({
+        val m = graft.ops.Text.bpeTrain(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          nMerges = 32, minWordCount = 2L)
+        m.zipWithIndex.map { case ((a, b), i) => (i, a, b) }.toDF("rank", "a", "b")
+      }, path)
+      s.read.parquet(path).collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+  }
+  private val bpeMergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
+
+  /** Adversarial planted docs for q_bpe_encode — adjacent-occurrence
+    * and self-pair merge corners that random corpus text may never
+    * hit, run through BOTH engines' replace chains (the oracle mirrors
+    * these rows as literals). Built from the two highest-ranked learned
+    * merges so the corners exercise real patterns from the trained
+    * list whatever the corpus.
+    */
+  private[graft] def bpePlantedDocs(merges: Seq[(String, String)]): Seq[(Long, String)] = {
+    val (a, b) = merges.headOption.getOrElse(("a", "b"))
+    Seq(
+      (9000001L, s"$a$b$a$b$a$b $a$b$a$b"), // adjacent occurrences
+      (9000002L, s"$a$a$a$a $a$a$a $a$a"), // self-pair odd/even runs
+      (9000003L, s"$b$a $a$b$b$a$b")) // pattern straddles its own pieces
+  }
+
   /** Materialized IVF/PQ model — the coarse centroids and per-subspace
     * codebooks every trained-ANN query shares (nCells=8, m=8, ks=16,
     * iters=4, sampleMod=2 — the q_sim_ann_kmeans configuration; the

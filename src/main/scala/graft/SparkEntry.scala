@@ -75,6 +75,7 @@ object SparkEntry {
     simhashFpsDocs1k(s, sfDir)
     qualityModel(s, sfDir)
     pqModel(s, sfDir)
+    bpeMerges(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))
@@ -132,6 +133,19 @@ object SparkEntry {
         val (w, b) = ops.Text.trainQualityLrLocal(
           ops.Text.qualityCorpus(docs), dim = 256)
         ops.Text.qualityClassifierOracleSql(256, w, b)
+      },
+      "q_bpe_encode" -> {
+        // identical training call to the bpe_merges store build; the
+        // generated SQL re-runs the whole encode (wrap + nested
+        // replace chain) from raw text in DuckDB, planted rows mirrored
+        val merges = ops.Text.bpeTrain(
+          Tables.documents(s, sfDir)
+            .repartition(s.sparkContext.defaultParallelism),
+          nMerges = 32, minWordCount = 2L)
+        val extra = bpePlantedDocs(merges).map { case (id, t) =>
+          s"\n  UNION ALL SELECT $id AS doc_id, '${t.replace("'", "''")}' AS text"
+        }.mkString
+        ops.Text.bpeEncodeOracleSql(merges, extra)
       })
   }
 }

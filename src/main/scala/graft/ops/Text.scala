@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §7.5 —
@@ -615,6 +615,100 @@ object Text {
         }
       }
       .toDF("doc_id", "n_tokens", "tokens")
+  }
+
+  /** BPE encoding as a pure COLUMN EXPRESSION — the whole-stage-codegen
+    * form of [[bpeApply]] for LEARNED merge lists, and the form a SQL
+    * oracle can mirror verbatim. The text is rewritten so one literal
+    * `replace` pass per merge IS one exact BPE merge pass:
+    *
+    *   - space-runs collapse to an unmergeable boundary symbol
+    *     (U+0001 — never a word character, never learned), so merges
+    *     cannot cross words;
+    *   - every character then wraps as ` c ` — single space at each
+    *     string edge, DOUBLE space between symbols. Each symbol owns
+    *     both its boundaries, so pattern ` a  b ` → ` ab ` anchors the
+    *     start of `a` AND the end of `b`, and ADJACENT occurrences
+    *     (`a b a b`) don't share a boundary character — the classic
+    *     single-separator encodings miss every other occurrence there
+    *     because the scan consumes the shared space.
+    *
+    * One left-to-right non-overlapping replace pass per merge, merges
+    * in rank order, equals [[bpeApply]]'s lowest-rank-first loop for
+    * any list [[bpeTrain]] can produce: a learned pair's symbols exist
+    * before its rank (so no earlier-rank pair can re-form once its
+    * pass ran — a merge only creates pairs involving the NEW symbol,
+    * which by construction has a later rank), and within one pair a
+    * single pass removes every occurrence (a≠b occurrences cannot
+    * overlap; a=b runs leave no adjacent pair). BpeEncodeSpec pins the
+    * equivalence including the adjacent-occurrence and self-pair
+    * corners; hand-built lists that reference not-yet-derivable
+    * symbols (e.g. rank 0 = ("ab","c")) are outside this contract —
+    * use [[bpeApply]] for those.
+    *
+    * Scale: ~3·|text| bytes scanned per merge, all inside codegen
+    * (`StringReplace`), zero shuffles, zero per-row state — strictly
+    * better than the mapPartitions encoder wherever the merge list is
+    * a trained artifact, i.e. everywhere in production.
+    */
+  def bpeEncodeExpr(text: Column, merges: Seq[(String, String)]): Column = {
+    val base = regexp_replace(
+      regexp_replace(trim(text), " +", "\u0001"), "(.)", " $1 ")
+    merges.foldLeft(base) { case (c, (a, b)) =>
+      replace(c, lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))
+    }
+  }
+
+  /** [[bpeEncodeExpr]] over a corpus: per doc, the word count and the
+    * BPE token count under the trained merges (boundary symbols
+    * subtracted — a doc of n words carries n−1 of them), plus the
+    * tokens-per-word fertility the tokenizer literature grades
+    * vocabularies by. Docs with no word are dropped (nothing to
+    * encode). Map-side only: the one aggregate-free projection keeps
+    * the corpus partitioning untouched at any scale.
+    */
+  def bpeEncodeDocs(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"),
+        size(Dedup.tokens(col("text"))).as("n_words"))
+      .filter(col("n_words") >= 1)
+      .select(col("doc_id"), col("n_words"),
+        (size(split(trim(bpeEncodeExpr(col("text"), merges)), "  "))
+          - (col("n_words") - 1)).cast("long").as("n_bpe"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_bpe"),
+        round(col("n_bpe") / col("n_words").cast("double"), 4).as("bpe_per_word_r"))
+
+  /** DuckDB oracle for [[bpeEncodeDocs]], generated from the trained
+    * merges (the pinned-model dynamic-oracle pattern): the same
+    * wrap-every-char representation and the same nested literal
+    * replace chain, so DuckDB re-runs the entire encode from raw text
+    * — both engines' `replace` scans left-to-right without rescanning
+    * replaced output, which the adjacent-occurrence planted docs in
+    * q_bpe_encode exercise directly. `extraDocsSql` lets the caller
+    * mirror planted rows.
+    */
+  def bpeEncodeOracleSql(merges: Seq[(String, String)], extraDocsSql: String = ""): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val chain = merges.foldLeft(
+      "regexp_replace(regexp_replace(trim(text), ' +', chr(1), 'g'), '(.)', ' \\1 ', 'g')") {
+      case (c, (a, b)) =>
+        s"replace($c, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a + b)} ')"
+    }
+    s"""WITH src AS (SELECT doc_id, text FROM documents$extraDocsSql),
+       |d AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_words,
+       |         $chain AS e
+       |  FROM src),
+       |n AS (
+       |  SELECT doc_id, n_words,
+       |         len(string_split(trim(e), '  ')) - (n_words - 1) AS n_bpe
+       |  FROM d WHERE n_words >= 1)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |       CAST(n_bpe AS BIGINT) AS n_bpe,
+       |       round(n_bpe / CAST(n_words AS DOUBLE), 4) AS bpe_per_word_r
+       |FROM n ORDER BY doc_id""".stripMargin
   }
 
   /** TF-IDF top terms per document: tf = in-doc term count, idf =
