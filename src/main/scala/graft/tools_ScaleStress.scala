@@ -590,6 +590,37 @@ object ScaleStress {
         agg.getLong(1) == expSum, "XML quarantine drifted at scale")
       CacheScope.flush()
     }
+    // 14. BPE tokenizer (round 10): train on a bounded slice (the
+    //     dup-cluster prefix — its word histogram is
+    //     clusters x 32 types by construction, and minWordCount=4
+    //     prunes anything rarer; production tokenizers train on a
+    //     bounded sample the same way), then encode ALL nDocs through
+    //     the codegen'd sequential-pass column encoder. Exactness: a
+    //     500-doc slice must agree token-for-token with the
+    //     priority-loop reference encoder, and the full corpus must
+    //     keep every doc with n_bpe >= n_words.
+    timed("bpeTrainEncode") {
+      val trainSlice =
+        if (nDupDocs > 0) corpus.filter(col("doc_id") < nDupDocs)
+        else corpus.filter(col("doc_id") % 97 === 0)
+      val merges = ops.Text.bpeTrain(trainSlice, nMerges = 32, minWordCount = 4L)
+      println(s"[scale]   merges=${merges.size} head=${merges.take(3)}")
+      val enc = ops.Text.bpeEncodeDocs(corpus, merges)
+      val agg = enc.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_bpe") < col("n_words"), 1L).otherwise(0L)).as("under"))
+        .collect().head
+      val slice = corpus.filter(col("doc_id") % 2001 === 0)
+      val expr = ops.Text.bpeEncodeDocs(slice, merges)
+        .select("doc_id", "n_bpe").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val ref = ops.Text.bpeApply(slice, merges)
+        .select("doc_id", "n_tokens").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mism = expr.count { case (k, v) => ref.get(k) != Some(v) }
+      println(s"[scale]   encoded=${agg.getLong(0)} sliceChecked=${expr.size} mismatches=$mism")
+      assert(agg.getLong(0) == nDocs && agg.getLong(1) == 0L && mism == 0 &&
+        expr.size == ref.size, "BPE encode drifted at scale")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }
