@@ -327,15 +327,23 @@ object Dedup {
                                     bands: Int = 4): DataFrame =
     lshCandidatesFromSigs(frame, numHashes, bands)
 
-  private def lshCandidatesFromSigs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (doc_id, minhashes, band_id, sig) — the banded explode shared by
+    * the candidate join and the estimator's signature carry.
+    */
+  private def bandedSigs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = signatures
+    signatures
       .withColumn("band", explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
            |  b -> struct(b as band_id,
            |              array_join(transform(slice(minhashes, b * $rows + 1, $rows),
            |                                   x -> cast(x as string)), ',') as sig))""".stripMargin)))
-      .select(col("doc_id"), col("band.band_id"), col("band.sig"))
+      .select(col("doc_id"), col("minhashes"), col("band.band_id"), col("band.sig"))
+  }
+
+  private def lshCandidatesFromSigs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val sigs = bandedSigs(signatures, numHashes, bands)
+      .select(col("doc_id"), col("band_id"), col("sig"))
     // both self-join sides read this; the caller caches the signature
     // frame, so the banded explode is a cheap map over that cache —
     // not worth a second cache-materialize action
@@ -361,26 +369,51 @@ object Dedup {
 
   /** [[minhashJaccardEstimates]] over a pre-built signature frame
     * (doc_id, minhashes — e.g. a materialized [[docDedupFrame]]).
+    *
+    * The signatures ride THROUGH the banding self-join (numHashes
+    * longs of extra row width on the banded stream) instead of
+    * joining back onto the store per side — that join-back shape paid
+    * two broadcast-build jobs that each re-scanned the store. The
+    * distinct dedups band collisions on (a, b, j_est), which equals a
+    * pair-key distinct because j_est is a pure function of the pair.
+    * At very large numHashes the carried width would argue for the
+    * join-back form again; at the 16-hash production config the
+    * carry wins everywhere.
     */
   def minhashJaccardEstimatesFromFrame(sigs: DataFrame, numHashes: Int = 16,
-                                       bands: Int = 4): DataFrame =
-    estimatesForCandidates(sigs, lshCandidatesFromSigs(sigs, numHashes, bands), numHashes)
+                                       bands: Int = 4): DataFrame = {
+    val banded = bandedSigs(sigs, numHashes, bands)
+      .select(col("doc_id"), col("minhashes"), col("band_id"), col("sig"))
+    val l = banded.select(col("band_id"), col("sig"),
+      col("doc_id").as("a"), col("minhashes").as("sa"))
+    val r = banded.select(col("band_id"), col("sig"),
+      col("doc_id").as("b"), col("minhashes").as("sb"))
+    l.join(r, Seq("band_id", "sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jEstCol(col("sa"), col("sb"), numHashes))
+      .distinct()
+  }
 
-  /** The signature-agreement estimate for a GIVEN candidate set — the
-    * single home of the j_est formula, shared by the estimator and the
-    * audit (so the audit can never drift from the estimator it
-    * measures).
+  /** The single home of the j_est formula — fraction of agreeing
+    * signature positions — shared by the estimator and the audit (so
+    * the audit can never drift from the estimator it measures).
+    */
+  private def jEstCol(sa: Column, sb: Column, numHashes: Int): Column =
+    round(
+      size(filter(zip_with(sa, sb, (x, y) => x === y), p => p))
+        .cast("double") / numHashes,
+      4).as("j_est")
+
+  /** The signature-agreement estimate for a GIVEN candidate set (the
+    * audit path: candidates arrive cached, both sig joins read the
+    * same cached store).
     */
   private def estimatesForCandidates(sigs: DataFrame, cands: DataFrame,
                                      numHashes: Int): DataFrame =
     cands
       .join(sigs.select(col("doc_id").as("a"), col("minhashes").as("sa")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("minhashes").as("sb")), Seq("b"))
-      .select(
-        col("a"), col("b"),
-        round(
-          expr(s"cast(size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p)) as double) / $numHashes"),
-          4).as("j_est"))
+      .select(col("a"), col("b"), jEstCol(col("sa"), col("sb"), numHashes))
 
   /** Verified near-dup edge set: LSH candidates → EXACT Jaccard
     * verification restricted to candidate pairs (the quadratic check
