@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
         "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier",
-        "q_sim_hnsw_routed"))
+        "q_sim_hnsw_routed", "q_bpe_encode"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -34,7 +34,8 @@ class ContractSpec extends AnyFunSuite {
   test("declared inventory has the expected size") {
     // round 10: 193 + q_media_png + q_quality_classifier + q_sim_hnsw
     // + q_sim_hnsw_routed + q_sink_xml + q_xml_intake + q_xpath_extract
-    assert(SparkEntry.queries.size === 200)
+    // + q_csv_intake + q_bpe_encode
+    assert(SparkEntry.queries.size === 202)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
