@@ -517,16 +517,17 @@ private[graft] object EntrySupport {
   /** Adversarial planted docs for q_bpe_encode — adjacent-occurrence
     * and self-pair merge corners that random corpus text may never
     * hit, run through BOTH engines' replace chains (the oracle mirrors
-    * these rows as literals). Built from the two highest-ranked learned
-    * merges so the corners exercise real patterns from the trained
-    * list whatever the corpus.
+    * these rows as literals). Built from the two highest-ranked
+    * learned merges so the corners exercise real patterns from the
+    * trained list whatever the corpus.
     */
   private[graft] def bpePlantedDocs(merges: Seq[(String, String)]): Seq[(Long, String)] = {
     val (a, b) = merges.headOption.getOrElse(("a", "b"))
+    val (c, d) = merges.drop(1).headOption.getOrElse(("c", "d"))
     Seq(
-      (9000001L, s"$a$b$a$b$a$b $a$b$a$b"), // adjacent occurrences
-      (9000002L, s"$a$a$a$a $a$a$a $a$a"), // self-pair odd/even runs
-      (9000003L, s"$b$a $a$b$b$a$b")) // pattern straddles its own pieces
+      (9000001L, s"$a$b$a$b$a$b $a$b$a$b $c$d$c$d"), // adjacent occurrences, both merges
+      (9000002L, s"$a$a$a$a $a$a$a $a$a $c$c$c"), // self-pair odd/even runs
+      (9000003L, s"$b$a $a$b$b$a$b $a$b$c$d$d$c")) // pattern straddles its own pieces; rank-0 output feeds rank-1 context
   }
 
   /** Materialized IVF/PQ model — the coarse centroids and per-subspace

@@ -274,7 +274,11 @@ object Corpus {
     * per-doc aggregation — no second corpus pass. The segment key is
     * xxhash64 — it never reaches the output (only distinct/join
     * identity matters, and the oracle hashes its own way for the same
-    * counts), so the codegen'd 64-bit key beats md5 at any scale.
+    * counts). Tradeoff stated honestly: each engine hashing natively
+    * means counts agree only while the 64-bit domain is collision-free
+    * (fine far past any verify scale); beyond ~2^32 distinct segments
+    * per corpus the engines would collide on DIFFERENT segments and a
+    * cross-engine compare would need a shared hash again.
     */
   def boilerplate(docs: DataFrame, segLen: Int, minDocs: Int): DataFrame = {
     // ONE map pass with no cache: the repartition(seg) exchange below

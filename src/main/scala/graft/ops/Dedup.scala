@@ -363,7 +363,7 @@ object Dedup {
     */
   def minhashJaccardEstimates(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
     // one MAP-SIDE signature computation (zero exchanges to build the
-    // cache): the candidate join and the estimate joins all read it
+    // cache): both sides of the banded self-join read it
     minhashJaccardEstimatesFromFrame(
       CacheScope.cached(minhashSignatures(corpus, numHashes)), numHashes, bands)
 
@@ -383,7 +383,6 @@ object Dedup {
   def minhashJaccardEstimatesFromFrame(sigs: DataFrame, numHashes: Int = 16,
                                        bands: Int = 4): DataFrame = {
     val banded = bandedSigs(sigs, numHashes, bands)
-      .select(col("doc_id"), col("minhashes"), col("band_id"), col("sig"))
     val l = banded.select(col("band_id"), col("sig"),
       col("doc_id").as("a"), col("minhashes").as("sa"))
     val r = banded.select(col("band_id"), col("sig"),
@@ -1184,9 +1183,11 @@ object Dedup {
     // (it feeds both the estimate joins and the exact restriction).
     val f = CacheScope.cached(frame)
     val cands = CacheScope.cached(lshCandidatesFromSigs(f, 16, 4))
-    // the estimate comes from the SAME formula home as the estimator
-    // query (estimatesForCandidates) — the audit measures that code,
-    // so a drift between the two would defeat its purpose
+    // the estimate formula is the shared jEstCol — the single home the
+    // estimator query also compiles — so the MEASURED formula cannot
+    // drift from the served one (the estimator's join SHAPE differs
+    // since r10: it carries signatures through the banding join, while
+    // the audit keeps the cached join-back form here)
     val est = estimatesForCandidates(f, cands, numHashes = 16)
     // exact truth computed ONLY for the audited (candidate) pairs and
     // with the df cap OFF — same uncapped values as the all-pairs form

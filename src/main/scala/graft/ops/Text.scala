@@ -652,8 +652,16 @@ object Text {
     * a trained artifact, i.e. everywhere in production.
     */
   def bpeEncodeExpr(text: Column, merges: Seq[(String, String)]): Column = {
+    // (?s): without DOTALL, '.' skips line terminators (and Java and
+    // RE2 disagree on which — Java excludes \r, RE2 matches it), so a
+    // newline inside a token would go unwrapped on one engine and both
+    // the equivalence with bpeApply AND the cross-engine hash would
+    // break. With the flag every char wraps on both engines. Contract
+    // limit: symbols are CODE POINTS here but UTF-16 code units in
+    // bpeTrain/bpeApply, so the pinned equivalence covers BMP text
+    // (astral chars would count 1 symbol here vs 2 reference tokens).
     val base = regexp_replace(
-      regexp_replace(trim(text), " +", "\u0001"), "(.)", " $1 ")
+      regexp_replace(trim(text), " +", "\u0001"), "(?s)(.)", " $1 ")
     merges.foldLeft(base) { case (c, (a, b)) =>
       replace(c, lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))
     }
@@ -691,7 +699,7 @@ object Text {
   def bpeEncodeOracleSql(merges: Seq[(String, String)], extraDocsSql: String = ""): String = {
     def esc(s: String) = s.replace("'", "''")
     val chain = merges.foldLeft(
-      "regexp_replace(regexp_replace(trim(text), ' +', chr(1), 'g'), '(.)', ' \\1 ', 'g')") {
+      "regexp_replace(regexp_replace(trim(text), ' +', chr(1), 'g'), '(?s)(.)', ' \\1 ', 'g')") {
       case (c, (a, b)) =>
         s"replace($c, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a + b)} ')"
     }

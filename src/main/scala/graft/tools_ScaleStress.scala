@@ -611,10 +611,16 @@ object ScaleStress {
         sum(when(col("n_bpe") < col("n_words"), 1L).otherwise(0L)).as("under"))
         .collect().head
       val slice = corpus.filter(col("doc_id") % 2001 === 0)
-      val expr = ops.Text.bpeEncodeDocs(slice, merges)
-        .select("doc_id", "n_bpe").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // SEQUENCE equality, not counts: every merge shrinks the count
+      // by exactly 1, so a positionally wrong encoder would pass a
+      // count-only check
+      val expr = slice.select(col("doc_id"),
+          trim(ops.Text.bpeEncodeExpr(col("text"), merges)).as("e"))
+        .collect().map(r => (r.getLong(0),
+          r.getString(1).split("  ").toSeq.filter(_ != "\u0001"))).toMap
       val ref = ops.Text.bpeApply(slice, merges)
-        .select("doc_id", "n_tokens").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[String](2).toSeq)).toMap
       val mism = expr.count { case (k, v) => ref.get(k) != Some(v) }
       println(s"[scale]   encoded=${agg.getLong(0)} sliceChecked=${expr.size} mismatches=$mism")
       assert(agg.getLong(0) == nDocs && agg.getLong(1) == 0L && mism == 0 &&

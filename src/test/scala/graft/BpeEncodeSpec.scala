@@ -5,24 +5,34 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Text
 
 /** The codegen'd sequential-pass BPE encoder (Text.bpeEncodeExpr): for
-  * any LEARNED merge list it must agree exactly with the priority-loop
-  * reference encoder (Text.bpeApply), including the adjacent-occurrence
-  * and self-pair replace corners, and a merge must never cross a word
-  * boundary.
+  * any LEARNED merge list it must agree with the priority-loop
+  * reference encoder (Text.bpeApply) — token SEQUENCES, not just
+  * counts (every merge shrinks the count by exactly 1, so a
+  * positionally wrong encoder would pass a count-only gate) —
+  * including the adjacent-occurrence, self-pair, and line-terminator
+  * corners, and a merge must never cross a word boundary.
   */
 class BpeEncodeSpec extends AnyFunSuite {
 
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def countsAgree(docs: Seq[(Long, String)],
-                          merges: Seq[(String, String)]): Unit = {
+  /** Token sequence from the encoded representation: split on the
+    * double-space separator, drop the U+0001 word-boundary symbols.
+    */
+  private def seqsAgree(docs: Seq[(Long, String)],
+                        merges: Seq[(String, String)]): Unit = {
     val df = docs.toDF("doc_id", "text")
-    val expr = Text.bpeEncodeDocs(df, merges)
-      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    val enc = df.select(col("doc_id"),
+        trim(Text.bpeEncodeExpr(col("text"), merges)).as("e"))
+      .as[(Long, String)].collect().toMap
+      .map { case (k, e) =>
+        k -> (if (e.isEmpty) Seq.empty[String]
+              else e.split("  ").toSeq.filter(_ != "\u0001"))
+      }
     val ref = Text.bpeApply(df, merges)
-      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
-    assert(expr === ref, s"merges=$merges")
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(enc === ref, s"merges=$merges")
   }
 
   test("agrees with the priority encoder on a learned merge list") {
@@ -33,7 +43,7 @@ class BpeEncodeSpec extends AnyFunSuite {
       (4L, "a ab aba abab ababab"))
     val merges = Text.bpeTrain(docs.toDF("doc_id", "text"), 10)
     assert(merges.nonEmpty)
-    countsAgree(docs, merges)
+    seqsAgree(docs, merges)
   }
 
   test("adjacent occurrences and self-pair runs merge exactly like the reference") {
@@ -43,9 +53,22 @@ class BpeEncodeSpec extends AnyFunSuite {
       (1L, "ababab abab ab ba"),
       (2L, "aaaa aaa aa a"),
       (3L, "ba abbab bab"))
-    countsAgree(docs, Seq(("a", "b")))
-    countsAgree(docs, Seq(("a", "a"), ("aa", "aa")))
-    countsAgree(docs, Seq(("a", "b"), ("ab", "ab"), ("b", "a")))
+    seqsAgree(docs, Seq(("a", "b")))
+    seqsAgree(docs, Seq(("a", "a"), ("aa", "aa")))
+    seqsAgree(docs, Seq(("a", "b"), ("ab", "ab"), ("b", "a")))
+  }
+
+  test("line terminators inside tokens are symbols like any other char") {
+    // tokens split on SPACE only, so \n \r \t live inside tokens; the
+    // (?s) wrap must cover them on pain of silent symbol loss (and a
+    // Java-vs-RE2 '.'-semantics split between engine and oracle)
+    val docs = Seq(
+      (1L, "a\nb ab a\rb a\tb"),
+      (2L, "\na \rb b\n"))
+    seqsAgree(docs, Seq.empty)
+    seqsAgree(docs, Seq(("a", "b")))
+    val merges = Text.bpeTrain(docs.toDF("doc_id", "text"), 6)
+    seqsAgree(docs, merges)
   }
 
   test("learned merges over random corpora: expr == reference, every doc") {
@@ -58,7 +81,7 @@ class BpeEncodeSpec extends AnyFunSuite {
         (i, w.mkString(" "))
       }
       val merges = Text.bpeTrain(docs.toDF("doc_id", "text"), 12)
-      countsAgree(docs, merges)
+      seqsAgree(docs, merges)
     }
   }
 
