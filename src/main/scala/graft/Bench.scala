@@ -379,7 +379,7 @@ object Bench {
       "q_boilerplate" -> "r10: ONE job - xxhash64 segment key + one seg-keyed exchange read by both the df branch and the SHUFFLE_HASH probe side (was 3 jobs / md5 / broadcast rebuild of the explode subtree)",
       "q_textrank" -> "2 jobs steady ~0.4-0.6s execute; the rest is driver-side plan construction of the 5 unrolled power iterations (the measured PlanCost floor, BASELINE r10) - per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape, and the query beats its DuckDB twin (0.89x)",
       "q_overlap_matrix" -> "3 jobs: cached distinct (source,h) build + per-source sizes + the h-keyed self-join; r10 keys on xxhash64 (no more shared 31-bit md5 collision coupling); join output bounded by sum over shingles of sources(h)^2",
-      "q_ngram_novelty" -> "3 jobs over the ddf signature store: repartition-on-read + shingle-df aggregate + join-back; windowizing the agg+join measured SLOWER on this skeleton (BASELINE r9 dead-ends)",
+      "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",
       "q_cdc_apply" -> "r10: scenario builds in ONE conditional-aggregation pass over events (was 3 aggregates + 3 semijoin builds); steady 1 job - changelog apply itself is a bounded-frame window fold",
       "q_bigram_lm" -> "r9: reads the materialized lm_collapse fixture (tokenize runs once per corpus version in prepare); remaining jobs = lookup broadcast + fold, floor-bound",
       "q_lm_interp" -> "r9: lm_collapse fixture + unigram columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",

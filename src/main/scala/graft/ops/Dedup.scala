@@ -1032,19 +1032,26 @@ object Dedup {
     * like [[corpusHashIndex]].
     */
   def ngramNovelty(corpus: DataFrame): DataFrame =
-    ngramNoveltyFromHashed(graft.CacheScope.cached(hashedShingles(corpus)))
+    ngramNoveltyFromHashed(hashedShingles(corpus))
 
   /** [[ngramNovelty]] over a pre-built per-doc dedup frame
     * ([[docDedupFrame]]): `explode(hs)` reproduces the hashed-shingle
     * rows with zero tokenize/md5 work.
     */
   def ngramNoveltyFromFrame(frame: DataFrame): DataFrame =
-    ngramNoveltyFromHashed(graft.CacheScope.cached(
-      frame.select(col("doc_id"), explode(col("hs")).as("h"))))
+    ngramNoveltyFromHashed(frame.select(col("doc_id"), explode(col("hs")).as("h")))
 
-  private def ngramNoveltyFromHashed(hs: DataFrame): DataFrame = {
+  private def ngramNoveltyFromHashed(hs0: DataFrame): DataFrame = {
+    // ONE h-keyed exchange, no cache (the q_boilerplate move): the
+    // first-seen aggregate and the join probe side are the same plan
+    // object on top of this repartition, so ReuseExchange shares the
+    // shuffle and the scan/explode map work runs once. SHUFFLE_HASH,
+    // not broadcast: a broadcast build would re-run the map subtree
+    // into its own exchange, and the first-seen table is
+    // vocabulary-sized — corpus-shaped, not model-shaped.
+    val hs = hs0.repartition(col("h"))
     val first = hs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-    hs.join(first, Seq("h"))
+    hs.join(first.hint("SHUFFLE_HASH"), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
