@@ -322,7 +322,10 @@ object EventOps {
         max(col("ts_us")).as("last_seen_us"),
         round(aggregate(
           array_sort(collect_list(struct(col("event_id"), col("w")))),
-          lit(0.0), (acc, e) => acc + e.getField("w")), 4)
+          // coalesce keeps sum() semantics on nullable values: a NULL
+          // weight (NULL `value` upstream) is skipped, not allowed to
+          // poison the whole user's fold to NULL
+          lit(0.0), (acc, e) => acc + coalesce(e.getField("w"), lit(0.0))), 4)
           .as("recency_score_r"))
   }
 

@@ -237,7 +237,39 @@ object Hnsw {
       searchLayer(q, qn, ep, math.max(ef, k), 0)
         .take(k).map { case (s, n) => (ids(n), s) }
     }
+
+    /** Top-`k` by the MERGE key — (4dp-rounded cosine desc, vec_id
+      * asc), the exact total order the global merge ranks by. Cutting
+      * the per-segment shortlist on the SAME key the merge uses makes
+      * segment-local top-k provably sufficient (ids are unique and
+      * segment-disjoint, so the global top-k is contained in the union
+      * of per-segment top-k under any shared total order) — no
+      * data-dependent "+headroom" constant whose ties could demote the
+      * smallest-id candidate below a raw-cosine cut. `excludeId` drops
+      * a query living in this segment before the cut.
+      */
+    def searchByMergeKey(q: Array[Double], k: Int, ef: Int,
+                         excludeId: Long): Array[(Long, Double)] = {
+      // pull the whole ef-bounded candidate pool (saturated mode: the
+      // entire segment), then rank by the merge key
+      val poolK = math.max(ef, k + 1)
+      search(q, poolK, poolK)
+        .iterator.filter(_._1 != excludeId)
+        .map { case (id, s) => (id, s, round4(s)) }
+        .toArray
+        .sortBy { case (id, _, r) => (-r, id) }
+        .take(k)
+        .map { case (id, s, _) => (id, s) }
+    }
   }
+
+  /** Driver/executor twin of Spark's `round(col, 4)` on DoubleType
+    * (BigDecimal HALF_UP) — used so the shortlist cut and the SQL merge
+    * rank by bit-identical keys.
+    */
+  private def round4(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Segment-local HNSW top-k: queries = the first `nQueries` vectors
     * (the family convention), broadcast; each partition builds a graph
@@ -262,14 +294,11 @@ object Hnsw {
         seg.foreach { case (id, v) => g.insert(id, v) }
         g.repairConnectivity()
         bq.value.iterator.flatMap { case (qId, qv) =>
-          // k+8 headroom: +1 covers a segment containing the query
-          // itself, the rest covers 4dp-rounding promotions — the
-          // merge ranks by ROUNDED cosine (oracle parity) while the
-          // graph shortlists by raw, so a boundary candidate may sit a
-          // few raw ranks below k in its segment
-          g.search(qv, k + 8, efSearch).collect {
-            case (cId, s) if cId != qId => (qId, cId, s)
-          }
+          // shortlist cut on the merge key itself (rounded desc, id
+          // asc) — per-segment top-k is then provably sufficient; see
+          // searchByMergeKey
+          g.searchByMergeKey(qv, k, efSearch, excludeId = qId)
+            .map { case (cId, s) => (qId, cId, s) }
         }
       }
     }.toDF("q_id", "c_id", "cos")
@@ -339,9 +368,8 @@ object Hnsw {
           bq.value.iterator
             .filter(_._3.contains(cell))
             .flatMap { case (qId, qv, _) =>
-              g.search(qv, k + 8, efSearch).collect {
-                case (cId, s) if cId != qId => (qId, cId, s)
-              }
+              g.searchByMergeKey(qv, k, efSearch, excludeId = qId)
+                .map { case (cId, s) => (qId, cId, s) }
             }
         }
       }.toDF("q_id", "c_id", "cos")

@@ -132,9 +132,16 @@ object Png {
           val filterMethod = bytes(pos + 19) & 0xff
           val interlace = bytes(pos + 20) & 0xff
           if (width <= 0 || height <= 0) return None
-          if (width.toLong * height > (1L << 28)) return None // decompression-bomb guard
           if (bitDepth != 8 || (colorType != 0 && colorType != 2)) return None
           if (compression != 0 || filterMethod != 0 || interlace != 0) return None
+          // decompression-bomb guard on DECODED BYTES, not pixels: the
+          // raw (filtered) buffer is height·(1+width·bpp) and the px
+          // buffer is height·width·bpp — bounding pixels alone admits
+          // ~805 MB of allocations for a colour IHDR that fits in a
+          // 60-byte file. 2^27 B (128 MiB) per buffer caps a task at
+          // ~256 MiB, matched to executor memory rather than image area
+          val bppGuard = if (colorType == 0) 1L else 3L
+          if (height.toLong * (1L + width.toLong * bppGuard) > (1L << 27)) return None
         case "IDAT" =>
           if (!sawIhdr) return None
           idat.write(bytes, pos + 8, len.toInt)
@@ -158,7 +165,12 @@ object Png {
     var got = 0
     while (got < expected && !inflater.finished()) {
       val n = inflater.inflate(raw, got, expected - got)
-      if (n == 0 && inflater.needsInput()) { inflater.end(); return None } // truncated
+      // ANY zero-progress iteration is malformed, not just exhausted
+      // input: a zlib header with FDICT set makes inflate() return 0
+      // with needsDictionary()=true forever (PNG §10.1 forbids preset
+      // dictionaries, so such a stream is corrupt by definition), and
+      // spinning here would hang the task instead of quarantining
+      if (n == 0 && !inflater.finished()) { inflater.end(); return None }
       got += n
     }
     val extra = inflater.finished() || {

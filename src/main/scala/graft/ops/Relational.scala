@@ -470,6 +470,12 @@ object Relational {
     // group needs approx_percentile under both formulations).
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
     df
+      // NULL group keys are dropped, preserving the operator's original
+      // contract: the pre-window form equi-joined per-group stats back
+      // onto the facts, and a NULL key never matches an equi-join —
+      // whereas Window.partitionBy would give NULL its own partition
+      // and let those rows reach the output with a med/MAD
+      .filter(col(groupCol).isNotNull)
       .withColumn("med", expr(s"percentile($valueCol, 0.5)").over(wg))
       .withColumn("mad", expr(s"percentile(abs($valueCol - med), 0.5)").over(wg))
       // a zero-MAD group (≥50% identical values) would put ±Inf/NaN in

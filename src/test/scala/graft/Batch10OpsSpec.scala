@@ -79,6 +79,19 @@ class Batch10OpsSpec extends AnyFunSuite {
     assert(out.head.getDouble(out.head.fieldIndex("robust_z")) > 3.0)
   }
 
+  test("madOutliers: NULL group keys drop (the equi-join contract), not form their own group") {
+    // the pre-window form equi-joined group stats back onto the facts,
+    // so NULL-keyed rows never matched; the window rewrite must keep
+    // that contract rather than give NULL its own partition
+    val vals: Seq[(Option[String], Double)] =
+      Seq.tabulate(9)(i => (Some("g"), 10.0 + i)) ++
+        Seq((Some("g"), 1000.0), (None, 5.0), (None, 5000.0))
+    val df = vals.toDF("g", "v")
+    val out = Relational.madOutliers(df, "g", "v", 3.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(out.head.fieldIndex("v")) === 1000.0)
+  }
+
   // ---- keySkewProfile ------------------------------------------------------
 
   test("keySkewProfile: hot key shows its multiple of the mean") {

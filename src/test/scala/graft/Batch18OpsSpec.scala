@@ -104,6 +104,21 @@ class Batch18OpsSpec extends AnyFunSuite {
     assert(got.size === 2)
   }
 
+  test("recencyScore: a NULL value contributes nothing instead of poisoning the user's fold") {
+    val day = 86400000000L
+    val anchor = 10 * day
+    val ev = Seq(
+      (1L, Some(1L), anchor, Some(8.0)),
+      (2L, Some(1L), anchor - 2 * day, None), // NULL value: skipped, like sum()
+      (3L, Some(2L), anchor, Some(4.0))
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val got = graft.ops.EventOps.recencyScore(ev, anchor, halflifeDays = 2.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // n_events still counts the NULL-value row; the score fold skips it
+    assert(got(1L) === ((2L, 8.0)))
+    assert(got(2L) === ((1L, 4.0)))
+  }
+
   test("clusterPurity: planted label-aligned clusters read as pure, mixed as impure") {
     // two tight blobs on orthogonal axes; blob A all label 0, blob B
     // half 1 half 2 -> one pure cell and one 0.5 cell (labels tie-break

@@ -55,6 +55,23 @@ class HnswSpec extends AnyFunSuite {
     assert(out.toSeq === truthRows.toSeq)
   }
 
+  test("rounded-tie flood: the shortlist cut uses the merge key, so smallest ids win") {
+    import spark.implicits._
+    // 30 candidates whose cosine to the query all ROUND to 1.0000 at
+    // 4dp but whose RAW cosine increases with id: a raw-ranked
+    // fixed-headroom cut would shortlist only the highest ids and lose
+    // the id-ascending winners the merge (and the oracle) rank first
+    val rows = (0L to 30L).map { i =>
+      val d = if (i == 0L) 0.0f else 0.009f * (31 - i).toFloat / 31.0f
+      (i, Array(1.0f, d, 0.0f, 0.0f))
+    }
+    val out = Hnsw.hnswTopK(rows.toDF("vec_id", "embedding").repartition(1),
+        nQueries = 1, k = 5, m = 8, efConstruction = 64, efSearch = 512)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === (1L to 5L).map(i => (i, 1.0, i)).toSeq)
+  }
+
   test("saturated result is invariant to partitioning (2 vs 8 segments)") {
     def run(parts: Int) = Hnsw.hnswTopK(emb.repartition(parts),
         nQueries = nQ, k = k, m = 8, efConstruction = 64, efSearch = 512)

@@ -187,6 +187,57 @@ class PngCodecSpec extends AnyFunSuite {
     assert(Png.decode(deep) === None, "16-bit must quarantine")
   }
 
+  test("FDICT zlib header quarantines instead of spinning (PNG forbids preset dictionaries)") {
+    // a CRC-valid IDAT whose zlib header sets FDICT makes
+    // Inflater.inflate() return 0 forever with needsDictionary()=true —
+    // the decode loop must treat zero progress as malformed, not spin
+    val w = 8; val h = 8
+    val shell = Png.encodeGray(w, h, grayRaster(w, h)((x, yy) => x + yy))
+    def u32(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    var pos = 8; var idatAt = -1
+    while (idatAt < 0) {
+      if (new String(shell, pos + 4, 4, "US-ASCII") == "IDAT") idatAt = pos
+      else pos += 12 + u32(shell, pos)
+    }
+    // CMF 0x78, FLG 0x20: (0x78*256 + 0x20) % 31 == 0 and FDICT bit set
+    val payload = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(shell, 0, idatAt)
+    out.write(0); out.write(0); out.write(0); out.write(payload.length)
+    val typed = "IDAT".getBytes("US-ASCII") ++ payload
+    out.write(typed, 0, typed.length)
+    val crc = new java.util.zip.CRC32; crc.update(typed)
+    val cv = crc.getValue
+    out.write(((cv >> 24) & 0xff).toInt); out.write(((cv >> 16) & 0xff).toInt)
+    out.write(((cv >> 8) & 0xff).toInt); out.write((cv & 0xff).toInt)
+    val oldLen = u32(shell, idatAt)
+    out.write(shell, idatAt + 12 + oldLen, shell.length - idatAt - 12 - oldLen)
+    val bytes = out.toByteArray
+    // run on a daemon thread with a join timeout so a regression fails
+    // the test instead of hanging the suite
+    @volatile var res: Option[Option[PpmCodec.Image]] = None
+    val t = new Thread(() => { res = Some(Png.decode(bytes)) })
+    t.setDaemon(true); t.start(); t.join(30000)
+    assert(res === Some(None), "FDICT stream must quarantine, not spin or decode")
+  }
+
+  test("huge-IHDR colour bomb quarantines on decoded BYTES, not pixel count") {
+    // 16384x16384 colour type 2: exactly 2^28 pixels (the old
+    // pixel-count guard admitted it) but ~805 MB of decoded bytes —
+    // must quarantine before any allocation
+    val small = Png.encodeRgb(PpmCodec.Image(4, 4, Array.fill(48)(7.toByte)))
+    val bomb = small.clone()
+    def put32(p: Int, v: Int): Unit = {
+      bomb(p) = ((v >> 24) & 0xff).toByte; bomb(p + 1) = ((v >> 16) & 0xff).toByte
+      bomb(p + 2) = ((v >> 8) & 0xff).toByte; bomb(p + 3) = (v & 0xff).toByte
+    }
+    put32(16, 16384); put32(20, 16384) // IHDR width, height
+    val crc = new java.util.zip.CRC32; crc.update(bomb, 12, 4 + 13)
+    put32(29, crc.getValue.toInt)
+    assert(Png.decode(bomb) === None, "oversized decode budget must quarantine")
+  }
+
   test("Spark decode path: features for clean rows, quarantine for corrupt") {
     val rows = (0L until 6L).map { id =>
       val w = 12; val h = 8
