@@ -37,7 +37,7 @@ private[graft] object EntryQueriesA {
         Tables.events(s, dir).withColumn(
           "event_date", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")),
         part, "event_date")
-      s.read.parquet(part)
+      Tables.readParquetCached(s, part)
         .filter(col("event_date") >= "2024-01-10" && col("event_date") < "2024-01-20")
         .select(col("event_id"), col("ts_us"), col("event_date").cast("string").as("event_date"))
         .orderBy(col("event_id"))

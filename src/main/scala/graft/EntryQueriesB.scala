@@ -286,7 +286,10 @@ private[graft] object EntryQueriesB {
 
     "q_tfidf" -> ((s0, dir) => {
       val s = ensure(s0)
-      Text.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+      // reads the materialized posting store (weights precomputed at
+      // ingest — see EntrySupport.tokPostings); before r11 this
+      // re-ran tokenize -> collapse -> df -> weight per query
+      Text.tfidfTopTermsFrom(tokPostings(s, dir), k = 3)
         .orderBy(col("doc_id"), col("rnk"))
     }),
 

@@ -380,8 +380,10 @@ private[graft] object EntryQueriesD {
 
     "q_sparse_cosine" -> ((s0, dir) => {
       val s = ensure(s0)
-      Text.tfidfCosineTopK(Tables.documents(s, dir),
-          nQueries = 20, k = 5, dfCapFrac = 0.85)
+      // posting-store form (dfCapFrac 0.85 baked into the store — see
+      // EntrySupport.tokPostings): broadcast-query posting join + rank
+      // window, two jobs where the raw chain paid six
+      Text.tfidfCosineTopKFrom(tokPostings(s, dir), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -461,7 +463,8 @@ private[graft] object EntryQueriesD {
 
     "q_bm25" -> ((s0, dir) => {
       val s = ensure(s0)
-      Text.bm25TopK(Tables.documents(s, dir), nQueries = 20, k = 5)
+      // posting-store form: per-posting bm_w IS the score term
+      Text.bm25TopKFrom(tokPostings(s, dir), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -472,8 +475,8 @@ private[graft] object EntryQueriesD {
       // columns of ONE posting-join pass, then RRF-fused — output
       // bit-identical to composing the two rankers + rrfFuse (the
       // oracle restates both rankings independently)
-      Text.hybridRrfTopK(Tables.documents(s, dir), nQueries = 10,
-          kPer = 20, kFused = 5, dfCapFrac = 0.85)
+      Text.hybridRrfTopKFrom(tokPostings(s, dir), nQueries = 10,
+          kPer = 20, kFused = 5)
         .orderBy(col("q_id"), col("fused_rnk"))
     }),
 

@@ -76,6 +76,7 @@ object SparkEntry {
     qualityModel(s, sfDir)
     pqModel(s, sfDir)
     bpeMerges(s, sfDir)
+    tokPostings(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))

@@ -152,6 +152,7 @@ object Sinks {
       val marker = new java.io.File(dir, "_SUCCESS")
       if (!marker.exists()) {
         df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+        graft.Tables.invalidatePath(dir) // a rebuilt path must not serve a stale memoized relation
       }
     }
 
@@ -177,13 +178,19 @@ object Sinks {
 
   def ensureWritten(df: => DataFrame, dir: String): Unit = lockFor(dir).synchronized {
     val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) df.write.mode("overwrite").parquet(dir)
+    if (!marker.exists()) {
+      df.write.mode("overwrite").parquet(dir)
+      graft.Tables.invalidatePath(dir) // see ensurePartitioned
+    }
   }
 
   /** [[ensureWritten]] for raw text lines (a single `value` column). */
   def ensureTextWritten(df: => DataFrame, dir: String): Unit = lockFor(dir).synchronized {
     val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) df.write.mode("overwrite").text(dir)
+    if (!marker.exists()) {
+      df.write.mode("overwrite").text(dir)
+      graft.Tables.invalidatePath(dir) // see ensurePartitioned
+    }
   }
 
   /** Small-file compaction: rewrite a directory into `numFiles`

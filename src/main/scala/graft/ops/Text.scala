@@ -1011,10 +1011,20 @@ object Text {
           .as("cos_r"),
         sum(when(kept && col("qw").isNotNull, 1L).otherwise(0L)).as("n_kept"),
         round(sum(idf * bmNorm), 4).as("bm25_r"))
-    // kept-pairs-first ordering: rows with n_kept = 0 exist only in the
-    // BM25 universe, so they sort after every genuine tf·idf candidate
-    // and the row numbers of the n_kept > 0 prefix reproduce
-    // tfidfCosineTopK's ranking bit-for-bit
+    fuseScored(scored, kPer, kFused, c)
+  }
+
+  /** The fusion back-half shared by [[hybridRrfTopK]] and
+    * [[hybridRrfTopKFrom]]: rank the (q_id, doc_id, cos_r, n_kept,
+    * bm25_r) aggregate twice and RRF-fuse. Kept-pairs-first ordering:
+    * rows with n_kept = 0 exist only in the BM25 universe, so they
+    * sort after every genuine tf·idf candidate and the row numbers of
+    * the n_kept > 0 prefix reproduce tfidfCosineTopK's ranking
+    * bit-for-bit.
+    */
+  private def fuseScored(scored: DataFrame, kPer: Int, kFused: Int,
+                         c: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wCos = Window.partitionBy(col("q_id"))
       .orderBy((col("n_kept") > 0).desc, col("cos_r").desc, col("doc_id").asc)
     val wBm = Window.partitionBy(col("q_id"))
@@ -1037,6 +1047,149 @@ object Text {
           6).as("rrf_r"))
       .withColumn("fused_rnk", row_number().over(wF).cast("long"))
       .filter(col("fused_rnk") <= kFused)
+  }
+
+  /** The IMPACT-STYLE posting store every lexical retrieval query can
+    * read instead of re-running tokenize → collapse → weight per
+    * query: per (doc_id, token) — tf, df, the df-cap keep flag, the
+    * raw tf·idf weight `w_t`, the L2-unit tf·idf weight over the kept
+    * vocabulary `wn` (NULL on capped tokens), and the fully
+    * precomputed BM25 contribution `bm_w`. Precomputing per-posting
+    * score contributions at INDEX time is standard public practice
+    * (Anh & Moffat, SIGIR 2006 "Pruned query evaluation using
+    * pre-computed impacts"; Lucene persists per-doc norms the same
+    * way), and it is the 100 TB shape: the corpus tokenizes once per
+    * version, and every ranker becomes a broadcast-query posting join
+    * over the store. Constants (dfCapFrac, k1, b) are baked at build
+    * time — the store is versioned by its similarity config exactly as
+    * a search index is.
+    *
+    * Weight definitions match [[hybridRrfTopK]] term for term: tf·idf
+    * N counts ALL docs (`__nt`), BM25's N counts token-BEARING docs
+    * (`__n`), avgdl = Σtf / #token-bearing docs, cosine norms fold
+    * over the kept vocabulary only.
+    */
+  def postingStoreFrame(documents: DataFrame, dfCapFrac: Double,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dfCapFrac > 0.0 && dfCapFrac <= 1.0, "df cap must be a fraction of N")
+    val byDoc = documents.repartition(col("doc_id"))
+    val tf = graft.CacheScope.cached(byDoc
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocsT = documents.agg(countDistinct(col("doc_id")).cast("double").as("__nt"))
+    val stats = tf.agg(
+      countDistinct(col("doc_id")).cast("double").as("__n"),
+      (sum(col("tf")).cast("double") /
+        countDistinct(col("doc_id")).cast("double")).as("__avgdl"))
+    val kept = col("df") <= col("__nt") * dfCapFrac
+    val w = col("tf") * log(col("__nt") / col("df"))
+    val byDocW = Window.partitionBy(col("doc_id"))
+    val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val bmNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocsT))
+      .crossJoin(broadcast(stats))
+      .withColumn("dl", sum(col("tf")).over(byDocW))
+      .withColumn("nrm",
+        sqrt(sum(when(kept, w * w).otherwise(lit(0.0))).over(byDocW)))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        kept.as("kept"),
+        w.as("w_t"),
+        when(kept, w / col("nrm")).as("wn"),
+        (idf * bmNorm).as("bm_w"))
+  }
+
+  /** [[tfidfTopTerms]] over the posting store: the weight is read, not
+    * recomputed — one rank window, zero joins, one job.
+    */
+  def tfidfTopTermsFrom(store: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    store
+      .withColumn("tfidf", round(col("w_t"), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
+  /** [[tfidfCosineTopK]] over the posting store (kept rows carry their
+    * unit weights): broadcast-query posting join + rank window — two
+    * jobs where the raw form paid six.
+    */
+  def tfidfCosineTopKFrom(store: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = store.filter(col("wn").isNotNull)
+      .select(col("doc_id"), col("token"), col("wn"))
+    val q = unit.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("token"), col("wn").as("qw"))
+    val scored = unit
+      .join(broadcast(q), Seq("token"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        round(sum(col("wn") * col("qw")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id").as("c_id"), col("n_common"),
+        col("cos_r"), col("rnk"))
+  }
+
+  /** [[bm25TopK]] over the posting store (per-posting `bm_w` is the
+    * whole score term): broadcast-query posting join + rank window —
+    * two jobs where the raw form paid five.
+    */
+  def bm25TopKFrom(store: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = store.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("token"))
+    val scored = store
+      .join(broadcast(q), Seq("token"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        round(sum(col("bm_w")), 4).as("bm25_r"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_r").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id").as("c_id"), col("n_common"),
+        col("bm25_r"), col("rnk"))
+  }
+
+  /** [[hybridRrfTopK]] over the posting store: both rankers' per-token
+    * terms are store columns, so the whole hybrid is a broadcast-query
+    * posting join + the shared fusion back-half — two jobs where the
+    * raw fused form paid five. Semantics identical (the query-side
+    * unit weight `qw` is NULL exactly on capped tokens, so the
+    * kept-conditional sums and the n_kept ordering behave as in the
+    * raw form).
+    */
+  def hybridRrfTopKFrom(store: DataFrame, nQueries: Int, kPer: Int,
+                        kFused: Int, c: Double = 60.0): DataFrame = {
+    val q = store.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("token"), col("wn").as("qw"))
+    val scored = store
+      .join(broadcast(q), Seq("token"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(
+        round(sum(when(col("kept"), col("wn") * col("qw")).otherwise(lit(0.0))), 4)
+          .as("cos_r"),
+        sum(when(col("kept") && col("qw").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(col("bm_w")), 4).as("bm25_r"))
+    fuseScored(scored, kPer, kFused, c)
   }
 
   /** Polynomial rolling hash over the raw character stream

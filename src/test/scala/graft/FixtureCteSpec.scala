@@ -42,7 +42,8 @@ class FixtureCteSpec extends AnyFunSuite {
       "q_dedup_ngram", "q_dedup_contain", "q_ngram_novelty",
       "q_dedup_pipeline", "q_dedup_simhash", "q_dedup_simhash_band",
       "q_dedup_cc", "q_dup_cluster_stats",
-      "q_bigram_lm", "q_lm_interp", "q_kn_bigram")
+      "q_bigram_lm", "q_lm_interp", "q_kn_bigram",
+      "q_tfidf", "q_sparse_cosine", "q_bm25", "q_rrf")
     assert(EntrySupport.oracleFixtureCte.keySet == expected)
   }
 }
