@@ -847,6 +847,120 @@ private[graft] object EntryOraclesC {
         |            - CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
         |         AS BIGINT) AS n_params,
         |       event_id % 3 AS k_last_typed
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // ---- batch 25: mergeable sketches (HLL / CMS / Bloom / HDR) ----
+    // every register, counter, bit, and bucket restated from first
+    // principles: md5-prefix hashes, integer binary log via
+    // length(bin(x)), doubles forced with CAST(... AS DOUBLE) so no
+    // DuckDB DECIMAL arithmetic sneaks in
+
+    "q_sketch_hll" ->
+      """WITH dk AS (
+        |  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |hx AS (
+        |  SELECT g,
+        |         ('0x' || substr(md5(k), 1, 8))::BIGINT % 64 AS idx,
+        |         ('0x' || substr(md5(k), 9, 8))::BIGINT AS w2
+        |  FROM dk),
+        |regs AS (
+        |  SELECT g, idx,
+        |         max(CASE WHEN w2 = 0 THEN 33 ELSE 33 - length(bin(w2)) END) AS mj,
+        |         CAST(count(*) AS BIGINT) AS nk
+        |  FROM hx GROUP BY 1, 2),
+        |est AS (
+        |  SELECT g, CAST(sum(nk) AS BIGINT) AS n_exact,
+        |         CAST(0.709 AS DOUBLE) * 64 * 64
+        |           / ((CAST(64 AS DOUBLE) - count(*))
+        |              + sum(power(CAST(2 AS DOUBLE), -mj))) AS e,
+        |         CAST(64 AS DOUBLE) - count(*) AS v
+        |  FROM regs GROUP BY 1),
+        |fin AS (
+        |  SELECT g, n_exact,
+        |         round(CASE WHEN e <= 160 AND v > 0
+        |                    THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+        |                    ELSE e END, 4) AS hll_est_r
+        |  FROM est)
+        |SELECT g AS event_type, n_exact, hll_est_r,
+        |       round(abs(hll_est_r - n_exact) / n_exact, 4) AS rel_err_r
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    "q_sketch_cms" ->
+      """WITH tc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |hx AS (
+        |  SELECT k, cnt, u.j,
+        |         ('0x' || substr(md5(CAST(u.j AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 64 AS b
+        |  FROM tc, (SELECT unnest(generate_series(0, 3)) AS j) u),
+        |counters AS (SELECT j, b, CAST(sum(cnt) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
+        |est AS (
+        |  SELECT k, max(cnt) AS cnt, min(c) AS cms_est
+        |  FROM hx JOIN counters USING (j, b) GROUP BY 1),
+        |top AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY cms_est DESC, k) AS BIGINT) AS rnk
+        |  FROM est)
+        |SELECT k AS user_id, cnt, cms_est, cms_est - cnt AS overshoot, rnk
+        |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "q_bloom_dedup" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |         CAST(user_id AS VARCHAR) || '|' || coalesce(event_type, '') AS bk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |hist AS (SELECT DISTINCT bk FROM ev WHERE ts_us < 1705276800000000),
+        |bits AS (
+        |  SELECT DISTINCT
+        |         ('0x' || substr(md5(CAST(u.i AS VARCHAR) || '|' || bk), 1, 8))::BIGINT % 1024 AS pos
+        |  FROM hist, (SELECT unnest(generate_series(0, 2)) AS i) u),
+        |batch AS (SELECT event_id, bk FROM ev WHERE ts_us >= 1705276800000000),
+        |bpos AS (
+        |  SELECT event_id, bk,
+        |         ('0x' || substr(md5(CAST(u.i AS VARCHAR) || '|' || bk), 1, 8))::BIGINT % 1024 AS pos
+        |  FROM batch, (SELECT unnest(generate_series(0, 2)) AS i) u),
+        |mb AS (
+        |  SELECT event_id, bk, count(h.hit) = 3 AS maybe_seen
+        |  FROM bpos LEFT JOIN (SELECT pos, 1 AS hit FROM bits) h USING (pos)
+        |  GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT m.event_id, m.maybe_seen, coalesce(hk.seen, false) AS actually_seen
+        |  FROM mb m LEFT JOIN (SELECT bk, true AS seen FROM hist) hk USING (bk))
+        |SELECT event_id, maybe_seen, actually_seen,
+        |       maybe_seen AND NOT actually_seen AS is_fp
+        |FROM fin ORDER BY event_id""".stripMargin,
+
+    "q_sketch_quantile" ->
+      """WITH b0 AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND value >= 0),
+        |b1 AS (
+        |  SELECT g, vc, CAST(length(bin(vc)) AS BIGINT) AS blen,
+        |         CASE WHEN vc >= 16
+        |              THEN vc >> CAST(length(bin(vc)) - 4 AS INT) ELSE 0 END AS mant
+        |  FROM b0),
+        |b2 AS (
+        |  SELECT g,
+        |         CASE WHEN vc < 16 THEN vc ELSE blen * 8 + (mant - 8) END AS bucket,
+        |         CASE WHEN vc < 16 THEN CAST(vc AS DOUBLE) / 100
+        |              ELSE (CAST(mant << CAST(blen - 4 AS INT) AS DOUBLE)
+        |                    + CAST((mant + 1) << CAST(blen - 4 AS INT) AS DOUBLE))
+        |                   / 2 / 100 END AS rep
+        |  FROM b1),
+        |bk AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS c, max(rep) AS rep
+        |       FROM b2 GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT g, rep, cum, n FROM (
+        |    SELECT g, bucket, rep, c,
+        |           sum(c) OVER (PARTITION BY g ORDER BY bucket
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |           sum(c) OVER (PARTITION BY g) AS n
+        |    FROM bk))
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |       round(min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN rep END), 4) AS p50_est_r,
+        |       round(min(CASE WHEN cum >= ceil(CAST(0.9 AS DOUBLE) * n) THEN rep END), 4) AS p90_est_r,
+        |       round(min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN rep END), 4) AS p99_est_r
+        |FROM cm GROUP BY g ORDER BY event_type""".stripMargin
   )
 }

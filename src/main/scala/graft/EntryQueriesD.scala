@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Mutations, Relational, Sim, Text, TimeFns}
+import graft.ops.{Corpus, Dedup, EventOps, Multimodal, Mutations, Relational, Sim, Sketches, Text, TimeFns}
 import graft.etl.Sinks
 import graft.Tables._
 import graft.EntrySupport._
@@ -800,6 +800,52 @@ private[graft] object EntryQueriesD {
               p => p.getField("k") === lit("k")),
             lit(-1)).getField("v").cast("long").as("k_last_typed"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- batch 25 (round 11): mergeable sketches — the fixed-state
+    //      substitutes for exact distinct/frequency/membership/quantile
+    //      at 100 TB, each deterministic and oracle-restatable ----
+
+    "q_sketch_hll" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // HyperLogLog distinct users per event type (m=64 registers),
+      // exact count riding the same register fold for a free error column
+      Sketches.hllDistinct(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy(col("event_type"))
+    }),
+
+    "q_sketch_cms" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // count-min heavy hitters over user activity: estimates can only
+      // OVERcount, the property that makes the sketch safe for hot-key
+      // detection (see q_key_skew for the exact twin)
+      Sketches.cmsHeavyHitters(Tables.events(s, dir), "user_id", topK = 20)
+        .orderBy(col("rnk"))
+    }),
+
+    "q_bloom_dedup" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Bloom pre-filter for incremental dedup: history keys set the
+      // bits, the new batch pays the exact verification join only where
+      // the filter says "maybe" — no false negatives by construction
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val key = concat(col("user_id").cast("string"), lit("|"),
+        coalesce(col("event_type"), lit("")))
+      Sketches.bloomDedupFlags(
+          ev.filter(col("ts_us") < Tables.D2024_01_15_US),
+          ev.filter(col("ts_us") >= Tables.D2024_01_15_US),
+          key, "event_id")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_sketch_quantile" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // HDR-histogram log-linear quantiles per event type — integer-only
+      // bucket math (binary log via length(bin)), so both engines bucket
+      // bit-identically with no ln() boundary hazard
+      Sketches.hdrQuantiles(Tables.events(s, dir), "event_type", "value",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"))
     })
   )
 }

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Mergeable-sketch operators — the fixed-state substitutes a 100 TB
+  * engine uses where exact answers need unbounded memory: HyperLogLog
+  * distinct counts (Flajolet et al., AofA 2007), count-min frequency
+  * estimates (Cormode & Muthukrishnan, J.Alg 2005), Bloom-filter
+  * membership pre-filters (Bloom, CACM 1970), and HDR-histogram
+  * log-linear quantiles (Tene's HdrHistogram; the DDSketch/t-digest
+  * family's integer-exact cousin). Every sketch here is DETERMINISTIC
+  * and engine-reproducible: hashes derive from md5 prefixes (the
+  * repo-wide oracle-bridge convention — swap for xxhash64 at 100 TB,
+  * see Dedup's hash note) and bucket math is integer-only
+  * (`length(bin(x))` = exact binary log), so a DuckDB oracle can
+  * restate every register, counter, bit, and bucket bit-for-bit.
+  *
+  * Scale shapes: an HLL group's state is m registers, a CMS is d·w
+  * counters, a Bloom filter m bits — all map-side combinable (max /
+  * sum / or) and broadcastable, which is exactly why they replace
+  * exact distinct/frequency/membership at scale.
+  */
+object Sketches {
+
+  /** 32-bit hash from an md5 prefix: chunk 0 = hex chars 1-8,
+    * chunk 1 = 9-16 — both engines state it identically.
+    */
+  private def h32(c: Column, chunk: Int): Column =
+    conv(substring(md5(c.cast("binary")), 1 + 8 * chunk, 8), 16, 10).cast("long")
+
+  /** HyperLogLog distinct count per group, m = 64 registers (p = 6):
+    * register index = h₁ mod 64, rank = leading-zero count of the
+    * 32-bit h₂ + 1 (via `33 − length(bin(w))` — exact integer binary
+    * log, no float boundary), per-register MAX, the m=64 bias constant
+    * α = 0.709, and the standard small-range (linear counting)
+    * correction. The exact distinct count rides the same single
+    * exchange chain — each distinct key lands in exactly one register,
+    * so Σ per-register key-counts = the exact answer — making the
+    * relative error a free output column instead of a second
+    * aggregation pass.
+    *
+    * Shape: distinct (group, key) → (group, idx) register fold →
+    * (group) estimate fold. One exchange chain; register state is 64
+    * values per group at ANY cardinality — the whole point.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val m = 64
+    val dk = df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), col(keyCol).cast("string").as("k"))
+      .distinct()
+    val w = h32(col("k"), 1)
+    val regs = dk
+      .select(col("g"),
+        (h32(col("k"), 0) % m).as("idx"),
+        when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rho"))
+      .groupBy(col("g"), col("idx"))
+      .agg(max(col("rho")).as("mj"), count(lit(1)).as("nk"))
+    val z = (lit(m.toDouble) - count(lit(1))) + sum(pow(lit(2.0), -col("mj")))
+    val v = lit(m.toDouble) - count(lit(1)) // registers never hit (mj >= 1 when present)
+    regs.groupBy(col("g"))
+      .agg(
+        sum(col("nk")).as("n_exact"),
+        ((lit(0.709 * m * m) / z)).as("__e"),
+        v.as("__v"))
+      .select(
+        col("g").as(groupCol),
+        col("n_exact"),
+        round(
+          when(col("__e") <= 2.5 * m && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(col("__e")), 4).as("hll_est_r"))
+      .withColumn("rel_err_r",
+        round(abs(col("hll_est_r") - col("n_exact")) / col("n_exact"), 4))
+  }
+
+  /** Count-min heavy hitters: d=4 hash rows × w=64 counters; a key's
+    * estimate is the MIN over its d counters, which can only
+    * OVERcount (collisions add, never subtract) — the one-sided error
+    * that makes CMS safe for hot-key detection. Counters build from
+    * the per-key count frame (each key adds its full count to one
+    * bucket per row), estimates join back bucket-wise, and the top-k
+    * window ranks by (estimate desc, key) so ties are deterministic.
+    *
+    * Shape: one key aggregate (map-side combinable), a d·w = 256-row
+    * counter frame folded from it and broadcast back, one rank window
+    * over the key frame. At 100 TB the counter frame is STILL 256
+    * rows — that is the sketch contract.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, topK: Int,
+                      d: Int = 4, w: Int = 64): DataFrame = {
+    val tc = graft.CacheScope.cached(
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt")))
+    val hashed = tc.select(col("k"), col("cnt"),
+      explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("b", h32(concat(col("j").cast("string"), lit("|"), col("k")), 0) % w)
+    val counters = hashed.groupBy(col("j"), col("b"))
+      .agg(sum(col("cnt")).as("c"))
+    val est = hashed
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col("k"))
+      .agg(max(col("cnt")).as("cnt"), min(col("c")).as("cms_est"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — bounded state at
+    // any key cardinality); the rank window then runs over the
+    // ALREADY-CUT topK rows, never the full key frame
+    val top = est.orderBy(col("cms_est").desc, col("k").asc).limit(topK)
+    val rank = Window.orderBy(col("cms_est").desc, col("k").asc)
+    top
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+      .select(col("k").as(keyCol), col("cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overshoot"), col("rnk"))
+  }
+
+  /** Bloom-filter dedup pre-filter — the 100 TB first line of an
+    * incremental pipeline: the HISTORY's natural keys set k=3 bits
+    * each in an m=1024-bit filter; a BATCH row whose bits are not all
+    * set is DEFINITELY new (no false negatives — the property the
+    * spec pins), and only the "maybe seen" remainder pays the exact
+    * verification join. Bits materialize as a ≤1024-row frame and
+    * broadcast; the exact check is a key semi-join flagged per row.
+    *
+    * Output per batch row: the bloom verdict, the exact verdict, and
+    * the false-positive flag — so the operator doubles as its own
+    * false-positive-rate audit.
+    */
+  def bloomDedupFlags(history: DataFrame, batch: DataFrame,
+                      keyExpr: Column, idCol: String,
+                      m: Int = 1024, k: Int = 3): DataFrame = {
+    require(k <= 4, "h32 chunks: j folds into the md5 input, k <= 4 keeps buckets independent")
+    def positions(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .select((extra :+ keyExpr.cast("string").as("bk")): _*)
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("pos", h32(concat(col("i").cast("string"), lit("|"), col("bk")), 0) % m)
+    val bits = positions(history, Seq.empty).select(col("pos")).distinct()
+    val histKeys = history.select(keyExpr.cast("string").as("bk")).distinct()
+    positions(batch, Seq(col(idCol)))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col(idCol), col("bk"))
+      .agg((count(col("hit")) === k).as("maybe_seen"))
+      .join(broadcast(histKeys.withColumn("seen", lit(true))), Seq("bk"), "left")
+      .select(col(idCol),
+        col("maybe_seen"),
+        coalesce(col("seen"), lit(false)).as("actually_seen"),
+        (col("maybe_seen") && !coalesce(col("seen"), lit(false))).as("is_fp"))
+  }
+
+  /** HDR-histogram log-linear quantiles (integer-exact DDSketch
+    * cousin): values quantize to cents, bucket = 8·bitlength + the 3
+    * sub-bits under the leading one (values < 16 cents keep their own
+    * bucket) — a ~±6% relative-error grid whose bucketing is PURE
+    * INTEGER math (`length(bin(x))`, shifts), so both engines bucket
+    * bit-identically with no ln() boundary hazard. Quantile q reads
+    * the first bucket whose cumulative count reaches ceil(q·n) and
+    * reports the bucket midpoint.
+    *
+    * Shape: one (group, bucket) aggregate — bounded at ~8·64 buckets
+    * per group at any scale — then window folds over that bounded
+    * frame (the PlanShapeSpec bounded-frame tier).
+    */
+  def hdrQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                   qs: Seq[Double]): DataFrame = {
+    val bucketed = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(groupCol).as("g"), floor(col(valueCol) * 100).cast("long").as("vc"))
+      .withColumn("blen", length(bin(col("vc"))).cast("long"))
+      // mant = the top 4 bits (leading one included, so 8..15);
+      // guarded to vc >= 16 so the shift amount blen-4 is never
+      // negative (expr form: the Scala shiftright API only takes a
+      // literal count, the SQL builtin takes a column)
+      .withColumn("mant",
+        when(col("vc") >= 16,
+          expr("shiftright(vc, cast(blen - 4 as int))")).otherwise(lit(0L)))
+      .withColumn("bucket",
+        when(col("vc") < 16, col("vc"))
+          .otherwise(col("blen") * 8 + (col("mant") - 8)))
+      .withColumn("rep",
+        when(col("vc") < 16, col("vc").cast("double") / 100.0)
+          .otherwise(
+            (expr("shiftleft(mant, cast(blen - 4 as int))").cast("double") +
+              expr("shiftleft(mant + 1, cast(blen - 4 as int))").cast("double"))
+              / 2.0 / 100.0))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("c"), max(col("rep")).as("rep"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col("g"))
+    val cum = bucketed
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wN))
+    val qCols = qs.map { q =>
+      val tag = (q * 100).round.toInt
+      round(min(when(col("cum") >= ceil(lit(q) * col("n")), col("rep"))), 4)
+        .as(s"p${tag}_est_r")
+    }
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), qCols: _*)
+      .withColumnRenamed("g", groupCol)
+  }
+}

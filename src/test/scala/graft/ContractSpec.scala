@@ -34,8 +34,10 @@ class ContractSpec extends AnyFunSuite {
   test("declared inventory has the expected size") {
     // round 10: 193 + q_media_png + q_quality_classifier + q_sim_hnsw
     // + q_sim_hnsw_routed + q_sink_xml + q_xml_intake + q_xpath_extract
-    // + q_csv_intake + q_bpe_encode
-    assert(SparkEntry.queries.size === 202)
+    // + q_csv_intake + q_bpe_encode = 202
+    // round 11: + q_sketch_hll + q_sketch_cms + q_bloom_dedup
+    // + q_sketch_quantile = 206
+    assert(SparkEntry.queries.size === 206)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -424,7 +424,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_kl_sources" -> "source-count-sized per-source totals frame",
       "q_pmi" -> "bigram-vocabulary-sized frame (Heaps-bounded, zipf tier)",
       "q_unigram_logprob" -> "vocabulary-sized scalar-total frame",
-      "q_ppl_buckets" -> "vocabulary-sized scalar-total frame")
+      "q_ppl_buckets" -> "vocabulary-sized scalar-total frame",
+      // r11: the rank window runs AFTER orderBy+limit(topK) cuts the
+      // key frame to 20 rows (TakeOrderedAndProject does the
+      // unbounded-scale work; Sketches.cmsHeavyHitters)
+      "q_sketch_cms" -> "post-limit topK frame (20 rows)")
     val sf = "/root/testdata/sf0.001"
     try SparkEntry.prepare(spark, sf) catch { case _: Throwable => () }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

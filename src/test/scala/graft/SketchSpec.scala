@@ -50,4 +50,63 @@ class SketchSpec extends AnyFunSuite {
     val fp = (1 to 1000).map(i => s"absent$i").count(bf.mightContain)
     assert(fp <= 50, s"false-positive rate out of band: $fp/1000")
   }
+
+  // ---- graft.ops.Sketches: the deterministic, oracle-restatable tier ----
+
+  test("hllDistinct: exact counts ride the register fold; estimates within HLL error") {
+    // planted cardinalities per group: 40 / 400 / 1500 distinct keys
+    import graft.ops.Sketches
+    val rows = Seq(("a", 40), ("b", 400), ("c", 1500)).flatMap { case (g, n) =>
+      (0 until n).flatMap(i => Seq((g, s"$g-key-$i"), (g, s"$g-key-$i"))) // dup rows collapse
+    }
+    val out = Sketches.hllDistinct(rows.toDF("g", "k"), "g", "k")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a")._1 === 40L && out("b")._1 === 400L && out("c")._1 === 1500L)
+    // m=64 standard error is 1.04/sqrt(64) = 13%; allow 3 sigma
+    for ((g, (exact, est)) <- out)
+      assert(math.abs(est - exact) / exact <= 0.39, s"$g: est $est vs $exact")
+  }
+
+  test("cmsHeavyHitters: estimates never undercount and the planted hot key ranks first") {
+    import graft.ops.Sketches
+    val rows = (1 to 4000).map(i => if (i % 4 == 0) "hot" else s"u${i % 97}")
+    val out = Sketches.cmsHeavyHitters(rows.toDF("user_id"), "user_id", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.forall(_._4 >= 0L), "CMS undercounted (overshoot < 0)")
+    assert(out.head._1 === "hot" && out.head._5 === 1L)
+    assert(out.head._2 === 1000L)
+    assert(out.map(_._5).toSeq === (1L to 10L))
+  }
+
+  test("bloomDedupFlags: no false negatives, exact flags, planted overlap found") {
+    import graft.ops.Sketches
+    val hist = (0 until 300).map(i => (i.toLong, s"k${i}")).toDF("event_id", "bk0")
+    // batch: 50 repeats of history keys + 50 fresh ones
+    val batch = ((1000 until 1050).map(i => (i.toLong, s"k${i - 1000}")) ++
+      (1050 until 1100).map(i => (i.toLong, s"fresh$i"))).toDF("event_id", "bk0")
+    val out = Sketches.bloomDedupFlags(hist, batch, col("bk0"), "event_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.length === 100)
+    // the defining property: seen => maybe_seen (no false negatives)
+    assert(out.forall { case (_, maybe, seen, _) => !seen || maybe })
+    assert(out.count(_._3) === 50, "planted overlap must be found exactly")
+    assert(out.forall { case (_, maybe, seen, fp) => fp === (maybe && !seen) })
+  }
+
+  test("hdrQuantiles: log-linear buckets keep every quantile within the grid's relative error") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map(_ => ("g", math.exp(rnd.nextGaussian() * 1.5 + 3)))
+    val df = rows.toDF("g", "v")
+    val out = Sketches.hdrQuantiles(df, "g", "v", Seq(0.5, 0.9, 0.99)).collect().head
+    val vals = rows.map(_._2).sorted
+    def exact(q: Double) = vals((q * (vals.size - 1)).toInt)
+    for ((q, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val est = out.getDouble(2 + i)
+      val ex = exact(q)
+      // 4-bit mantissa grid: bucket width is 2^(blen-4) <= value/8, so
+      // the midpoint is within ~6.7% + one-bucket rank slack
+      assert(math.abs(est - ex) / ex <= 0.15, s"p$q: est $est vs exact $ex")
+    }
+  }
 }
