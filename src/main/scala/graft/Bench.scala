@@ -390,6 +390,9 @@ object Bench {
       "q_dedup_substring" -> "r7 artifact 1.20s was a noise burst: r8 JobProfile steady 0.52s / bench-condition 0.27s, 1 job, unchanged code",
       "q_knn_vote" -> "holdout model collect + one compiled all-cosines pass + skinny top-k exchange + in-array HOF vote (r7; 0.77s -> 0.29s)",
       "q_media_jpeg" -> "nominal ratio only: the DuckDB 'oracle' restates the planted answer arithmetically from doc_id while Spark runs a REAL baseline-JPEG Huffman+IDCT decode per payload (same exclusion rationale as q_media_dedup_cc)",
+      "q_media_png" -> "nominal ratio only: the oracle restates the planted raster stats arithmetically from doc_id while Spark inflates+defilters every real PNG payload (same exclusion rationale as q_media_jpeg); 1 job, steady ~0.2s",
+      "q_sim_hnsw" -> "nominal ratio: the oracle is the 1000-vector brute-force scan (0.015s in-process) while Spark BUILDS per-segment HNSW graphs then searches — the graph build is the operator under test, priced per query; 2 jobs (segment flatMap + merge window), steady ~0.35s",
+      "q_sim_hnsw_routed" -> "same rationale as q_sim_hnsw with the IVF routing stage added; the pinned-centroid oracle restates multi-probe exact search",
       "q_rrf" -> "fused single-pass since r9 (tfidf+bm25 as two columns of ONE posting join; 9 -> 5 jobs, 1.64 -> 0.50-0.54s quiet); remaining cost is 4 broadcast-build jobs + the scored window pass, job-floor bound",
       "q_sink_zorder" -> "4 jobs including two REAL parquet writes (range-partition + in-partition sort + write, then the read-back check) - sink queries time actual file I/O each sample",
       "q_media_dedup_cc" -> "7 jobs, each real work: 2000-image decode+aHash cache, band-pair build, undirected-edge cache, fused-hop label checkpoint, convergence probe, keeper fold; ratio NOMINAL - the DuckDB oracle restates the planted answer arithmetically from doc_id (same exclusion rationale as q_media_jpeg)",

@@ -42,6 +42,55 @@ object StreamingAggregates {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming HyperLogLog registers: approximate distinct keys per
+    * tumbling window and group with FIXED state — m = 64 register
+    * maxima per (window, group) instead of the unbounded distinct-key
+    * set an exact streaming countDistinct would hold (the reason HLL
+    * is THE streaming distinct answer at scale). Register update is a
+    * plain MAX aggregate (monotone, map-side combinable), so the
+    * watermarked append-mode window finalizes registers like any other
+    * aggregate; the sink holds (window, group, idx, mj) rows and the
+    * serving layer projects estimates with the batch operator's α /
+    * linear-counting math — StreamingAggSpec pins that the projected
+    * estimate equals [[graft.ops.Sketches.hllDistinct]] EXACTLY on the
+    * same data (identical registers ⇒ identical estimate, not merely
+    * within error).
+    */
+  def hllRegisters(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      groupCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      sinkDir: String,
+      lateness: String = "1 hour"): StreamingQuery = {
+    def h(chunk: Int) = conv(substring(
+      md5(col(keyCol).cast("string").cast("binary")), 1 + 8 * chunk, 8), 16, 10)
+      .cast("long")
+    val w2 = h(1)
+    val rho = when(w2 === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w2)))
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      .groupBy(window(col("__event_time"), "1 hour"), col(groupCol),
+        (h(0) % 64).as("idx"))
+      .agg(max(rho).as("mj"))
+      .select(col("window.start").as("win_start"), col(groupCol),
+        col("idx"), col("mj"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Sliding-window counts: each event lands in `windowLen/slide`
     * overlapping windows (window() emits one row per covered window —
     * a bounded, declared expansion). Append-mode finalization as with

@@ -627,6 +627,61 @@ object ScaleStress {
         expr.size == ref.size, "BPE encode drifted at scale")
       CacheScope.flush()
     }
+    // 15. Mergeable sketches (round 11) at nDocs scale — fixed-state
+    //     invariants: HLL registers stay 64/group whatever the
+    //     cardinality (exact count EXACT, estimate within 3 sigma of
+    //     the m=64 error), CMS never undercounts and surfaces the
+    //     planted hot key at rank 1 with its EXACT count, the Bloom
+    //     pre-filter keeps zero false negatives with the planted
+    //     overlap found exactly, HDR quantiles of a known uniform grid
+    //     land within the 4-bit-mantissa relative error.
+    timed("sketches") {
+      val keyed = spark.range(0, nDocs, 1, 64).select(
+        (col("id") % 4).cast("string").as("g"),
+        col("id").cast("string").as("k"),
+        when(col("id") % 10 === 0, lit("hot"))
+          .otherwise(concat(lit("u"), pmod(col("id"), lit(50000L)))).as("ck"),
+        ((pmod(col("id"), lit(10000L)) + 1).cast("double") / 100.0).as("v"))
+      val hll = ops.Sketches.hllDistinct(keyed, "g", "k")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val perG = nDocs / 4
+      assert(hll.values.forall(_._1 == perG), s"HLL exact column drifted: $hll")
+      assert(hll.values.forall { case (ex, est) =>
+        math.abs(est - ex) / ex <= 0.39 }, s"HLL estimate out of band: $hll")
+      CacheScope.flush()
+      val cms = ops.Sketches.cmsHeavyHitters(keyed.select(col("ck")), "ck", topK = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      assert(cms.head._1 == "hot" && cms.head._4 == 1L &&
+        cms.head._2 == nDocs / 10 && cms.forall(_._3 >= 0L),
+        s"CMS drifted at scale: ${cms.toSeq}")
+      CacheScope.flush()
+      val half = nDocs / 2
+      val hist = spark.range(0, half, 1, 64)
+        .select(col("id").as("event_id"), concat(lit("k"), col("id")).as("bk0"))
+      val batch = spark.range(half, nDocs, 1, 64)
+        .select(col("id").as("event_id"),
+          // even ids repeat a history key, odd ids are fresh
+          when(col("id") % 2 === 0, concat(lit("k"), expr("id div 2")))
+            .otherwise(concat(lit("fresh"), col("id"))).as("bk0"))
+      val bl = ops.Sketches.bloomDedupFlags(hist, batch, col("bk0"), "event_id")
+        .agg(
+          sum(when(col("actually_seen") && !col("maybe_seen"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("actually_seen"), 1L).otherwise(0L)).as("seen"),
+          count(lit(1)).as("n")).collect().head
+      assert(bl.getLong(0) == 0L, "Bloom false negative at scale")
+      assert(bl.getLong(1) == (nDocs - half + 1) / 2 && bl.getLong(2) == nDocs - half,
+        s"planted overlap drifted: seen=${bl.getLong(1)} n=${bl.getLong(2)}")
+      CacheScope.flush()
+      val hdr = ops.Sketches.hdrQuantiles(keyed, "g", "v", Seq(0.5, 0.99))
+        .collect()
+      // v is uniform on {0.01 .. 100.00} per group: p50 ~ 50.0, p99 ~ 99.0
+      hdr.foreach { r =>
+        assert(math.abs(r.getDouble(2) - 50.0) / 50.0 <= 0.10 &&
+          math.abs(r.getDouble(3) - 99.0) / 99.0 <= 0.10,
+          s"HDR quantiles out of band: $r")
+      }
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

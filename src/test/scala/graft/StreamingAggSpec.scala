@@ -40,6 +40,45 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == "tick"))
   }
 
+  test("streaming HLL registers project to EXACTLY the batch estimate") {
+    val base = Files.createTempDirectory("graft-shll").toString
+    val h = 3600L * 1000000
+    val gkSchema = StructType(Seq(
+      StructField("g", StringType), StructField("k", StringType),
+      StructField("ts_us", LongType)))
+    // two groups with known cardinalities inside hour 0 (dup rows
+    // collapse in the registers); a far-future tick finalizes the hour
+    val rows = (0 until 80).flatMap(i => Seq(("a", s"u$i", (i + 1L) * 1000000))) ++
+      (0 until 300).map(i => ("b", s"v${i % 150}", (i + 1L) * 1000000)) :+
+      (("tick", "x", 100 * h))
+    rows.toDF("g", "k", "ts_us").coalesce(1).write.parquet(s"$base/src")
+
+    StreamingAggregates.hllRegisters(
+      spark, s"$base/src", gkSchema, "ts_us", "g", "k",
+      s"$base/ckpt", s"$base/sink").awaitTermination()
+
+    // serving-layer projection from the finalized registers
+    val regs = spark.read.parquet(s"$base/sink")
+      .filter($"g".isin("a", "b"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    def estimate(g: String): Double = {
+      val mj = regs.filter(_._1 == g).map(t => t._2 -> t._3).toMap
+      val v = 64.0 - mj.size
+      val z = v + mj.values.map(m => math.pow(2.0, -m.toDouble)).sum
+      val e = 0.709 * 64 * 64 / z
+      val est = if (e <= 160.0 && v > 0) 64.0 * math.log(64.0 / v) else e
+      BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val batch = graft.ops.Sketches.hllDistinct(
+        rows.toDF("g", "k", "ts_us").filter($"g" =!= "tick"), "g", "k")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // identical registers => identical estimate — exact equality, and
+    // the exact column confirms the planted cardinalities
+    assert(batch("a")._1 === 80L && batch("b")._1 === 150L)
+    assert(estimate("a") === batch("a")._2)
+    assert(estimate("b") === batch("b")._2)
+  }
+
   test("sliding windows count each event once per covered window") {
     val base = Files.createTempDirectory("graft-slide").toString
     val h = 3600L * 1000000
