@@ -930,6 +930,61 @@ private[graft] object EntryOraclesC {
         |       maybe_seen AND NOT actually_seen AS is_fp
         |FROM fin ORDER BY event_id""".stripMargin,
 
+    "q_sketch_overlap" ->
+      """WITH dk AS (
+        |  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |hx AS (
+        |  SELECT g, k,
+        |         ('0x' || substr(md5(k), 1, 8))::BIGINT % 64 AS idx,
+        |         CASE WHEN ('0x' || substr(md5(k), 9, 8))::BIGINT = 0 THEN 33
+        |              ELSE 33 - length(bin(('0x' || substr(md5(k), 9, 8))::BIGINT))
+        |         END AS rho
+        |  FROM dk),
+        |sregs AS (SELECT g, idx, max(rho) AS mj FROM hx GROUP BY 1, 2),
+        |sest0 AS (
+        |  SELECT g,
+        |         CAST(0.709 AS DOUBLE) * 64 * 64
+        |           / ((CAST(64 AS DOUBLE) - count(*))
+        |              + sum(power(CAST(2 AS DOUBLE), -mj))) AS e,
+        |         CAST(64 AS DOUBLE) - count(*) AS v
+        |  FROM sregs GROUP BY 1),
+        |sest AS (
+        |  SELECT g, CASE WHEN e <= 160 AND v > 0
+        |                 THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+        |                 ELSE e END AS est
+        |  FROM sest0),
+        |gs AS (SELECT DISTINCT g FROM dk),
+        |pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        |tg AS (
+        |  SELECT pr.ga, pr.gb, hx.idx, hx.rho
+        |  FROM pr JOIN hx ON hx.g = pr.ga OR hx.g = pr.gb),
+        |pregs AS (SELECT ga, gb, idx, max(rho) AS mj FROM tg GROUP BY 1, 2, 3),
+        |pest0 AS (
+        |  SELECT ga, gb,
+        |         CAST(0.709 AS DOUBLE) * 64 * 64
+        |           / ((CAST(64 AS DOUBLE) - count(*))
+        |              + sum(power(CAST(2 AS DOUBLE), -mj))) AS e,
+        |         CAST(64 AS DOUBLE) - count(*) AS v
+        |  FROM pregs GROUP BY 1, 2),
+        |pest AS (
+        |  SELECT ga, gb, CASE WHEN e <= 160 AND v > 0
+        |                      THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+        |                      ELSE e END AS est_ab
+        |  FROM pest0),
+        |ex AS (
+        |  SELECT x.g AS ga, y.g AS gb, CAST(count(*) AS BIGINT) AS n
+        |  FROM dk x JOIN dk y ON x.k = y.k AND x.g < y.g GROUP BY 1, 2)
+        |SELECT pr.ga AS type_a, pr.gb AS type_b,
+        |       coalesce(ex.n, 0) AS n_exact_overlap,
+        |       round(sa.est + sb.est - pest.est_ab, 4) AS hll_overlap_r
+        |FROM pr
+        |JOIN sest sa ON sa.g = pr.ga
+        |JOIN sest sb ON sb.g = pr.gb
+        |JOIN pest USING (ga, gb)
+        |LEFT JOIN ex USING (ga, gb)
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q_sketch_quantile" ->
       """WITH b0 AS (
         |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS vc

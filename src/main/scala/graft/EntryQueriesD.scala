@@ -838,6 +838,15 @@ private[graft] object EntryQueriesD {
         .orderBy(col("event_id"))
     }),
 
+    "q_sketch_overlap" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // HLL set algebra: per-pair audience overlap from MERGED registers
+      // (union = per-index max — the mergeability property), exact
+      // intersection join riding along as the audit column
+      Sketches.hllOverlap(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     "q_sketch_quantile" -> ((s0, dir) => {
       val s = ensure(s0)
       // HDR-histogram log-linear quantiles per event type — integer-only

@@ -76,6 +76,70 @@ object Sketches {
         round(abs(col("hll_est_r") - col("n_exact")) / col("n_exact"), 4))
   }
 
+  /** HLL set algebra — audience overlap between groups WITHOUT the
+    * exact intersection join: union registers are per-index MAXIMA of
+    * the member groups' registers (the mergeability that makes HLL a
+    * distributed sketch at all), so |A∩B| estimates by
+    * inclusion-exclusion est(A) + est(B) − est(A∪B). The exact
+    * intersection (a key self-join — the thing the sketch avoids at
+    * 100 TB) rides along as the audit column; estimates use the same
+    * m=64 / α=0.709 / linear-counting math as [[hllDistinct]], summed
+    * UNROUNDED before the final 4dp round. Inclusion-exclusion error
+    * compounds three estimates, so small overlaps can read negative —
+    * the documented sketch behavior, not a defect.
+    *
+    * Shape: one distinct (group, key) collapse feeds everything; the
+    * group-pair frame is |groups|² (tiny) and broadcasts through a
+    * membership join; register state is 64 values per pair.
+    */
+  def hllOverlap(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val m = 64
+    val dk = graft.CacheScope.cached(df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), col(keyCol).cast("string").as("k"))
+      .distinct())
+    val w = h32(col("k"), 1)
+    val hx = graft.CacheScope.cached(dk.select(col("g"), col("k"),
+      (h32(col("k"), 0) % m).as("idx"),
+      when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rho")))
+    // UNROUNDED estimate from a register frame grouped by `keys`
+    def estimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+      val z = (lit(m.toDouble) - count(lit(1))) + sum(pow(lit(2.0), -col("mj")))
+      val v = lit(m.toDouble) - count(lit(1))
+      regs.groupBy(keys.map(col): _*)
+        .agg((lit(0.709 * m * m) / z).as("__e"), v.as("__v"))
+        .select(keys.map(col) :+
+          when(col("__e") <= 2.5 * m && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(col("__e")).as("est"): _*)
+    }
+    val single = estimate(
+      hx.groupBy(col("g"), col("idx")).agg(max(col("rho")).as("mj")), Seq("g"))
+    val gs = dk.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .crossJoin(gs.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    // union registers: every (g,k) row tags each pair its group belongs to
+    val tagged = hx.join(broadcast(pairs),
+      col("g") === col("ga") || col("g") === col("gb"))
+    val estAb = estimate(
+      tagged.groupBy(col("ga"), col("gb"), col("idx")).agg(max(col("rho")).as("mj")),
+      Seq("ga", "gb")).withColumnRenamed("est", "est_ab")
+    val exact = dk.select(col("g").as("ga"), col("k"))
+      .join(dk.select(col("g").as("gb"), col("k")), Seq("k"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(single.select(col("g").as("ga"), col("est").as("ea")), Seq("ga"))
+      .join(single.select(col("g").as("gb"), col("est").as("eb")), Seq("gb"))
+      .join(estAb, Seq("ga", "gb"))
+      .join(exact, Seq("ga", "gb"), "left")
+      .select(
+        col("ga").as("type_a"), col("gb").as("type_b"),
+        coalesce(col("n"), lit(0L)).as("n_exact_overlap"),
+        round(col("ea") + col("eb") - col("est_ab"), 4).as("hll_overlap_r"))
+  }
+
   /** Count-min heavy hitters: d=4 hash rows × w=64 counters; a key's
     * estimate is the MIN over its d counters, which can only
     * OVERcount (collisions add, never subtract) — the one-sided error

@@ -36,8 +36,8 @@ class ContractSpec extends AnyFunSuite {
     // + q_sim_hnsw_routed + q_sink_xml + q_xml_intake + q_xpath_extract
     // + q_csv_intake + q_bpe_encode = 202
     // round 11: + q_sketch_hll + q_sketch_cms + q_bloom_dedup
-    // + q_sketch_quantile = 206
-    assert(SparkEntry.queries.size === 206)
+    // + q_sketch_quantile + q_sketch_overlap = 207
+    assert(SparkEntry.queries.size === 207)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

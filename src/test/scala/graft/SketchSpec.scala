@@ -93,6 +93,26 @@ class SketchSpec extends AnyFunSuite {
     assert(out.forall { case (_, maybe, seen, fp) => fp === (maybe && !seen) })
   }
 
+  test("hllOverlap: register merge estimates the planted intersection; exact column exact") {
+    import graft.ops.Sketches
+    // A = keys 0..399, B = keys 200..599 -> overlap exactly 200;
+    // C disjoint -> overlap 0 (estimate may read slightly negative —
+    // documented inclusion-exclusion behavior)
+    val rows = (0 until 400).map(i => ("A", s"key$i")) ++
+      (200 until 600).map(i => ("B", s"key$i")) ++
+      (1000 until 1200).map(i => ("C", s"key$i"))
+    val out = Sketches.hllOverlap(rows.toDF("g", "k"), "g", "k")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("A", "B"))._1 === 200L)
+    assert(out(("A", "C"))._1 === 0L && out(("B", "C"))._1 === 0L)
+    // inclusion-exclusion compounds three m=64 estimates (13% sigma
+    // each) — allow a wide but meaningful band on the planted overlap
+    val est = out(("A", "B"))._2
+    assert(est > 60 && est < 340, s"overlap estimate out of band: $est")
+    assert(math.abs(out(("A", "C"))._2) < 120, "disjoint pair should estimate near zero")
+  }
+
   test("hdrQuantiles: log-linear buckets keep every quantile within the grid's relative error") {
     import graft.ops.Sketches
     val rnd = new scala.util.Random(11)
