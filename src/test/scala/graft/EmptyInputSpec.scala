@@ -153,4 +153,23 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "label"),
       256, Array.fill(256)(0.0), 0.0).count() === 0)
   }
+
+  test("round-11 sketch ops on empty inputs") {
+    import graft.ops.Sketches
+    val emptyGk = Seq.empty[(String, String)].toDF("g", "k")
+    val emptyGv = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Sketches.hllDistinct(emptyGk, "g", "k").count() === 0)
+    assert(Sketches.hllOverlap(emptyGk, "g", "k").count() === 0)
+    assert(Sketches.cmsHeavyHitters(emptyGk, "k", topK = 5).count() === 0)
+    assert(Sketches.hdrQuantiles(emptyGv, "g", "v", Seq(0.5)).count() === 0)
+    val emptyKeyed = Seq.empty[(Long, String)].toDF("event_id", "bk0")
+    // empty history: every batch row is definitely-new (no bits set)
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("event_id", "bk0")
+    val out = Sketches.bloomDedupFlags(emptyKeyed, rows, col("bk0"), "event_id")
+      .collect().map(r => (r.getBoolean(1), r.getBoolean(2)))
+    assert(out.length === 2 && out.forall(t => !t._1 && !t._2))
+    // empty batch against a real history
+    assert(Sketches.bloomDedupFlags(rows, emptyKeyed, col("bk0"), "event_id")
+      .count() === 0)
+  }
 }
