@@ -194,7 +194,10 @@ object Sketches {
   def bloomDedupFlags(history: DataFrame, batch: DataFrame,
                       keyExpr: Column, idCol: String,
                       m: Int = 1024, k: Int = 3): DataFrame = {
-    require(k <= 4, "h32 chunks: j folds into the md5 input, k <= 4 keeps buckets independent")
+    // any k works: each hash index i folds into the md5 INPUT
+    // ("i|key"), so the k hash functions are independent full digests,
+    // not chunks of one digest
+    require(k >= 1 && m >= 2, "bloom filter needs at least one hash and two bits")
     def positions(df: DataFrame, extra: Seq[Column]): DataFrame = df
       .select((extra :+ keyExpr.cast("string").as("bk")): _*)
       .withColumn("i", explode(sequence(lit(0), lit(k - 1))))

@@ -672,6 +672,24 @@ object ScaleStress {
       assert(bl.getLong(1) == (nDocs - half + 1) / 2 && bl.getLong(2) == nDocs - half,
         s"planted overlap drifted: seen=${bl.getLong(1)} n=${bl.getLong(2)}")
       CacheScope.flush()
+      // overlap: with k = id div 2, groups 0/1 share EXACTLY the even
+      // key set and 2/3 the odd one; cross-parity pairs are disjoint
+      val ov = ops.Sketches.hllOverlap(
+          spark.range(0, nDocs, 1, 64).select(
+            (col("id") % 4).cast("string").as("g"),
+            expr("id div 2").cast("string").as("k")), "g", "k")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val q4 = nDocs / 4
+      assert(ov(("0", "1"))._1 == q4 && ov(("2", "3"))._1 == q4 &&
+        ov(("0", "2"))._1 == 0L && ov(("1", "3"))._1 == 0L,
+        s"planted overlap exact column drifted: $ov")
+      // identical key sets make est_ab == est_a == est_b, so the
+      // estimate collapses to one HLL estimate of the true overlap
+      assert(math.abs(ov(("0", "1"))._2 - q4) / q4 <= 0.39,
+        s"identical-set overlap estimate out of band: ${ov(("0", "1"))}")
+      assert(math.abs(ov(("0", "2"))._2) < q4,
+        s"disjoint overlap estimate out of band: ${ov(("0", "2"))}")
       val hdr = ops.Sketches.hdrQuantiles(keyed, "g", "v", Seq(0.5, 0.99))
         .collect()
       // v is uniform on {0.01 .. 100.00} per group: p50 ~ 50.0, p99 ~ 99.0
