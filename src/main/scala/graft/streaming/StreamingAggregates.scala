@@ -91,6 +91,50 @@ object StreamingAggregates {
       .start()
   }
 
+  /** Streaming count-min counters per tumbling window — the frequency
+    * twin of [[hllRegisters]]: d×w counter SUMS maintained as a plain
+    * windowed aggregate (each event lands in its d buckets via the
+    * exploded hash-row index), so state is d·w rows per window
+    * REGARDLESS of key cardinality. The sink holds finalized
+    * (win_start, j, b, c) counters; the serving layer answers a
+    * point-frequency query as min over the key's d counters — the spec
+    * pins that projection EXACTLY equal to the batch
+    * [[graft.ops.Sketches.cmsHeavyHitters]] estimate on the same rows
+    * (identical counters ⇒ identical estimates).
+    */
+  def cmsCounters(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      sinkDir: String,
+      d: Int = 4,
+      w: Int = 64,
+      lateness: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .filter(col(keyCol).isNotNull)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      .select(col("__event_time"), col(keyCol).cast("string").as("k"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("b",
+        conv(substring(md5(concat(col("j").cast("string"), lit("|"), col("k"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % w)
+      .groupBy(window(col("__event_time"), "1 hour"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"), col("j"), col("b"), col("c"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Sliding-window counts: each event lands in `windowLen/slide`
     * overlapping windows (window() emits one row per covered window —
     * a bounded, declared expansion). Append-mode finalization as with

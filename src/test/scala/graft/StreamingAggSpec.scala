@@ -79,6 +79,42 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(estimate("b") === batch("b")._2)
   }
 
+  test("streaming CMS counters project to EXACTLY the batch estimate") {
+    val base = Files.createTempDirectory("graft-scms").toString
+    val h = 3600L * 1000000
+    val kSchema = StructType(Seq(
+      StructField("k", StringType), StructField("ts_us", LongType)))
+    val data = (0 until 400).map(i =>
+      (if (i % 4 == 0) "hot" else s"u${i % 23}", (i + 1L) * 1000000))
+    val rows = data :+ (("tick", 100 * h)) // watermark pusher; its window stays open
+    rows.toDF("k", "ts_us").coalesce(1).write.parquet(s"$base/src")
+
+    StreamingAggregates.cmsCounters(
+      spark, s"$base/src", kSchema, "ts_us", "k",
+      s"$base/ckpt", s"$base/sink").awaitTermination()
+
+    val counters = spark.read.parquet(s"$base/sink")
+      .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // serving-layer point query: min over the key's d counters
+    def bucket(j: Int, k: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j|$k".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def estimate(k: String): Long =
+      (0 until 4).map(j => counters.getOrElse((j, bucket(j, k)), 0L)).min
+    val batch = graft.ops.Sketches.cmsHeavyHitters(
+        data.toDF("k", "ts_us"), "k", topK = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // identical counters => identical estimate; the hot key's true
+    // count is planted
+    assert(batch("hot")._1 === 100L)
+    assert(estimate("hot") === batch("hot")._2)
+    // every key in the batch top-k projects identically from the sink
+    batch.foreach { case (k, (_, est)) => assert(estimate(k) === est, k) }
+  }
+
   test("sliding windows count each event once per covered window") {
     val base = Files.createTempDirectory("graft-slide").toString
     val h = 3600L * 1000000
