@@ -385,6 +385,7 @@ object Bench {
       "q_lm_interp" -> "r9: lm_collapse fixture + unigram columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
       "q_kn_bigram" -> "r9: lm_collapse fixture + continuation columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
       "q_dedup_ngram" -> "exact all-pairs inverted-index join IS the operator (ground-truth tier); r9 reads the materialized ddf fixture (no re-tokenize); join-dominated, at DuckDB parity",
+      "q_dedup_contain" -> "3 jobs over the ddf fixture (shingle-set store scan + df-cap broadcast + containment join); candidates-only verify, steady ~0.3-0.45s — the like-for-like split (oracle CTE 'hx') prices the oracle's re-shingle against the store read",
       "q_minhash_error" -> "r9: exact truth computed ONLY for audited candidate pairs (left-join fill 0 preserved) over the ddf fixture; was a full all-pairs join",
       "q_dedup_simhash" -> "r7 artifact 2.49s was a noise burst: r8 JobProfile steady 0.9s / bench-condition 0.75s, 2 jobs, unchanged code",
       "q_dedup_substring" -> "r7 artifact 1.20s was a noise burst: r8 JobProfile steady 0.52s / bench-condition 0.27s, 1 job, unchanged code",
