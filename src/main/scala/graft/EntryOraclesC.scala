@@ -912,12 +912,12 @@ private[graft] object EntryOraclesC {
         |hist AS (SELECT DISTINCT bk FROM ev WHERE ts_us < 1705276800000000),
         |bits AS (
         |  SELECT DISTINCT
-        |         ('0x' || substr(md5(CAST(u.i AS VARCHAR) || '|' || bk), 1, 8))::BIGINT % 1024 AS pos
+        |         ('0x' || substr(md5(CAST(u.i AS VARCHAR) || '|' || bk), 1, 8))::BIGINT % 98914 AS pos
         |  FROM hist, (SELECT unnest(generate_series(0, 2)) AS i) u),
         |batch AS (SELECT event_id, bk FROM ev WHERE ts_us >= 1705276800000000),
         |bpos AS (
         |  SELECT event_id, bk,
-        |         ('0x' || substr(md5(CAST(u.i AS VARCHAR) || '|' || bk), 1, 8))::BIGINT % 1024 AS pos
+        |         ('0x' || substr(md5(CAST(u.i AS VARCHAR) || '|' || bk), 1, 8))::BIGINT % 98914 AS pos
         |  FROM batch, (SELECT unnest(generate_series(0, 2)) AS i) u),
         |mb AS (
         |  SELECT event_id, bk, count(h.hit) = 3 AS maybe_seen
@@ -1016,6 +1016,43 @@ private[graft] object EntryOraclesC {
         |       round(min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN rep END), 4) AS p50_est_r,
         |       round(min(CASE WHEN cum >= ceil(CAST(0.9 AS DOUBLE) * n) THEN rep END), 4) AS p90_est_r,
         |       round(min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN rep END), 4) AS p99_est_r
-        |FROM cm GROUP BY g ORDER BY event_type""".stripMargin
+        |FROM cm GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // register-only HLL: same register math as q_sketch_hll but folded
+    // from RAW rows (no DISTINCT — max(rho) is duplicate-insensitive),
+    // output is the honest sketch estimate alone
+    "q_sketch_hll_raw" ->
+      """WITH hx AS (
+        |  SELECT event_type AS g,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS idx,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS w2
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |regs AS (
+        |  SELECT g, idx,
+        |         max(CASE WHEN w2 = 0 THEN 33 ELSE 33 - length(bin(w2)) END) AS mj
+        |  FROM hx GROUP BY 1, 2),
+        |est AS (
+        |  SELECT g,
+        |         CAST(0.709 AS DOUBLE) * 64 * 64
+        |           / ((CAST(64 AS DOUBLE) - count(*))
+        |              + sum(power(CAST(2 AS DOUBLE), -mj))) AS e,
+        |         CAST(64 AS DOUBLE) - count(*) AS v
+        |  FROM regs GROUP BY 1)
+        |SELECT g AS event_type,
+        |       round(CASE WHEN e <= 160 AND v > 0
+        |                  THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+        |                  ELSE e END, 4) AS hll_est_r
+        |FROM est ORDER BY event_type""".stripMargin,
+
+    // register-only CMS: the 4×64 counter frame from raw increments —
+    // integer-exact, restated bucket for bucket
+    "q_sketch_cms_raw" ->
+      """WITH hx AS (
+        |  SELECT u.j,
+        |         ('0x' || substr(md5(CAST(u.j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS b
+        |  FROM events, (SELECT unnest(generate_series(0, 3)) AS j) u
+        |  WHERE user_id IS NOT NULL)
+        |SELECT j, b, CAST(count(*) AS BIGINT) AS c
+        |FROM hx GROUP BY 1, 2 ORDER BY j, b""".stripMargin
   )
 }

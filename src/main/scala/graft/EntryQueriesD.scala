@@ -827,14 +827,18 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       // Bloom pre-filter for incremental dedup: history keys set the
       // bits, the new batch pays the exact verification join only where
-      // the filter says "maybe" — no false negatives by construction
+      // the filter says "maybe" — no false negatives by construction.
+      // m sized for the declared scale (sf0.1 history ≈ 7.5k distinct
+      // user|type keys → expect 8k): bloomBits(8000, k=3, 1% FP) =
+      // 98,914 bits. The r11 default (1024) saturated at ~250 keys and
+      // read near-all-ones — correct but pricing nothing.
       val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
       val key = concat(col("user_id").cast("string"), lit("|"),
         coalesce(col("event_type"), lit("")))
       Sketches.bloomDedupFlags(
           ev.filter(col("ts_us") < Tables.D2024_01_15_US),
           ev.filter(col("ts_us") >= Tables.D2024_01_15_US),
-          key, "event_id")
+          key, "event_id", m = Sketches.bloomBits(8000))
         .orderBy(col("event_id"))
     }),
 
@@ -855,6 +859,30 @@ private[graft] object EntryQueriesD {
       Sketches.hdrQuantiles(Tables.events(s, dir), "event_type", "value",
           Seq(0.5, 0.9, 0.99))
         .orderBy(col("event_type"))
+    }),
+
+    "q_sketch_hll_raw" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // register-only batch HLL (round 12): registers fold straight off
+      // the RAW rows — max(rho) is duplicate-insensitive, so there is no
+      // distinct shuffle of the key universe and no exact audit column.
+      // This is the fixed-state path a 100 TB scan actually runs; the
+      // audit twin is q_sketch_hll, and SketchesRawSpec pins the two
+      // estimates bit-identical.
+      Sketches.hllRegistersOnly(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy(col("event_type"))
+    }),
+
+    "q_sketch_cms_raw" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // register-only batch CMS (round 12): the d·w = 256-counter frame
+      // folds straight off raw increments (each row adds 1 to one bucket
+      // per hash row) — no exact per-key collapse anywhere. This frame IS
+      // the mergeable sketch state a downstream union/estimate consumes;
+      // the audit twin is q_sketch_cms, and SketchesRawSpec pins the
+      // counter frames bit-identical.
+      Sketches.cmsCountersFromRaw(Tables.events(s, dir), "user_id")
+        .orderBy(col("j"), col("b"))
     })
   )
 }

@@ -99,12 +99,47 @@ object Tables {
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
+  /** Per-session never-reused id (an identity hash can be reused after
+    * a dead session is GC'd, which could serve a defunct session's
+    * DataFrame to a new one) plus a weak handle for purging: entries
+    * for stopped/collected sessions are dropped lazily on the next
+    * miss, so the memo stays bounded in a long-lived multi-session
+    * JVM. `sessionIds` is weak-KEYED (identity semantics — SparkSession
+    * doesn't override equals), so it never pins a session in memory.
+    */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private val liveSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.WeakReference[SparkSession]]()
+
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, { s =>
+      val id = java.util.UUID.randomUUID().toString
+      liveSessions.put(id, new java.lang.ref.WeakReference(s))
+      id
+    })
+
+  private def purgeDeadSessions(): Unit = {
+    val deadIds = new java.util.HashSet[String]()
+    liveSessions.forEach { (id, ref) =>
+      val s = ref.get()
+      if (s == null || s.sparkContext.isStopped) deadIds.add(id)
+    }
+    if (!deadIds.isEmpty) {
+      deadIds.forEach(liveSessions.remove(_))
+      dfCache.keySet.removeIf(k => deadIds.contains(k._1))
+    }
+  }
+
   /** Memoized parquet read — schema inferred once per path, files
     * listed once per (session, path), optional round-robin spread
-    * baked into the memoized frame.
+    * baked into the memoized frame. Keyed by a stable, never-reused
+    * per-session id; dead sessions' entries are purged on miss.
     */
   def readParquetCached(spark: SparkSession, path: String, spread: Int = 0): DataFrame =
-    dfCache.computeIfAbsent((System.identityHashCode(spark).toString, path, spread), { _ =>
+    dfCache.computeIfAbsent((sessionId(spark), path, spread), { _ =>
+      purgeDeadSessions()
       val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
       val df = spark.read.schema(schema).parquet(path)
       if (spread > 1) df.repartition(spread) else df

@@ -76,6 +76,73 @@ object Sketches {
         round(abs(col("hll_est_r") - col("n_exact")) / col("n_exact"), 4))
   }
 
+  /** Register-only batch HLL — the TRUE fixed-state path: registers
+    * fold DIRECTLY from raw rows with no `.distinct()` pre-collapse,
+    * because `max(rho)` is duplicate-insensitive (a key's (idx, rho)
+    * is a pure function of the key, so seeing it twice changes
+    * nothing). This is the form a 100 TB scan runs — one map-side
+    * combinable aggregate over the raw stream, state = m registers
+    * per group, no exact audit column and no distinct shuffle of the
+    * key universe. [[hllDistinct]] is the demo/audit twin (exact count
+    * riding along); SketchesSpec pins this form's estimate
+    * bit-identical to the audit form's.
+    *
+    * Returns (group, hll_est_r) only — the honest sketch output.
+    */
+  def hllRegistersOnly(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val m = 64
+    val k = col(keyCol).cast("string")
+    val w = h32(k, 1)
+    df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        (h32(k, 0) % m).as("idx"),
+        when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rho"))
+      .groupBy(col("g"), col("idx"))
+      .agg(max(col("rho")).as("mj"))
+      .groupBy(col("g"))
+      .agg(
+        ((lit(0.709 * m * m) /
+          ((lit(m.toDouble) - count(lit(1))) + sum(pow(lit(2.0), -col("mj")))))).as("__e"),
+        (lit(m.toDouble) - count(lit(1))).as("__v"))
+      .select(
+        col("g").as(groupCol),
+        round(
+          when(col("__e") <= 2.5 * m && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(col("__e")), 4).as("hll_est_r"))
+  }
+
+  /** Register-only batch count-min — counters fold DIRECTLY from raw
+    * increments (each raw row adds 1 to one bucket per hash row), no
+    * exact per-key count frame: one map-side combinable aggregate,
+    * state = d·w counters total at ANY key cardinality. Estimates for
+    * a bounded probe-key frame then read min-over-d from the
+    * broadcast counter frame. [[cmsHeavyHitters]] is the demo/audit
+    * twin (exact counts riding along); SketchesSpec pins the counter
+    * frames bit-identical.
+    */
+  def cmsCountersFromRaw(df: DataFrame, keyCol: String,
+                         d: Int = 4, w: Int = 64): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        explode(sequence(lit(0L), lit((d - 1).toLong))).as("j"))
+      .withColumn("b", h32(concat(col("j").cast("string"), lit("|"), col("k")), 0) % w)
+      .groupBy(col("j"), col("b"))
+      .agg(sum(lit(1L)).as("c"))
+
+  /** CMS point estimates for a bounded probe-key frame (column `k`)
+    * against a counter frame from [[cmsCountersFromRaw]]: min over
+    * the d per-row counters, the standard one-sided-overcount read.
+    */
+  def cmsEstimateFor(counters: DataFrame, probes: DataFrame,
+                     d: Int = 4, w: Int = 64): DataFrame =
+    probes
+      .select(col("k"), explode(sequence(lit(0L), lit((d - 1).toLong))).as("j"))
+      .withColumn("b", h32(concat(col("j").cast("string"), lit("|"), col("k")), 0) % w)
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col("k"))
+      .agg(min(col("c")).as("cms_est"))
+
   /** HLL set algebra — audience overlap between groups WITHOUT the
     * exact intersection join: union registers are per-index MAXIMA of
     * the member groups' registers (the mergeability that makes HLL a
@@ -88,9 +155,15 @@ object Sketches {
     * compounds three estimates, so small overlaps can read negative —
     * the documented sketch behavior, not a defect.
     *
-    * Shape: one distinct (group, key) collapse feeds everything; the
-    * group-pair frame is |groups|² (tiny) and broadcasts through a
-    * membership join; register state is 64 values per pair.
+    * Shape: one distinct (group, key) collapse feeds the per-group
+    * register fold and the exact audit join; everything PAIR-wise
+    * happens on the already-folded G·64-row register frame — union
+    * registers are `max(mj)` across the two member groups' register
+    * rows (max is associative, so folding per group first is
+    * bit-identical to folding the raw keys per pair), which is the
+    * mergeability property itself. The key frame is touched exactly
+    * once per group, never per pair; the group-pair frame is
+    * |groups|² (tiny) and broadcasts.
     */
   def hllOverlap(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val m = 64
@@ -99,9 +172,11 @@ object Sketches {
       .select(col(groupCol).as("g"), col(keyCol).cast("string").as("k"))
       .distinct())
     val w = h32(col("k"), 1)
-    val hx = graft.CacheScope.cached(dk.select(col("g"), col("k"),
+    // per-group register frame: G·64 rows, the sketch's entire state
+    val sregs = graft.CacheScope.cached(dk.select(col("g"),
       (h32(col("k"), 0) % m).as("idx"),
-      when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rho")))
+      when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rho"))
+      .groupBy(col("g"), col("idx")).agg(max(col("rho")).as("mj")))
     // UNROUNDED estimate from a register frame grouped by `keys`
     def estimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
       val z = (lit(m.toDouble) - count(lit(1))) + sum(pow(lit(2.0), -col("mj")))
@@ -113,17 +188,18 @@ object Sketches {
             lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
             .otherwise(col("__e")).as("est"): _*)
     }
-    val single = estimate(
-      hx.groupBy(col("g"), col("idx")).agg(max(col("rho")).as("mj")), Seq("g"))
+    val single = estimate(sregs, Seq("g"))
     val gs = dk.select(col("g")).distinct()
     val pairs = gs.select(col("g").as("ga"))
       .crossJoin(gs.select(col("g").as("gb")))
       .filter(col("ga") < col("gb"))
-    // union registers: every (g,k) row tags each pair its group belongs to
-    val tagged = hx.join(broadcast(pairs),
+    // union registers: tag the FOLDED register frame (not the key
+    // frame) with each pair its group belongs to, take max(mj) per
+    // (pair, idx) — bit-identical to re-folding the keys per pair
+    val tagged = sregs.join(broadcast(pairs),
       col("g") === col("ga") || col("g") === col("gb"))
     val estAb = estimate(
-      tagged.groupBy(col("ga"), col("gb"), col("idx")).agg(max(col("rho")).as("mj")),
+      tagged.groupBy(col("ga"), col("gb"), col("idx")).agg(max(col("mj")).as("mj")),
       Seq("ga", "gb")).withColumnRenamed("est", "est_ab")
     val exact = dk.select(col("g").as("ga"), col("k"))
       .join(dk.select(col("g").as("gb"), col("k")), Seq("k"))
@@ -179,13 +255,28 @@ object Sketches {
         (col("cms_est") - col("cnt")).as("overshoot"), col("rnk"))
   }
 
+  /** Bloom sizing from the expected key count: m = ceil(k·n / x)
+    * where x = −ln(1 − fpp^(1/k)) solves (1 − e^−x)^k = fpp — the
+    * bits a k-hash filter needs to hold n keys at the target
+    * false-positive rate (for k=3, fpp=1%: m ≈ 12.4·n). An undersized
+    * filter stays CORRECT (no false negatives ever) but saturates —
+    * reads near-all-ones and prices nothing — so callers size from
+    * the expected history cardinality, not a fixed default.
+    */
+  def bloomBits(expectedKeys: Long, k: Int = 3, fpp: Double = 0.01): Int = {
+    val x = -math.log(1.0 - math.pow(fpp, 1.0 / k))
+    math.ceil(k * expectedKeys / x).toInt
+  }
+
   /** Bloom-filter dedup pre-filter — the 100 TB first line of an
-    * incremental pipeline: the HISTORY's natural keys set k=3 bits
-    * each in an m=1024-bit filter; a BATCH row whose bits are not all
-    * set is DEFINITELY new (no false negatives — the property the
-    * spec pins), and only the "maybe seen" remainder pays the exact
-    * verification join. Bits materialize as a ≤1024-row frame and
-    * broadcast; the exact check is a key semi-join flagged per row.
+    * incremental pipeline: the HISTORY's natural keys set k bits each
+    * in an m-bit filter (size m from the expected history cardinality
+    * via [[bloomBits]] — see its saturation note); a BATCH row whose
+    * bits are not all set is DEFINITELY new (no false negatives — the
+    * property the spec pins), and only the "maybe seen" remainder
+    * pays the exact verification join. Bits materialize as a
+    * ≤min(m, k·n)-row frame and broadcast; the exact check is a key
+    * semi-join flagged per row.
     *
     * Output per batch row: the bloom verdict, the exact verdict, and
     * the false-positive flag — so the operator doubles as its own

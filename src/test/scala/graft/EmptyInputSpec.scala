@@ -172,4 +172,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sketches.bloomDedupFlags(rows, emptyKeyed, col("bk0"), "event_id")
       .count() === 0)
   }
+
+  test("round-12 register-only sketch ops on empty inputs") {
+    import graft.ops.Sketches
+    val emptyGk = Seq.empty[(String, String)].toDF("g", "k")
+    assert(Sketches.hllRegistersOnly(emptyGk, "g", "k").count() === 0)
+    val counters = Sketches.cmsCountersFromRaw(emptyGk, "k")
+    assert(counters.count() === 0)
+    // probing keys against an empty counter frame: no estimates (the
+    // inner join semantics — a counter that was never built has no row)
+    assert(Sketches.cmsEstimateFor(counters, Seq("a", "b").toDF("k")).count() === 0)
+  }
 }
