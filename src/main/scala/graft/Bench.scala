@@ -246,12 +246,19 @@ object Bench {
     // instead of silently making it look faster; fatal errors (OOM)
     // propagate, and the Await is bounded so one hung query can't
     // stall the whole bench forever.
+    // Capacity probes AROUND the throughput passes (r11 verdict: the
+    // start/end probes can't exonerate a noise-struck throughput number
+    // when the burst lands mid-bench — r11's driver artifact read
+    // 47.7 s vs 12.5 s committed with no way to prove the window).
+    // Three readings: before pass 1, between passes, after pass 2.
+    val throughputProbes = scala.collection.mutable.ArrayBuffer[Double]()
     val throughputErrors = new AtomicLong
     val throughputWall: Double = {
       import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
       import scala.concurrent.duration._
       import scala.util.control.NonFatal
       def onePass(): Double = {
+        throughputProbes += capacityProbe()
         CacheScope.flush()
         val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -267,7 +274,9 @@ object Bench {
         finally pool.shutdown()
         (System.nanoTime() - t0) / 1e9
       }
-      math.min(onePass(), onePass())
+      val w = math.min(onePass(), onePass())
+      throughputProbes += capacityProbe()
+      w
     }
     CacheScope.flush()
     // Per-query DuckDB oracle seconds (tools/duckdb_sf01_times.json —
@@ -394,13 +403,13 @@ object Bench {
       "q_media_png" -> "nominal ratio only: the oracle restates the planted raster stats arithmetically from doc_id while Spark inflates+defilters every real PNG payload (same exclusion rationale as q_media_jpeg); 1 job, steady ~0.2s",
       "q_sim_hnsw" -> "nominal ratio: the oracle is the 1000-vector brute-force scan (0.015s in-process) while Spark BUILDS per-segment HNSW graphs then searches — the graph build is the operator under test, priced per query; 2 jobs (segment flatMap + merge window), steady ~0.35s",
       "q_sim_hnsw_routed" -> "same rationale as q_sim_hnsw with the IVF routing stage added; the pinned-centroid oracle restates multi-probe exact search",
-      "q_rrf" -> "fused single-pass since r9 (tfidf+bm25 as two columns of ONE posting join; 9 -> 5 jobs, 1.64 -> 0.50-0.54s quiet); remaining cost is 4 broadcast-build jobs + the scored window pass, job-floor bound",
+      "q_rrf" -> "r11: reads the tok_postings impact store (precomputed tf-idf weight + BM25 term per posting); 5 -> 3 jobs, 0.64 -> 0.48s steady - remaining cost is the scored posting join + two rank windows over the fused columns, job-floor bound",
       "q_sink_zorder" -> "4 jobs including two REAL parquet writes (range-partition + in-partition sort + write, then the read-back check) - sink queries time actual file I/O each sample",
       "q_media_dedup_cc" -> "7 jobs, each real work: 2000-image decode+aHash cache, band-pair build, undirected-edge cache, fused-hop label checkpoint, convergence probe, keeper fold; ratio NOMINAL - the DuckDB oracle restates the planted answer arithmetically from doc_id (same exclusion rationale as q_media_jpeg)",
       "q_sim_ann_pq_refine" -> "r10: model loads from the pq_model store (training jobs gone); remaining jobs = code-assign cache, ADC shortlist window, full-vector refine join-back - the faiss two-stage shape, job-floor bound",
       "q_sim_ann_pq" -> "r10: model loads from the pq_model store; code-assign cache + ADC scan + rank window",
-      "q_sparse_cosine" -> "6 jobs: cached tokenize collapse, df broadcast, nDocs scalar, unit-norm fold, query-slice broadcast, scored posting join (Bayardo) - corpus shuffles once; windowizing the agg+join pair measured SLOWER (BASELINE dead-ends)",
-      "q_bm25" -> "5 jobs: shared tokenize collapse cache + df/avgdl broadcast builds + posting join + top-k window; same skeleton as q_sparse_cosine, same dead-end note",
+      "q_sparse_cosine" -> "r11: reads the tok_postings impact store (unit tf-idf weights precomputed at ingest); 6 -> 2-3 jobs, 0.63 -> ~0.45-0.5s steady - remaining cost is the query-slice broadcast + the scored posting self-join (Bayardo all-pairs), join-dominated; windowizing the agg+join pair measured SLOWER (BASELINE dead-ends)",
+      "q_bm25" -> "r11: reads the tok_postings impact store (precomputed BM25 term per posting - Anh-Moffat impacts); 5 -> 3 jobs, 0.57 -> ~0.45s steady - remaining cost is the posting join + top-k window; same skeleton as q_sparse_cosine, same dead-end note",
       "q_sim_sq" -> "5 jobs: max-abs int8 quantize pass, query-matrix collect, compiled int8 flat scan, shortlist exchange, full-precision refine - the no-training compression tier; every job is a distinct stage of the two-phase scan",
       "q_dedup_minhash_est" -> "4 jobs over the ddf signature store: band-candidates join + per-pair estimate fold + 2 broadcast builds",
       "q_kl_sources" -> "r10: 3 jobs (grand total folds as a window over the source-count frame); vocabulary-sized broadcasts, corpus shuffles once",
@@ -423,6 +432,7 @@ object Bench {
         s""""fixture_readers":$fixtureReadersJson,""" +
         s""""errors":$errJson,"cold_first_run_total":${f"$coldTotal%.3f"},""" +
         s""""throughput_8way_wall_sec":${f"$throughputWall%.3f"},""" +
+        s""""throughput_probe_cores":${throughputProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
         s""""throughput_errors":${throughputErrors.get()},""" +
         s""""queries":${qJson(4)},"queries_cold_first_run":$coldJson,""" +
         s""""queries_median3":$med3Json,"jobs":$jobsJson,""" +
@@ -461,7 +471,7 @@ object Bench {
         if (duckTotal > 0 && isSf01)
           s""","oracle_total_sec":${f"$duckTotal%.2f"},"n_over_2x_and_ge_half_sec":${over2x.size}"""
         else ""
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},"effective_cores_start":${f"$effectiveCoresStart%.1f"},"effective_cores_end":${f"$effectiveCoresEnd%.1f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"}$tpErr$oracleBit,"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},"effective_cores_start":${f"$effectiveCoresStart%.1f"},"effective_cores_end":${f"$effectiveCoresEnd%.1f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"},"throughput_probe_cores":${throughputProbes.map(c => f"$c%.1f").mkString("[", ",", "]")}$tpErr$oracleBit,"queries":$qs}"""
     }
     val line = Seq(40, 30, 20, 10, 0).iterator.map(headParts)
       .find(_.length <= 1700)

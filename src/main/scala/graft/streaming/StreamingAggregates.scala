@@ -135,6 +135,109 @@ object StreamingAggregates {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming Bloom bit-set per tumbling window — the membership twin
+    * of [[hllRegisters]]/[[cmsCounters]], completing the mergeable-
+    * sketch family: each key sets k bit positions (independent md5
+    * digests over "i|key", the batch operator's hash family) and the
+    * window's filter is the DISTINCT (window, pos) set — a plain
+    * watermarked aggregate whose state is ≤ m rows per window
+    * REGARDLESS of key cardinality (the Bloom contract). The sink
+    * holds finalized (win_start, pos, n_keys) rows; the serving layer
+    * answers "maybe seen in window W?" by checking all k of a probe
+    * key's positions are present — the spec pins that projection
+    * EXACTLY equal to [[graft.ops.Sketches.bloomDedupFlags]]'
+    * maybe_seen on the same rows (identical bits ⇒ identical
+    * verdicts, including the no-false-negative property).
+    */
+  def bloomBitsStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      keyCol: String,
+      checkpointDir: String,
+      sinkDir: String,
+      m: Int,
+      k: Int = 3,
+      lateness: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .filter(col(keyCol).isNotNull)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      .select(col("__event_time"), col(keyCol).cast("string").as("bk"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("pos",
+        conv(substring(md5(concat(col("i").cast("string"), lit("|"), col("bk"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % m)
+      .groupBy(window(col("__event_time"), "1 hour"), col("pos"))
+      .agg(count(lit(1)).as("n_keys"))
+      .select(col("window.start").as("win_start"), col("pos"), col("n_keys"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming HDR-histogram buckets per tumbling window — the
+    * quantile twin completing the sketch family: values quantize to
+    * cents and bucket with the SAME integer-only log-linear math as
+    * the batch [[graft.ops.Sketches.hdrQuantiles]] (8·bitlength + the
+    * 3 sub-bits under the leading one), maintained as a plain
+    * watermarked (window, group, bucket) count — bounded at ~8·64
+    * rows per (window, group) at ANY value cardinality. The sink
+    * holds finalized (win_start, group, bucket, c, rep) rows; the
+    * serving layer reads quantile q as the first bucket whose
+    * cumulative count reaches ceil(q·n) — the spec pins that
+    * projection EXACTLY equal to the batch operator's estimates on
+    * the same rows (identical buckets ⇒ identical quantiles).
+    */
+  def hdrBuckets(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      groupCol: String,
+      valueCol: String,
+      checkpointDir: String,
+      sinkDir: String,
+      lateness: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      .select(col("__event_time"), col(groupCol).as("g"),
+        floor(col(valueCol) * 100).cast("long").as("vc"))
+      .withColumn("blen", length(bin(col("vc"))).cast("long"))
+      .withColumn("mant",
+        when(col("vc") >= 16,
+          expr("shiftright(vc, cast(blen - 4 as int))")).otherwise(lit(0L)))
+      .withColumn("bucket",
+        when(col("vc") < 16, col("vc"))
+          .otherwise(col("blen") * 8 + (col("mant") - 8)))
+      .withColumn("rep",
+        when(col("vc") < 16, col("vc").cast("double") / 100.0)
+          .otherwise(
+            (expr("shiftleft(mant, cast(blen - 4 as int))").cast("double") +
+              expr("shiftleft(mant + 1, cast(blen - 4 as int))").cast("double"))
+              / 2.0 / 100.0))
+      .groupBy(window(col("__event_time"), "1 hour"), col("g"), col("bucket"))
+      .agg(count(lit(1)).as("c"), max(col("rep")).as("rep"))
+      .select(col("window.start").as("win_start"), col("g"),
+        col("bucket"), col("c"), col("rep"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Sliding-window counts: each event lands in `windowLen/slide`
     * overlapping windows (window() emits one row per covered window —
     * a bounded, declared expansion). Append-mode finalization as with

@@ -649,6 +649,13 @@ object ScaleStress {
       assert(hll.values.forall { case (ex, est) =>
         math.abs(est - ex) / ex <= 0.39 }, s"HLL estimate out of band: $hll")
       CacheScope.flush()
+      // register-only form (round 12): folds off RAW rows with no
+      // distinct — estimates must be BIT-identical to the audit form's
+      val hllRaw = ops.Sketches.hllRegistersOnly(keyed, "g", "k")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(hllRaw == hll.map { case (g, (_, est)) => g -> est },
+        s"register-only HLL diverged from the audit form: $hllRaw")
+      CacheScope.flush()
       val cms = ops.Sketches.cmsHeavyHitters(keyed.select(col("ck")), "ck", topK = 5)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
       assert(cms.head._1 == "hot" && cms.head._4 == 1L &&
@@ -663,14 +670,22 @@ object ScaleStress {
           // even ids repeat a history key, odd ids are fresh
           when(col("id") % 2 === 0, concat(lit("k"), expr("id div 2")))
             .otherwise(concat(lit("fresh"), col("id"))).as("bk0"))
-      val bl = ops.Sketches.bloomDedupFlags(hist, batch, col("bk0"), "event_id")
+      // sized for the history cardinality (round 12; the r11 default
+      // m=1024 saturated at this scale — correct but pricing nothing):
+      // the fp-rate assertion below only holds in the sized regime
+      val bl = ops.Sketches.bloomDedupFlags(hist, batch, col("bk0"), "event_id",
+          m = ops.Sketches.bloomBits(half))
         .agg(
           sum(when(col("actually_seen") && !col("maybe_seen"), 1L).otherwise(0L)).as("fn"),
           sum(when(col("actually_seen"), 1L).otherwise(0L)).as("seen"),
+          sum(when(col("is_fp"), 1L).otherwise(0L)).as("fp"),
           count(lit(1)).as("n")).collect().head
       assert(bl.getLong(0) == 0L, "Bloom false negative at scale")
-      assert(bl.getLong(1) == (nDocs - half + 1) / 2 && bl.getLong(2) == nDocs - half,
-        s"planted overlap drifted: seen=${bl.getLong(1)} n=${bl.getLong(2)}")
+      assert(bl.getLong(1) == (nDocs - half + 1) / 2 && bl.getLong(3) == nDocs - half,
+        s"planted overlap drifted: seen=${bl.getLong(1)} n=${bl.getLong(3)}")
+      val fresh = bl.getLong(3) - bl.getLong(1)
+      assert(bl.getLong(2) <= (fresh * 0.03).toLong,
+        s"sized Bloom fp rate out of band: ${bl.getLong(2)}/$fresh fresh keys")
       CacheScope.flush()
       // overlap: with k = id div 2, groups 0/1 share EXACTLY the even
       // key set and 2/3 the odd one; cross-parity pairs are disjoint

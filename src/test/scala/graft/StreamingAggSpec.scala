@@ -115,6 +115,89 @@ class StreamingAggSpec extends AnyFunSuite {
     batch.foreach { case (k, (_, est)) => assert(estimate(k) === est, k) }
   }
 
+  test("streaming Bloom bits project to EXACTLY the batch maybe_seen verdicts") {
+    val base = Files.createTempDirectory("graft-sbloom").toString
+    val h = 3600L * 1000000
+    val kSchema = StructType(Seq(
+      StructField("bk", StringType), StructField("ts_us", LongType)))
+    val m = graft.ops.Sketches.bloomBits(300)
+    // history keys land in hour 0; far-future tick finalizes it
+    val hist = (0 until 300).map(i => (s"k$i", (i + 1L) * 1000000))
+    (hist :+ (("tick", 100 * h))).toDF("bk", "ts_us")
+      .coalesce(1).write.parquet(s"$base/src")
+
+    StreamingAggregates.bloomBitsStream(
+      spark, s"$base/src", kSchema, "ts_us", "bk",
+      s"$base/ckpt", s"$base/sink", m = m).awaitTermination()
+
+    // serving-layer projection: probe key maybe_seen iff ALL k of its
+    // positions are set in the finalized window's bit frame
+    val bits = spark.read.parquet(s"$base/sink")
+      .filter($"win_start" === new java.sql.Timestamp(0L))
+      .collect().map(_.getLong(1)).toSet
+    def pos(i: Int, k: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i|$k".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    def maybeSeen(k: String): Boolean = (0 until 3).forall(i => bits(pos(i, k)))
+    // probes: 50 repeats + 50 fresh — identical bits => identical
+    // verdicts vs the batch operator on the same history
+    val probes = (0 until 50).map(i => (i.toLong, s"k$i")) ++
+      (0 until 50).map(i => (100L + i, s"fresh$i"))
+    val batch = graft.ops.Sketches.bloomDedupFlags(
+        hist.toDF("bk", "ts_us").select($"bk".as("bk0")),
+        probes.toDF("event_id", "bk0"), org.apache.spark.sql.functions.col("bk0"),
+        "event_id", m = m)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    probes.foreach { case (id, k) =>
+      assert(maybeSeen(k) === batch(id)._1, s"probe $k diverged from batch")
+    }
+    // the defining property survives the streaming path: seen => maybe
+    assert(probes.forall { case (id, k) => !batch(id)._2 || maybeSeen(k) })
+  }
+
+  test("streaming HDR buckets project to EXACTLY the batch quantiles") {
+    val base = Files.createTempDirectory("graft-shdr").toString
+    val h = 3600L * 1000000
+    val gvSchema = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType),
+      StructField("ts_us", LongType)))
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 2000).map(i =>
+      ("g1", math.exp(rnd.nextGaussian() * 1.2 + 2.5), (i + 1L) * 1000000))
+    (data :+ (("tick", 1.0, 100 * h))).toDF("g", "v", "ts_us")
+      .coalesce(1).write.parquet(s"$base/src")
+
+    StreamingAggregates.hdrBuckets(
+      spark, s"$base/src", gvSchema, "ts_us", "g", "v",
+      s"$base/ckpt", s"$base/sink").awaitTermination()
+
+    // serving-layer projection: cumulative fold over the finalized
+    // (bucket, c, rep) rows — the batch operator's window math
+    val buckets = spark.read.parquet(s"$base/sink")
+      .filter($"g" === "g1")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val n = buckets.map(_._2).sum
+    def quantile(q: Double): Double = {
+      val need = math.ceil(q * n).toLong
+      var cum = 0L
+      val rep = buckets.collectFirst {
+        case (_, c, r) if { cum += c; cum >= need } => r
+      }.get
+      BigDecimal(rep).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val batch = graft.ops.Sketches.hdrQuantiles(
+        data.toDF("g", "v", "ts_us"), "g", "v", Seq(0.5, 0.9, 0.99))
+      .collect().head
+    assert(batch.getLong(1) === n)
+    assert(quantile(0.5) === batch.getDouble(2))
+    assert(quantile(0.9) === batch.getDouble(3))
+    assert(quantile(0.99) === batch.getDouble(4))
+  }
+
   test("sliding windows count each event once per covered window") {
     val base = Files.createTempDirectory("graft-slide").toString
     val h = 3600L * 1000000
