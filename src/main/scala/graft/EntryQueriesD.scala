@@ -381,9 +381,10 @@ private[graft] object EntryQueriesD {
     "q_sparse_cosine" -> ((s0, dir) => {
       val s = ensure(s0)
       // posting-store form (dfCapFrac 0.85 baked into the store — see
-      // EntrySupport.tokPostings): broadcast-query posting join + rank
-      // window, two jobs where the raw chain paid six
-      Text.tfidfCosineTopKFrom(tokPostings(s, dir), nQueries = 20, k = 5)
+      // EntrySupport.tokPostings) with the bounded query slice held
+      // driver-local (r12): ONE scored posting join + rank window job
+      Text.tfidfCosineTopKFrom(tokPostings(s, dir), nQueries = 20, k = 5,
+          qSlice = Some(tokPostingsQueryLocal(s, dir, 20)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -463,8 +464,10 @@ private[graft] object EntryQueriesD {
 
     "q_bm25" -> ((s0, dir) => {
       val s = ensure(s0)
-      // posting-store form: per-posting bm_w IS the score term
-      Text.bm25TopKFrom(tokPostings(s, dir), nQueries = 20, k = 5)
+      // posting-store form: per-posting bm_w IS the score term; query
+      // slice driver-local (r12) — one job
+      Text.bm25TopKFrom(tokPostings(s, dir), nQueries = 20, k = 5,
+          qSlice = Some(tokPostingsQueryLocal(s, dir, 20)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -476,7 +479,8 @@ private[graft] object EntryQueriesD {
       // bit-identical to composing the two rankers + rrfFuse (the
       // oracle restates both rankings independently)
       Text.hybridRrfTopKFrom(tokPostings(s, dir), nQueries = 10,
-          kPer = 20, kFused = 5)
+          kPer = 20, kFused = 5,
+          qSlice = Some(tokPostingsQueryLocal(s, dir, 10)))
         .orderBy(col("q_id"), col("fused_rnk"))
     }),
 

@@ -370,6 +370,32 @@ private[graft] object EntrySupport {
     Tables.readParquetCached(s, path, s.sparkContext.defaultParallelism)
   }
 
+  /** Driver-local query slice of the posting store — the retrieval
+    * queries' search-request side (docs 0..nQ-1's postings: q_id,
+    * token, qw = kept-vocab unit weight, NULL on capped tokens). The
+    * query SET is a bounded input that does not grow with the corpus
+    * (100 TB scales the store, not the requests), so holding it
+    * driver-side is the same sanctioned bounded-input pattern as Sim's
+    * query matrices — and a LocalRelation's broadcast build needs no
+    * scan job, cutting every retrieval consumer by one job + one store
+    * scan. Memoized per (fingerprinted store path, nQ), so a producer
+    * change re-collects; PostingStoreSpec pins the local-slice forms
+    * bit-identical to the store-derived ones.
+    */
+  private[graft] def tokPostingsQueryLocal(s: SparkSession, dir: String, nQ: Int): DataFrame = {
+    import s.implicits._
+    val path = tmpDir("tok_postings", dir)
+    val rows = qSliceMemo.computeIfAbsent((path, nQ), { _ =>
+      tokPostings(s, dir).filter(col("doc_id") < nQ)
+        .select(col("doc_id"), col("token"), col("wn"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    })
+    rows.toDF("q_id", "token", "qw")
+  }
+  private val qSliceMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, String, Option[Double])]]
+
   /** The GA4-shaped nested table (the reference's actual N1 input,
     * `/root/reference/extract_bq.py:155-164`): `event_params` is
     * ARRAY<STRUCT<key, value STRUCT<string_value, int_value>>>,

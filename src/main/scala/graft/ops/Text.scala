@@ -1120,14 +1120,21 @@ object Text {
 
   /** [[tfidfCosineTopK]] over the posting store (kept rows carry their
     * unit weights): broadcast-query posting join + rank window — two
-    * jobs where the raw form paid six.
+    * jobs where the raw form paid six; ONE when the bounded query
+    * slice arrives as a driver-local frame (`qSlice`: columns q_id /
+    * token / qw, the search-request side of the retrieval call — 100 TB
+    * of corpus scales the store, never the query set, so holding the
+    * slice driver-side is the same sanctioned bounded-input pattern as
+    * Sim's query matrices, and its broadcast needs no scan job).
     */
-  def tfidfCosineTopKFrom(store: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def tfidfCosineTopKFrom(store: DataFrame, nQueries: Int, k: Int,
+                          qSlice: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val unit = store.filter(col("wn").isNotNull)
       .select(col("doc_id"), col("token"), col("wn"))
-    val q = unit.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("q_id"), col("token"), col("wn").as("qw"))
+    val q = qSlice.map(_.filter(col("qw").isNotNull).select(col("q_id"), col("token"), col("qw")))
+      .getOrElse(unit.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("q_id"), col("token"), col("wn").as("qw")))
     val scored = unit
       .join(broadcast(q), Seq("token"))
       .filter(col("q_id") =!= col("doc_id"))
@@ -1146,12 +1153,15 @@ object Text {
 
   /** [[bm25TopK]] over the posting store (per-posting `bm_w` is the
     * whole score term): broadcast-query posting join + rank window —
-    * two jobs where the raw form paid five.
+    * two jobs where the raw form paid five; ONE with a driver-local
+    * `qSlice` (see [[tfidfCosineTopKFrom]]'s bounded-query note).
     */
-  def bm25TopKFrom(store: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def bm25TopKFrom(store: DataFrame, nQueries: Int, k: Int,
+                   qSlice: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = store.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("q_id"), col("token"))
+    val q = qSlice.map(_.select(col("q_id"), col("token")))
+      .getOrElse(store.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("q_id"), col("token")))
     val scored = store
       .join(broadcast(q), Seq("token"))
       .filter(col("q_id") =!= col("doc_id"))
@@ -1177,9 +1187,11 @@ object Text {
     * raw form).
     */
   def hybridRrfTopKFrom(store: DataFrame, nQueries: Int, kPer: Int,
-                        kFused: Int, c: Double = 60.0): DataFrame = {
-    val q = store.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("q_id"), col("token"), col("wn").as("qw"))
+                        kFused: Int, c: Double = 60.0,
+                        qSlice: Option[DataFrame] = None): DataFrame = {
+    val q = qSlice.map(_.select(col("q_id"), col("token"), col("qw")))
+      .getOrElse(store.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("q_id"), col("token"), col("wn").as("qw")))
     val scored = store
       .join(broadcast(q), Seq("token"))
       .filter(col("q_id") =!= col("doc_id"))

@@ -70,6 +70,30 @@ class PostingStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-local query slices leave every *From operator bit-identical") {
+    // the r12 LocalRelation move: collect docs 0..nQ-1's postings
+    // (q_id, token, qw) driver-side and pass them as qSlice — scores,
+    // ranks, ties, and the capped-token NULL qw must all survive
+    val store = Text.postingStoreFrame(docs, cap)
+    def slice(nQ: Int) = {
+      val rs = store.filter(col("doc_id") < nQ)
+        .select(col("doc_id"), col("token"), col("wn"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+      rs.toDF("q_id", "token", "qw")
+    }
+    assert(rows(Text.tfidfCosineTopKFrom(store, nQueries = 3, k = 4,
+        qSlice = Some(slice(3))), Seq("q_id", "rnk")) ===
+      rows(Text.tfidfCosineTopKFrom(store, nQueries = 3, k = 4), Seq("q_id", "rnk")))
+    assert(rows(Text.bm25TopKFrom(store, nQueries = 3, k = 4,
+        qSlice = Some(slice(3))), Seq("q_id", "rnk")) ===
+      rows(Text.bm25TopKFrom(store, nQueries = 3, k = 4), Seq("q_id", "rnk")))
+    assert(rows(Text.hybridRrfTopKFrom(store, nQueries = 2, kPer = 3, kFused = 3,
+        qSlice = Some(slice(2))), Seq("q_id", "fused_rnk")) ===
+      rows(Text.hybridRrfTopKFrom(store, nQueries = 2, kPer = 3, kFused = 3),
+        Seq("q_id", "fused_rnk")))
+  }
+
   test("the law holds through a parquet round trip of the store") {
     val dir = java.nio.file.Files.createTempDirectory("posting_store_spec").toString
     Text.postingStoreFrame(docs, cap).write.mode("overwrite").parquet(dir)
