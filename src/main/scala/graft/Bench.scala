@@ -385,7 +385,7 @@ object Bench {
       "q_cooccur" -> "2 jobs; marginals from cached per-container sets (no cube Expand since r7); steady jobs sum ~0.5s",
       "q_outliers" -> "2 jobs at ~0.08s each steady; one broadcast stats-join-back - the 100TB shape",
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
-      "q_boilerplate" -> "r10: ONE job - xxhash64 segment key + one seg-keyed exchange read by both the df branch and the SHUFFLE_HASH probe side (was 3 jobs / md5 / broadcast rebuild of the explode subtree)",
+      "q_boilerplate" -> "r10: ONE job - xxhash64 segment key + one seg-keyed exchange read by both the df branch and the SHUFFLE_HASH probe side (was 3 jobs / md5 / broadcast rebuild of the explode subtree). r12 PlanCost split: construct 0.14 + plan 0.11 + execute ~0.3-0.65s - the execute is the tokenize+explode+hash map work itself (125k segments); a map-side transform() hashing variant measured a wash (interpreted HOF vs codegen'd projection, BASELINE r12)",
       "q_textrank" -> "2 jobs steady ~0.4-0.6s execute; the rest is driver-side plan construction of the 5 unrolled power iterations (the measured PlanCost floor, BASELINE r10) - per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape, and the query beats its DuckDB twin (0.89x)",
       "q_overlap_matrix" -> "3 jobs: cached distinct (source,h) build + per-source sizes + the h-keyed self-join; r10 keys on xxhash64 (no more shared 31-bit md5 collision coupling); join output bounded by sum over shingles of sources(h)^2",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",

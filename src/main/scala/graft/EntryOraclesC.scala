@@ -1044,6 +1044,104 @@ private[graft] object EntryOraclesC {
         |                  ELSE e END, 4) AS hll_est_r
         |FROM est ORDER BY event_type""".stripMargin,
 
+    // DP count release: deterministic seeded Laplace noise restated
+    // from the same md5 seed — u strictly inside (-0.5, 0.5) via the
+    // +0.5 offset, so ln(1-2|u|) is always finite
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, day, n_true,
+        |         (CAST(('0x' || substr(md5('dp|' || event_type || '|' || day), 1, 8))::BIGINT AS DOUBLE)
+        |            + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)
+        |           - CAST(0.5 AS DOUBLE) AS u
+        |  FROM g)
+        |SELECT event_type, day, n_true,
+        |       round(n_true
+        |             - (CASE WHEN u >= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+        |               * ln(CAST(1 AS DOUBLE) - 2 * abs(u)), 4) AS dp_n_r
+        |FROM n ORDER BY event_type, day""".stripMargin,
+
+    // group-level MinHash: 16-perm signatures restated, Jaccard
+    // estimate = fraction of equal components, exact Jaccard audit
+    "q_minhash_union" ->
+      """WITH dk AS (
+        |  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sig AS (
+        |  SELECT g, u.p,
+        |         min(('0x' || substr(md5(CAST(u.p AS VARCHAR) || '|' || k), 1, 8))::BIGINT) AS mh
+        |  FROM dk, (SELECT unnest(generate_series(0, 15)) AS p) u
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT a.g AS ga, b.g AS gb,
+        |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+        |         round(avg(CASE WHEN a.mh = b.mh THEN CAST(1 AS DOUBLE)
+        |                        ELSE CAST(0 AS DOUBLE) END), 4) AS jac_est_r
+        |  FROM sig a JOIN sig b ON a.p = b.p AND a.g < b.g
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM dk GROUP BY 1),
+        |ex AS (
+        |  SELECT x.g AS ga, y.g AS gb, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM dk x JOIN dk y ON x.k = y.k AND x.g < y.g GROUP BY 1, 2)
+        |SELECT est.ga AS type_a, est.gb AS type_b, est.n_eq, est.jac_est_r,
+        |       round(CAST(coalesce(ex.n_inter, 0) AS DOUBLE)
+        |             / (sa.n + sb.n - coalesce(ex.n_inter, 0)), 4) AS jac_exact_r
+        |FROM est
+        |JOIN sz sa ON sa.g = est.ga
+        |JOIN sz sb ON sb.g = est.gb
+        |LEFT JOIN ex ON ex.ga = est.ga AND ex.gb = est.gb
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // JL random projection: the ±1 sign matrix restated from the same
+    // md5 parity, per-vector components and norms re-derived
+    "q_random_projection" ->
+      """WITH s AS (
+        |  SELECT i.i, j.j,
+        |         CASE WHEN ('0x' || substr(md5('rp|' || i.i || '|' || j.j), 1, 1))::BIGINT % 2 = 0
+        |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS i) i,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) j),
+        |e AS (
+        |  SELECT vec_id, j.j, CAST(embedding[j.j + 1] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS j) j),
+        |p AS (
+        |  SELECT e.vec_id, s.i, sum(e.x * s.sg) / CAST(4 AS DOUBLE) AS pv
+        |  FROM e JOIN s ON e.j = s.j
+        |  GROUP BY 1, 2),
+        |comp AS (
+        |  SELECT vec_id,
+        |         round(max(CASE WHEN i = 0 THEN pv END), 4) AS p0_r,
+        |         round(max(CASE WHEN i = 1 THEN pv END), 4) AS p1_r,
+        |         round(max(CASE WHEN i = 2 THEN pv END), 4) AS p2_r,
+        |         round(max(CASE WHEN i = 3 THEN pv END), 4) AS p3_r,
+        |         sqrt(sum(pv * pv)) AS pn
+        |  FROM p GROUP BY 1),
+        |onorm AS (SELECT vec_id, sqrt(sum(x * x)) AS onr FROM e GROUP BY 1)
+        |SELECT c.vec_id, p0_r, p1_r, p2_r, p3_r,
+        |       round(c.pn, 4) AS pnorm_r, round(o.onr, 4) AS onorm_r,
+        |       round(c.pn / o.onr, 4) AS ratio_r
+        |FROM comp c JOIN onorm o USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // bucketed co-located join: the LAYOUT differs (bucketed files vs
+    // raw parquet), the relational answer must not — per-customer
+    // collapse, customer join, nation fold
+    "q_bucket_join" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |         sum(o_totalprice) AS tp
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       round(CAST(sum(tp) AS DOUBLE), 2) AS total_r
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
+
     // register-only CMS: the 4×64 counter frame from raw increments —
     // integer-exact, restated bucket for bucket
     "q_sketch_cms_raw" ->

@@ -877,6 +877,61 @@ private[graft] object EntryQueriesD {
         .orderBy(col("event_type"))
     }),
 
+    "q_dp_counts" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // differentially-private count release (Laplace mechanism,
+      // round 12): per (event_type, day) counts published with
+      // deterministic seeded Laplace noise — reproducible, oracle-
+      // restatable; the true count rides only for the correctness gate
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      Relational.dpNoisedCounts(ev, Seq("event_type", "day"), epsilon = 1.0)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q_minhash_union" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // group-level MinHash Jaccard (round 12): per-event-type audience
+      // signatures (16-perm min fold — union = elementwise min, the
+      // MinHash mergeability), pairwise Jaccard estimated from equal
+      // components with the exact Jaccard riding as audit
+      Sketches.minhashGroupJaccard(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    "q_random_projection" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // Johnson-Lindenstrauss ±1 projection 64 -> 16 (round 12): the
+      // deterministic md5-parity sign matrix is baked into the plan as
+      // literals; output carries sample components + both norms + the
+      // distance-preservation ratio
+      Sim.randomProjection(Tables.embeddings(s, dir), inDim = 64, outDim = 16)
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_bucket_join" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // co-located join over bucketed layout (round 12): orders and
+      // customer are 8-bucket tables on the join key, so the
+      // per-customer pre-aggregate needs NO exchange, the sort-merge
+      // join needs NO exchange on either side, and only the final
+      // nation-sized fold shuffles — BucketJoinSpec pins the plan has
+      // zero custkey exchanges. The MERGE hint keeps the demo honest
+      // (broadcast would hide the layout win at sf0.1; at real scale
+      // neither side broadcasts).
+      val (o, c) = bucketedOrdersCustomer(s, dir)
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("tp"))
+        .hint("MERGE")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(
+          sum(col("n_orders")).as("n_orders"),
+          count(lit(1)).as("n_customers"),
+          round(sum(col("tp")), 2).as("total_r"))
+        .orderBy(col("nationkey"))
+    }),
+
     "q_sketch_cms_raw" -> ((s0, dir) => {
       val s = ensure(s0)
       // register-only batch CMS (round 12): the d·w = 256-counter frame

@@ -396,6 +396,59 @@ private[graft] object EntrySupport {
   private val qSliceMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, String, Option[Double])]]
 
+  /** Bucketed twin tables for the co-located join (round 12): orders
+    * and customer written ONCE as 8-bucket tables on the join key
+    * (one file per bucket, sorted in-bucket), so the per-customer
+    * pre-aggregate runs WITHOUT an exchange (bucketing satisfies the
+    * group-by clustering), the orders⋈customer sort-merge join runs
+    * WITHOUT an exchange on either side, and only the final
+    * nation-sized aggregate shuffles — the canonical 100 TB layout
+    * answer to a repeated big-join key (bucket both sides at ingest;
+    * every downstream join/agg on that key is exchange-free forever).
+    * Files persist under the fingerprinted qtmp dir; the catalog entry
+    * (in-memory per session) is re-registered by DDL over the existing
+    * LOCATION on each fresh session. BucketJoinSpec pins the plan
+    * shape (zero custkey exchanges) and the row-for-row equivalence
+    * with the plain shuffled join.
+    */
+  private[graft] def bucketedOrdersCustomer(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val oPath = tmpDir("bucket_orders", dir)
+    val cPath = tmpDir("bucket_customer", dir)
+    def fp(p: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+    val oName = s"graft_b_orders_${fp(oPath)}"
+    val cName = s"graft_b_customer_${fp(cPath)}"
+    ensureBucketed(s,
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", oPath, oName,
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+    ensureBucketed(s,
+      Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+      "c_custkey", cPath, cName,
+      "c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE")
+    (s.table(oName), s.table(cName))
+  }
+
+  private def ensureBucketed(s: SparkSession, df: => DataFrame, key: String,
+                             path: String, name: String, ddlSchema: String,
+                             nBuckets: Int = 8): Unit = synchronized {
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.exists()) {
+      // repartition on the bucket key first: one task per bucket ⇒ one
+      // file per bucket, which is what lets the read side trust the
+      // in-bucket sort and elide both exchange AND sort
+      df.repartition(nBuckets, col(key))
+        .write.bucketBy(nBuckets, key).sortBy(key)
+        .option("path", path).mode("overwrite").saveAsTable(name)
+      Tables.invalidatePath(path)
+    } else if (!s.catalog.tableExists(name)) {
+      s.sql(s"CREATE TABLE IF NOT EXISTS $name ($ddlSchema) USING parquet " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS LOCATION '$path'")
+    }
+  }
+
   /** The GA4-shaped nested table (the reference's actual N1 input,
     * `/root/reference/extract_bq.py:155-164`): `event_params` is
     * ARRAY<STRUCT<key, value STRUCT<string_value, int_value>>>,

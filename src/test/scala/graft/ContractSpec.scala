@@ -37,7 +37,9 @@ class ContractSpec extends AnyFunSuite {
     // + q_csv_intake + q_bpe_encode = 202
     // round 11: + q_sketch_hll + q_sketch_cms + q_bloom_dedup
     // + q_sketch_quantile + q_sketch_overlap = 207
-    assert(SparkEntry.queries.size === 207)
+    // round 12: + q_sketch_hll_raw + q_sketch_cms_raw + q_bucket_join
+    // + q_dp_counts + q_minhash_union + q_random_projection = 213
+    assert(SparkEntry.queries.size === 213)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

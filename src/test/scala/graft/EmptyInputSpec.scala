@@ -183,4 +183,13 @@ class EmptyInputSpec extends AnyFunSuite {
     // inner join semantics — a counter that was never built has no row)
     assert(Sketches.cmsEstimateFor(counters, Seq("a", "b").toDF("k")).count() === 0)
   }
+
+  test("round-12 dp / minhash-group / projection ops on empty inputs") {
+    import graft.ops.{Relational, Sketches, Sim}
+    val emptyGk = Seq.empty[(String, String)].toDF("g", "k")
+    assert(Relational.dpNoisedCounts(emptyGk, Seq("g"), epsilon = 1.0).count() === 0)
+    assert(Sketches.minhashGroupJaccard(emptyGk, "g", "k").count() === 0)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Sim.randomProjection(emptyVecs, 64, 16).count() === 0)
+  }
 }
