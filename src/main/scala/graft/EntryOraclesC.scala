@@ -1127,6 +1127,113 @@ private[graft] object EntryOraclesC {
         |FROM comp c JOIN onorm o USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
+    // DP sum release: clamp to [0, 100] bounds the sensitivity; same
+    // seeded inverse-CDF noise as q_dp_counts with b = clampHi/epsilon
+    "q_dp_sum" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         round(sum(least(greatest(CAST(value AS DOUBLE), CAST(0 AS DOUBLE)),
+        |                         CAST(100 AS DOUBLE))), 4) AS sum_clamped_r
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, day, sum_clamped_r,
+        |         (CAST(('0x' || substr(md5('dps|' || event_type || '|' || day), 1, 8))::BIGINT AS DOUBLE)
+        |            + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)
+        |           - CAST(0.5 AS DOUBLE) AS u
+        |  FROM g)
+        |SELECT event_type, day, sum_clamped_r,
+        |       round(sum_clamped_r
+        |             - (CASE WHEN u >= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+        |               * CAST(100 AS DOUBLE) * ln(CAST(1 AS DOUBLE) - 2 * abs(u)), 4) AS dp_sum_r
+        |FROM n ORDER BY event_type, day""".stripMargin,
+
+    // HDR merge: the merged-bucket answer is restated as DIRECT global
+    // bucketing — bit-identical because bucketing is group-independent
+    "q_sketch_hdr_merge" ->
+      """WITH b0 AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND value >= 0),
+        |b1 AS (
+        |  SELECT vc, CAST(length(bin(vc)) AS BIGINT) AS blen,
+        |         CASE WHEN vc >= 16
+        |              THEN vc >> CAST(length(bin(vc)) - 4 AS INT) ELSE 0 END AS mant
+        |  FROM b0),
+        |b2 AS (
+        |  SELECT CASE WHEN vc < 16 THEN vc ELSE blen * 8 + (mant - 8) END AS bucket,
+        |         CASE WHEN vc < 16 THEN CAST(vc AS DOUBLE) / 100
+        |              ELSE (CAST(mant << CAST(blen - 4 AS INT) AS DOUBLE)
+        |                    + CAST((mant + 1) << CAST(blen - 4 AS INT) AS DOUBLE))
+        |                   / 2 / 100 END AS rep
+        |  FROM b1),
+        |bk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c, max(rep) AS rep
+        |       FROM b2 GROUP BY 1),
+        |cm AS (
+        |  SELECT rep, cum, n FROM (
+        |    SELECT bucket, rep, c,
+        |           sum(c) OVER (ORDER BY bucket
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |           sum(c) OVER () AS n
+        |    FROM bk))
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |       round(min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN rep END), 4) AS p50_est_r,
+        |       round(min(CASE WHEN cum >= ceil(CAST(0.9 AS DOUBLE) * n) THEN rep END), 4) AS p90_est_r,
+        |       round(min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN rep END), 4) AS p99_est_r
+        |FROM cm""".stripMargin,
+
+    // two-stage RP ANN: projection + projected-cosine shortlist +
+    // exact refine, every stage restated; ranks on ROUNDED scores with
+    // id tiebreak (repo convention), so both engines rank identically
+    "q_sim_rp_ann" ->
+      """WITH s AS (
+        |  SELECT i.i, j.j,
+        |         CASE WHEN ('0x' || substr(md5('rp|' || i.i || '|' || j.j), 1, 1))::BIGINT % 2 = 0
+        |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS i) i,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) j),
+        |e AS (
+        |  SELECT vec_id, j.j, CAST(embedding[j.j + 1] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS j) j),
+        |p AS (
+        |  SELECT e.vec_id, s.i, sum(e.x * s.sg) / CAST(4 AS DOUBLE) AS pv
+        |  FROM e JOIN s ON e.j = s.j
+        |  GROUP BY 1, 2),
+        |pn AS (SELECT vec_id, sqrt(sum(pv * pv)) AS n FROM p GROUP BY 1),
+        |onr AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1),
+        |pc AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         round(sum(q.pv * c.pv) / (qn.n * cn.n), 4) AS pcos_r
+        |  FROM p q
+        |  JOIN p c ON q.i = c.i AND c.vec_id <> q.vec_id
+        |  JOIN pn qn ON qn.vec_id = q.vec_id
+        |  JOIN pn cn ON cn.vec_id = c.vec_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY q.vec_id, c.vec_id, qn.n, cn.n),
+        |short AS (
+        |  SELECT q_id, c_id, pcos_r FROM (
+        |    SELECT q_id, c_id, pcos_r,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY pcos_r DESC, c_id) AS srnk
+        |    FROM pc)
+        |  WHERE srnk <= 40),
+        |ref AS (
+        |  SELECT sh.q_id, sh.c_id, sh.pcos_r,
+        |         round(sum(eq.x * ec.x) / (qn.n * cn.n), 4) AS cos_r
+        |  FROM short sh
+        |  JOIN e eq ON eq.vec_id = sh.q_id
+        |  JOIN e ec ON ec.vec_id = sh.c_id AND ec.j = eq.j
+        |  JOIN onr qn ON qn.vec_id = sh.q_id
+        |  JOIN onr cn ON cn.vec_id = sh.c_id
+        |  GROUP BY sh.q_id, sh.c_id, sh.pcos_r, qn.n, cn.n)
+        |SELECT q_id, c_id, pcos_r, cos_r, rnk FROM (
+        |  SELECT q_id, c_id, pcos_r, cos_r,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos_r DESC, c_id) AS BIGINT) AS rnk
+        |  FROM ref)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
     // bucketed co-located join: the LAYOUT differs (bucketed files vs
     // raw parquet), the relational answer must not — per-customer
     // collapse, customer join, nation fold

@@ -909,6 +909,40 @@ private[graft] object EntryQueriesD {
         .orderBy(col("vec_id"))
     }),
 
+    "q_dp_sum" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // DP sum release (round 12): per-row contribution clamped to
+      // [0, 100] — the clamp bounds sensitivity, licensing the
+      // Laplace(clampHi/epsilon) noise; same seeded-noise convention
+      // as q_dp_counts
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      Relational.dpNoisedSum(ev, Seq("event_type", "day"), "value",
+          clampHi = 100.0, epsilon = 1.0)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q_sketch_hdr_merge" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // HDR sketch MERGE (round 12): global quantiles served by summing
+      // the per-group bucket frames — no raw rescan; bit-identical to
+      // direct global bucketing because the bucket of a value is
+      // group-independent (SketchesRawSpec pins it)
+      Sketches.hdrMergedQuantiles(Tables.events(s, dir), "event_type", "value",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy(col("n"))
+    }),
+
+    "q_sim_rp_ann" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // two-stage ANN through the JL projection (round 12): shortlist
+      // by 16-d projected cosine (4x smaller resident index), exact
+      // 64-d refine from the base table
+      Sim.cosineTopKRp(Tables.embeddings(s, dir), nQueries = 10, k = 5,
+          shortlist = 40)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "q_bucket_join" -> ((s0, dir) => {
       val s = ensure(s0)
       // co-located join over bucketed layout (round 12): orders and

@@ -618,15 +618,48 @@ object Relational {
     */
   def dpNoisedCounts(df: DataFrame, groupCols: Seq[String],
                      epsilon: Double): DataFrame = {
-    val key = concat_ws("|", lit("dp") +: groupCols.map(c => col(c).cast("string")): _*)
-    val h = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("double")
-    val u = (h + 0.5) / 4294967296.0 - 0.5
-    val noise = -(lit(1.0 / epsilon)) * signum(u) * log(lit(1.0) - abs(u) * 2.0)
+    val noise = laplaceSeeded("dp", groupCols, b = 1.0 / epsilon)
     df.filter(groupCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_true"))
       .select(groupCols.map(col) ++ Seq(
         col("n_true"),
         round(col("n_true") + noise, 4).as("dp_n_r")): _*)
+  }
+
+  /** Differentially-private SUM release: each row's contribution is
+    * CLAMPED to [0, clampHi] first — the clamp bounds the sensitivity
+    * (one row can move the sum by at most clampHi), which is what
+    * licenses Laplace(clampHi/ε) noise; without it a single outlier
+    * row forces unbounded noise. The clamped true sum rides as the
+    * audit column (a real release publishes only dp_sum_r — see
+    * [[dpNoisedCounts]]'s seeded-noise note, which applies verbatim).
+    *
+    * Shape: one group-keyed aggregate, noise map-side over the
+    * |groups|-sized frame — identical scale shape to the count form.
+    */
+  def dpNoisedSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  clampHi: Double, epsilon: Double): DataFrame = {
+    val clamped = least(greatest(col(valueCol), lit(0.0)), lit(clampHi))
+    val noise = laplaceSeeded("dps", groupCols, b = clampHi / epsilon)
+    df.filter((groupCols.map(col(_).isNotNull) :+ col(valueCol).isNotNull).reduce(_ && _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(sum(clamped), 4).as("sum_clamped_r"))
+      .select(groupCols.map(col) ++ Seq(
+        col("sum_clamped_r"),
+        round(col("sum_clamped_r") + noise, 4).as("dp_sum_r")): _*)
+  }
+
+  /** Laplace(b) noise seeded deterministically from the group key:
+    * inverse CDF over u = (h + 0.5)/2³² − 0.5 (strictly inside the
+    * open interval — ln(1−2|u|) always finite), h = first 8 md5 hex
+    * digits of "tag|group...". Deterministic so the release is
+    * reproducible and oracle-restatable.
+    */
+  private def laplaceSeeded(tag: String, groupCols: Seq[String], b: Double): Column = {
+    val key = concat_ws("|", lit(tag) +: groupCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("double")
+    val u = (h + 0.5) / 4294967296.0 - 0.5
+    -(lit(b)) * signum(u) * log(lit(1.0) - abs(u) * 2.0)
   }
 }

@@ -58,23 +58,51 @@ object Sim {
     * ANN indexing (64→16 here): index build and search cost drop
     * ~4×, recall loss is the JL epsilon.
     */
-  def randomProjection(embeddings: DataFrame, inDim: Int, outDim: Int,
-                       sampleComponents: Int = 4): DataFrame = {
+  /** The deterministic ±1 JL sign matrix: cell (i, j) is +1 when the
+    * first hex digit of md5("rp|i|j") is even — derivable from first
+    * principles by any engine, so projections are oracle-restatable.
+    */
+  private[graft] def rpSigns(inDim: Int, outDim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(i: Int, j: Int): Double = {
+    Array.tabulate(outDim, inDim) { (i, j) =>
       val hex = md.digest(s"rp|$i|$j".getBytes("UTF-8")).map(b => f"$b%02x").mkString
       if ((Character.digit(hex.charAt(0), 16) & 1) == 0) 1.0 else -1.0
     }
-    val matrix = typedLit(Array.tabulate(outDim, inDim)(sign).map(_.toSeq).toSeq)
-    val emb = col("embedding").cast("array<double>")
+  }
+
+  /** The outDim-d projected vector of an array<double> column — one
+    * ordered left fold per component against the literal sign matrix
+    * (1-indexed rows), scaled by 1/√outDim so norms are preserved in
+    * expectation.
+    */
+  private[graft] def rpProject(emb: Column, inDim: Int, outDim: Int): Column = {
+    val matrix = typedLit(rpSigns(inDim, outDim).map(_.toSeq).toSeq)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    // full projected vector computed ONCE (1-indexed rows of the
-    // literal matrix), then bound through the array+transform let-idiom
-    // (see quantizeInt8) so the norm/sample-component reads never
-    // re-run the O(outDim·inDim) fold
-    val projExpr = transform(sequence(lit(1), lit(outDim)), i =>
+    transform(sequence(lit(1), lit(outDim)), i =>
       aggregate(zip_with(emb, element_at(matrix, i), (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x) * scale)
+  }
+
+  /** The same projection as a driver-side fold (identical j-ascending
+    * summation order, so results are bit-equal to [[rpProject]]) —
+    * for the bounded query side of [[cosineTopKRp]].
+    */
+  private[graft] def rpProjectLocal(v: Array[Double], signs: Array[Array[Double]],
+                                    outDim: Int): Array[Double] =
+    Array.tabulate(outDim) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += v(j) * signs(i)(j); j += 1 }
+      s * (1.0 / math.sqrt(outDim.toDouble))
+    }
+
+  def randomProjection(embeddings: DataFrame, inDim: Int, outDim: Int,
+                       sampleComponents: Int = 4): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    // full projected vector computed ONCE, then bound through the
+    // array+transform let-idiom (see quantizeInt8) so the norm /
+    // sample-component reads never re-run the O(outDim·inDim) fold
+    val projExpr = rpProject(emb, inDim, outDim)
     val bound = element_at(
       transform(array(projExpr), p => struct(
         (Seq.tabulate(sampleComponents)(i =>
@@ -297,6 +325,59 @@ object Sim {
       .join(broadcast(short), Seq("c_id"))
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("c_id"),
+        round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wFinal).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Two-stage ANN through the JL projection: shortlist by cosine in
+    * the outDim-d PROJECTED space (the resident index is vec_id +
+    * outDim doubles — inDim/outDim× smaller than the base vectors, the
+    * same memory argument as [[cosineTopKSq]]'s int8 codes but via
+    * dimension cut instead of quantization), then refine survivors
+    * with the exact inDim-d cosine from the BASE table. Recall loss
+    * is the JL epsilon; the shortlist width buys it back.
+    *
+    * Shape: queries are a bounded driver-side collect (model-build
+    * family) projected locally with the identical fold order; the
+    * index streams map-side against the broadcast query matrix; the
+    * only shuffles are the two skinny rank windows. Ranking uses the
+    * ROUNDED score + id tiebreak (repo convention) so both engines
+    * rank identically.
+    */
+  def cosineTopKRp(embeddings: DataFrame, nQueries: Int, k: Int,
+                   shortlist: Int, inDim: Int = 64, outDim: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dotF = dotNative(spark) _
+    def normF(c: Column) = sqrt(dotF(c, c))
+    val asDouble = embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the resident RP index: id + outDim doubles, nothing else
+    val index = CacheScope.cached(asDouble.select(
+      col("vec_id").as("c_id"), rpProject(col("v"), inDim, outDim).as("pv")))
+    val signs = rpSigns(inDim, outDim)
+    val qRows = asDouble.filter(col("vec_id") < nQueries)
+      .orderBy(col("vec_id")).collect()
+    val queries = qRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var s = 0.0; v.foreach(x => s += x * x)
+      (r.getLong(0), rpProjectLocal(v, signs, outDim), v, math.sqrt(s))
+    }.toIndexedSeq.toDF("q_id", "qp", "qv", "qn")
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("pcos_r").desc, col("c_id").asc)
+    val short = index
+      .join(broadcast(queries.select(col("q_id"), col("qp"))), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dotF(col("qp"), col("pv")) / (normF(col("qp")) * normF(col("pv"))), 4)
+          .as("pcos_r"))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= shortlist)
+      .select(col("q_id"), col("c_id"), col("pcos_r"))
+    val wFinal = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("c_id").asc)
+    asDouble.select(col("vec_id").as("c_id"), col("v").as("cv"), normF(col("v")).as("cn"))
+      .join(broadcast(short), Seq("c_id"))
+      .join(broadcast(queries.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("pcos_r"),
         round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("cos_r"))
       .withColumn("rnk", row_number().over(wFinal).cast("long"))
       .filter(col("rnk") <= k)

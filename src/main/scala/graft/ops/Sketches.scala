@@ -378,41 +378,80 @@ object Sketches {
     */
   def hdrQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                    qs: Seq[Double]): DataFrame = {
-    val bucketed = df
-      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull && col(valueCol) >= 0)
-      .select(col(groupCol).as("g"), floor(col(valueCol) * 100).cast("long").as("vc"))
-      .withColumn("blen", length(bin(col("vc"))).cast("long"))
-      // mant = the top 4 bits (leading one included, so 8..15);
-      // guarded to vc >= 16 so the shift amount blen-4 is never
-      // negative (expr form: the Scala shiftright API only takes a
-      // literal count, the SQL builtin takes a column)
-      .withColumn("mant",
-        when(col("vc") >= 16,
-          expr("shiftright(vc, cast(blen - 4 as int))")).otherwise(lit(0L)))
-      .withColumn("bucket",
-        when(col("vc") < 16, col("vc"))
-          .otherwise(col("blen") * 8 + (col("mant") - 8)))
-      .withColumn("rep",
-        when(col("vc") < 16, col("vc").cast("double") / 100.0)
-          .otherwise(
-            (expr("shiftleft(mant, cast(blen - 4 as int))").cast("double") +
-              expr("shiftleft(mant + 1, cast(blen - 4 as int))").cast("double"))
-              / 2.0 / 100.0))
-      .groupBy(col("g"), col("bucket"))
-      .agg(count(lit(1)).as("c"), max(col("rep")).as("rep"))
+    val bucketed = hdrBucketFrame(df, groupCol, valueCol)
     val wCum = Window.partitionBy(col("g")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wN = Window.partitionBy(col("g"))
     val cum = bucketed
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wN))
-    val qCols = qs.map { q =>
-      val tag = (q * 100).round.toInt
-      round(min(when(col("cum") >= ceil(lit(q) * col("n")), col("rep"))), 4)
-        .as(s"p${tag}_est_r")
-    }
     cum.groupBy(col("g"))
-      .agg(max(col("n")).as("n"), qCols: _*)
+      .agg(max(col("n")).as("n"), hdrQCols(qs): _*)
       .withColumnRenamed("g", groupCol)
+  }
+
+  /** The (g, bucket, c, rep) frame both HDR forms fold from: values
+    * quantize to cents, bucket = 8·bitlength + the 3 sub-bits under
+    * the leading one (values < 16 cents keep their own bucket).
+    * mant = the top 4 bits (leading one included, so 8..15); guarded
+    * to vc >= 16 so the shift amount blen−4 is never negative (expr
+    * form: the Scala shiftright API only takes a literal count, the
+    * SQL builtin takes a column).
+    */
+  private def hdrBucketFrame(df: DataFrame, groupCol: String,
+                             valueCol: String): DataFrame = df
+    .filter(col(groupCol).isNotNull && col(valueCol).isNotNull && col(valueCol) >= 0)
+    .select(col(groupCol).as("g"), floor(col(valueCol) * 100).cast("long").as("vc"))
+    .withColumn("blen", length(bin(col("vc"))).cast("long"))
+    .withColumn("mant",
+      when(col("vc") >= 16,
+        expr("shiftright(vc, cast(blen - 4 as int))")).otherwise(lit(0L)))
+    .withColumn("bucket",
+      when(col("vc") < 16, col("vc"))
+        .otherwise(col("blen") * 8 + (col("mant") - 8)))
+    .withColumn("rep",
+      when(col("vc") < 16, col("vc").cast("double") / 100.0)
+        .otherwise(
+          (expr("shiftleft(mant, cast(blen - 4 as int))").cast("double") +
+            expr("shiftleft(mant + 1, cast(blen - 4 as int))").cast("double"))
+            / 2.0 / 100.0))
+    .groupBy(col("g"), col("bucket"))
+    .agg(count(lit(1)).as("c"), max(col("rep")).as("rep"))
+
+  private def hdrQCols(qs: Seq[Double]): Seq[Column] = qs.map { q =>
+    val tag = (q * 100).round.toInt
+    round(min(when(col("cum") >= ceil(lit(q) * col("n")), col("rep"))), 4)
+      .as(s"p${tag}_est_r")
+  }
+
+  /** HDR MERGE — the mergeability the histogram family exists for:
+    * per-group bucket frames (each a bounded sketch a shard or a day
+    * would persist) combine into the GLOBAL quantiles by summing
+    * counts per bucket — no raw-data rescan, and because the bucket
+    * of a value is group-independent the merged answer is
+    * BIT-IDENTICAL to bucketing all rows directly (SketchesRawSpec
+    * pins it). At 100 TB this is how cross-shard/cross-day p99 is
+    * served: merge ~520-row sketches, never the events.
+    *
+    * The cumulative fold runs over the merged ≤~520-row bucket frame —
+    * the PlanShapeSpec bounded-frame tier (a global-orderBy window on
+    * a bucket-vocabulary-sized input, same tier as the day-count
+    * windows).
+    */
+  def hdrMergedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         qs: Seq[Double]): DataFrame = {
+    val merged = hdrBucketFrame(df, groupCol, valueCol)
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("c"), max(col("rep")).as("rep"))
+    // the grand total folds as a window over the SAME bounded frame —
+    // a separate broadcast-build job for the scalar is the r10 dead-end
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = merged
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    cum.agg(max(col("n")).as("n"), hdrQCols(qs): _*)
   }
 }

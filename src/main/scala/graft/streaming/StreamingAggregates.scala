@@ -448,6 +448,51 @@ object StreamingAggregates {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join — the last §2.10 join
+    * form ([[enrich]] covers stream-static): left events match right
+    * events of the same user whose event time lands in
+    * [left, left + maxGap]. Both sides are watermarked and the join
+    * condition bounds BOTH event times, which is exactly what lets the
+    * state store evict: a buffered left row can stop waiting once the
+    * right watermark passes left + maxGap + lateness, so state is
+    * bounded by (arrival rate × window), never by stream length. The
+    * spec pins the result row-for-row equal to the batch interval join
+    * on the same data (single AvailableNow batch ⇒ no cross-batch
+    * disorder caveat to carry).
+    */
+  def streamStreamJoin(
+      spark: SparkSession,
+      leftDir: String,
+      rightDir: String,
+      schema: StructType,
+      maxGap: String,
+      checkpointDir: String,
+      sinkDir: String,
+      lateness: String = "1 hour"): StreamingQuery = {
+    val l = spark.readStream.schema(schema).parquet(leftDir)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts_us").as("l_ts"))
+      .withColumn("l_time", timestamp_micros(col("l_ts")))
+      .withWatermark("l_time", lateness)
+    val r = spark.readStream.schema(schema).parquet(rightDir)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts_us").as("r_ts"))
+      .withColumn("r_time", timestamp_micros(col("r_ts")))
+      .withWatermark("r_time", lateness)
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          expr(s"r_time BETWEEN l_time AND l_time + INTERVAL $maxGap"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        (col("r_ts") - col("l_ts")).as("gap_us"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-static enrichment: each micro-batch of the event stream
     * joins the (small) static dimension — the lookup-table pattern
     * (user→segment, SKU→category). The dimension is broadcast, so the

@@ -715,6 +715,80 @@ object ScaleStress {
       }
       CacheScope.flush()
     }
+    // 16. Round-12 operators at nDocs scale: group MinHash Jaccard
+    //     (planted overlap structure as the HLL overlap case: groups
+    //     0/1 share exactly the even keys, cross-parity disjoint),
+    //     DP counts (exact true counts + bounded noise at any group
+    //     size), and the bucketed co-located join (1M-row build, zero
+    //     key exchanges in the executed plan, planted aggregate exact).
+    timed("round12Ops") {
+      val keyed = spark.range(0, nDocs, 1, 64).select(
+        (col("id") % 4).cast("string").as("g"),
+        expr("id div 2").cast("string").as("k"))
+      val mh = ops.Sketches.minhashGroupJaccard(keyed, "g", "k")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getDouble(3), r.getDouble(4)))).toMap
+      // groups 0 and 1 both contain exactly the even-key set ⇒ J = 1;
+      // cross-parity pairs are disjoint ⇒ J = 0 (est must read 1 / 0
+      // EXACTLY: identical sets give identical signatures, disjoint
+      // 32-bit-hashed sets collide on a perm-min with ~2^-27 odds)
+      assert(mh(("0", "1"))._2 == 1.0 && mh(("0", "1"))._1 == 1.0,
+        s"identical-set group MinHash drifted: ${mh(("0", "1"))}")
+      assert(mh(("0", "2"))._2 == 0.0 && mh(("0", "2"))._1 == 0.0,
+        s"disjoint group MinHash drifted: ${mh(("0", "2"))}")
+      CacheScope.flush()
+      val dp = ops.Relational.dpNoisedCounts(
+          keyed.select(col("g")), Seq("g"), epsilon = 1.0)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      assert(dp.length == 4 && dp.forall(_._2._1 == nDocs / 4),
+        s"DP true counts drifted: ${dp.toSeq}")
+      assert(dp.forall { case (_, (n, d)) => math.abs(d - n) < 15.0 },
+        s"DP noise out of band at scale: ${dp.toSeq}")
+      CacheScope.flush()
+      // bucketed join at nDocs orders / nDocs/100 customers: write the
+      // bucket layout, then assert the pre-agg + join plan has ZERO
+      // exchanges on the key and the planted totals come back exact
+      val bBase = java.nio.file.Files.createTempDirectory("graft-scale-bkt").toString
+      val nCust = nDocs / 100
+      spark.range(0, nDocs, 1, 64)
+        .select(col("id").as("o_orderkey"), (col("id") % nCust).as("o_custkey"),
+          lit(2.5).as("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$bBase/o").mode("overwrite").saveAsTable("scale_b_orders")
+      spark.range(0, nCust, 1, 16)
+        .select(col("id").as("c_custkey"), (col("id") % 25).cast("int").as("c_nationkey"))
+        .repartition(8, col("c_custkey"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$bBase/c").mode("overwrite").saveAsTable("scale_b_cust")
+      val joined = spark.table("scale_b_orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("tp"))
+        .hint("MERGE")
+        .join(spark.table("scale_b_cust"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n_orders")).as("n"), round(sum(col("tp")), 2).as("t"))
+      val rows = joined.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == 25 && rows.forall(_._2 == nDocs / 25),
+        s"bucketed join totals drifted: ${rows.take(3).toSeq}")
+      assert(rows.forall(t => math.abs(t._3 - 2.5 * nDocs / 25) < 1e-6),
+        s"bucketed join sums drifted: ${rows.take(3).toSeq}")
+      def flat(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flat(s.plan)
+        case other => other +: other.children.flatMap(flat)
+      }
+      val keyExchanges = flat(joined.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("custkey") => e
+      }
+      assert(keyExchanges.isEmpty,
+        s"bucketed join leaked a key exchange at scale: $keyExchanges")
+      spark.sql("DROP TABLE IF EXISTS scale_b_orders")
+      spark.sql("DROP TABLE IF EXISTS scale_b_cust")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

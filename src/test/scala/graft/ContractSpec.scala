@@ -38,8 +38,9 @@ class ContractSpec extends AnyFunSuite {
     // round 11: + q_sketch_hll + q_sketch_cms + q_bloom_dedup
     // + q_sketch_quantile + q_sketch_overlap = 207
     // round 12: + q_sketch_hll_raw + q_sketch_cms_raw + q_bucket_join
-    // + q_dp_counts + q_minhash_union + q_random_projection = 213
-    assert(SparkEntry.queries.size === 213)
+    // + q_dp_counts + q_minhash_union + q_random_projection
+    // + q_dp_sum + q_sketch_hdr_merge + q_sim_rp_ann = 216
+    assert(SparkEntry.queries.size === 216)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

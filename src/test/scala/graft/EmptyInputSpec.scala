@@ -191,5 +191,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sketches.minhashGroupJaccard(emptyGk, "g", "k").count() === 0)
     val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Sim.randomProjection(emptyVecs, 64, 16).count() === 0)
+    val emptyGv = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Relational.dpNoisedSum(emptyGv, Seq("g"), "v", 100.0, 1.0).count() === 0)
+    // merged HDR over nothing: no buckets, the final agg emits one
+    // all-NULL row at most — accept 0 or 1 rows with NULL quantiles
+    val hm = Sketches.hdrMergedQuantiles(emptyGv, "g", "v", Seq(0.5)).collect()
+    assert(hm.isEmpty || (hm.length === 1 && hm.head.isNullAt(1)))
+    assert(Sim.cosineTopKRp(emptyVecs, nQueries = 2, k = 2, shortlist = 4).count() === 0)
   }
 }

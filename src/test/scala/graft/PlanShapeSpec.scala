@@ -428,7 +428,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // r11: the rank window runs AFTER orderBy+limit(topK) cuts the
       // key frame to 20 rows (TakeOrderedAndProject does the
       // unbounded-scale work; Sketches.cmsHeavyHitters)
-      "q_sketch_cms" -> "post-limit topK frame (20 rows)")
+      "q_sketch_cms" -> "post-limit topK frame (20 rows)",
+      // r12: the merged HDR bucket frame is ≤ ~8·64 rows at ANY value
+      // cardinality (the sketch contract — Sketches.hdrMergedQuantiles)
+      "q_sketch_hdr_merge" -> "bucket-vocabulary-sized merged frame (≤ ~520 rows)")
     val sf = "/root/testdata/sf0.001"
     try SparkEntry.prepare(spark, sf) catch { case _: Throwable => () }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

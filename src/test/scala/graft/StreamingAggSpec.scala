@@ -198,6 +198,50 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(quantile(0.99) === batch.getDouble(4))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val base = Files.createTempDirectory("graft-ssj").toString
+    val h = 3600L * 1000000
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType)))
+    // all plants sit one hour past the epoch: a row AT the initial
+    // watermark (epoch 0) is dropped as late before it can join.
+    // left: touches at t=0s and t=100s per user; right: conversions at
+    // t=30s (matches the first touch within 1 minute), t=130s (matches
+    // the second), t=500s (matches nothing); user 99 converts with no
+    // touch at all; far-future ticks advance both watermarks
+    val t0 = h
+    val left = Seq((1L, 7L, t0), (2L, 7L, t0 + 100L * 1000000),
+      (3L, 8L, t0), (900L, 0L, 100 * h))
+    val right = Seq((10L, 7L, t0 + 30L * 1000000), (11L, 7L, t0 + 130L * 1000000),
+      (12L, 7L, t0 + 500L * 1000000), (13L, 99L, t0 + 30L * 1000000),
+      (901L, 0L, 100 * h))
+    left.toDF("event_id", "user_id", "ts_us").coalesce(1).write.parquet(s"$base/l")
+    right.toDF("event_id", "user_id", "ts_us").coalesce(1).write.parquet(s"$base/r")
+
+    StreamingAggregates.streamStreamJoin(
+      spark, s"$base/l", s"$base/r", evSchema, maxGap = "1 minute",
+      s"$base/ckpt", s"$base/sink").awaitTermination()
+
+    val got = spark.read.parquet(s"$base/sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch twin: plain interval join on the same rows
+    val l = left.toDF("l_id", "user_id", "l_ts")
+    val r = right.toDF("r_id", "user_id", "r_ts")
+    val expected = l.join(r, Seq("user_id"))
+      .filter($"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + 60L * 1000000)
+      .select($"user_id", $"l_id", $"r_id", ($"r_ts" - $"l_ts").as("gap_us"))
+      .collect().map(t => (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)))
+      .toSet
+    assert(got === expected)
+    // the planted structure, explicitly: each conversion matched its
+    // touch, the out-of-window and touchless conversions matched nothing
+    assert(got.contains((7L, 1L, 10L, 30L * 1000000)))
+    assert(got.contains((7L, 2L, 11L, 30L * 1000000)))
+    assert(!got.exists(_._3 == 12L) && !got.exists(_._1 == 99L))
+  }
+
   test("sliding windows count each event once per covered window") {
     val base = Files.createTempDirectory("graft-slide").toString
     val h = 3600L * 1000000
