@@ -416,7 +416,12 @@ object Bench {
       "q_pmi" -> "r10: ONE job - marginals and total fold as windows over the bigram-vocabulary frame (was 4 jobs of aggregate-and-join-back)",
       "q_ppl_buckets" -> "r10: 3 jobs - unigram lookup broadcast (corpus total folded in as a vocab-frame window) + per-doc score + bucket ntile",
       "q_quality_classifier" -> "r10: weights load from the quality_lr model store (training jobs gone); scoring = one feature aggregate + one doc-keyed fold with the model as column literals",
-      "q_sink_append" -> "4 jobs incl. two REAL parquet writes (overwrite then append) + the re-scan check - sink queries time actual file I/O each sample")
+      "q_sink_append" -> "4 jobs incl. two REAL parquet writes (overwrite then append) + the re-scan check - sink queries time actual file I/O each sample",
+      "q_bucket_join" -> "r12: ratio is NOMINAL-ish - the DuckDB denominator runs the plain raw-parquet join (~0.01s) while this query resolves and scans the BUCKETED catalog tables (the layout under test); the plan itself is the point: zero exchanges on the join key (BucketJoinSpec pins it), only the 25-row nation fold + orderBy shuffle",
+      "q_minhash_union" -> "r12: 2-3 jobs over the cached distinct (g,k) collapse: G*16 signature fold + broadcast pair compare + exact-intersection audit join; the audit join (the thing the sketch avoids at scale) IS most of the wall - same exclusion rationale as q_sketch_overlap's exact column",
+      "q_dp_counts" -> "r12: 1 job - a single group-keyed count over events; the oracle aggregates the same 150 groups in-process with no scan cost; job-floor bound",
+      "q_dp_sum" -> "r12: 1 job - same shape as q_dp_counts with the clamped-sum aggregate",
+      "q_sketch_hdr_merge" -> "r12: 1 job - one (g,bucket) aggregate + merge + bounded-frame windows; the oracle buckets the same rows in-process; job-floor bound")
     val floorNotesJson = floorNotes
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
