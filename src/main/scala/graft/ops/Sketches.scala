@@ -242,10 +242,9 @@ object Sketches {
         explode(sequence(lit(0), lit(nPerms - 1))).as("p"))
       .withColumn("h", h32(concat(col("p").cast("string"), lit("|"), col("k")), 0))
       .groupBy(col("g"), col("p")).agg(min(col("h")).as("mh")))
-    val gs = dk.select(col("g")).distinct()
-    val pairs = gs.select(col("g").as("ga"))
-      .crossJoin(gs.select(col("g").as("gb")))
-      .filter(col("ga") < col("gb"))
+    // every (ga < gb) pair materializes with all p perms in the
+    // signature self-join, so `est` IS the pair frame — no separate
+    // crossJoin pair build needed
     val est = sig.select(col("g").as("ga"), col("p"), col("mh").as("mha"))
       .join(sig.select(col("g").as("gb"), col("p"), col("mh").as("mhb")), Seq("p"))
       .filter(col("ga") < col("gb"))
@@ -259,10 +258,9 @@ object Sketches {
       .filter(col("ga") < col("gb"))
       .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_inter"))
     val sizes = dk.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    pairs
+    est
       .join(broadcast(sizes.select(col("g").as("ga"), col("n").as("na"))), Seq("ga"))
       .join(broadcast(sizes.select(col("g").as("gb"), col("n").as("nb"))), Seq("gb"))
-      .join(est, Seq("ga", "gb"))
       .join(exact, Seq("ga", "gb"), "left")
       .select(
         col("ga").as("type_a"), col("gb").as("type_b"),
