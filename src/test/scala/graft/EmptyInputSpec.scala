@@ -179,9 +179,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sketches.hllRegistersOnly(emptyGk, "g", "k").count() === 0)
     val counters = Sketches.cmsCountersFromRaw(emptyGk, "k")
     assert(counters.count() === 0)
-    // probing keys against an empty counter frame: no estimates (the
-    // inner join semantics — a counter that was never built has no row)
-    assert(Sketches.cmsEstimateFor(counters, Seq("a", "b").toDF("k")).count() === 0)
+    // probing keys against an empty counter frame: every bucket is
+    // empty, so every probe reads EXACTLY 0 (the left-join zero-fill —
+    // an empty sketch answers "never seen", it doesn't drop the probe)
+    val probed = Sketches.cmsEstimateFor(counters, Seq("a", "b").toDF("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probed === Map("a" -> 0L, "b" -> 0L))
   }
 
   test("round-12 dp / minhash-group / projection ops on empty inputs") {
