@@ -71,16 +71,19 @@ object Sim {
   }
 
   /** The outDim-d projected vector of an array<double> column — one
-    * ordered left fold per component against the literal sign matrix
-    * (1-indexed rows), scaled by 1/√outDim so norms are preserved in
-    * expectation.
+    * ordered left-fold dot per component against a literal sign row,
+    * scaled by 1/√outDim so norms are preserved in expectation. Each
+    * component goes through [[dotNative]] (the codegen'd graft_dot
+    * kernel when the session has GraftExtensions, the HOF fold
+    * otherwise — identical results either way), because an interpreted
+    * transform-over-matrix fold measured 1G lambda calls at the 1M×64
+    * ScaleStress build (24.6 s vs SQ8's 13 s).
     */
-  private[graft] def rpProject(emb: Column, inDim: Int, outDim: Int): Column = {
-    val matrix = typedLit(rpSigns(inDim, outDim).map(_.toSeq).toSeq)
+  private[graft] def rpProject(spark: org.apache.spark.sql.SparkSession,
+                               emb: Column, inDim: Int, outDim: Int): Column = {
+    val dotF = dotNative(spark) _
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    transform(sequence(lit(1), lit(outDim)), i =>
-      aggregate(zip_with(emb, element_at(matrix, i), (x, s) => x * s),
-        lit(0.0d), (acc, x) => acc + x) * scale)
+    array(rpSigns(inDim, outDim).map(row => dotF(emb, typedLit(row.toSeq)) * scale): _*)
   }
 
   /** The same projection as a driver-side fold (identical j-ascending
@@ -102,7 +105,7 @@ object Sim {
     // full projected vector computed ONCE, then bound through the
     // array+transform let-idiom (see quantizeInt8) so the norm /
     // sample-component reads never re-run the O(outDim·inDim) fold
-    val projExpr = rpProject(emb, inDim, outDim)
+    val projExpr = rpProject(embeddings.sparkSession, emb, inDim, outDim)
     val bound = element_at(
       transform(array(projExpr), p => struct(
         (Seq.tabulate(sampleComponents)(i =>
@@ -355,7 +358,7 @@ object Sim {
       col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // the resident RP index: id + outDim doubles, nothing else
     val index = CacheScope.cached(asDouble.select(
-      col("vec_id").as("c_id"), rpProject(col("v"), inDim, outDim).as("pv")))
+      col("vec_id").as("c_id"), rpProject(spark, col("v"), inDim, outDim).as("pv")))
     val signs = rpSigns(inDim, outDim)
     val qRows = asDouble.filter(col("vec_id") < nQueries)
       .orderBy(col("vec_id")).collect()

@@ -151,6 +151,20 @@ object ScaleStress {
     println(f"[scale] SQ8+refine recall@$k = ${sqHits.toDouble / (nQ * k)}%.3f (shortlist=64)")
     CacheScope.flush()
 
+    // 6c2. JL random-projection tier at the same 1M x 64-d (round 12):
+    //      the resident index is outDim=16 doubles/vector (4x smaller),
+    //      shortlist by projected cosine, exact refine from the base
+    //      table. Recall vs brute is the JL-epsilon number at scale.
+    val rp = timed("cosineTopKRp (64->16 JL)") {
+      val r = ops.Sim.cosineTopKRp(emb, nQ, k, shortlist = 64).cache()
+      println(s"[scale]   rows=${r.count()}")
+      r
+    }
+    val rpHits = brute.select(col("q_id"), col("c_id"))
+      .join(rp.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
+    println(f"[scale] RP+refine recall@$k = ${rpHits.toDouble / (nQ * k)}%.3f (shortlist=64)")
+    CacheScope.flush()
+
     // 6d. Graph-tier HNSW at the same 1M x 64-d: 64 segment-local
     //     graphs of ~nDocs/64 vectors each build INDEPENDENTLY inside
     //     their partitions (the per-segment build is the scale cost:
