@@ -56,10 +56,10 @@ object Bench {
     // recorded run carries its own window context instead of leaving
     // the grader to guess. 32 spin threads for ~1 s; effective cores =
     // total work / best single thread.
-    def capacityProbe(): Double = {
+    def capacityProbe(ms: Long = 1000): Double = {
       val n = 32
       val counts = new Array[Long](n)
-      val until = System.nanoTime() + 1000L * 1000 * 1000
+      val until = System.nanoTime() + ms * 1000 * 1000
       val ts = (0 until n).map { i =>
         new Thread(() => {
           var x = 0L
@@ -159,77 +159,163 @@ object Bench {
             case _ => false
           }) => true
       }.getOrElse(false)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var lastDf: org.apache.spark.sql.DataFrame = null
-      def once(): Double = {
-        // drop the previous sample's operator-internal caches; base
-        // pool stays hot
-        CacheScope.flush()
-        val t0 = System.nanoTime()
-        try { val df = fn(spark, sfDir); lastDf = df; df.count() }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .takeWhile(_ != '\n').take(200)
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
+    // ---- measurement sweep (pass-structured since r13) ----
+    // The cold pass (alphabetical) constructs every query once and
+    // fills the STATEMENT CACHE; three uncached steady passes
+    // re-construct + execute (each sample pays Catalyst construct +
+    // analysis — the r12-and-earlier procedure, so `value` stays
+    // comparable across rounds); three cached steady passes re-execute
+    // the cold pass's DataFrame via a fresh count() — a NEW
+    // QueryExecution per sample (fresh optimizer run, fresh physical
+    // plan, fresh exchanges: ALL execution work re-runs; only the
+    // eagerly-analyzed logical tree is reused). That is a warehouse
+    // statement/plan cache (same legitimacy precedent as
+    // Tables.readParquetCached), and its total is DUAL-REPORTED:
+    // `value` (uncached, the historical headline) alongside
+    // `steady_cached_total`. Steady passes visit queries in per-pass
+    // RANDOMIZED order (deterministic seed per pass, reproducible):
+    // host-noise bursts on this machine inflate CONTIGUOUS spans of a
+    // sweep for seconds at a time, so a fixed alphabetical order lets
+    // one burst own a contiguous span's minimums (exactly BENCH_r12's
+    // q_intersect…q_json_intake signature); random per-pass orders
+    // decorrelate the burst across the set and min-of-3 absorbs it.
+    class QS {
+      var df: org.apache.spark.sql.DataFrame = null
+      var scope: Seq[org.apache.spark.sql.DataFrame] = Nil
+      var cold = 0.0; var sMb = 0.0; var jobs = 0L
+      val uncached = scala.collection.mutable.ArrayBuffer[Double]()
+      val cachedTs = scala.collection.mutable.ArrayBuffer[Double]()
+    }
+    val names = selected.keys.toSeq.sorted
+    val st = names.map(n => n -> new QS).toMap
+    // Capacity track: a light probe every ~32 queries in every pass,
+    // published in the detail artifact — a mid-sweep host burst shows
+    // up AS A MEASUREMENT in the artifact instead of being inferred
+    // after the fact from which queries inflated together.
+    val capTrack = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    def trackProbe(pass: String, i: Int): Unit =
+      if (i % 32 == 0) capTrack += ((pass, i, capacityProbe(300)))
+    // Statement-cache exclusions: queries whose CONSTRUCT performs the
+    // operator's real per-run work (eager sink writes, the incremental
+    // watermark read, the CC label fixpoint's checkpoints+probes) —
+    // re-counting a cached frame would skip that work, so these
+    // queries take no cached samples and their cached figure is a
+    // COPY of their uncached one, flagged in the artifact. The static
+    // list names the known construct-effect families; the dynamic
+    // check (jobs launched during fn() on warm memo state in the
+    // first steady pass) catches anything that drifts in later.
+    val stmtExcluded = scala.collection.mutable.Set(
+      "q_sink_csv", "q_sink_json", "q_sink_orc", "q_sink_xml",
+      "q_sink_append", "q_sink_zorder", "q_incremental", "q_media_dedup_cc")
+    // cold pass — fills the statement cache, measures first-execution
+    // (codegen-compiling) time and per-query shuffle volume
+    names.zipWithIndex.foreach { case (n, i) =>
+      trackProbe("cold", i)
+      CacheScope.flush()
       val s0 = shuffleWrite.get()
-      val cold = once()
-      val failedCold = errors.contains(name)
+      val t0 = System.nanoTime()
+      try { val df = selected(n)(spark, sfDir); st(n).df = df; df.count() }
+      catch { case e: Throwable =>
+        errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .takeWhile(_ != '\n').take(200)
+      }
+      st(n).cold = (System.nanoTime() - t0) / 1e9
+      // hand the query's construct-time cache registrations to the
+      // cached passes (drained = unpersisted now, re-armed per sample)
+      st(n).scope = CacheScope.drain()
       Thread.sleep(50) // let listener events drain
-      val sMb = (shuffleWrite.get() - s0) / 1e6
-      // If the cold run fails, report it and skip the samples. If a
-      // SAMPLE fails after a clean earlier run, the failed sample is
-      // discarded entirely — its error would otherwise misreport a
-      // query that measured fine, and its fast-failure time could win
-      // the min.
-      // jobs counted over ONE steady sample (deterministic per plan —
-      // the noise-free denominator for the floor model)
-      var jobs = 0L
-      val (t, med3) =
-        if (failedCold) (cold, cold)
-        else {
+      st(n).sMb = (shuffleWrite.get() - s0) / 1e6
+    }
+    // three uncached steady passes, randomized order per pass.
+    // If a SAMPLE fails after a clean cold run, the failed sample is
+    // discarded entirely — its error would otherwise misreport a query
+    // that measured fine, and its fast-failure time could win the min.
+    for (p <- 1 to 3) {
+      val order = new scala.util.Random(0xC0FFEE + p).shuffle(names)
+      order.zipWithIndex.foreach { case (n, i) =>
+        trackProbe(s"uncached$p", i)
+        if (!errors.contains(n)) {
+          CacheScope.flush()
           val j0 = jobCount.get()
-          val t1 = once()
-          jobs = math.max(jobCount.get() - j0, 0L)
-          if (errors.contains(name)) { errors.remove(name); (cold, cold) }
-          else {
-            val t2 = once()
-            if (errors.contains(name)) { errors.remove(name); (t1, t1) }
-            else {
-              // third sample: median-of-3 published in the DETAIL file
-              // as the noise-robust second signal (BASELINE.md: this
-              // host swings ±25%). The headline is the min of the
-              // THREE steady samples (r8: was min-of-2 with t3 feeding
-              // only the median — t3 is measured anyway, and
-              // discarding it from the min just let one noise burst
-              // land on the artifact).
-              val t3 = once()
-              if (errors.contains(name)) { errors.remove(name); (math.min(t1, t2), math.min(t1, t2)) }
-              else (Seq(t1, t2, t3).min, Seq(t1, t2, t3).sorted.apply(1))
+          var constructJobs = 0L
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              val df = selected(n)(spark, sfDir)
+              constructJobs = math.max(jobCount.get() - j0, 0L)
+              df.count(); true
+            } catch { case _: Throwable => false }
+          val t = (System.nanoTime() - t0) / 1e9
+          if (ok) {
+            st(n).uncached += t
+            if (p == 1) {
+              // jobs counted over ONE steady sample (deterministic per
+              // plan — the noise-free denominator for the floor model)
+              st(n).jobs = math.max(jobCount.get() - j0, 0L)
+              if (constructJobs > 0) stmtExcluded += n
             }
           }
         }
-      (name, t, sMb, cold, med3, jobs, readsFixture(lastDf))
-    }.map { case r @ (name, t, sMb, cold, med3, jobs, fix) =>
-      // End-of-run re-sample for the slow tail: host-noise bursts hit
-      // ALPHABETICALLY CONTIGUOUS spans of the sweep (BASELINE.md's r7
-      // analysis — consecutive queries inflate together for the
-      // seconds a burst lasts), so one more sample taken AFTER the
-      // whole sweep is decorrelated from whatever burst hit a query's
-      // original slot. Only the tail that can move the headline
-      // (≥ 0.4 s) re-runs — ~10-20 queries, bounded cost — and the
-      // reported figure stays a min over clean samples of the SAME
-      // measurement procedure.
-      if (t < 0.4 || errors.contains(name)) r
-      else {
+      }
+    }
+    // end-of-sweep re-sample for the slow tail (≥ 0.4 s): one more
+    // uncached sample taken AFTER the whole sweep, decorrelated from
+    // whatever burst hit the query's per-pass slots; the reported
+    // figure stays a min over clean samples of the SAME procedure.
+    names.foreach { n =>
+      val minU = if (st(n).uncached.nonEmpty) st(n).uncached.min else st(n).cold
+      if (!errors.contains(n) && minU >= 0.4) {
         CacheScope.flush()
         val t0 = System.nanoTime()
-        val ok = try { selected(name)(spark, sfDir).count(); true }
+        val ok = try { selected(n)(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val t4 = (System.nanoTime() - t0) / 1e9
-        if (ok) (name, math.min(t, t4), sMb, cold, med3, jobs, fix) else r
+        if (ok) st(n).uncached += t4
       }
+    }
+    // three cached steady passes (randomized like the uncached ones):
+    // per sample, re-arm the query's own internal caches, run ONE
+    // fresh count() on the statement-cached frame, drop the caches —
+    // so each sample rebuilds and pays exactly what the designed plan
+    // pays, minus the driver-side construct+analysis the cache holds.
+    def cachedSample(n: String): Unit = {
+      CacheScope.flush()
+      st(n).scope.foreach(_.cache())
+      val t0 = System.nanoTime()
+      val ok = try { st(n).df.count(); true } catch { case _: Throwable => false }
+      val t = (System.nanoTime() - t0) / 1e9
+      st(n).scope.foreach(_.unpersist(blocking = true))
+      if (ok) st(n).cachedTs += t
+    }
+    for (p <- 1 to 3) {
+      val order = new scala.util.Random(0xBEEF00 + p).shuffle(names)
+      order.zipWithIndex.foreach { case (n, i) =>
+        trackProbe(s"cached$p", i)
+        if (!errors.contains(n) && !stmtExcluded(n) && st(n).df != null)
+          cachedSample(n)
+      }
+    }
+    // cached slow-tail re-sample, mirroring the uncached one
+    names.foreach { n =>
+      if (!errors.contains(n) && !stmtExcluded(n) && st(n).df != null &&
+          st(n).cachedTs.nonEmpty && st(n).cachedTs.min >= 0.4)
+        cachedSample(n)
+    }
+    case class QRes(name: String, t: Double, sMb: Double, cold: Double,
+                    med3: Double, jobs: Long, fix: Boolean,
+                    cachedT: Double, excluded: Boolean)
+    val results = names.map { n =>
+      val q = st(n)
+      val t = if (q.uncached.nonEmpty) q.uncached.min else q.cold
+      val med3 =
+        if (q.uncached.size >= 3) q.uncached.take(3).sorted.apply(1)
+        else if (q.uncached.nonEmpty) q.uncached.min else q.cold
+      // excluded / failed queries report their uncached figure in the
+      // cached column (the statement cache legitimately can't serve
+      // them), flagged via stmt_cache_excluded in the artifact
+      val cachedT = if (q.cachedTs.nonEmpty) q.cachedTs.min else t
+      QRes(n, t, q.sMb, q.cold, med3, q.jobs, readsFixture(q.df),
+        cachedT, stmtExcluded(n) && !errors.contains(n))
     }
     CacheScope.flush()
     // Throughput mode: the same query set once more, 8 submitted
@@ -310,21 +396,23 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     def qJson(dp: Int): String = results
-      .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+      .map(r => "\"" + r.name + "\":" + s"%.${dp}f".format(r.t))
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, s, _, _, _, _) => "\"" + k + "\":" + f"$s%.2f" }
+    val sh = results.map(r => "\"" + r.name + "\":" + f"${r.sMb}%.2f")
       .mkString("{", ",", "}")
-    val coldJson = results.map { case (k, _, _, c, _, _, _) => "\"" + k + "\":" + f"$c%.3f" }
+    val coldJson = results.map(r => "\"" + r.name + "\":" + f"${r.cold}%.3f")
       .mkString("{", ",", "}")
-    val med3Json = results.map { case (k, _, _, _, m, _, _) => "\"" + k + "\":" + f"$m%.3f" }
+    val med3Json = results.map(r => "\"" + r.name + "\":" + f"${r.med3}%.3f")
       .mkString("{", ",", "}")
-    val jobsJson = results.map { case (k, _, _, _, _, j, _) => "\"" + k + "\":" + j }
+    val cachedJson = results.map(r => "\"" + r.name + "\":" + f"${r.cachedT}%.4f")
       .mkString("{", ",", "}")
-    val duckJson = results.flatMap { case (k, _, _, _, _, _, _) =>
-      duckTimes.get(k).map(d => "\"" + k + "\":" + f"$d%.3f") }
+    val jobsJson = results.map(r => "\"" + r.name + "\":" + r.jobs)
       .mkString("{", ",", "}")
-    val ratioJson = results.flatMap { case (k, v, _, _, _, _, _) =>
-      duckTimes.get(k).filter(_ > 0).map(d => "\"" + k + "\":" + f"${v / d}%.2f") }
+    val duckJson = results.flatMap { r =>
+      duckTimes.get(r.name).map(d => "\"" + r.name + "\":" + f"$d%.3f") }
+      .mkString("{", ",", "}")
+    val ratioJson = results.flatMap { r =>
+      duckTimes.get(r.name).filter(_ > 0).map(d => "\"" + r.name + "\":" + f"${r.t / d}%.2f") }
       .mkString("{", ",", "}")
     // Like-for-like ratios for the fixture family: the DuckDB
     // denominator drops the fixture-equivalent CTE prefix (timed by
@@ -335,21 +423,28 @@ object Bench {
     // like-for-like denominator exists (the Spark side is job-floor
     // bound there), so no ratio is emitted and the split seconds
     // speak for themselves.
-    val duckFixtureJson = results.flatMap { case (k, _, _, _, _, _, _) =>
-      duckFixtureTimes.get(k).map(d => "\"" + k + "\":" + f"$d%.3f") }
+    val duckFixtureJson = results.flatMap { r =>
+      duckFixtureTimes.get(r.name).map(d => "\"" + r.name + "\":" + f"$d%.3f") }
       .mkString("{", ",", "}")
-    val ratioLikeJson = results.flatMap { case (k, v, _, _, _, _, _) =>
-      for { d <- duckTimes.get(k); fx <- duckFixtureTimes.get(k)
+    val ratioLikeJson = results.flatMap { r =>
+      for { d <- duckTimes.get(r.name); fx <- duckFixtureTimes.get(r.name)
             if d - fx >= 0.02 }
-        yield "\"" + k + "\":" + f"${v / (d - fx)}%.2f" }
+        yield "\"" + r.name + "\":" + f"${r.t / (d - fx)}%.2f" }
       .mkString("{", ",", "}")
-    val duckTotal = results.flatMap(r => duckTimes.get(r._1)).sum
+    val duckTotal = results.flatMap(r => duckTimes.get(r.name)).sum
     // the flagged set: >= 0.5 s AND > 2x its own oracle (only
     // meaningful at the sf the oracle times were taken at)
     val over2x = if (!isSf01) Seq.empty else results.collect {
-      case (k, v, _, _, _, _, _) if v >= 0.5 && duckTimes.get(k).exists(d => d > 0 && v > 2 * d) => k
+      case r if r.t >= 0.5 && duckTimes.get(r.name).exists(d => d > 0 && r.t > 2 * d) => r.name
     }
-    val coldTotal = results.map(_._4).sum
+    // the same flag over the statement-cached figures — what the set
+    // reads once per-sample construct+analysis is held by the cache
+    val over2xCached = if (!isSf01) Seq.empty else results.collect {
+      case r if r.cachedT >= 0.5 &&
+        duckTimes.get(r.name).exists(d => d > 0 && r.cachedT > 2 * d) => r.name
+    }
+    val coldTotal = results.map(_.cold).sum
+    val cachedTotal = results.map(_.cachedT).sum
     // Names of queries whose plan scans a prepare-materialized qtmp
     // artifact — plan-detected (readsFixture above), published so the
     // per-query ratio_vs_duckdb can be read with the moved-input
@@ -357,7 +452,7 @@ object Bench {
     // tools/duckdb_sf01_times.json) gives the like-for-like
     // denominator for exactly this set.
     val fixtureReadersJson =
-      (results.collect { case (k, _, _, _, _, _, true) => k } ++
+      (results.collect { case r if r.fix => r.name } ++
         // driver-side model loads (weights read from a qtmp store and
         // embedded as literals) never appear in the plan — declared
         // membership keeps them visible
@@ -369,7 +464,7 @@ object Bench {
     val errJson = errors.take(3)
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v).take(80) + "\"" }
       .mkString("{", ",", if (errors.size > 3) s""","__more":${errors.size - 3}}""" else "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_.t).sum else 0.0
     // Full per-query detail (steady, cold-first-run, shuffle MB) goes
     // to a file in the repo — the harness keeps only the last ~2KB of
     // stdout, which can no longer hold 118 query timings.
@@ -432,8 +527,13 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","aqe":$aqe,""" +
         s""""effective_cores_start":${f"$effectiveCoresStart%.1f"},""" +
         s""""effective_cores_end":${f"$effectiveCoresEnd%.1f"},""" +
-        s""""headline_procedure":"min of 3 steady samples + end-of-run re-sample for queries >= 0.4s (since r8; r7 and earlier were min-of-2 — do not compare 1:1)",""" +
+        s""""headline_procedure":"value: min of 3 uncached steady samples (each pays Catalyst construct+analysis; randomized per-pass order since r13) + end-of-run re-sample >= 0.4s. steady_cached_total: same procedure over statement-cached frames (construct held, fresh QueryExecution + fresh exchanges per sample; construct-effect queries excluded and copied from uncached)",""" +
         s""""prepare_sec":${f"$prepareSec%.3f"},""" +
+        s""""steady_cached_total":${f"$cachedTotal%.3f"},""" +
+        s""""queries_cached":$cachedJson,""" +
+        s""""stmt_cache_excluded":${results.filter(_.excluded).map("\"" + _.name + "\"").mkString("[", ",", "]")},""" +
+        s""""over_2x_cached":${over2xCached.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""capacity_track":${capTrack.map { case (p, i, c) => s"""{"p":"$p","i":$i,"c":${f"$c%.1f"}}""" }.mkString("[", ",", "]")},""" +
         s""""fixture_readers":$fixtureReadersJson,""" +
         s""""errors":$errJson,"cold_first_run_total":${f"$coldTotal%.3f"},""" +
         s""""throughput_8way_wall_sec":${f"$throughputWall%.3f"},""" +
@@ -460,23 +560,26 @@ object Bench {
     println(s"""{"detail":"times_cold_first_run","total":${f"$coldTotal%.3f"},"queries":$coldJson}""")
     // also emit full-precision per-query times on their own detail line
     println(s"""{"detail":"times_precise","queries":${qJson(4)}}""")
+    // statement-cached steady times (construct held; excluded queries
+    // carry their uncached figure — see stmt_cache_excluded)
+    println(s"""{"detail":"times_cached","total":${f"$cachedTotal%.3f"},"queries":$cachedJson}""")
     // Final stdout line = the harness's parse target. It must fit the
     // harness's ~2KB output-tail capture even after the 118-query
     // growth, so it carries the totals plus only the SLOWEST queries
     // (the ones that matter for the perf grade); the complete map is
     // in BENCH_DETAIL.json and the times_precise line above.
-    val slowest = results.sortBy(-_._2)
+    val slowest = results.sortBy(-_.t)
     val headParts = (n: Int) => {
       val qs = slowest.take(n)
-        .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+        .map(r => "\"" + r.name + "\":" + f"${r.t}%.2f")
         .mkString("{", ",", "}")
       val tpErr =
         if (throughputErrors.get() > 0) s""","throughput_errors":${throughputErrors.get()}""" else ""
       val oracleBit =
         if (duckTotal > 0 && isSf01)
-          s""","oracle_total_sec":${f"$duckTotal%.2f"},"n_over_2x_and_ge_half_sec":${over2x.size}"""
+          s""","oracle_total_sec":${f"$duckTotal%.2f"},"n_over_2x_and_ge_half_sec":${over2x.size},"n_over_2x_cached":${over2xCached.size}"""
         else ""
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","cold_first_run_total":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},"effective_cores_start":${f"$effectiveCoresStart%.1f"},"effective_cores_end":${f"$effectiveCoresEnd%.1f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"},"throughput_probe_cores":${throughputProbes.map(c => f"$c%.1f").mkString("[", ",", "]")}$tpErr$oracleBit,"queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest $n of ${results.size}; full map in BENCH_DETAIL.json","steady_cached_total":${f"$cachedTotal%.3f"},"cold_first_run_total":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},"effective_cores_start":${f"$effectiveCoresStart%.1f"},"effective_cores_end":${f"$effectiveCoresEnd%.1f"},"throughput_8way_wall_sec":${f"$throughputWall%.3f"},"throughput_probe_cores":${throughputProbes.map(c => f"$c%.1f").mkString("[", ",", "]")}$tpErr$oracleBit,"queries":$qs}"""
     }
     val line = Seq(40, 30, 20, 10, 0).iterator.map(headParts)
       .find(_.length <= 1700)

@@ -30,4 +30,18 @@ object CacheScope {
     tracked.foreach(_.unpersist(blocking = true))
     tracked.clear()
   }
+
+  /** Like [[flush]], but hands the flushed frames back to the caller.
+    * The bench's statement-cached samples use this: the frames a query
+    * registered at construct time are re-`cache()`d before each cached
+    * sample and unpersisted right after, so every sample rebuilds the
+    * operator's internal caches (paying the build work the designed
+    * plan pays) and never reads a previous sample's leftovers.
+    */
+  def drain(): Seq[DataFrame] = synchronized {
+    val out = tracked.toList
+    tracked.foreach(_.unpersist(blocking = true))
+    tracked.clear()
+    out
+  }
 }

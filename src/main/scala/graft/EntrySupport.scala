@@ -421,18 +421,16 @@ private[graft] object EntrySupport {
     ensureBucketed(s,
       Tables.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-      "o_custkey", oPath, oName,
-      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+      "o_custkey", oPath, oName)
     ensureBucketed(s,
       Tables.table(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
-      "c_custkey", cPath, cName,
-      "c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE")
+      "c_custkey", cPath, cName)
     (s.table(oName), s.table(cName))
   }
 
   private def ensureBucketed(s: SparkSession, df: => DataFrame, key: String,
-                             path: String, name: String, ddlSchema: String,
+                             path: String, name: String,
                              nBuckets: Int = 8): Unit = synchronized {
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
@@ -444,6 +442,12 @@ private[graft] object EntrySupport {
         .option("path", path).mode("overwrite").saveAsTable(name)
       Tables.invalidatePath(path)
     } else if (!s.catalog.tableExists(name)) {
+      // re-registering pre-existing bucket files on a fresh session:
+      // derive the DDL schema FROM the files, never from a
+      // hand-maintained string — a hardcoded type that drifted from
+      // the written data would only surface on exactly this path, as
+      // a miscast the first-run saveAsTable branch never exhibits
+      val ddlSchema = s.read.parquet(path).schema.toDDL
       s.sql(s"CREATE TABLE IF NOT EXISTS $name ($ddlSchema) USING parquet " +
         s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS LOCATION '$path'")
     }

@@ -137,13 +137,20 @@ object Tables {
     * baked into the memoized frame. Keyed by a stable, never-reused
     * per-session id; dead sessions' entries are purged on miss.
     */
-  def readParquetCached(spark: SparkSession, path: String, spread: Int = 0): DataFrame =
+  def readParquetCached(spark: SparkSession, path: String, spread: Int = 0): DataFrame = {
+    // Purge BEFORE the computeIfAbsent: ConcurrentHashMap forbids the
+    // mapping function from mutating other mappings (removeIf inside
+    // the bin lock can drop the entry being computed or deadlock two
+    // concurrent purging misses) — so the lazy dead-session sweep runs
+    // outside the lambda, on every call; it is a cheap no-op when
+    // nothing died.
+    purgeDeadSessions()
     dfCache.computeIfAbsent((sessionId(spark), path, spread), { _ =>
-      purgeDeadSessions()
       val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
       val df = spark.read.schema(schema).parquet(path)
       if (spread > 1) df.repartition(spread) else df
     })
+  }
 
   /** Drop memoized relations/schema for a path a writer just rewrote —
     * called by the write-once materializers on their write path, so a

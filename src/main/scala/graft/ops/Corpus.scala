@@ -285,18 +285,30 @@ object Corpus {
     // is read by BOTH the df branch and the join probe side, and the
     // two subtrees are the same object, so ReuseExchange shares the
     // shuffle and the tokenize+explode+hash map work runs once.
-    val segs = docs
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-      // guard BEFORE sequence(): for size < segLen the last index is
-      // -1 and sequence(0, -1) would generate a DESCENDING range, not
-      // an empty one; sub-segLen docs simply have no segments
-      .filter(size(col("toks")) >= segLen)
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, size(toks) div $segLen - 1)")).as("i"))
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ",
-          slice(col("toks"), col("i") * segLen + 1, lit(segLen)))).as("seg"))
-      .repartition(col("seg"))
+    // The segment keys come from the compiled graft_seghash kernel when
+    // the session has it (plans/SegHashes.scala — one byte-scan pass
+    // per doc, bit-identical hashes to the declarative chain, which
+    // otherwise allocates a token array + per-segment slice/concat/hash
+    // and was q_boilerplate's measured execute cost); the declarative
+    // form remains the extension-less fallback, pinned equal by
+    // SegHashesSpec.
+    val native = docs.sparkSession.catalog.functionExists("graft_seghash")
+    val segRows =
+      if (native)
+        docs.select(col("doc_id"),
+          explode(call_function("graft_seghash", col("text"), lit(segLen))).as("seg"))
+      else docs
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        // guard BEFORE sequence(): for size < segLen the last index is
+        // -1 and sequence(0, -1) would generate a DESCENDING range, not
+        // an empty one; sub-segLen docs simply have no segments
+        .filter(size(col("toks")) >= segLen)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, size(toks) div $segLen - 1)")).as("i"))
+        .select(col("doc_id"),
+          xxhash64(concat_ws(" ",
+            slice(col("toks"), col("i") * segLen + 1, lit(segLen)))).as("seg"))
+    val segs = segRows.repartition(col("seg"))
     // hash(seg) clustering satisfies BOTH the (doc_id, seg) distinct
     // (subset key) and the per-seg count on top of it. SHUFFLE_HASH,
     // not broadcast: a broadcast build would re-run the scan+explode

@@ -612,6 +612,17 @@ object Relational {
     * (publishing it would defeat the mechanism — it rides here only
     * for the correctness gate).
     *
+    * PRIVACY BUDGET / COMPOSITION: each call spends ε ONCE on the
+    * rows it touches. Repeated releases over the SAME underlying rows
+    * (re-running with a new noise draw, releasing overlapping group-by
+    * breakdowns of one table, or a count and a sum over the same
+    * frame) compose ADDITIVELY — k releases at ε each are one release
+    * at k·ε — so a real deployment tracks a cumulative per-dataset
+    * budget and divides it across every query it will ever answer.
+    * Releases over DISJOINT row sets (e.g. separate date partitions)
+    * run in parallel composition and spend only max(ε), which is why
+    * the partitioned-release pattern is the 100 TB-friendly one.
+    *
     * Shape: ONE group-keyed aggregate (map-side combinable count) +
     * noise as a map-side expression over the |groups|-sized frame.
     * At 100 TB the output stays groups-sized; nothing else shuffles.

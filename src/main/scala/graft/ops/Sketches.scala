@@ -325,7 +325,17 @@ object Sketches {
     */
   def bloomBits(expectedKeys: Long, k: Int = 3, fpp: Double = 0.01): Int = {
     val x = -math.log(1.0 - math.pow(fpp, 1.0 / k))
-    math.ceil(k * expectedKeys / x).toInt
+    val m = math.ceil(k * expectedKeys / x)
+    // Fail LOUDLY instead of Double.toInt's silent saturation at
+    // Int.MaxValue (reached near n ≈ 173M at k=3/1%): a saturated
+    // filter silently degrades the promised FP rate, and a >2^31-bit
+    // single filter is the wrong object anyway — the 32-bit position
+    // hash can't address it. Past this size, shard the key space and
+    // hold one filter per shard (each sized by this function).
+    require(m <= Int.MaxValue.toDouble,
+      s"bloom filter for $expectedKeys keys needs ${m.toLong} bits > Int.MaxValue; " +
+        "partition the key space and size one filter per shard instead")
+    m.toInt
   }
 
   /** Bloom-filter dedup pre-filter — the 100 TB first line of an
@@ -344,7 +354,7 @@ object Sketches {
     */
   def bloomDedupFlags(history: DataFrame, batch: DataFrame,
                       keyExpr: Column, idCol: String,
-                      m: Int = 1024, k: Int = 3): DataFrame = {
+                      m: Int, k: Int = 3): DataFrame = {
     // any k works: each hash index i folds into the md5 INPUT
     // ("i|key"), so the k hash functions are independent full digests,
     // not chunks of one digest

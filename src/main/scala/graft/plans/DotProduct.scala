@@ -110,6 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => AllCosinesI8(
         children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_seghash"),
+      new ExpressionInfo(classOf[SegHashes].getName, "graft_seghash"),
+      (children: Seq[Expression]) => SegHashes(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => PqEncode(

@@ -165,12 +165,13 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyKeyed = Seq.empty[(Long, String)].toDF("event_id", "bk0")
     // empty history: every batch row is definitely-new (no bits set)
     val rows = Seq((1L, "a"), (2L, "b")).toDF("event_id", "bk0")
-    val out = Sketches.bloomDedupFlags(emptyKeyed, rows, col("bk0"), "event_id")
+    val out = Sketches.bloomDedupFlags(emptyKeyed, rows, col("bk0"), "event_id",
+        m = Sketches.bloomBits(16))
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2)))
     assert(out.length === 2 && out.forall(t => !t._1 && !t._2))
     // empty batch against a real history
-    assert(Sketches.bloomDedupFlags(rows, emptyKeyed, col("bk0"), "event_id")
-      .count() === 0)
+    assert(Sketches.bloomDedupFlags(rows, emptyKeyed, col("bk0"), "event_id",
+        m = Sketches.bloomBits(16)).count() === 0)
   }
 
   test("round-12 register-only sketch ops on empty inputs") {

@@ -84,7 +84,8 @@ class SketchSpec extends AnyFunSuite {
     // batch: 50 repeats of history keys + 50 fresh ones
     val batch = ((1000 until 1050).map(i => (i.toLong, s"k${i - 1000}")) ++
       (1050 until 1100).map(i => (i.toLong, s"fresh$i"))).toDF("event_id", "bk0")
-    val out = Sketches.bloomDedupFlags(hist, batch, col("bk0"), "event_id")
+    val out = Sketches.bloomDedupFlags(hist, batch, col("bk0"), "event_id",
+        m = Sketches.bloomBits(300))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
     assert(out.length === 100)
     // the defining property: seen => maybe_seen (no false negatives)

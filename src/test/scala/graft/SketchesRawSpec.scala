@@ -100,4 +100,15 @@ class SketchesRawSpec extends AnyFunSuite {
       .collect().count(_.getBoolean(1))
     assert(saturated >= 1800, s"expected the 1024-bit filter to saturate: $saturated/2000")
   }
+
+  test("bloomBits fails loudly past Int-addressable sizes (r12 ADVICE)") {
+    // at k=3 / 1% fpp the bit count crosses Int.MaxValue near n=173M;
+    // past that the 32-bit position hash can't address the filter —
+    // the operator must refuse, not silently hand back a saturating
+    // truncation
+    val e = intercept[IllegalArgumentException](Sketches.bloomBits(200L * 1000 * 1000))
+    assert(e.getMessage.contains("partition the key space"))
+    // just under the cliff still sizes
+    assert(Sketches.bloomBits(170L * 1000 * 1000) > 2000000000)
+  }
 }
