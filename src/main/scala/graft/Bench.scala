@@ -477,10 +477,10 @@ object Bench {
     // throughput run where the floor amortizes. Audited round 7 with
     // graft.JobProfile (steady reps, per-job walls).
     val floorNotes = Map(
-      "q_cooccur" -> "2 jobs; marginals from cached per-container sets (no cube Expand since r7); steady jobs sum ~0.5s",
+      "q_cooccur" -> "r13 JobProfile: 2 jobs - the cached per-container distinct-set build (0.39-0.69s cold-ish, the operator's real work, re-paid per sample by design) + the marginals/pair join (0.14-0.32s); bench-condition 0.29s. DuckDB's 36ms is the same work with no job floor and its sets in-process; no plan defect - the pair algebra is bounded by containers^2",
       "q_outliers" -> "2 jobs at ~0.08s each steady; one broadcast stats-join-back - the 100TB shape",
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
-      "q_boilerplate" -> "r10: ONE job - xxhash64 segment key + one seg-keyed exchange read by both the df branch and the SHUFFLE_HASH probe side (was 3 jobs / md5 / broadcast rebuild of the explode subtree). r12 PlanCost split: construct 0.14 + plan 0.11 + execute ~0.3-0.65s - the execute is the tokenize+explode+hash map work itself (125k segments); a map-side transform() hashing variant measured a wash (interpreted HOF vs codegen'd projection, BASELINE r12)",
+      "q_boilerplate" -> "r13: segment keys now come from the compiled graft_seghash kernel (plans/SegHashes.scala, one byte-scan pass, bit-identical hashes) - and the bench number did NOT move (0.36s before and after, control-adjusted), which falsifies the r12 hypothesis that the hash map was the cost: the execute is the seg-keyed exchange + distinct/count + SHUFFLE_HASH join chain over 250k segment rows, 1 job, floor-bound. Kernel kept (fewer per-row allocations; the win grows with doc length)",
       "q_textrank" -> "2 jobs steady ~0.4-0.6s execute; the rest is driver-side plan construction of the 5 unrolled power iterations (the measured PlanCost floor, BASELINE r10) - per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape, and the query beats its DuckDB twin (0.89x)",
       "q_overlap_matrix" -> "3 jobs: cached distinct (source,h) build + per-source sizes + the h-keyed self-join; r10 keys on xxhash64 (no more shared 31-bit md5 collision coupling); join output bounded by sum over shingles of sources(h)^2",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",
@@ -489,7 +489,7 @@ object Bench {
       "q_lm_interp" -> "r9: lm_collapse fixture + unigram columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
       "q_kn_bigram" -> "r9: lm_collapse fixture + continuation columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
       "q_dedup_ngram" -> "exact all-pairs inverted-index join IS the operator (ground-truth tier); r9 reads the materialized ddf fixture (no re-tokenize); join-dominated, at DuckDB parity",
-      "q_dedup_contain" -> "3 jobs over the ddf fixture (shingle-set store scan + df-cap broadcast + containment join); candidates-only verify, steady ~0.3-0.45s — the like-for-like split (oracle CTE 'hx') prices the oracle's re-shingle against the store read",
+      "q_dedup_contain" -> "r13 JobProfile: 2 jobs at ~0.3s each (shingle-set store scan + df-cap broadcast build, then the containment join); candidates-only verify, bench-condition 0.38s - two real exchanges over the 1509-pair result, job-floor bound; the like-for-like split (oracle CTE 'hx') prices the oracle's re-shingle against the store read",
       "q_minhash_error" -> "r9: exact truth computed ONLY for audited candidate pairs (left-join fill 0 preserved) over the ddf fixture; was a full all-pairs join",
       "q_dedup_simhash" -> "r7 artifact 2.49s was a noise burst: r8 JobProfile steady 0.9s / bench-condition 0.75s, 2 jobs, unchanged code",
       "q_dedup_substring" -> "r7 artifact 1.20s was a noise burst: r8 JobProfile steady 0.52s / bench-condition 0.27s, 1 job, unchanged code",
@@ -499,12 +499,13 @@ object Bench {
       "q_sim_hnsw" -> "nominal ratio: the oracle is the 1000-vector brute-force scan (0.015s in-process) while Spark BUILDS per-segment HNSW graphs then searches — the graph build is the operator under test, priced per query; 2 jobs (segment flatMap + merge window), steady ~0.35s",
       "q_sim_hnsw_routed" -> "same rationale as q_sim_hnsw with the IVF routing stage added; the pinned-centroid oracle restates multi-probe exact search",
       "q_rrf" -> "r11: reads the tok_postings impact store (precomputed tf-idf weight + BM25 term per posting); 5 -> 3 jobs, 0.64 -> 0.48s steady - remaining cost is the scored posting join + two rank windows over the fused columns, job-floor bound",
-      "q_sink_zorder" -> "4 jobs including two REAL parquet writes (range-partition + in-partition sort + write, then the read-back check) - sink queries time actual file I/O each sample",
+      "q_sink_zorder" -> "r13 JobProfile: 4 jobs including two REAL parquet writes (range-partition 0.19 + sorted write 0.33 + two ~0.05s read-back checks) - sink queries time actual file I/O each sample; DuckDB's COPY denominator has no job or commit-protocol floor",
+      "q_tfidf" -> "r13: 1 job, 0.35s bench-condition - ONE exchange + window over the posting store; the r11 A/B showed the store does not pay here (in-plan tokenize costs the same) and the r9 windowize note covers the agg+join alternative; job-floor bound at sf0.1",
       "q_media_dedup_cc" -> "7 jobs, each real work: 2000-image decode+aHash cache, band-pair build, undirected-edge cache, fused-hop label checkpoint, convergence probe, keeper fold; ratio NOMINAL - the DuckDB oracle restates the planted answer arithmetically from doc_id (same exclusion rationale as q_media_jpeg)",
       "q_sim_ann_pq_refine" -> "r10: model loads from the pq_model store (training jobs gone); remaining jobs = code-assign cache, ADC shortlist window, full-vector refine join-back - the faiss two-stage shape, job-floor bound",
       "q_sim_ann_pq" -> "r10: model loads from the pq_model store; code-assign cache + ADC scan + rank window",
-      "q_sparse_cosine" -> "r11: reads the tok_postings impact store (unit tf-idf weights precomputed at ingest); 6 -> 2-3 jobs, 0.63 -> ~0.45-0.5s steady - remaining cost is the query-slice broadcast + the scored posting self-join (Bayardo all-pairs), join-dominated; windowizing the agg+join pair measured SLOWER (BASELINE dead-ends)",
-      "q_bm25" -> "r11: reads the tok_postings impact store (precomputed BM25 term per posting - Anh-Moffat impacts); 5 -> 3 jobs, 0.57 -> ~0.45s steady - remaining cost is the posting join + top-k window; same skeleton as q_sparse_cosine, same dead-end note",
+      "q_sparse_cosine" -> "r13 A/B (tools/RetrievalAB, 12 reps + control): the current window shape is the BEST of four measured alternatives - exprTopK 0.411/0.485, single-exchange repartition(q) 0.428/0.509, narrow-row pre-projection 0.394/0.423 vs window 0.389/0.423 (min/med) - so neither the rank window nor the shuffle width is the cost; the broadcast posting join + 1-2 job floor is. Reads the tok_postings impact store; bench-condition 0.36-0.38s",
+      "q_bm25" -> "r13 A/B (tools/RetrievalAB, 12 reps + control): current window shape 0.369/0.421 (min/med) BEATS exprTopK 0.405/0.447 and single-exchange 0.434/0.454 - the top-k back-half is not the cost, the posting join + job floor is; bench-condition 0.36s = 1.8x raw. Reads the tok_postings impact store (Anh-Moffat impacts) with the driver-local query slice",
       "q_sim_sq" -> "5 jobs: max-abs int8 quantize pass, query-matrix collect, compiled int8 flat scan, shortlist exchange, full-precision refine - the no-training compression tier; every job is a distinct stage of the two-phase scan",
       "q_dedup_minhash_est" -> "4 jobs over the ddf signature store: band-candidates join + per-pair estimate fold + 2 broadcast builds",
       "q_kl_sources" -> "r10: 3 jobs (grand total folds as a window over the source-count frame); vocabulary-sized broadcasts, corpus shuffles once",

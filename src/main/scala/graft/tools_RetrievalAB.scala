@@ -70,6 +70,54 @@ object RetrievalAB {
       s.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 5)
         .select(col("q_id"), col("doc_id").as("c_id"), col("n_common"), col("bm25_r"), col("rnk"))
     }
+    // the same three shapes over the sparse-cosine skeleton (identical
+    // join, different score column + null-weight filter)
+    def scoredCos: DataFrame = store.filter(col("wn").isNotNull)
+      .join(broadcast(qB.filter(col("qw").isNotNull)
+        .select(col("q_id"), col("token"), col("qw"))), Seq("token"))
+      .filter(col("q_id") =!= col("doc_id"))
+    def cosAgg(in: DataFrame): DataFrame = in
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(col("wn") * col("qw")), 4).as("cos_r"))
+    def cosA: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_r").desc, col("doc_id").asc)
+      cosAgg(scoredCos)
+        .withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 5)
+    }
+    def cosB: DataFrame = cosAgg(scoredCos)
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("cos_r")).as("ns"), col("doc_id").as("id"), col("n_common").as("nc")))),
+        1, 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"), col("t.nc").as("n_common"),
+        (-col("t.ns")).as("cos_r"), (col("i") + 1).cast("long").as("rnk"))
+    def cosC: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_r").desc, col("doc_id").asc)
+      cosAgg(scoredCos
+          .select(col("q_id"), col("doc_id"), col("wn"), col("qw"))
+          .repartition(col("q_id")))
+        .withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 5)
+    }
+    // D: shrink the exchange rows — project the per-posting product
+    // map-side BEFORE the shuffle so only (q, doc, contrib) longs/
+    // doubles travel (the verdict's "pre-aggregate per-token partials
+    // map-side" lever, expressed as a narrower shuffle row)
+    def cosD: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_r").desc, col("doc_id").asc)
+      scoredCos
+        .select(col("q_id"), col("doc_id"), (col("wn") * col("qw")).as("p"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_common"), round(sum(col("p")), 4).as("cos_r"))
+        .withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 5)
+    }
     // control: window-adjustment anchor (memory: always run a control)
     def control: DataFrame = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
 
@@ -77,7 +125,11 @@ object RetrievalAB {
       "control " -> (() => control),
       "bm25_A_window " -> (() => bm25A),
       "bm25_B_exprTopK" -> (() => bm25B),
-      "bm25_C_oneExch " -> (() => bm25C))
+      "bm25_C_oneExch " -> (() => bm25C),
+      "cos_A_window " -> (() => cosA),
+      "cos_B_exprTopK" -> (() => cosB),
+      "cos_C_oneExch " -> (() => cosC),
+      "cos_D_narrow " -> (() => cosD))
     // equality check first (A is the oracle-checked shape)
     val a = bm25A.collect().map(_.toString).sorted
     val b = bm25B.collect().map(_.toString).sorted
