@@ -1065,6 +1065,65 @@ private[graft] object EntryOraclesC {
         |               * ln(CAST(1 AS DOUBLE) - 2 * abs(u)), 4) AS dp_n_r
         |FROM n ORDER BY event_type, day""".stripMargin,
 
+    // Theta/KMV set algebra: bottom-64 distinct hashes per group
+    // restated, pairwise union/intersect/difference estimates below
+    // the common theta, exact set sizes as audit. Every arithmetic
+    // step CAST to DOUBLE (the DuckDB DECIMAL-literal trap).
+    "q_sketch_theta" ->
+      """WITH dk AS (
+        |  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |hx AS (
+        |  SELECT DISTINCT g, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h FROM dk),
+        |skr AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rnk FROM hx),
+        |skk AS (SELECT g, h FROM skr WHERE rnk <= 64),
+        |meta AS (
+        |  SELECT g,
+        |         CASE WHEN count(*) < 64 THEN CAST(4294967296 AS DOUBLE)
+        |              ELSE CAST(max(h) AS DOUBLE) END AS th
+        |  FROM skk GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb, least(a.th, b.th) AS thp
+        |  FROM meta a, meta b WHERE a.g < b.g),
+        |ra AS (
+        |  SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS na2
+        |  FROM pairs p JOIN skk s ON s.g = p.ga AND CAST(s.h AS DOUBLE) < p.thp
+        |  GROUP BY 1, 2),
+        |rb AS (
+        |  SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS nb2
+        |  FROM pairs p JOIN skk s ON s.g = p.gb AND CAST(s.h AS DOUBLE) < p.thp
+        |  GROUP BY 1, 2),
+        |ri AS (
+        |  SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS n_i
+        |  FROM pairs p
+        |  JOIN skk sa ON sa.g = p.ga AND CAST(sa.h AS DOUBLE) < p.thp
+        |  JOIN skk sb ON sb.g = p.gb AND sb.h = sa.h
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_ex_i
+        |  FROM dk a JOIN dk b ON a.k = b.k AND a.g < b.g
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM dk GROUP BY 1)
+        |SELECT p.ga AS type_a, p.gb AS type_b,
+        |       CAST(sza.n + szb.n - coalesce(ex.n_ex_i, 0) AS BIGINT) AS n_exact_union,
+        |       CAST(coalesce(ex.n_ex_i, 0) AS BIGINT) AS n_exact_inter,
+        |       round(CAST(coalesce(ra.na2, 0) + coalesce(rb.nb2, 0)
+        |                  - coalesce(ri.n_i, 0) AS DOUBLE)
+        |             * CAST(4294967296 AS DOUBLE) / p.thp, 4) AS union_est_r,
+        |       round(CAST(coalesce(ri.n_i, 0) AS DOUBLE)
+        |             * CAST(4294967296 AS DOUBLE) / p.thp, 4) AS inter_est_r,
+        |       round(CAST(coalesce(ra.na2, 0) - coalesce(ri.n_i, 0) AS DOUBLE)
+        |             * CAST(4294967296 AS DOUBLE) / p.thp, 4) AS diff_ab_est_r
+        |FROM pairs p
+        |JOIN sz sza ON sza.g = p.ga
+        |JOIN sz szb ON szb.g = p.gb
+        |LEFT JOIN ex ON ex.ga = p.ga AND ex.gb = p.gb
+        |LEFT JOIN ra ON ra.ga = p.ga AND ra.gb = p.gb
+        |LEFT JOIN rb ON rb.ga = p.ga AND rb.gb = p.gb
+        |LEFT JOIN ri ON ri.ga = p.ga AND ri.gb = p.gb
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // group-level MinHash: 16-perm signatures restated, Jaccard
     // estimate = fraction of equal components, exact Jaccard audit
     "q_minhash_union" ->

@@ -899,6 +899,19 @@ private[graft] object EntryQueriesD {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    "q_sketch_theta" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // KMV/Theta sketch set algebra (round 13): per-event-type
+      // audience sketches (bottom-64 distinct key hashes), pairwise
+      // UNION / INTERSECTION / DIFFERENCE cardinality estimates below
+      // the common theta — the set-op gap HLL (union-only inclusion-
+      // exclusion) and MinHash (Jaccard-only) leave open; exact
+      // union/intersection ride as audit columns
+      Sketches.thetaSetOps(Tables.events(s, dir), "event_type", "user_id",
+          k = 64)
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     "q_random_projection" -> ((s0, dir) => {
       val s = ensure(s0)
       // Johnson-Lindenstrauss ±1 projection 64 -> 16 (round 12): the

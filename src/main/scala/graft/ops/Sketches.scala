@@ -276,6 +276,87 @@ object Sketches {
           .as("jac_exact_r"))
   }
 
+  /** Theta/KMV sketch SET ALGEBRA — the set-operation gap the rest of
+    * the family can't cover: HLL unions beautifully but intersects
+    * only via inclusion-exclusion (error explodes for small overlaps),
+    * and MinHash gives Jaccard, not cardinalities. A KMV ("k minimum
+    * values", Bar-Yossef et al., RANDOM 2002; the Theta sketch of
+    * Dasgupta et al., SIGMOD 2016 is its production form) keeps each
+    * group's k SMALLEST distinct key hashes; θ = the k-th smallest
+    * hash as a fraction of the hash space, and any subset of the
+    * retained sample below a common θ estimates its cardinality as
+    * count/θ — which makes UNION, INTERSECTION, and DIFFERENCE all
+    * first-class: filter both samples to θ = min(θa, θb) and count.
+    *
+    * Deterministic md5 hashing (the family convention), so a DuckDB
+    * oracle restates every retained hash and estimate bit-for-bit.
+    * Groups with fewer than k distinct hashes are in EXACT mode
+    * (θ = 1, the sample IS the set). Sampling-mode sketches retain
+    * k−1 values strictly below θ, so est = (k−1)/θ — the classic
+    * unbiased KMV estimator.
+    *
+    * Shape: one distinct (group, key) collapse → distinct (group, h)
+    * → per-group bottom-k (a partitioned rank window) → G rows of
+    * k-sized hash ARRAYS that broadcast into the pair frame; set ops
+    * are array HOFs over ≤k elements. State per group is k longs at
+    * ANY cardinality; the key universe is touched once per group,
+    * never per pair (the hllOverlap lesson). The exact union /
+    * intersection (the self-join the sketch avoids at 100 TB) rides
+    * as audit columns.
+    */
+  def thetaSetOps(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, "theta sketch needs k >= 2")
+    val hashSpace = 4294967296.0 // 2^32, h32's range
+    val dk = graft.CacheScope.cached(df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), col(keyCol).cast("string").as("k"))
+      .distinct())
+    // distinct hash VALUES per group (two keys colliding in 32 bits
+    // count once — that is part of the sketch's stated error)
+    val hx = dk.select(col("g"), h32(col("k"), 0).as("h")).distinct()
+    val wk = Window.partitionBy(col("g")).orderBy(col("h").asc)
+    val sk = hx.withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= k)
+    // one row per group: the sorted bottom-k array + θ in hash units
+    // (2^32 = exact mode: every hash retained counts)
+    val sketches = sk.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n_sk"))
+      .withColumn("th",
+        when(col("n_sk") < k, lit(hashSpace))
+          .otherwise(element_at(col("hs"), k).cast("double")))
+    val pairs = sketches.select(
+        col("g").as("ga"), col("hs").as("hsa"), col("th").as("tha"))
+      .crossJoin(broadcast(sketches.select(
+        col("g").as("gb"), col("hs").as("hsb"), col("th").as("thb"))))
+      .filter(col("ga") < col("gb"))
+      .withColumn("thp", least(col("tha"), col("thb")))
+      // both samples filtered to the COMMON θ — the theta-sketch move
+      // that makes the three set estimates share one denominator
+      .withColumn("a2", filter(col("hsa"), h => h.cast("double") < col("thp")))
+      .withColumn("b2", filter(col("hsb"), h => h.cast("double") < col("thp")))
+      .withColumn("n_i", size(array_intersect(col("a2"), col("b2"))).cast("long"))
+      .withColumn("n_u", (size(col("a2")) + size(col("b2"))).cast("long") - col("n_i"))
+      .withColumn("scale", lit(hashSpace) / col("thp"))
+    val exact = dk.select(col("g").as("ga"), col("k"))
+      .join(dk.select(col("g").as("gb"), col("k")), Seq("k"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_ex_i"))
+    val sizes = dk.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("g").as("ga"), col("n").as("na"))), Seq("ga"))
+      .join(broadcast(sizes.select(col("g").as("gb"), col("n").as("nb"))), Seq("gb"))
+      .join(exact, Seq("ga", "gb"), "left")
+      .select(
+        col("ga").as("type_a"), col("gb").as("type_b"),
+        (col("na") + col("nb") - coalesce(col("n_ex_i"), lit(0L))).as("n_exact_union"),
+        coalesce(col("n_ex_i"), lit(0L)).as("n_exact_inter"),
+        round(col("n_u") * col("scale"), 4).as("union_est_r"),
+        round(col("n_i") * col("scale"), 4).as("inter_est_r"),
+        round((size(col("a2")).cast("long") - col("n_i")) * col("scale"), 4)
+          .as("diff_ab_est_r"))
+  }
+
   /** Count-min heavy hitters: d=4 hash rows × w=64 counters; a key's
     * estimate is the MIN over its d counters, which can only
     * OVERcount (collisions add, never subtract) — the one-sided error
