@@ -504,4 +504,50 @@ object StreamingAggregates {
     */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
+
+  final case class ThetaInput(g: String, k: String)
+  final case class ThetaState(hs: Seq[Long])
+  final case class ThetaOut(g: String, hs: Seq[Long], n_sk: Long,
+                            theta: Double, est: Double)
+
+  /** Streaming Theta/KMV sketch — the set-algebra twin completing the
+    * streaming sketch family next to [[hllRegisters]], [[cmsCounters]],
+    * [[bloomBitsStream]] and [[hdrBuckets]]: per group, state is the
+    * bottom-`k` DISTINCT key hashes (the same md5-prefix h32 as the
+    * batch [[graft.ops.Sketches.thetaSetOps]], computed bit-identically
+    * in the fold), merged per micro-batch by
+    * sort-distinct-take(k) — KMV's mergeability, the reason the sketch
+    * streams at all. State is HARD-bounded at k longs per group at any
+    * stream length; each update emits the group's current sketch,
+    * θ, and distinct-count estimate ((k−1)/θ in sampling mode, exact
+    * size below k). Downstream set algebra (union/intersect/difference
+    * across groups or across windows) runs on the emitted sketch rows
+    * exactly as the batch operator's pair stage does —
+    * StreamingThetaSpec pins the streamed state bit-identical to the
+    * batch bottom-k on the same rows, including across multiple
+    * micro-batches.
+    */
+  def thetaSketchStream(rows: Dataset[ThetaInput], k: Int = 64): Dataset[ThetaOut] = {
+    require(k >= 2, "theta sketch needs k >= 2")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .filter(r => r.g != null && r.k != null)
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[ThetaState, ThetaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[ThetaInput], state: GroupState[ThetaState]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h32(s: String): Long = java.lang.Long.parseLong(
+            md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8), 16)
+          val prev = state.getOption.map(_.hs).getOrElse(Seq.empty[Long])
+          val merged = (prev ++ it.map(r => h32(r.k)))
+            .distinct.sorted.take(k).toVector
+          state.update(ThetaState(merged))
+          val nSk = merged.size.toLong
+          val theta = if (nSk < k) 1.0 else merged.last.toDouble / 4294967296.0
+          val below = if (nSk < k) nSk.toDouble else (k - 1).toDouble
+          Iterator.single(ThetaOut(g, merged, nSk, theta, below / theta))
+      }
+  }
 }

@@ -803,6 +803,44 @@ object ScaleStress {
       spark.sql("DROP TABLE IF EXISTS scale_b_cust")
       CacheScope.flush()
     }
+    // 17. Round-13 Theta/KMV set algebra at nDocs scale: the same
+    //     planted structure as the overlap cases (groups 0/1 = the
+    //     even keys, 2/3 = the odd keys; cross-parity disjoint), so
+    //     union/intersection truths are exact by construction. Sketch
+    //     state stays k=64 longs per group while the key universe is
+    //     nDocs/2 per group.
+    timed("thetaSetOps") {
+      val keyed = spark.range(0, nDocs, 1, 64).select(
+        (col("id") % 4).cast("string").as("g"),
+        expr("id div 2").cast("string").as("k"))
+      val th = ops.Sketches.thetaSetOps(keyed, "g", "k")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      // group g holds keys (id div 2) for id ≡ g (mod 4): groups 0/1
+      // BOTH hold exactly the nDocs/4 even keys; 0/2 are disjoint with
+      // union nDocs/2
+      val q4 = nDocs / 4
+      // exact audit columns: identical-set pair (0,1) and a disjoint
+      // cross-parity pair (0,2)
+      assert(th(("0", "1"))._1 == q4 && th(("0", "1"))._2 == q4,
+        s"theta exact columns drifted: ${th(("0", "1"))}")
+      assert(th(("0", "2"))._1 == nDocs / 2 && th(("0", "2"))._2 == 0L,
+        s"theta disjoint exact drifted: ${th(("0", "2"))}")
+      // identical sets: sketches identical, so inter == union estimate
+      // and diff == 0 EXACTLY
+      assert(th(("0", "1"))._4 == th(("0", "1"))._3 && th(("0", "1"))._5 == 0.0,
+        s"identical-set theta estimates drifted: ${th(("0", "1"))}")
+      // disjoint: zero shared hashes below theta
+      assert(th(("0", "2"))._4 == 0.0,
+        s"disjoint theta intersection drifted: ${th(("0", "2"))}")
+      // sampling-mode error bands (k=64 -> RSE ~ 13%; assert 4 sigma)
+      assert(math.abs(th(("0", "1"))._3 - q4) / q4 <= 0.52,
+        s"theta union estimate out of band: ${th(("0", "1"))}")
+      assert(math.abs(th(("0", "2"))._3 - nDocs / 2) / (nDocs / 2) <= 0.52,
+        s"theta disjoint union estimate out of band: ${th(("0", "2"))}")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }
