@@ -248,11 +248,14 @@ object Bench {
           val t = (System.nanoTime() - t0) / 1e9
           if (ok) {
             st(n).uncached += t
+            // construct-effect detection runs on EVERY pass (a failed
+            // or listener-lagged first sample must not let a
+            // construct-work query slip into the statement cache)
+            if (constructJobs > 0) stmtExcluded += n
             if (p == 1) {
               // jobs counted over ONE steady sample (deterministic per
               // plan — the noise-free denominator for the floor model)
               st(n).jobs = math.max(jobCount.get() - j0, 0L)
-              if (constructJobs > 0) stmtExcluded += n
             }
           }
         }
