@@ -1317,6 +1317,62 @@ private[graft] object EntryOraclesC {
         |  FROM events, (SELECT unnest(generate_series(0, 3)) AS j) u
         |  WHERE user_id IS NOT NULL)
         |SELECT j, b, CAST(count(*) AS BIGINT) AS c
-        |FROM hx GROUP BY 1, 2 ORDER BY j, b""".stripMargin
+        |FROM hx GROUP BY 1, 2 ORDER BY j, b""".stripMargin,
+
+    // DSIR importance weights: hashed uni+bigram log-likelihood ratio
+    // of the en-target bucket distribution vs the raw corpus, add-1
+    // smoothed over 256 md5 buckets; per-bucket ratio quantized to
+    // integer micro-nats BEFORE the per-doc sum (exact long
+    // arithmetic — order-independent), displayed at 4dp.
+    "q_dsir_weights" ->
+      s"""$dsirDocCte
+        |SELECT h.doc_id, h.lang, count(*) AS n_grams,
+        |       round(sum(lr.loglr_u6) / 1e6, 4) AS logw_r
+        |FROM h JOIN lr USING (bucket)
+        |GROUP BY h.doc_id, h.lang
+        |ORDER BY doc_id""".stripMargin,
+
+    // the resampling step: top-100 by (rounded weight DESC, doc_id) —
+    // the tiebreak makes the selected SET engine-independent
+    "q_dsir_select" ->
+      s"""$dsirDocCte,
+        |d AS (
+        |  SELECT h.doc_id, h.lang, count(*) AS n_grams,
+        |         round(sum(lr.loglr_u6) / 1e6, 4) AS logw_r
+        |  FROM h JOIN lr USING (bucket)
+        |  GROUP BY h.doc_id, h.lang)
+        |SELECT doc_id, lang, n_grams, logw_r FROM d
+        |ORDER BY logw_r DESC, doc_id LIMIT 100""".stripMargin
   )
+
+  /** Shared DSIR CTE chain: tokenize → uni+bigram stream → md5 bucket
+    * → target/source histograms → smoothed 6dp log-ratio table.
+    * Mirrors [[graft.ops.Text.dsirWeights]] stage for stage. A `def`,
+    * not a val: the oracle map above interpolates it during object
+    * init, before a later-declared val would be assigned.
+    */
+  private def dsirDocCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, lang = 'en' AS tgt,
+      |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |uni AS (SELECT doc_id, lang, tgt, unnest(toks) AS gram FROM t),
+      |bi AS (
+      |  SELECT doc_id, lang, tgt, toks[i] || ' ' || toks[i + 1] AS gram
+      |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |h AS (
+      |  SELECT doc_id, lang, tgt,
+      |         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS bucket
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |tb AS (SELECT bucket, count(*) AS tc FROM h WHERE tgt GROUP BY bucket),
+      |sb AS (SELECT bucket, count(*) AS sc FROM h GROUP BY bucket),
+      |tot AS (SELECT (SELECT sum(sc) FROM sb) AS s_tot,
+      |               (SELECT coalesce(sum(tc), 0) FROM tb) AS t_tot),
+      |lr AS (
+      |  SELECT sb.bucket,
+      |         CAST(round((ln((coalesce(tb.tc, 0) + 1) / (tot.t_tot + 256))
+      |                   - ln((sb.sc + 1) / (tot.s_tot + 256))) * 1e6)
+      |           AS BIGINT) AS loglr_u6
+      |  FROM sb LEFT JOIN tb USING (bucket), tot)""".stripMargin
 }

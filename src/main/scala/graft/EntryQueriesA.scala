@@ -374,7 +374,12 @@ private[graft] object EntryQueriesA {
 
     "q_sim_ann" -> ((s0, dir) => {
       val s = ensure(s0)
-      Sim.cosineTopKIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5, nCells = 8)
+      // first-8-vectors coarse quantizer, served from the memoized
+      // query-slice collect (EntrySupport.embQueryLocal) — identical
+      // centroids to cosineTopKIvf's internal collect, zero construct
+      // jobs on repeat; nProbe=1 is cosineTopKIvf's search config
+      Sim.cosineTopKIvfFrom(Tables.embeddings(s, dir),
+          embQueryLocal(s, dir, 8), nQueries = 10, k = 5, nProbe = 1)
         .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
         .orderBy(col("q_id"), col("rnk"))
     }),

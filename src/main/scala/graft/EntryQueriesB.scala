@@ -518,7 +518,8 @@ private[graft] object EntryQueriesB {
     "q_ntile" -> ((s0, dir) => {
       val s = ensure(s0)
       Relational.ntileStats(
-          Tables.orders(s, dir), "o_totalprice", "o_orderkey", n = 10)
+          Tables.orders(s, dir), "o_totalprice", "o_orderkey", n = 10,
+          knownSize = Some(tableCountLocal(s, dir, "orders")))
         .orderBy(col("tile"))
     }),
 

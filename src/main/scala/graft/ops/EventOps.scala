@@ -347,22 +347,31 @@ object EventOps {
     * engine-independent at any scale). Ties break on user_id so both
     * engines band identically.
     */
-  def rfmSegments(events: DataFrame, anchorUs: Long, nBands: Int = 5): DataFrame = {
-    // cached: each banding pass probes its input size and then bands —
-    // without the cache the three chained passes would re-run the
-    // event aggregation (and prior bandings) once per probe
-    val perUser = graft.CacheScope.cached(events
+  /** The RFM per-user aggregate at an anchor — split out so a caller
+    * can memoize its row count (|users|) and hand it back through
+    * [[rfmSegments]]'s `knownUsers`, making repeat constructs
+    * probe-job-free.
+    */
+  def rfmPerUser(events: DataFrame, anchorUs: Long): DataFrame =
+    events
       .filter(col("user_id").isNotNull && col("ts_us") <= anchorUs)
       .groupBy(col("user_id"))
       .agg(
         floor((lit(anchorUs) - max(col("ts_us"))) / lit(86400e6)).cast("long")
           .as("recency_days"),
         count(lit(1)).as("frequency"),
-        round(sum(col("value")), 4).as("monetary_r")))
+        round(sum(col("value")), 4).as("monetary_r"))
+
+  def rfmSegments(events: DataFrame, anchorUs: Long, nBands: Int = 5,
+                  knownUsers: Option[Long] = None): DataFrame = {
+    // cached: each banding pass probes its input size and then bands —
+    // without the cache the three chained passes would re-run the
+    // event aggregation (and prior bandings) once per probe
+    val perUser = graft.CacheScope.cached(rfmPerUser(events, anchorUs))
     // ONE size probe shared by the three band passes: banding is
     // row-preserving, so |users| measured once on the cached aggregate
     // serves every dimension (r8 paid the probe job 3×)
-    val nUsers = perUser.count()
+    val nUsers = knownUsers.getOrElse(perUser.count())
     val banded = Seq(
       ("r_band", Seq(col("recency_days").asc, col("user_id").asc)),
       ("f_band", Seq(col("frequency").desc, col("user_id").asc)),

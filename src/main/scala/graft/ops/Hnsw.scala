@@ -278,13 +278,16 @@ object Hnsw {
     * tiebreak), self-matches excluded.
     */
   def hnswTopK(embeddings: DataFrame, nQueries: Int, k: Int, m: Int = 8,
-               efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+               efConstruction: Int = 64, efSearch: Int = 64,
+               queryRows: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val base = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    val queries = base.filter(col("vec_id") < nQueries).collect().sortBy(_._1)
+    // pre-collected query slice (memoized caller) skips the collect job
+    val queries = queryRows.map(_.toArray.sortBy(_._1)).getOrElse(
+      base.filter(col("vec_id") < nQueries).collect().sortBy(_._1))
     val bq = spark.sparkContext.broadcast(queries)
     val perSegment = base.mapPartitions { rows =>
       val seg = rows.toArray.sortBy(_._1) // id-sorted insertion: deterministic
@@ -332,9 +335,35 @@ object Hnsw {
     * component, or a merge defect each breaks the hash gate; HnswSpec
     * grades the production (ef-bounded) configuration by recall.
     */
+  /** The routed search's query model — each query vector with its
+    * `nProbe` best cells — built by the SAME probe expressions the
+    * search uses (one arithmetic, no driver re-implementation to
+    * drift). Exposed so a caller can collect it once, memoize it, and
+    * replay it through `hnswTopKRouted`'s `queryModel` parameter.
+    */
+  def routedQueryModel(embeddings: DataFrame, cents: Sim.Centroids,
+                       nQueries: Int, nProbe: Int): Array[(Long, Array[Double], Array[Int])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dotF = Sim.dotNative(spark) _
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+      .withColumn("cell",
+        Sim.argmaxCell(dotF, cents)(col("v"), col("nrm")).cast("int"))
+      .filter(col("vec_id") < nQueries)
+      .withColumn("probe",
+        if (nProbe <= 1) array(col("cell"))
+        else Sim.probeCells(dotF, cents, nProbe)(col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("probe").cast("array<int>"))
+      .as[(Long, Array[Double], Array[Int])]
+      .collect().sortBy(_._1)
+  }
+
   def hnswTopKRouted(embeddings: DataFrame, cents: Sim.Centroids,
                      nQueries: Int, k: Int, nProbe: Int, m: Int = 8,
-                     efConstruction: Int = 64, efSearch: Int = 512): DataFrame = {
+                     efConstruction: Int = 64, efSearch: Int = 512,
+                     queryModel: Option[Seq[(Long, Array[Double], Array[Int])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dotF = Sim.dotNative(spark) _
@@ -344,14 +373,9 @@ object Hnsw {
       .withColumn("cell",
         Sim.argmaxCell(dotF, cents)(col("v"), col("nrm")).cast("int"))
     // query model build: nQueries rows with their probe lists (driver-
-    // sized, the searchCells shape)
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .withColumn("probe",
-        if (nProbe <= 1) array(col("cell"))
-        else Sim.probeCells(dotF, cents, nProbe)(col("v"), col("nrm")))
-      .select(col("vec_id"), col("v"), col("probe").cast("array<int>"))
-      .as[(Long, Array[Double], Array[Int])]
-      .collect().sortBy(_._1)
+    // sized, the searchCells shape); memoized callers pass it in
+    val queries = queryModel.map(_.toArray.sortBy(_._1)).getOrElse(
+      routedQueryModel(embeddings, cents, nQueries, nProbe))
     val bq = spark.sparkContext.broadcast(queries)
     val perCell = assigned
       .select(col("vec_id"), col("v"), col("cell"))

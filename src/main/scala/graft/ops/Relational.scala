@@ -314,8 +314,10 @@ object Relational {
     * does). The per-bucket aggregate is an ordinary partial-agged
     * groupBy.
     */
-  def ntileStats(df: DataFrame, valueCol: String, keyCol: String, n: Int): DataFrame =
-    bandedNtile(df, n, Seq(col(valueCol), col(keyCol)), "tile")
+  def ntileStats(df: DataFrame, valueCol: String, keyCol: String, n: Int,
+                 knownSize: Option[Long] = None): DataFrame =
+    bandedNtile(df, n, Seq(col(valueCol), col(keyCol)), "tile",
+      knownSize = knownSize)
       .groupBy(col("tile"))
       .agg(
         count(lit(1)).as("n_rows"),

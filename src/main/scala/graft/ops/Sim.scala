@@ -235,15 +235,22 @@ object Sim {
       col("sq").getField("q").as("codes"))
 
   def cosineTopKSq(embeddings: DataFrame, nQueries: Int, k: Int,
-                   shortlist: Int): DataFrame =
-    cosineTopKSqImpl(embeddings, nQueries, k, shortlist, useKernel = true)
+                   shortlist: Int,
+                   queryRows: Option[Seq[(Long, Array[Double])]] = None): DataFrame =
+    cosineTopKSqImpl(embeddings, nQueries, k, shortlist, useKernel = true, queryRows)
 
   /** `useKernel = false` forces the HOF fallback — test hook for the
     * kernel-vs-fallback parity pin (integer dots are exact, so the two
-    * paths must agree bit-for-bit).
+    * paths must agree bit-for-bit). `queryRows` optionally supplies
+    * the pre-collected query slice (vec_id < nQueries, id-ascending,
+    * exactly what the internal collect fetches) so a caller that
+    * memoizes the bounded query side constructs this plan without
+    * launching the collect job — results are identical either way
+    * (QueryModelMemoSpec).
     */
   private[graft] def cosineTopKSqImpl(embeddings: DataFrame, nQueries: Int, k: Int,
-                   shortlist: Int, useKernel: Boolean): DataFrame = {
+                   shortlist: Int, useKernel: Boolean,
+                   queryRows: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val dotF = dotNative(embeddings.sparkSession) _
     def normF(c: Column) = sqrt(dotF(c, c))
     val asDouble = embeddings.select(
@@ -263,10 +270,12 @@ object Sim {
     // second cluster pass or giant quantize expression tree is planned
     // for 10 rows.
     val spark = embeddings.sparkSession
-    val qRows = asDouble.filter(col("vec_id") < nQueries)
-      .orderBy(col("vec_id")).collect()
-    val qIds = qRows.map(_.getLong(0))
-    val qVecs = qRows.map(_.getSeq[Double](1).toArray)
+    val qRows: Seq[(Long, Array[Double])] = queryRows.getOrElse(
+      asDouble.filter(col("vec_id") < nQueries)
+        .orderBy(col("vec_id")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
+    val qIds = qRows.map(_._1).toArray
+    val qVecs = qRows.map(_._2).toArray
     def codesOf(v: Array[Double]): Array[Int] = {
       var maxAbs = 0.0
       v.foreach(x => maxAbs = math.max(maxAbs, math.abs(x)))
@@ -349,7 +358,8 @@ object Sim {
     * rank identically.
     */
   def cosineTopKRp(embeddings: DataFrame, nQueries: Int, k: Int,
-                   shortlist: Int, inDim: Int = 64, outDim: Int = 16): DataFrame = {
+                   shortlist: Int, inDim: Int = 64, outDim: Int = 16,
+                   queryRows: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dotF = dotNative(spark) _
@@ -360,12 +370,13 @@ object Sim {
     val index = CacheScope.cached(asDouble.select(
       col("vec_id").as("c_id"), rpProject(spark, col("v"), inDim, outDim).as("pv")))
     val signs = rpSigns(inDim, outDim)
-    val qRows = asDouble.filter(col("vec_id") < nQueries)
-      .orderBy(col("vec_id")).collect()
-    val queries = qRows.map { r =>
-      val v = r.getSeq[Double](1).toArray
+    val qRows: Seq[(Long, Array[Double])] = queryRows.getOrElse(
+      asDouble.filter(col("vec_id") < nQueries)
+        .orderBy(col("vec_id")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
+    val queries = qRows.map { case (id, v) =>
       var s = 0.0; v.foreach(x => s += x * x)
-      (r.getLong(0), rpProjectLocal(v, signs, outDim), v, math.sqrt(s))
+      (id, rpProjectLocal(v, signs, outDim), v, math.sqrt(s))
     }.toIndexedSeq.toDF("q_id", "qp", "qv", "qn")
     val wShort = Window.partitionBy(col("q_id")).orderBy(col("pcos_r").desc, col("c_id").asc)
     val short = index
@@ -408,7 +419,8 @@ object Sim {
     * MaxSim rescores only survivors — same algebra, bounded pairs.
     */
   def maxSimTopK(embeddings: DataFrame, groupEvery: Int, nQueryDocs: Int,
-                 k: Int): DataFrame = {
+                 k: Int,
+                 queryRows: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val dotF = dotNative(spark) _
     def normF(c: Column) = sqrt(dotF(c, c))
@@ -426,10 +438,14 @@ object Sim {
       // groupEvery rows — bounded) and the native kernel scores each
       // candidate token against all of them in one compiled loop —
       // no vector-carrying pair join (the knnLabelVote lesson)
-      val qRows = toks.filter(col("did") < nQueryDocs)
-        .orderBy(col("tid")).collect()
-      val qDocs = qRows.map(_.getLong(0))
-      val flat = qRows.flatMap(_.getSeq[Double](2))
+      // pre-collected form: the first nQueryDocs*groupEvery vec_ids in
+      // id order ARE the query tokens in tid order; did = tid/groupEvery
+      val qRows: Seq[(Long, Array[Double])] = queryRows.getOrElse(
+        toks.filter(col("did") < nQueryDocs)
+          .orderBy(col("tid")).collect().toSeq
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray)))
+      val qDocs = qRows.map(_._1 / groupEvery).toArray
+      val flat = qRows.toArray.flatMap(_._2)
       cands
         .select(col("c_doc"),
           posexplode(call_function("graft_all_cos",
@@ -1447,16 +1463,18 @@ object Sim {
     * BNLJ fallback runs with the same aggregator and identical math.
     * Same ANN-shortlist substitution as [[hardNegatives]] at scale.
     */
-  def knnLabelVote(embeddings: DataFrame, modulus: Int, k: Int): DataFrame =
+  def knnLabelVote(embeddings: DataFrame, modulus: Int, k: Int,
+                   holdoutRows: Option[Seq[(Long, Int, Array[Double])]] = None): DataFrame =
     knnLabelVoteImpl(embeddings, modulus, k,
-      embeddings.sparkSession.catalog.functionExists("graft_all_cos"))
+      embeddings.sparkSession.catalog.functionExists("graft_all_cos"), holdoutRows)
 
   /** Path-pinned body — `useKernel` is what [[knnLabelVote]] resolves
     * from the session; exposed so the parity spec can run BOTH paths
     * in one (extension-registered) session and compare row-for-row.
     */
   private[graft] def knnLabelVoteImpl(embeddings: DataFrame, modulus: Int,
-                                      k: Int, useKernel: Boolean): DataFrame = {
+                                      k: Int, useKernel: Boolean,
+                                      holdoutRows: Option[Seq[(Long, Int, Array[Double])]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dotF = dotNative(spark) _
@@ -1470,12 +1488,14 @@ object Sim {
     val neighbors: DataFrame = if (useKernel) {
       // query-matrix model build (bounded: |holdout| rows of dim
       // doubles, the broadcast side of the fallback form)
-      val qRows = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
-        .orderBy(col("vec_id"))
-        .collect()
-      val qIds = qRows.map(_.getLong(0))
-      val qLabels = qRows.map(_.getInt(1))
-      val flat = qRows.flatMap(_.getSeq[Double](2))
+      val qRows: Seq[(Long, Int, Array[Double])] = holdoutRows.getOrElse(
+        asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
+          .orderBy(col("vec_id"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray)))
+      val qIds = qRows.map(_._1).toArray
+      val qLabels = qRows.map(_._2).toArray
+      val flat = qRows.toArray.flatMap(_._3)
       // top-k per query: the codegen'd expression form (collect_list →
       // array_sort → slice; struct packs (-cos, c_id) so the natural
       // ASC sort is cos DESC, id ASC — the same ordering contract as

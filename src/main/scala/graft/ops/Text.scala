@@ -1892,4 +1892,79 @@ object Text {
        |       CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS INT) AS pred
        |FROM zs ORDER BY doc_id""".stripMargin
   }
+
+  /** DSIR importance weights (Xie, Santurkar, Ma & Liang, "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by the log-likelihood ratio
+    * of its hashed n-gram (unigram + bigram) counts under the TARGET
+    * domain's bucket distribution vs the raw corpus's —
+    *
+    *   logw(d) = Σ_{g ∈ grams(d)} [ ln p̂_tgt(b(g)) − ln p̂_src(b(g)) ]
+    *
+    * with add-1-smoothed bucket frequencies (p̂(b) = (c_b + 1)/(C + B))
+    * so unseen buckets stay finite. Positive weight ⇒ the doc reads
+    * like the target domain; importance RESAMPLING then keeps the
+    * highest-weight docs ([[q_dsir_select]]'s ordered take).
+    *
+    * Shape (the 100 TB contract): the hashed-gram stream is built in
+    * ONE tokenize pass and cached; both bucket histograms are
+    * B-row aggregates (map-side combinable counts — fixed-size state,
+    * like every sketch here); totals fold in-plan via a broadcast
+    * 1-row aggregate (no driver collect, so constructs stay job-free
+    * and statement-cacheable); the per-doc score is ONE doc-keyed
+    * aggregate after a broadcast join against the B-row ratio table.
+    * Nothing pairs, nothing shuffles vectors — corpus-linear
+    * throughout. Buckets use the md5 bridge (hashedBowVectors'
+    * convention) so the DuckDB oracle recomputes identical features;
+    * the per-bucket log-ratio is quantized to integer micro-nats so
+    * the per-doc sum is exact long arithmetic (order-independent —
+    * cross-engine ln/fold parity), displayed at 4dp.
+    */
+  def dsirWeights(documents: DataFrame, targetPred: Column,
+                  buckets: Int): DataFrame = {
+    // ONE tokenize + ONE explode: unigrams and bigrams concatenate
+    // into a single per-doc gram array before the generator (the
+    // union-of-two-explodes form tokenized the corpus twice — measured
+    // 0.9 s vs DuckDB's 0.28 s at sf0.1 before this shape)
+    val hashed = graft.CacheScope.cached(documents
+      .select(col("doc_id"), col("lang"), targetPred.as("tgt"),
+        Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("tgt"),
+        explode(concat(col("toks"),
+          when(size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks) - 2)," +
+              " i -> concat_ws(' ', toks[i], toks[i + 1]))"))
+            .otherwise(array().cast("array<string>")))).as("gram"))
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(gram as binary)), 1, 8), 16, 10) as bigint)")
+          % buckets)
+      .drop("gram"))
+    // BOTH histograms in one 256-row aggregation pass (conditional
+    // count), cached so the totals and ratio reads below are free
+    val hist = graft.CacheScope.cached(
+      hashed.groupBy(col("bucket")).agg(
+        count(lit(1)).as("sc"),
+        count(when(col("tgt"), lit(1))).as("tc")))
+    // totals fold in-plan as a broadcast 1-row aggregate — no collect
+    val totals = hist.agg(sum(col("sc")).as("s_tot"),
+      coalesce(sum(col("tc")), lit(0L)).as("t_tot"))
+    // per-bucket ratio quantized to INTEGER micro-nats: the per-doc
+    // sum is then exact long arithmetic — order-independent, so the
+    // two engines' different fold orders cannot land an ulp apart at
+    // a 4dp rounding boundary (doc 50 at sf0.01 did exactly that with
+    // double sums)
+    val ratio = hist.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((
+          log((col("tc") + lit(1)).cast("double") /
+              (col("t_tot") + lit(buckets)).cast("double")) -
+          log((col("sc") + lit(1)).cast("double") /
+              (col("s_tot") + lit(buckets)).cast("double"))) * lit(1e6))
+          .cast("long").as("loglr_u6"))
+    hashed.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("loglr_u6")).as("u6"))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        round(col("u6") / lit(1e6), 4).as("logw_r"))
+  }
 }

@@ -841,6 +841,40 @@ object ScaleStress {
         s"theta disjoint union estimate out of band: ${th(("0", "2"))}")
       CacheScope.flush()
     }
+    // 18. Round-13 DSIR importance weights at nDocs scale: planted
+    //     two-domain corpus — every 5th doc is the 'en' target and
+    //     draws half its tokens from a 40-word target-only vocabulary,
+    //     the rest draw from a disjoint 40-word background vocabulary,
+    //     both share a 40-word common half (small vocabularies so the
+    //     256 hash buckets actually separate the domains, like the
+    //     function-word signatures real language ID keys on). The
+    //     planted truth: target docs must average a clearly higher
+    //     log-weight. Scale shape: two 256-row histograms + one
+    //     broadcast join + one doc-keyed aggregate — corpus-linear,
+    //     state never grows with nDocs.
+    timed("dsirWeights") {
+      val docs2 = spark.range(0, nDocs, 1, 64).select(
+        col("id").as("doc_id"),
+        when(col("id") % 5 === 0, "en").otherwise("xx").as("lang"),
+        concat_ws(" ",
+          (0 until 8).map(i =>
+            concat(lit("c"), pmod(col("id") * (i * 13 + 7), lit(40L)))) ++
+          (0 until 8).map(i =>
+            when(col("id") % 5 === 0,
+              concat(lit("t"), pmod(col("id") * (i * 17 + 3), lit(40L))))
+            .otherwise(
+              concat(lit("b"), pmod(col("id") * (i * 19 + 5), lit(40L))))): _*)
+          .as("text"))
+      val sep = ops.Text.dsirWeights(docs2, col("lang") === "en", 256)
+        .groupBy(col("lang")).agg(avg(col("logw_r")).as("m"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      println(s"[scale]   mean logw en=${sep("en")._1}%s (n=${sep("en")._2}) " +
+        s"xx=${sep("xx")._1} (n=${sep("xx")._2})")
+      assert(sep("en")._2 + sep("xx")._2 == nDocs, s"dsir dropped docs: $sep")
+      assert(sep("en")._1 > sep("xx")._1 + 0.5,
+        s"dsir failed to separate the planted domains: $sep")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

@@ -40,8 +40,8 @@ class ContractSpec extends AnyFunSuite {
     // round 12: + q_sketch_hll_raw + q_sketch_cms_raw + q_bucket_join
     // + q_dp_counts + q_minhash_union + q_random_projection
     // + q_dp_sum + q_sketch_hdr_merge + q_sim_rp_ann = 216
-    // round 13: + q_sketch_theta = 217
-    assert(SparkEntry.queries.size === 217)
+    // round 13: + q_sketch_theta + q_dsir_weights + q_dsir_select = 219
+    assert(SparkEntry.queries.size === 219)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Text}
+
+/** Behavioral pins for the DSIR importance-weight scorer
+  * (Text.dsirWeights) — the oracle pins exact values; this pins the
+  * operator's semantics on properties that survive fixture changes.
+  */
+class DsirSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, dir)
+  private lazy val weights =
+    Text.dsirWeights(docs, col("lang") === "en", buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+
+  test("every doc with at least one token is scored, with 2n-1 grams") {
+    val lens = docs.select(col("doc_id"), size(Dedup.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val scored = weights.map(w => w._1 -> w._3).toMap
+    lens.foreach { case (id, n) =>
+      val expected = if (n >= 2) 2L * n - 1 else n.toLong
+      if (n > 0) assert(scored(id) === expected, s"doc $id")
+      else assert(!scored.contains(id))
+    }
+  }
+
+  test("target-domain docs average a higher importance weight") {
+    val (en, rest) = weights.partition(_._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enMean = en.map(_._4).sum / en.length
+    val restMean = rest.map(_._4).sum / rest.length
+    assert(enMean > restMean,
+      s"en mean $enMean should exceed non-en mean $restMean")
+  }
+
+  test("the resampling take selects exactly the top-100 by (logw_r, doc_id)") {
+    val selected = Text.dsirWeights(docs, col("lang") === "en", buckets = 256)
+      .orderBy(col("logw_r").desc, col("doc_id")).limit(100)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val expected = weights.sortBy(w => (-w._4, w._1)).take(100)
+      .map(w => (w._1, w._4)).toSeq
+    assert(selected.sortBy(_._1) === expected.sortBy(_._1))
+  }
+}
