@@ -1323,11 +1323,15 @@ private[graft] object EntryOraclesC {
     // of the en-target bucket distribution vs the raw corpus, add-1
     // smoothed over 256 md5 buckets; per-bucket ratio quantized to
     // integer micro-nats BEFORE the per-doc sum (exact long
-    // arithmetic — order-independent), displayed at 4dp.
+    // arithmetic — order-independent). Deliberately NOT rounded at the
+    // end: logw_r = u6/1e6 is one IEEE division of identical exact
+    // integers (bit-identical across engines), while a 4dp round
+    // re-opens the boundary (Spark rounds the shortest-decimal repr,
+    // DuckDB the exact binary value — a …50-micro sum splits them).
     "q_dsir_weights" ->
       s"""$dsirDocCte
         |SELECT h.doc_id, h.lang, count(*) AS n_grams,
-        |       round(sum(lr.loglr_u6) / 1e6, 4) AS logw_r
+        |       sum(lr.loglr_u6) / 1e6 AS logw_r
         |FROM h JOIN lr USING (bucket)
         |GROUP BY h.doc_id, h.lang
         |ORDER BY doc_id""".stripMargin,
@@ -1338,7 +1342,7 @@ private[graft] object EntryOraclesC {
       s"""$dsirDocCte,
         |d AS (
         |  SELECT h.doc_id, h.lang, count(*) AS n_grams,
-        |         round(sum(lr.loglr_u6) / 1e6, 4) AS logw_r
+        |         sum(lr.loglr_u6) / 1e6 AS logw_r
         |  FROM h JOIN lr USING (bucket)
         |  GROUP BY h.doc_id, h.lang)
         |SELECT doc_id, lang, n_grams, logw_r FROM d

@@ -1918,8 +1918,30 @@ object Text {
     * convention) so the DuckDB oracle recomputes identical features;
     * the per-bucket log-ratio is quantized to integer micro-nats so
     * the per-doc sum is exact long arithmetic (order-independent —
-    * cross-engine ln/fold parity), displayed at 4dp.
+    * cross-engine ln/fold parity), and the reported weight is that
+    * integer over 1e6, unrounded (see the in-body note on why a final
+    * round would break cross-engine parity).
     */
+  /** Per-doc DSIR gram array (unigrams ++ adjacent bigrams) — ONE
+    * expression shared by the batch scorer, the streaming histogram
+    * twin, and their parity spec, so the feature definition cannot
+    * drift between surfaces.
+    */
+  private[graft] def dsirGrams(toks: Column): Column =
+    concat(toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ",
+            try_element_at(toks, i + 1), try_element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>")))
+
+  /** md5 feature bucket for a gram — the oracle-bridgeable hash
+    * ([[hashedBowVectors]]' convention), shared like [[dsirGrams]].
+    */
+  private[graft] def dsirBucket(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram.cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
   def dsirWeights(documents: DataFrame, targetPred: Column,
                   buckets: Int): DataFrame = {
     // ONE tokenize + ONE explode: unigrams and bigrams concatenate
@@ -1930,14 +1952,8 @@ object Text {
       .select(col("doc_id"), col("lang"), targetPred.as("tgt"),
         Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("tgt"),
-        explode(concat(col("toks"),
-          when(size(col("toks")) >= 2,
-            expr("transform(sequence(0, size(toks) - 2)," +
-              " i -> concat_ws(' ', toks[i], toks[i + 1]))"))
-            .otherwise(array().cast("array<string>")))).as("gram"))
-      .withColumn("bucket",
-        expr("cast(conv(substring(md5(cast(gram as binary)), 1, 8), 16, 10) as bigint)")
-          % buckets)
+        explode(dsirGrams(col("toks"))).as("gram"))
+      .withColumn("bucket", dsirBucket(col("gram"), buckets))
       .drop("gram"))
     // BOTH histograms in one 256-row aggregation pass (conditional
     // count), cached so the totals and ratio reads below are free
@@ -1961,10 +1977,16 @@ object Text {
           log((col("sc") + lit(1)).cast("double") /
               (col("s_tot") + lit(buckets)).cast("double"))) * lit(1e6))
           .cast("long").as("loglr_u6"))
+    // NO final round: u6 is the same exact integer in both engines, so
+    // one IEEE long→double division is bit-identical — while round()
+    // here would re-open the boundary (Spark's Round rounds the
+    // SHORTEST-DECIMAL repr via BigDecimal.valueOf, DuckDB rounds the
+    // exact binary value: a doc sum ending in …50 micro-nats rounds UP
+    // in Spark and DOWN in DuckDB — observed at sf0.001 and sf0.1)
     hashed.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_grams"), sum(col("loglr_u6")).as("u6"))
       .select(col("doc_id"), col("lang"), col("n_grams"),
-        round(col("u6") / lit(1e6), 4).as("logw_r"))
+        (col("u6") / lit(1e6)).as("logw_r"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -230,6 +230,56 @@ object StreamingAggregates {
       .agg(count(lit(1)).as("c"), max(col("rep")).as("rep"))
       .select(col("window.start").as("win_start"), col("g"),
         col("bucket"), col("c"), col("rep"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming DSIR bucket histogram — the model-fitting half of
+    * [[graft.ops.Text.dsirWeights]] as a watermarked tumbling-window
+    * aggregate: per window, hashed uni+bigram counts over the whole
+    * stream (`sc`) and its target slice (`tc`). The gram and bucket
+    * expressions are SHARED with the batch scorer (Text.dsirGrams /
+    * dsirBucket), so the feature definition cannot drift between
+    * surfaces; state per window is ≤ `buckets` rows REGARDLESS of
+    * corpus size (the fixed-state sketch contract), and histograms
+    * MERGE by adding counts — StreamingDsirSpec folds the windowed
+    * sink across windows, serves weights from the merged ratio table,
+    * and pins them row-identical to the batch operator on the same
+    * docs. This is how a production selector keeps its importance
+    * model current: the stream maintains the histograms; scoring
+    * stays a map-side broadcast join against 2·buckets longs.
+    */
+  def dsirHistogram(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tsMicrosCol: String,
+      textCol: String,
+      targetPred: Column,
+      checkpointDir: String,
+      sinkDir: String,
+      buckets: Int = 256,
+      lateness: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withColumn("__event_time", timestamp_micros(col(tsMicrosCol)))
+      .withWatermark("__event_time", lateness)
+      // null text coalesces to zero grams AFTER the watermark node, so
+      // a bare tick row still advances the watermark (filtering it
+      // upstream would stall window finalization)
+      .select(col("__event_time"), targetPred.as("tgt"),
+        explode(graft.ops.Text.dsirGrams(
+          graft.ops.Dedup.tokens(coalesce(col(textCol), lit(""))))).as("gram"))
+      .withColumn("bucket", graft.ops.Text.dsirBucket(col("gram"), buckets))
+      .groupBy(window(col("__event_time"), "1 hour"), col("bucket"))
+      .agg(count(lit(1)).as("sc"), count(when(col("tgt"), lit(1))).as("tc"))
+      .select(col("window.start").as("win_start"), col("bucket"),
+        col("sc"), col("tc"))
       .writeStream
       .format("parquet")
       .option("path", sinkDir)
