@@ -474,6 +474,20 @@ private[graft] object EntryQueriesB {
         .orderBy(col("doc_id"))
     }),
 
+    "q_bpe_fertility" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // per-language tokens/word under the SAME trained merges store
+      // q_bpe_encode serves — the multilingual mixing-decision signal
+      // (Text.bpeFertilityByLang scaladoc); dynamic oracle re-trains
+      // and re-runs the replace-chain encode per lang in DuckDB
+      Text.bpeFertilityByLang(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          bpeMerges(s, dir))
+        .orderBy(col("lang"))
+    }),
+
     "q_chunk_docs" -> ((s0, dir) => {
       val s = ensure(s0)
       Corpus.chunkDocs(

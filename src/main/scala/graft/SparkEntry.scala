@@ -150,6 +150,15 @@ object SparkEntry {
           s"\n  UNION ALL SELECT $id AS doc_id, '${t.replace("'", "''")}' AS text"
         }.mkString
         ops.Text.bpeEncodeOracleSql(merges, extra)
+      },
+      "q_bpe_fertility" -> {
+        // same independent re-train; the oracle re-runs the encode and
+        // aggregates tokens/word per lang
+        val merges = ops.Text.bpeTrain(
+          Tables.documents(s, sfDir)
+            .repartition(s.sparkContext.defaultParallelism),
+          nMerges = 32, minWordCount = 2L)
+        ops.Text.bpeFertilityOracleSql(merges)
       })
   }
 }

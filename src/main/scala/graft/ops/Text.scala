@@ -719,6 +719,59 @@ object Text {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language tokenizer fertility under the trained merges —
+    * BPE tokens per word by `lang`, the vocabulary-health metric a
+    * multilingual data-mixing decision reads (SentencePiece/tokenizer
+    * literature: a language at 2× fertility pays twice the context
+    * budget per word, so under-merged languages get silently
+    * down-weighted unless the mix corrects for it). Shape: the same
+    * map-side [[bpeEncodeExpr]] projection as [[bpeEncodeDocs]], then
+    * ONE lang-keyed aggregate — output ≤ |langs| rows at any corpus
+    * size, partial-agged map-side.
+    */
+  def bpeFertilityByLang(documents: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame =
+    documents
+      .select(col("lang"), col("text"),
+        size(Dedup.tokens(col("text"))).as("n_words"))
+      .filter(col("n_words") >= 1)
+      .select(col("lang"), col("n_words").cast("long").as("n_words"),
+        (size(split(trim(bpeEncodeExpr(col("text"), merges)), "  "))
+          - (col("n_words") - 1)).cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe"),
+        round(sum(col("n_bpe")) / sum(col("n_words")).cast("double"), 4)
+          .as("fertility_r"))
+
+  /** DuckDB oracle for [[bpeFertilityByLang]] — the same generated
+    * replace-chain encode as [[bpeEncodeOracleSql]], aggregated per
+    * lang (pinned-model dynamic-oracle pattern).
+    */
+  def bpeFertilityOracleSql(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val chain = merges.foldLeft(
+      "regexp_replace(regexp_replace(trim(text), ' +', chr(1), 'g'), '(?s)(.)', ' \\1 ', 'g')") {
+      case (c, (a, b)) =>
+        s"replace($c, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a + b)} ')"
+    }
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_words,
+       |         $chain AS e
+       |  FROM documents),
+       |n AS (
+       |  SELECT lang, n_words,
+       |         len(string_split(trim(e), '  ')) - (n_words - 1) AS n_bpe
+       |  FROM d WHERE n_words >= 1)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+       |       round(sum(n_bpe) / CAST(sum(n_words) AS DOUBLE), 4) AS fertility_r
+       |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** TF-IDF top terms per document: tf = in-doc term count, idf =
     * ln(N/df) with df from the same corpus, top `k` terms by score
     * (ties to the lexicographically first token). Three aggregations

@@ -868,7 +868,7 @@ object ScaleStress {
       val sep = ops.Text.dsirWeights(docs2, col("lang") === "en", 256)
         .groupBy(col("lang")).agg(avg(col("logw_r")).as("m"), count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-      println(s"[scale]   mean logw en=${sep("en")._1}%s (n=${sep("en")._2}) " +
+      println(s"[scale]   mean logw en=${sep("en")._1} (n=${sep("en")._2}) " +
         s"xx=${sep("xx")._1} (n=${sep("xx")._2})")
       assert(sep("en")._2 + sep("xx")._2 == nDocs, s"dsir dropped docs: $sep")
       assert(sep("en")._1 > sep("xx")._1 + 0.5,

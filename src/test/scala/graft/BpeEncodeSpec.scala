@@ -104,4 +104,23 @@ class BpeEncodeSpec extends AnyFunSuite {
     // whitespace-only doc drops; "aa" -> [aa] (1), "bb" -> [b,b] (2)
     assert(out.toSeq === Seq((1L, 2L, 3L, 1.5)))
   }
+
+  test("per-lang fertility aggregates the per-doc encode exactly") {
+    val docs = Seq(
+      (1L, "en", "aa aa bb"), (2L, "en", "aa"),
+      (3L, "zz", "bb bb"), (4L, "zz", " "))
+      .toDF("doc_id", "lang", "text")
+    val out = Text.bpeFertilityByLang(docs, Seq(("a", "a")))
+      .select("lang", "n_docs", "n_words", "n_bpe", "fertility_r")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // en: doc1 "aa aa bb" -> [aa][aa][b,b] = 4 bpe / 3 words; doc2 1/1
+    // zz: doc3 [b,b][b,b] = 4 bpe / 2 words; whitespace doc4 drops
+    assert(out.toSeq === Seq(
+      ("en", 2L, 4L, 5L, 1.25), ("zz", 1L, 2L, 4L, 2.0)))
+    // the aggregate is exactly the per-doc encode folded by lang
+    val perDoc = Text.bpeEncodeDocs(
+        docs.select(col("doc_id"), col("text")), Seq(("a", "a")))
+      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    assert(out.find(_._1 == "en").get._4 === perDoc(1L) + perDoc(2L))
+  }
 }

@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
         "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier",
-        "q_sim_hnsw_routed", "q_bpe_encode"))
+        "q_sim_hnsw_routed", "q_bpe_encode", "q_bpe_fertility"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -40,8 +40,9 @@ class ContractSpec extends AnyFunSuite {
     // round 12: + q_sketch_hll_raw + q_sketch_cms_raw + q_bucket_join
     // + q_dp_counts + q_minhash_union + q_random_projection
     // + q_dp_sum + q_sketch_hdr_merge + q_sim_rp_ann = 216
-    // round 13: + q_sketch_theta + q_dsir_weights + q_dsir_select = 219
-    assert(SparkEntry.queries.size === 219)
+    // round 13: + q_sketch_theta + q_dsir_weights + q_dsir_select
+    // + q_bpe_fertility = 220
+    assert(SparkEntry.queries.size === 220)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
