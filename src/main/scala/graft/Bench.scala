@@ -501,7 +501,9 @@ object Bench {
       "q_media_png" -> "nominal ratio only: the oracle restates the planted raster stats arithmetically from doc_id while Spark inflates+defilters every real PNG payload (same exclusion rationale as q_media_jpeg); 1 job, steady ~0.2s",
       "q_sim_hnsw" -> "nominal ratio: the oracle is the 1000-vector brute-force scan (0.015s in-process) while Spark BUILDS per-segment HNSW graphs then searches — the graph build is the operator under test, priced per query; 2 jobs (segment flatMap + merge window), steady ~0.35s",
       "q_sim_hnsw_routed" -> "same rationale as q_sim_hnsw with the IVF routing stage added; the pinned-centroid oracle restates multi-probe exact search",
-      "q_rrf" -> "r11: reads the tok_postings impact store (precomputed tf-idf weight + BM25 term per posting); 5 -> 3 jobs, 0.64 -> 0.48s steady - remaining cost is the scored posting join + two rank windows over the fused columns, job-floor bound",
+      "q_rrf" -> "r11: reads the tok_postings impact store (precomputed tf-idf weight + BM25 term per posting); 5 -> 3 jobs, 0.64 -> 0.48s steady - remaining cost is the scored posting join + two rank windows over the fused columns, job-floor bound; the r13 4.1x reading is the ORACLE tightening (0.137s merged min in a quiet window), not a regression — same 0.5s steady as r11-r12",
+      "q_dsir_weights" -> "r13: one cached tokenize+md5 gram pass (~1.75M uni+bigrams at sf0.1) + ONE fused 256-row histogram + broadcast ratio join + doc-keyed sum; the union-of-two-explodes shape measured 0.9s before the single-explode rewrite (0.54); DuckDB runs the IDENTICAL chain in 0.26 — the 1.8-1.9x residual is scan+md5 bound, 2-3 jobs",
+      "q_dsir_select" -> "same pipeline as q_dsir_weights with an ordered take instead of the doc sort; same floor",
       "q_sink_zorder" -> "r13 JobProfile: 4 jobs including two REAL parquet writes (range-partition 0.19 + sorted write 0.33 + two ~0.05s read-back checks) - sink queries time actual file I/O each sample; DuckDB's COPY denominator has no job or commit-protocol floor",
       "q_tfidf" -> "r13: 1 job, 0.35s bench-condition - ONE exchange + window over the posting store; the r11 A/B showed the store does not pay here (in-plan tokenize costs the same) and the r9 windowize note covers the agg+join alternative; job-floor bound at sf0.1",
       "q_media_dedup_cc" -> "7 jobs, each real work: 2000-image decode+aHash cache, band-pair build, undirected-edge cache, fused-hop label checkpoint, convergence probe, keeper fold; ratio NOMINAL - the DuckDB oracle restates the planted answer arithmetically from doc_id (same exclusion rationale as q_media_jpeg)",

@@ -764,7 +764,8 @@ private[graft] object EntrySupport {
     */
   private[graft] val modelStoreReaders: Set[String] = Set(
     "q_quality_classifier", "q_sim_ann_kmeans", "q_sim_ann_pq",
-    "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity")
+    "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
+    "q_bpe_encode", "q_bpe_fertility")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw
