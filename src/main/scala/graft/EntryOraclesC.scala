@@ -1336,8 +1336,9 @@ private[graft] object EntryOraclesC {
         |GROUP BY h.doc_id, h.lang
         |ORDER BY doc_id""".stripMargin,
 
-    // the resampling step: top-100 by (rounded weight DESC, doc_id) —
-    // the tiebreak makes the selected SET engine-independent
+    // the resampling step: top-100 by (weight DESC, doc_id) — logw_r
+    // is integer-derived and bit-identical across engines (see the
+    // q_dsir_weights note), so the selected SET is engine-independent
     "q_dsir_select" ->
       s"""$dsirDocCte,
         |d AS (

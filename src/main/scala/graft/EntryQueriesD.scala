@@ -1017,8 +1017,9 @@ private[graft] object EntryQueriesD {
       // the importance-RESAMPLING step: keep the 100 highest-weight
       // docs — an ordered take (TakeOrderedAndProject), which at any
       // scale moves only each task's local top-100 to the driver;
-      // ties break on doc_id against the ROUNDED weight so both
-      // engines select the identical set
+      // logw_r is integer-micro-nat-derived and therefore bit-identical
+      // across engines (see dsirWeights), so the (logw_r DESC, doc_id)
+      // order selects the identical set with no rounding involved
       Text.dsirWeights(
           Tables.documents(s, dir)
             .repartition(s.sparkContext.defaultParallelism),

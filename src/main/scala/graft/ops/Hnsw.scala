@@ -285,7 +285,13 @@ object Hnsw {
     val base = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    // pre-collected query slice (memoized caller) skips the collect job
+    // pre-collected query slice (memoized caller) skips the collect
+    // job; validated loudly so a wrong-nQ slice cannot silently search
+    // for a different query set
+    queryRows.foreach { qs =>
+      require(qs.forall(_._1 < nQueries),
+        s"hnswTopK queryRows must be vec_ids < $nQueries, got ${qs.size} rows")
+    }
     val queries = queryRows.map(_.toArray.sortBy(_._1)).getOrElse(
       base.filter(col("vec_id") < nQueries).collect().sortBy(_._1))
     val bq = spark.sparkContext.broadcast(queries)
@@ -373,7 +379,13 @@ object Hnsw {
       .withColumn("cell",
         Sim.argmaxCell(dotF, cents)(col("v"), col("nrm")).cast("int"))
     // query model build: nQueries rows with their probe lists (driver-
-    // sized, the searchCells shape); memoized callers pass it in
+    // sized, the searchCells shape); memoized callers pass it in —
+    // validated loudly against the declared nQueries/nProbe
+    queryModel.foreach { qs =>
+      require(qs.forall(q => q._1 < nQueries && q._3.length == nProbe.max(1)),
+        s"hnswTopKRouted queryModel must carry vec_ids < $nQueries with " +
+          s"$nProbe probes each, got ${qs.size} rows")
+    }
     val queries = queryModel.map(_.toArray.sortBy(_._1)).getOrElse(
       routedQueryModel(embeddings, cents, nQueries, nProbe))
     val bq = spark.sparkContext.broadcast(queries)

@@ -270,6 +270,10 @@ object Sim {
     // second cluster pass or giant quantize expression tree is planned
     // for 10 rows.
     val spark = embeddings.sparkSession
+    queryRows.foreach { qs =>
+      require(qs.map(_._1) == qs.map(_._1).sorted && qs.forall(_._1 < nQueries),
+        s"cosineTopKSq queryRows must be ascending vec_ids < $nQueries, got ${qs.size} rows")
+    }
     val qRows: Seq[(Long, Array[Double])] = queryRows.getOrElse(
       asDouble.filter(col("vec_id") < nQueries)
         .orderBy(col("vec_id")).collect().toSeq
@@ -370,6 +374,10 @@ object Sim {
     val index = CacheScope.cached(asDouble.select(
       col("vec_id").as("c_id"), rpProject(spark, col("v"), inDim, outDim).as("pv")))
     val signs = rpSigns(inDim, outDim)
+    queryRows.foreach { qs =>
+      require(qs.map(_._1) == qs.map(_._1).sorted && qs.forall(_._1 < nQueries),
+        s"cosineTopKRp queryRows must be ascending vec_ids < $nQueries, got ${qs.size} rows")
+    }
     val qRows: Seq[(Long, Array[Double])] = queryRows.getOrElse(
       asDouble.filter(col("vec_id") < nQueries)
         .orderBy(col("vec_id")).collect().toSeq
@@ -432,14 +440,21 @@ object Sim {
       col("did").as("c_doc"), col("v").as("cv"), normF(col("v")).as("cn"))
     val w = Window.partitionBy(col("q_doc"))
       .orderBy(col("maxsim_r").desc, col("c_doc").asc)
+    // pre-collected form: the first nQueryDocs*groupEvery vec_ids in
+    // id order ARE the query tokens in tid order; did = tid/groupEvery.
+    // Validated LOUDLY on both paths — a slice of the wrong size would
+    // silently mis-attribute q_docs (the kernel matrix is positional).
+    queryRows.foreach { qs =>
+      require(qs.map(_._1) == (0L until nQueryDocs.toLong * groupEvery),
+        s"maxSimTopK queryRows must be vec_ids 0..${nQueryDocs * groupEvery - 1} " +
+          s"in order, got ${qs.size} rows")
+    }
     // per-(q_doc, c_doc, q_token) best, then per-(q_doc, c_doc) sum
     val perToken: DataFrame = if (spark.catalog.functionExists("graft_all_cos")) {
       // query tokens become a planning-time MATRIX model (nQueryDocs ×
       // groupEvery rows — bounded) and the native kernel scores each
       // candidate token against all of them in one compiled loop —
       // no vector-carrying pair join (the knnLabelVote lesson)
-      // pre-collected form: the first nQueryDocs*groupEvery vec_ids in
-      // id order ARE the query tokens in tid order; did = tid/groupEvery
       val qRows: Seq[(Long, Array[Double])] = queryRows.getOrElse(
         toks.filter(col("did") < nQueryDocs)
           .orderBy(col("tid")).collect().toSeq
@@ -456,9 +471,20 @@ object Sim {
           col("c_doc"), col("q_idx"))
         .agg(max(round(col("cos"), 6)).as("best"))
     } else {
-      val queries = toks.filter(col("did") < nQueryDocs).select(
-        col("did").as("q_doc"), col("tid").as("q_idx"),
-        col("v").as("qv"), normF(col("v")).as("qn"))
+      // the fallback ALSO honors queryRows (LocalRelation + driver
+      // left-fold norms — the same sequential sum as the distributed
+      // HOF fold, the cosineTopKSqImpl precedent), so a memoizing
+      // caller is construct-job-free on kernel-less sessions too
+      val queries = queryRows.map { qs =>
+        import spark.implicits._
+        qs.toIndexedSeq.map { case (tid, v) =>
+          var s2 = 0.0; v.foreach(x => s2 += x * x)
+          (tid / groupEvery, tid, v, math.sqrt(s2))
+        }.toDF("q_doc", "q_idx", "qv", "qn")
+      }.getOrElse(
+        toks.filter(col("did") < nQueryDocs).select(
+          col("did").as("q_doc"), col("tid").as("q_idx"),
+          col("v").as("qv"), normF(col("v")).as("qn")))
       cands
         .join(broadcast(queries), lit(true))
         .groupBy(col("q_doc"), col("c_doc"), col("q_idx"))
@@ -1484,6 +1510,15 @@ object Sim {
     val labeled = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) =!= 0)
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),
         col("v").as("cv"), normF(col("v")).as("cn"))
+    // pre-collected holdout validated LOUDLY on both paths: ids must be
+    // ascending multiples of `modulus` (a wrong-modulus slice would
+    // silently score the wrong holdout — the positional-matrix trap)
+    holdoutRows.foreach { hs =>
+      require(hs.nonEmpty && hs.map(_._1) == hs.map(_._1).sorted &&
+          hs.forall(_._1 % modulus == 0),
+        s"knnLabelVote holdoutRows must be ascending vec_ids % $modulus == 0, " +
+          s"got ${hs.size} rows")
+    }
     val topAgg = new graft.ops.TopK.TopKPayloadAggregator(k).toColumn
     val neighbors: DataFrame = if (useKernel) {
       // query-matrix model build (bounded: |holdout| rows of dim
@@ -1519,9 +1554,18 @@ object Sim {
           element_at(typedlit(qLabels), col("q_idx") + 1).as("q_label"),
           expr("transform(top, t -> t.c_label)").as("labels"))
     } else {
-      val holdout = asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
-        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-          col("v").as("qv"), normF(col("v")).as("qn"))
+      // fallback ALSO honors holdoutRows (LocalRelation + driver
+      // left-fold norms, the cosineTopKSqImpl precedent) so a
+      // memoizing caller stays construct-job-free without the kernel
+      val holdout = holdoutRows.map { hs =>
+        hs.toIndexedSeq.map { case (id, label, v) =>
+          var s2 = 0.0; v.foreach(x => s2 += x * x)
+          (id, label, v, math.sqrt(s2))
+        }.toDF("q_id", "q_label", "qv", "qn")
+      }.getOrElse(
+        asDouble.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("qv"), normF(col("v")).as("qn")))
       labeled
         .join(broadcast(holdout), lit(true))
         .select(

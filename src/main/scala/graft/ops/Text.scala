@@ -675,16 +675,26 @@ object Text {
     * encode). Map-side only: the one aggregate-free projection keeps
     * the corpus partitioning untouched at any scale.
     */
-  def bpeEncodeDocs(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    documents
-      .select(col("doc_id"), col("text"),
-        size(Dedup.tokens(col("text"))).as("n_words"))
+  /** Per-row (n_words, n_bpe) projection under the trained merges —
+    * the ONE place the encode-count arithmetic lives, shared by
+    * [[bpeEncodeDocs]] and [[bpeFertilityByLang]] so a representation
+    * fix cannot drift between them. Keeps the caller's other columns,
+    * drops `text`, drops no-word rows (nothing to encode).
+    */
+  private def withBpeCounts(df: DataFrame,
+                            merges: Seq[(String, String)]): DataFrame =
+    df
+      .withColumn("n_words", size(Dedup.tokens(col("text"))))
       .filter(col("n_words") >= 1)
-      .select(col("doc_id"), col("n_words"),
+      .withColumn("n_bpe",
         (size(split(trim(bpeEncodeExpr(col("text"), merges)), "  "))
-          - (col("n_words") - 1)).cast("long").as("n_bpe"))
-      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
-        col("n_bpe"),
+          - (col("n_words") - 1)).cast("long"))
+      .withColumn("n_words", col("n_words").cast("long"))
+      .drop("text")
+
+  def bpeEncodeDocs(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    withBpeCounts(documents.select(col("doc_id"), col("text")), merges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe"),
         round(col("n_bpe") / col("n_words").cast("double"), 4).as("bpe_per_word_r"))
 
   /** DuckDB oracle for [[bpeEncodeDocs]], generated from the trained
@@ -696,13 +706,21 @@ object Text {
     * q_bpe_encode exercise directly. `extraDocsSql` lets the caller
     * mirror planted rows.
     */
-  def bpeEncodeOracleSql(merges: Seq[(String, String)], extraDocsSql: String = ""): String = {
+  /** The DuckDB replace-chain mirror of [[bpeEncodeExpr]] — the ONE
+    * place the oracle-side encode representation lives, shared by the
+    * encode and fertility oracle generators.
+    */
+  private def bpeEncodeSqlChain(merges: Seq[(String, String)]): String = {
     def esc(s: String) = s.replace("'", "''")
-    val chain = merges.foldLeft(
+    merges.foldLeft(
       "regexp_replace(regexp_replace(trim(text), ' +', chr(1), 'g'), '(?s)(.)', ' \\1 ', 'g')") {
       case (c, (a, b)) =>
         s"replace($c, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a + b)} ')"
     }
+  }
+
+  def bpeEncodeOracleSql(merges: Seq[(String, String)], extraDocsSql: String = ""): String = {
+    val chain = bpeEncodeSqlChain(merges)
     s"""WITH src AS (SELECT doc_id, text FROM documents$extraDocsSql),
        |d AS (
        |  SELECT doc_id,
@@ -731,13 +749,7 @@ object Text {
     */
   def bpeFertilityByLang(documents: DataFrame,
                          merges: Seq[(String, String)]): DataFrame =
-    documents
-      .select(col("lang"), col("text"),
-        size(Dedup.tokens(col("text"))).as("n_words"))
-      .filter(col("n_words") >= 1)
-      .select(col("lang"), col("n_words").cast("long").as("n_words"),
-        (size(split(trim(bpeEncodeExpr(col("text"), merges)), "  "))
-          - (col("n_words") - 1)).cast("long").as("n_bpe"))
+    withBpeCounts(documents.select(col("lang"), col("text")), merges)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),
@@ -750,12 +762,7 @@ object Text {
     * lang (pinned-model dynamic-oracle pattern).
     */
   def bpeFertilityOracleSql(merges: Seq[(String, String)]): String = {
-    def esc(s: String) = s.replace("'", "''")
-    val chain = merges.foldLeft(
-      "regexp_replace(regexp_replace(trim(text), ' +', chr(1), 'g'), '(?s)(.)', ' \\1 ', 'g')") {
-      case (c, (a, b)) =>
-        s"replace($c, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a + b)} ')"
-    }
+    val chain = bpeEncodeSqlChain(merges)
     s"""WITH d AS (
        |  SELECT lang,
        |         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_words,

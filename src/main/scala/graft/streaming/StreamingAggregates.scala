@@ -263,6 +263,7 @@ object StreamingAggregates {
       checkpointDir: String,
       sinkDir: String,
       buckets: Int = 256,
+      windowLen: String = "1 hour",
       lateness: String = "1 hour"): StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -276,7 +277,7 @@ object StreamingAggregates {
         explode(graft.ops.Text.dsirGrams(
           graft.ops.Dedup.tokens(coalesce(col(textCol), lit(""))))).as("gram"))
       .withColumn("bucket", graft.ops.Text.dsirBucket(col("gram"), buckets))
-      .groupBy(window(col("__event_time"), "1 hour"), col("bucket"))
+      .groupBy(window(col("__event_time"), windowLen), col("bucket"))
       .agg(count(lit(1)).as("sc"), count(when(col("tgt"), lit(1))).as("tc"))
       .select(col("window.start").as("win_start"), col("bucket"),
         col("sc"), col("tc"))
