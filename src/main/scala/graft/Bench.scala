@@ -509,7 +509,7 @@ object Bench {
       "q_media_dedup_cc" -> "7 jobs, each real work: 2000-image decode+aHash cache, band-pair build, undirected-edge cache, fused-hop label checkpoint, convergence probe, keeper fold; ratio NOMINAL - the DuckDB oracle restates the planted answer arithmetically from doc_id (same exclusion rationale as q_media_jpeg)",
       "q_sim_ann_pq_refine" -> "r10: model loads from the pq_model store (training jobs gone); remaining jobs = code-assign cache, ADC shortlist window, full-vector refine join-back - the faiss two-stage shape, job-floor bound",
       "q_sim_ann_pq" -> "r10: model loads from the pq_model store; code-assign cache + ADC scan + rank window",
-      "q_sparse_cosine" -> "r13 A/B (tools/RetrievalAB, 12 reps + control): the current window shape is the BEST of four measured alternatives - exprTopK 0.411/0.485, single-exchange repartition(q) 0.428/0.509, narrow-row pre-projection 0.394/0.423 vs window 0.389/0.423 (min/med) - so neither the rank window nor the shuffle width is the cost; the broadcast posting join + 1-2 job floor is. Reads the tok_postings impact store; bench-condition 0.36-0.38s",
+      "q_sparse_cosine" -> "r13 A/B (tools/RetrievalAB, 12 reps + control): the current window shape is the BEST of four measured alternatives - exprTopK 0.411/0.485, single-exchange repartition(q) 0.428/0.509, narrow-row pre-projection 0.394/0.423 vs window 0.389/0.423 (min/med) - so neither the rank window nor the shuffle width is the cost; the broadcast posting join + 1-2 job floor is. Reads the tok_postings impact store; bench-condition 0.36-0.38s. r13 BOUNDING variants close the kernel question: scan-only (no join, no scoring) 0.20-0.26s and join-only (no agg/window) 0.16-0.19s vs 0.36-0.45 full - the scan+probe floor ALONE is 1.6-2.1x DuckDB's 0.106s whole-query time, so no scoring/top-k rewrite (kernel included) can reach <2x like-for-like at this data size; the residual is task+scan machinery vs DuckDB's single-process in-memory hash join. Definitive floor",
       "q_bm25" -> "r13 A/B (tools/RetrievalAB, 12 reps + control): current window shape 0.369/0.421 (min/med) BEATS exprTopK 0.405/0.447 and single-exchange 0.434/0.454 - the top-k back-half is not the cost, the posting join + job floor is; bench-condition 0.36s = 1.8x raw. Reads the tok_postings impact store (Anh-Moffat impacts) with the driver-local query slice",
       "q_sim_sq" -> "5 jobs: max-abs int8 quantize pass, query-matrix collect, compiled int8 flat scan, shortlist exchange, full-precision refine - the no-training compression tier; every job is a distinct stage of the two-phase scan",
       "q_dedup_minhash_est" -> "4 jobs over the ddf signature store: band-candidates join + per-pair estimate fold + 2 broadcast builds",

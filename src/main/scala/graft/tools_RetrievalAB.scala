@@ -118,6 +118,16 @@ object RetrievalAB {
         .agg(count(lit(1)).as("n_common"), round(sum(col("p")), 4).as("cos_r"))
         .withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 5)
     }
+    // E/F: BOUNDING variants (round 13) — how much of the wall is the
+    // irreducible store scan vs the broadcast join, independent of any
+    // scoring/top-k rewrite. E = scan+per-doc count only (no join);
+    // F = the join materialized but nothing downstream. If E+F ≈ A,
+    // no kernel-scored join can move the number — the scan IS the cost.
+    def cosE_scanOnly: DataFrame = store.filter(col("wn").isNotNull)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    def cosF_joinOnly: DataFrame = scoredCos
+      .select(col("doc_id"), col("q_id"))
+
     // control: window-adjustment anchor (memory: always run a control)
     def control: DataFrame = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
 
@@ -129,7 +139,9 @@ object RetrievalAB {
       "cos_A_window " -> (() => cosA),
       "cos_B_exprTopK" -> (() => cosB),
       "cos_C_oneExch " -> (() => cosC),
-      "cos_D_narrow " -> (() => cosD))
+      "cos_D_narrow " -> (() => cosD),
+      "cos_E_scanOnly" -> (() => cosE_scanOnly),
+      "cos_F_joinOnly" -> (() => cosF_joinOnly))
     // equality check first (A is the oracle-checked shape)
     val a = bm25A.collect().map(_.toString).sorted
     val b = bm25B.collect().map(_.toString).sorted
