@@ -39,6 +39,29 @@ class DsirSpec extends AnyFunSuite {
       s"en mean $enMean should exceed non-en mean $restMean")
   }
 
+  test("weights are invariant under corpus row order (exact long sums)") {
+    val perm = Text.dsirWeights(
+        docs.orderBy(rand(7)), col("lang") === "en", buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    weights.foreach { case (id, _, _, w) =>
+      assert(perm(id) === w, s"doc $id weight moved under row permutation")
+    }
+  }
+
+  test("an all-target corpus scores every doc exactly zero") {
+    // tgt ≡ corpus ⇒ tc == sc per bucket and t_tot == s_tot ⇒ every
+    // per-bucket log-ratio is exactly 0 ⇒ every micro-nat sum is 0
+    val all = Text.dsirWeights(docs, lit(true), buckets = 256)
+      .collect().map(_.getDouble(3))
+    assert(all.nonEmpty && all.forall(_ == 0.0))
+  }
+
+  test("an empty-target corpus still yields finite weights") {
+    val none = Text.dsirWeights(docs, lit(false), buckets = 256)
+      .collect().map(_.getDouble(3))
+    assert(none.nonEmpty && none.forall(w => !w.isNaN && !w.isInfinite))
+  }
+
   test("the resampling take selects exactly the top-100 by (logw_r, doc_id)") {
     val selected = Text.dsirWeights(docs, col("lang") === "en", buckets = 256)
       .orderBy(col("logw_r").desc, col("doc_id")).limit(100)
