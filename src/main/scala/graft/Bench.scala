@@ -492,6 +492,7 @@ object Bench {
       "q_lm_interp" -> "r9: lm_collapse fixture + unigram columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
       "q_kn_bigram" -> "r9: lm_collapse fixture + continuation columns as WINDOWS over the lookup (one broadcast job, no sub-aggregate join)",
       "q_dedup_ngram" -> "exact all-pairs inverted-index join IS the operator (ground-truth tier); r9 reads the materialized ddf fixture (no re-tokenize); join-dominated, at DuckDB parity",
+      "q_dedup_incremental" -> "r13 JobProfile: ONE job, 0.30-0.32s steady vs DuckDB 0.026 - the batch-vs-history hash anti-join in a single fused stage (only the batch shuffles, the design contract); same scan+task floor class the r13 RetrievalAB bounding variants priced (a bare store scan is 0.2-0.26s at sf0.1), amortized away in throughput mode",
       "q_dedup_contain" -> "r13 JobProfile: 2 jobs at ~0.3s each (shingle-set store scan + df-cap broadcast build, then the containment join); candidates-only verify, bench-condition 0.38s - two real exchanges over the 1509-pair result, job-floor bound; the like-for-like split (oracle CTE 'hx') prices the oracle's re-shingle against the store read",
       "q_minhash_error" -> "r9: exact truth computed ONLY for audited candidate pairs (left-join fill 0 preserved) over the ddf fixture; was a full all-pairs join",
       "q_dedup_simhash" -> "r7 artifact 2.49s was a noise burst: r8 JobProfile steady 0.9s / bench-condition 0.75s, 2 jobs, unchanged code",

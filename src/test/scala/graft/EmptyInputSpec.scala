@@ -203,4 +203,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(hm.isEmpty || (hm.length === 1 && hm.head.isNullAt(1)))
     assert(Sim.cosineTopKRp(emptyVecs, nQueries = 2, k = 2, shortlist = 4).count() === 0)
   }
+
+  test("round-13 ops on empty inputs") {
+    assert(Text.dsirWeights(emptyDocsLang, col("lang") === "en", 256).count() === 0)
+    assert(Text.bpeFertilityByLang(emptyDocsLang, Seq(("a", "b"))).count() === 0)
+  }
 }
