@@ -59,6 +59,38 @@ private[graft] object EntryOraclesC {
         |FROM db JOIN lk2 USING (prev, next) JOIN uni USING (next), tot
         |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
 
+    // CCNet perplexity terciles over the SAME interp-LM chain: band by
+    // (4dp score DESC, doc_id) through SQL ntile — the exact
+    // rank-arithmetic bandedNtile reproduces — then per-band stats
+    "q_ppl_band" ->
+      """WITH dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS next
+        |  FROM dt, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, prev, next, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+        |lk AS (SELECT prev, next, CAST(sum(c) AS BIGINT) AS bc FROM db GROUP BY 1, 2),
+        |lk2 AS (SELECT prev, next, bc,
+        |        CAST(sum(bc) OVER (PARTITION BY prev) AS BIGINT) AS cc FROM lk),
+        |uni AS (SELECT next, CAST(sum(c) AS BIGINT) AS uc FROM db GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM db),
+        |sc AS (
+        |  SELECT db.doc_id,
+        |         round(sum(db.c * ln(0.7 * bc / cc + (1 - 0.7) * uc / tt)) / sum(db.c), 4)
+        |           AS lp
+        |  FROM db JOIN lk2 USING (prev, next) JOIN uni USING (next), tot
+        |  GROUP BY db.doc_id),
+        |b AS (
+        |  SELECT doc_id, lp,
+        |         CAST(ntile(3) OVER (ORDER BY lp DESC, doc_id) AS BIGINT) AS band
+        |  FROM sc)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(min(lp), 4) AS lo, round(max(lp), 4) AS hi,
+        |       round(avg(lp), 4) AS mean_r
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
+
     // derivation oracle: the Spark side ENCODES and DECODES real PPM
     // bytes; the oracle restates the channel statistics the solid-color
     // construction implies, including the corrupt-every-10th quarantine

@@ -217,6 +217,29 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    "q_ppl_band" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+      // docs band into TERCILES of the interpolated-LM logprob —
+      // head = band 1 (most fluent), tail = band 3 — the filter stage
+      // CCNet runs before keeping head+middle. Pure composition of the
+      // verified scorer and the scale-safe exact banding (bandedNtile
+      // never single-partitions an unbounded input); the 4dp-rounded
+      // score + doc_id tiebreak keeps the band assignment
+      // engine-independent, and the oracle re-runs the identical
+      // chain through SQL ntile
+      val scored = Text.interpolatedLogProbFrom(lmCollapse(s, dir), 0.7)
+      Relational.bandedNtile(scored, 3,
+          Seq(col("interp_logprob").desc, col("doc_id").asc), "band",
+          knownSize = Some(lmDocCountLocal(s, dir)))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("interp_logprob")), 4).as("lo"),
+          round(max(col("interp_logprob")), 4).as("hi"),
+          round(avg(col("interp_logprob")), 4).as("mean_r"))
+        .orderBy(col("band"))
+    }),
+
     "q_cluster_purity" -> ((s0, dir) => {
       val s = ensure(s0)
       // same trained quantizer configuration as q_sim_ann_kmeans /

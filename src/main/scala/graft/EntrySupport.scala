@@ -470,6 +470,16 @@ private[graft] object EntrySupport {
   private val tableCountMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
 
+  /** Memoized count of docs carrying at least one bigram (the
+    * interp-LM scorer's output row count) — the banding probe for the
+    * perplexity-band query, same family as [[tableCountLocal]].
+    */
+  private[graft] def lmDocCountLocal(s: SparkSession, dir: String): Long =
+    lmDocCountMemo.computeIfAbsent(dir,
+      _ => lmCollapse(s, dir).select(col("doc_id")).distinct().count())
+  private val lmDocCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
   /** Memoized |users| of the RFM per-user aggregate at an anchor —
     * [[graft.ops.EventOps.rfmSegments]]'s single banding probe. Keyed
     * by (dir, anchor); the aggregate is a pure function of the

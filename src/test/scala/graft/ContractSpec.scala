@@ -41,8 +41,8 @@ class ContractSpec extends AnyFunSuite {
     // + q_dp_counts + q_minhash_union + q_random_projection
     // + q_dp_sum + q_sketch_hdr_merge + q_sim_rp_ann = 216
     // round 13: + q_sketch_theta + q_dsir_weights + q_dsir_select
-    // + q_bpe_fertility = 220
-    assert(SparkEntry.queries.size === 220)
+    // + q_bpe_fertility + q_ppl_band = 221
+    assert(SparkEntry.queries.size === 221)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

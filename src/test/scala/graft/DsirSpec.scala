@@ -62,6 +62,19 @@ class DsirSpec extends AnyFunSuite {
     assert(none.nonEmpty && none.forall(w => !w.isNaN && !w.isInfinite))
   }
 
+  test("perplexity bands partition all scored docs into near-equal, ordered terciles") {
+    val bands = SparkEntry.queries("q_ppl_band")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bands.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val scored = graft.ops.Text.interpolatedLogProbFrom(
+      EntrySupport.lmCollapse(spark, dir), 0.7).count()
+    assert(bands.map(_._2).sum === scored, "bands must partition every scored doc")
+    assert(bands.map(_._2).max - bands.map(_._2).min <= 1, "ntile near-equal sizes")
+    // ordered terciles: head band's WORST score is no worse than the
+    // next band's BEST (ties can touch, never cross)
+    assert(bands(0)._3 >= bands(1)._4 && bands(1)._3 >= bands(2)._4)
+  }
+
   test("the resampling take selects exactly the top-100 by (logw_r, doc_id)") {
     val selected = Text.dsirWeights(docs, col("lang") === "en", buckets = 256)
       .orderBy(col("logw_r").desc, col("doc_id")).limit(100)

@@ -408,6 +408,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_ntile" -> "bandedNtile size gate",
       "q_length_buckets" -> "bandedNtile size gate",
       "q_rfm" -> "bandedNtile size gate",
+      "q_ppl_band" -> "bandedNtile size gate",
       // vocabulary-sized inputs (Heaps' law): the window never sees
       // corpus-scale cardinality
       "q_zipf" -> "vocabulary-sized rank window",
