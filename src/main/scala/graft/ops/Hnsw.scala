@@ -289,8 +289,12 @@ object Hnsw {
     // job; validated loudly so a wrong-nQ slice cannot silently search
     // for a different query set
     queryRows.foreach { qs =>
-      require(qs.forall(_._1 < nQueries),
-        s"hnswTopK queryRows must be vec_ids < $nQueries, got ${qs.size} rows")
+      require(qs.forall(_._1 < nQueries) &&
+          qs.map(_._1).distinct.size == qs.size,
+        s"hnswTopK queryRows must be DISTINCT vec_ids < $nQueries, got " +
+          s"${qs.size} rows; COMPLETENESS (one row per existing vec_id < " +
+          s"$nQueries) is the caller's obligation — a partial slice searches " +
+          "a smaller query set")
     }
     val queries = queryRows.map(_.toArray.sortBy(_._1)).getOrElse(
       base.filter(col("vec_id") < nQueries).collect().sortBy(_._1))

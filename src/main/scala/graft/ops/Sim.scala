@@ -1513,8 +1513,12 @@ object Sim {
     // pre-collected holdout validated LOUDLY on both paths: ids must be
     // ascending multiples of `modulus` (a wrong-modulus slice would
     // silently score the wrong holdout — the positional-matrix trap)
+    // an EMPTY slice is consistent with an empty embeddings table (the
+    // internal collect path returns empty there too) — only ordering
+    // and modulus membership are validated, so the memo-fed and
+    // collect paths agree on empty input (EmptyInputSpec pins this)
     holdoutRows.foreach { hs =>
-      require(hs.nonEmpty && hs.map(_._1) == hs.map(_._1).sorted &&
+      require(hs.map(_._1) == hs.map(_._1).sorted &&
           hs.forall(_._1 % modulus == 0),
         s"knnLabelVote holdoutRows must be ascending vec_ids % $modulus == 0, " +
           s"got ${hs.size} rows")

@@ -147,6 +147,21 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.Hnsw.hnswTopKRouted(emptyEmb,
       Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))),
       nQueries = 4, k = 3, nProbe = 2).count() === 0)
+    // memo-fed knnLabelVote on an empty table: an EMPTY pre-collected
+    // holdout slice must behave like the internal collect path (zero
+    // rows out, no require failure) — the memo-vs-collect divergence
+    // flagged in round-13 ADVICE
+    val emptyEmbLabeled =
+      Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    assert(graft.ops.Sim.knnLabelVote(emptyEmbLabeled, 10, 3).count() === 0)
+    assert(graft.ops.Sim.knnLabelVote(emptyEmbLabeled, 10, 3,
+      holdoutRows = Some(Seq.empty)).count() === 0)
+    // hnswTopK rejects a DUPLICATE-id query slice loudly (API hardening
+    // from the same ADVICE item)
+    intercept[IllegalArgumentException] {
+      graft.ops.Hnsw.hnswTopK(emptyEmb, nQueries = 4, k = 3,
+        queryRows = Some(Seq((1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))))
+    }
     // scoring an empty corpus with pre-trained weights is the real
     // first-run-of-the-day case (training on empty is a config error)
     assert(Text.qualityScoreFrom(
