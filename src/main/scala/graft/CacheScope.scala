@@ -16,11 +16,33 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
   private val tracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  // thread-local capture buffer: while a [[capturing]] block runs on
+  // this thread, every frame it registers is ALSO recorded here, so a
+  // construct-plan memo can learn which internal caches its build
+  // created without disturbing concurrent registrations from other
+  // threads (the bench's 8-way throughput mode constructs concurrently)
+  private val capture =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
 
   /** Persist `df` and remember it for the next [[flush]]. */
   def cached(df: DataFrame): DataFrame = synchronized {
     tracked += df
+    val cap = capture.get()
+    if (cap != null) cap += df
     df.cache()
+  }
+
+  /** Run `build` recording the frames it registers via [[cached]] on
+    * THIS thread — the construct-plan memo's capture hook
+    * ([[EntrySupport.memoPlan]]): a memo hit must re-register exactly
+    * these frames so the harness's per-sample flush discipline keeps
+    * applying to the operator's internal caches.
+    */
+  def capturing[T](build: => T): (T, Seq[DataFrame]) = {
+    val buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    capture.set(buf)
+    try { val r = build; (r, buf.toList) }
+    finally capture.remove()
   }
 
   /** Unpersist every tracked intermediate (blocking, so a bench sample

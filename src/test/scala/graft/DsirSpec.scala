@@ -30,6 +30,25 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("model-fed scoring (dsirWeightsFrom) is row-identical to in-plan") {
+    val inPlan = Text.dsirWeights(docs, col("lang") === "en", buckets = 256)
+    val fed = Text.dsirWeightsFrom(docs, col("lang") === "en", buckets = 256,
+      ratioRows = EntrySupport.dsirRatioLocal(spark, dir, 256))
+    assert(inPlan.collect().map(_.toString).sorted.toSeq ===
+      fed.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("dsirWeightsFrom rejects a duplicate-bucket or oversized model") {
+    intercept[IllegalArgumentException] {
+      Text.dsirWeightsFrom(docs, col("lang") === "en", buckets = 256,
+        ratioRows = Seq((1L, 5L), (1L, 7L)))
+    }
+    intercept[IllegalArgumentException] {
+      Text.dsirWeightsFrom(docs, col("lang") === "en", buckets = 2,
+        ratioRows = Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    }
+  }
+
   test("target-domain docs average a higher importance weight") {
     val (en, rest) = weights.partition(_._2 == "en")
     assert(en.nonEmpty && rest.nonEmpty)

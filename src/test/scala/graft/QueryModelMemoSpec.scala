@@ -110,4 +110,34 @@ class QueryModelMemoSpec extends AnyFunSuite {
     assert(EntrySupport.rfmUserCountLocal(spark, dir, Tables.D2024_01_20_US) ===
       EventOps.rfmPerUser(Tables.events(spark, dir), Tables.D2024_01_20_US).count())
   }
+
+  test("memoPlan: hit returns the same frame, re-arms caches, and " +
+      "re-executes to identical rows after a flush") {
+    import graft.ops.Text
+    def build() = Text.textrank(Tables.documents(spark, dir), 0.85, 2)
+      .orderBy(col("token"))
+    val first = EntrySupport.memoPlan(spark, "memoPlanSpec", dir)(build())
+    val firstRows = rows(first)
+    // simulate the bench's per-sample discipline: flush every internal
+    // cache, then construct again — the hit must be the SAME analyzed
+    // frame (no rebuild) and a fresh action must recompute the same rows
+    CacheScope.flush()
+    var rebuilt = false
+    val second = EntrySupport.memoPlan(spark, "memoPlanSpec", dir) {
+      rebuilt = true; build()
+    }
+    assert(!rebuilt, "memo hit must not re-run the build")
+    assert(second eq first)
+    assert(rows(second) === firstRows)
+    // and the memo-built plan matches a fresh non-memo build row-for-row
+    assert(rows(build()) === firstRows)
+    CacheScope.flush()
+  }
+
+  test("q_dsir_select's memoized ratio model equals the in-plan ratio") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, dir)
+    val direct = Text.dsirRatio(docs, col("lang") === "en", 256).sorted
+    assert(EntrySupport.dsirRatioLocal(spark, dir, 256).sorted === direct)
+  }
 }
