@@ -1156,6 +1156,57 @@ private[graft] object EntryOraclesC {
         |LEFT JOIN ri ON ri.ga = p.ga AND ri.gb = p.gb
         |ORDER BY type_a, type_b""".stripMargin,
 
+    // production theta form: the same sketch chain with the exact
+    // audit CTEs (ex, sz) dropped — the oracle restates only the
+    // bottom-k-derived estimates, like the engine
+    "q_sketch_theta_raw" ->
+      """WITH dk AS (
+        |  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |hx AS (
+        |  SELECT DISTINCT g, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h FROM dk),
+        |skr AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rnk FROM hx),
+        |skk AS (SELECT g, h FROM skr WHERE rnk <= 64),
+        |meta AS (
+        |  SELECT g,
+        |         CASE WHEN count(*) < 64 THEN CAST(4294967296 AS DOUBLE)
+        |              ELSE CAST(max(h) AS DOUBLE) END AS th
+        |  FROM skk GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb, least(a.th, b.th) AS thp
+        |  FROM meta a, meta b WHERE a.g < b.g),
+        |ra AS (
+        |  SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS na2
+        |  FROM pairs p JOIN skk s ON s.g = p.ga AND CAST(s.h AS DOUBLE) < p.thp
+        |  GROUP BY 1, 2),
+        |rb AS (
+        |  SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS nb2
+        |  FROM pairs p JOIN skk s ON s.g = p.gb AND CAST(s.h AS DOUBLE) < p.thp
+        |  GROUP BY 1, 2),
+        |ri AS (
+        |  SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS n_i
+        |  FROM pairs p
+        |  JOIN skk sa ON sa.g = p.ga AND CAST(sa.h AS DOUBLE) < p.thp
+        |  JOIN skk sb ON sb.g = p.gb AND sb.h = sa.h
+        |  GROUP BY 1, 2)
+        |SELECT p.ga AS type_a, p.gb AS type_b,
+        |       CAST(p.thp AS BIGINT) AS theta_common,
+        |       CAST(coalesce(ra.na2, 0) AS BIGINT) AS n_retained_a,
+        |       CAST(coalesce(rb.nb2, 0) AS BIGINT) AS n_retained_b,
+        |       round(CAST(coalesce(ra.na2, 0) + coalesce(rb.nb2, 0)
+        |                  - coalesce(ri.n_i, 0) AS DOUBLE)
+        |             * CAST(4294967296 AS DOUBLE) / p.thp, 4) AS union_est_r,
+        |       round(CAST(coalesce(ri.n_i, 0) AS DOUBLE)
+        |             * CAST(4294967296 AS DOUBLE) / p.thp, 4) AS inter_est_r,
+        |       round(CAST(coalesce(ra.na2, 0) - coalesce(ri.n_i, 0) AS DOUBLE)
+        |             * CAST(4294967296 AS DOUBLE) / p.thp, 4) AS diff_ab_est_r
+        |FROM pairs p
+        |LEFT JOIN ra ON ra.ga = p.ga AND ra.gb = p.gb
+        |LEFT JOIN rb ON rb.ga = p.ga AND rb.gb = p.gb
+        |LEFT JOIN ri ON ri.ga = p.ga AND ri.gb = p.gb
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // group-level MinHash: 16-perm signatures restated, Jaccard
     // estimate = fraction of equal components, exact Jaccard audit
     "q_minhash_union" ->

@@ -950,6 +950,18 @@ private[graft] object EntryQueriesD {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    "q_sketch_theta_raw" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // PRODUCTION theta form (round 14): the same bottom-64 sketches
+      // and set estimates with NO exact key-universe self-join — the
+      // declared 100 TB query, extending the hll_raw/cms_raw precedent
+      // to set algebra; the audit twin is q_sketch_theta, and
+      // SketchesRawSpec pins the estimates bit-identical
+      Sketches.thetaSetOpsRaw(Tables.events(s, dir), "event_type", "user_id",
+          k = 64)
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     "q_random_projection" -> ((s0, dir) => {
       val s = ensure(s0)
       // Johnson-Lindenstrauss ±1 projection 64 -> 16 (round 12): the

@@ -307,37 +307,11 @@ object Sketches {
   def thetaSetOps(df: DataFrame, groupCol: String, keyCol: String,
                   k: Int = 64): DataFrame = {
     require(k >= 2, "theta sketch needs k >= 2")
-    val hashSpace = 4294967296.0 // 2^32, h32's range
     val dk = graft.CacheScope.cached(df
       .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .select(col(groupCol).as("g"), col(keyCol).cast("string").as("k"))
       .distinct())
-    // distinct hash VALUES per group (two keys colliding in 32 bits
-    // count once — that is part of the sketch's stated error)
-    val hx = dk.select(col("g"), h32(col("k"), 0).as("h")).distinct()
-    val wk = Window.partitionBy(col("g")).orderBy(col("h").asc)
-    val sk = hx.withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= k)
-    // one row per group: the sorted bottom-k array + θ in hash units
-    // (2^32 = exact mode: every hash retained counts)
-    val sketches = sk.groupBy(col("g"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"),
-        count(lit(1)).as("n_sk"))
-      .withColumn("th",
-        when(col("n_sk") < k, lit(hashSpace))
-          .otherwise(element_at(col("hs"), k).cast("double")))
-    val pairs = sketches.select(
-        col("g").as("ga"), col("hs").as("hsa"), col("th").as("tha"))
-      .crossJoin(broadcast(sketches.select(
-        col("g").as("gb"), col("hs").as("hsb"), col("th").as("thb"))))
-      .filter(col("ga") < col("gb"))
-      .withColumn("thp", least(col("tha"), col("thb")))
-      // both samples filtered to the COMMON θ — the theta-sketch move
-      // that makes the three set estimates share one denominator
-      .withColumn("a2", filter(col("hsa"), h => h.cast("double") < col("thp")))
-      .withColumn("b2", filter(col("hsb"), h => h.cast("double") < col("thp")))
-      .withColumn("n_i", size(array_intersect(col("a2"), col("b2"))).cast("long"))
-      .withColumn("n_u", (size(col("a2")) + size(col("b2"))).cast("long") - col("n_i"))
-      .withColumn("scale", lit(hashSpace) / col("thp"))
+    val pairs = thetaPairEstimates(thetaSketchFrame(dk, k))
     val exact = dk.select(col("g").as("ga"), col("k"))
       .join(dk.select(col("g").as("gb"), col("k")), Seq("k"))
       .filter(col("ga") < col("gb"))
@@ -356,6 +330,76 @@ object Sketches {
         round((size(col("a2")).cast("long") - col("n_i")) * col("scale"), 4)
           .as("diff_ab_est_r"))
   }
+
+  /** PRODUCTION (audit-free) theta form — the declared 100 TB query,
+    * mirroring the [[hllRegistersOnly]]/[[cmsCountersFromRaw]]
+    * precedent: the same bottom-k sketches and the same pairwise
+    * union/intersection/difference ESTIMATES, with no exact self-join
+    * on the key universe and no per-group exact sizes — the quantities
+    * the audited twin [[thetaSetOps]] carries only for the correctness
+    * gate. θ (hash units) and the retained-sample sizes ride instead:
+    * they are the sketch's own state, and publishing them makes the
+    * estimate auditable from the sketch alone (est·θ/2³² recovers the
+    * retained counts). SketchesRawSpec pins the estimate columns
+    * bit-identical to the audited twin's; PlanShapeSpec pins the raw
+    * plan free of any key-keyed self-join.
+    */
+  def thetaSetOpsRaw(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int = 64): DataFrame = {
+    require(k >= 2, "theta sketch needs k >= 2")
+    val dk = df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), col(keyCol).cast("string").as("k"))
+      .distinct()
+    thetaPairEstimates(thetaSketchFrame(dk, k))
+      .select(
+        col("ga").as("type_a"), col("gb").as("type_b"),
+        col("thp").cast("long").as("theta_common"),
+        size(col("a2")).cast("long").as("n_retained_a"),
+        size(col("b2")).cast("long").as("n_retained_b"),
+        round(col("n_u") * col("scale"), 4).as("union_est_r"),
+        round(col("n_i") * col("scale"), 4).as("inter_est_r"),
+        round((size(col("a2")).cast("long") - col("n_i")) * col("scale"), 4)
+          .as("diff_ab_est_r"))
+  }
+
+  private val thetaHashSpace = 4294967296.0 // 2^32, h32's range
+
+  /** One row per group: the sorted bottom-k DISTINCT key-hash array +
+    * θ in hash units (2^32 = exact mode: every hash retained counts).
+    * Two keys colliding in 32 bits count once — part of the sketch's
+    * stated error. Shared by the audited and raw forms so the sketch
+    * definition cannot drift.
+    */
+  private def thetaSketchFrame(dk: DataFrame, k: Int): DataFrame = {
+    val hx = dk.select(col("g"), h32(col("k"), 0).as("h")).distinct()
+    val wk = Window.partitionBy(col("g")).orderBy(col("h").asc)
+    val sk = hx.withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= k)
+    sk.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n_sk"))
+      .withColumn("th",
+        when(col("n_sk") < k, lit(thetaHashSpace))
+          .otherwise(element_at(col("hs"), k).cast("double")))
+  }
+
+  /** Pairwise sketch-only estimates: both samples filtered to the
+    * COMMON θ — the theta-sketch move that makes the three set
+    * estimates share one denominator. G² broadcast pair frame over
+    * ≤k-element array HOFs; the key universe is never touched.
+    */
+  private def thetaPairEstimates(sketches: DataFrame): DataFrame =
+    sketches.select(
+        col("g").as("ga"), col("hs").as("hsa"), col("th").as("tha"))
+      .crossJoin(broadcast(sketches.select(
+        col("g").as("gb"), col("hs").as("hsb"), col("th").as("thb"))))
+      .filter(col("ga") < col("gb"))
+      .withColumn("thp", least(col("tha"), col("thb")))
+      .withColumn("a2", filter(col("hsa"), h => h.cast("double") < col("thp")))
+      .withColumn("b2", filter(col("hsb"), h => h.cast("double") < col("thp")))
+      .withColumn("n_i", size(array_intersect(col("a2"), col("b2"))).cast("long"))
+      .withColumn("n_u", (size(col("a2")) + size(col("b2"))).cast("long") - col("n_i"))
+      .withColumn("scale", lit(thetaHashSpace) / col("thp"))
 
   /** Count-min heavy hitters: d=4 hash rows × w=64 counters; a key's
     * estimate is the MIN over its d counters, which can only

@@ -43,6 +43,36 @@ class SketchesRawSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("thetaSetOpsRaw: estimates bit-identical to the audited twin's; " +
+      "no exact columns; plan free of key-keyed self-joins") {
+    val audit = Sketches.thetaSetOps(dupDf, "g", "k", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val rawDf = Sketches.thetaSetOpsRaw(dupDf, "g", "k", k = 64)
+    assert(rawDf.columns.toSeq === Seq("type_a", "type_b", "theta_common",
+      "n_retained_a", "n_retained_b",
+      "union_est_r", "inter_est_r", "diff_ab_est_r"))
+    val raw = rawDf
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(raw === audit)
+    // retained-sample audit identity: est · θ / 2^32 recovers counts
+    rawDf.collect().foreach { r =>
+      val scale = r.getLong(2).toDouble / 4294967296.0
+      assert(math.round(r.getDouble(7) * scale) ===
+        r.getLong(3) - math.round(r.getDouble(6) * scale))
+    }
+    // the raw PLAN must not self-join the key universe: exactly one
+    // join (the G x G broadcast pair frame), none of them key-keyed
+    val plan = rawDf.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("n_ex"), "exact audit leaked into raw")
+    val joins = rawDf.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1,
+      s"raw theta plan must have ONLY the pair cross-join, got ${joins.size}")
+  }
+
   test("cmsCountersFromRaw: each hash row's counters sum to the raw row count") {
     val n = dupRows.size.toLong
     val sums = Sketches.cmsCountersFromRaw(dupDf, "k")
