@@ -1430,7 +1430,75 @@ private[graft] object EntryOraclesC {
         |  FROM h JOIN lr USING (bucket)
         |  GROUP BY h.doc_id, h.lang)
         |SELECT doc_id, lang, n_grams, logw_r FROM d
-        |ORDER BY logw_r DESC, doc_id LIMIT 100""".stripMargin
+        |ORDER BY logw_r DESC, doc_id LIMIT 100""".stripMargin,
+
+    // HTML extraction: the oracle rebuilds the SAME constructed page
+    // (shared farm literal interpolated from EntrySupport.htmlLinkFarm)
+    // and restates every extraction step — script/style strip, anchor
+    // stats, tag strip, entity decode (&amp; LAST), whitespace
+    // normalize, integer-compared chrome gate, quarantine on the
+    // unbalanced <script> count. link_density is the same unrounded
+    // long/long IEEE division as the engine's (see Corpus.htmlExtract).
+    "q_html_extract" ->
+      s"""WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p { margin: 0; }</style></head><body>' ||
+        |    '<nav><a href="/">home</a> <a href="/about">about</a>' ||
+        |    ' <a href="/contact">contact</a></nav>' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN '<script>var broken = trackers['
+        |         ELSE '<script>track(' || CAST(doc_id AS VARCHAR) ||
+        |              ');</script>' END ||
+        |    CASE WHEN doc_id % 7 = 3 THEN '${EntrySupport.htmlLinkFarm}'
+        |         ELSE '' END ||
+        |    '<p>R&amp;D says x &lt; y &amp;&amp; y &gt; 0' ||
+        |    ' &quot;q&quot;&nbsp;end</p><p>' || text || '</p></body></html>'
+        |      AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, html,
+        |         len(regexp_extract_all(html, '<script')) <>
+        |         len(regexp_extract_all(html, '</script>')) AS bad
+        |  FROM page),
+        |s AS (
+        |  SELECT doc_id, bad,
+        |         regexp_replace(
+        |           regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+        |                          ' ', 'g'),
+        |           '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nos
+        |  FROM x),
+        |a AS (
+        |  SELECT doc_id, bad,
+        |         regexp_extract_all(nos, '(?s)<a[^>]*>(.*?)</a>', 1) AS anch,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(
+        |             regexp_replace(nos, '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&nbsp;', ' '), '&amp;', '&'),
+        |           '\\s+', ' ', 'g')) AS txt
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, bad, txt,
+        |         CAST(len(anch) AS BIGINT) AS n_links,
+        |         CAST(coalesce(list_sum(list_transform(anch, t -> len(t))), 0)
+        |              AS BIGINT) AS link_chars,
+        |         CAST(len(txt) AS BIGINT) AS n_chars
+        |  FROM a)
+        |SELECT doc_id,
+        |       CASE WHEN bad THEN 'quarantined'
+        |            WHEN link_chars * 100 > n_chars * 30 THEN 'chrome'
+        |            ELSE 'ok' END AS status,
+        |       CASE WHEN bad THEN NULL ELSE n_links END AS n_links,
+        |       CASE WHEN bad THEN NULL ELSE link_chars END AS link_chars,
+        |       CASE WHEN bad THEN NULL ELSE n_chars END AS n_chars,
+        |       CASE WHEN bad OR n_chars = 0 THEN NULL
+        |            ELSE CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |       END AS link_density,
+        |       CASE WHEN bad THEN NULL WHEN txt = '' THEN 0
+        |            ELSE CAST(len(string_split(txt, ' ')) AS BIGINT)
+        |       END AS n_toks,
+        |       CASE WHEN bad THEN NULL ELSE substr(txt, 1, 50) END AS head_50
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** Shared DSIR CTE chain: tokenize → uni+bigram stream → md5 bucket

@@ -1055,6 +1055,36 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- batch 32 (round 14): crawl front door ----
+
+    "q_html_extract" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // HTML text extraction (Corpus.htmlExtract scaladoc): each doc
+      // wrapped in constructed markup — title/style/script + a nav on
+      // every page, a 40-anchor link farm on doc_id % 7 == 3 (planted
+      // chrome the density gate must catch), an UNCLOSED <script> on
+      // doc_id % 13 == 0 (planted malformation the quarantine must
+      // catch), and an entity-laden lead paragraph (decode proof in
+      // head_50). The construction is mirrored in the oracle; the
+      // shared farm literal lives in EntrySupport.htmlLinkFarm.
+      val page = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title><style>p { margin: 0; }</style></head><body>"),
+          lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about</a>" +
+            " <a href=\"/contact\">contact</a></nav>"),
+          when(col("doc_id") % 13 === 0, lit("<script>var broken = trackers["))
+            .otherwise(concat(lit("<script>track("),
+              col("doc_id").cast("string"), lit(");</script>"))),
+          when(col("doc_id") % 7 === 3, lit(htmlLinkFarm)).otherwise(lit("")),
+          lit("<p>R&amp;D says x &lt; y &amp;&amp; y &gt; 0" +
+            " &quot;q&quot;&nbsp;end</p><p>"),
+          col("text"), lit("</p></body></html>")).as("html"))
+      Corpus.htmlExtract(page, linkDensityPct = 30)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dsir_select" -> ((s0, dir) => {
       val s = ensure(s0)
       // the importance-RESAMPLING step: keep the 100 highest-weight

@@ -817,6 +817,15 @@ private[graft] object EntrySupport {
   private val pqModelMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (graft.ops.Sim.Centroids, graft.ops.Sim.Codebooks)]
 
+  /** The planted link-farm block q_html_extract appends to every
+    * doc_id % 7 == 3 page — ONE definition interpolated into both the
+    * Spark construction and the DuckDB oracle so the planted chrome
+    * cannot drift between engines (40 anchors, 110 anchor chars).
+    */
+  private[graft] val htmlLinkFarm: String =
+    (0 until 40).map(i => s"""<a href="/p$i">x$i</a>""")
+      .mkString("<div>", " ", "</div>")
+
   /** Queries whose MODEL loads driver-side from a qtmp store (weights
     * collected and embedded as literals), which Bench's plan-walk
     * fixture detection cannot see — declared here so fixture_readers

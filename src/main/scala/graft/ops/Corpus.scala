@@ -607,6 +607,83 @@ object Corpus {
         col("a.split").as("split_a"), col("b.split").as("split_b"))
   }
 
+  /** HTML text extraction — the crawl front door every pretraining
+    * pipeline runs before any quality gate (C4, Raffel et al. 2020;
+    * CCNet, Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023):
+    * script/style removal, tag strip, entity decode, whitespace
+    * normalization, and a DOC-LEVEL link-density chrome gate (the
+    * RefinedWeb rule: a page whose visible text is mostly anchor text
+    * is navigation/link-farm chrome, not prose). Malformed markup —
+    * detected as an unbalanced `<script>` open/close count, the one
+    * malformation that makes everything downstream of it
+    * unextractable (the rest of the page IS script body per HTML5
+    * error recovery) — routes to `status = 'quarantined'` with NULL
+    * extraction, the intake-trio convention: never job-killing, never
+    * silently extracting garbage.
+    *
+    * Pure built-ins (regexp_replace / regexp_extract_all / aggregate)
+    * — entirely map-side, no shuffle, one pass over the page bytes:
+    * the 100 TB shape is `scan → project`, and the DuckDB oracle
+    * restates every step. Entity decode order is load-bearing:
+    * `&amp;` decodes LAST, so a literal `&amp;lt;` in the source
+    * yields the text `&lt;`, not `<` (the standard double-decode
+    * guard). `link_density` is emitted as ONE IEEE long→double
+    * division, unrounded (bit-identical cross-engine; a 4dp round
+    * would re-open the .5-boundary split — see dsirWeights), and the
+    * chrome gate itself compares integers (`link_chars·100 >
+    * n_chars·pct`) so no float threshold is involved. Anchor text
+    * stays in the extraction (title/nav text survives tag strip, as
+    * in C4) — the gate drops link-dominated DOCS; per-block chrome
+    * pruning is the boilerplate operator's job ([[boilerplate]]),
+    * which consumes this operator's output downstream.
+    */
+  def htmlExtract(pages: DataFrame, linkDensityPct: Int = 30,
+                  keepText: Boolean = false): DataFrame = {
+    require(linkDensityPct > 0 && linkDensityPct <= 100,
+      s"linkDensityPct must be in (0,100], got $linkDensityPct")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST — double-decode guard
+      .foldLeft(regexp_replace(col("nos"), "<[^>]*>", " ")) {
+        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+      }
+    pages
+      .withColumn("bad",
+        size(regexp_extract_all(col("html"), lit("<script"), lit(0))) =!=
+          size(regexp_extract_all(col("html"), lit("</script>"), lit(0))))
+      .withColumn("nos",
+        regexp_replace(
+          regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
+          "(?s)<style[^>]*>.*?</style>", " "))
+      .withColumn("anchors",
+        regexp_extract_all(col("nos"), lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)))
+      .withColumn("link_chars",
+        aggregate(col("anchors"), lit(0L), (acc, a) => acc + length(a)))
+      .withColumn("txt", trim(regexp_replace(decoded, "\\s+", " ")))
+      .withColumn("n_chars", length(col("txt")).cast("long"))
+      .select(Seq(
+        col("doc_id"),
+        when(col("bad"), lit("quarantined"))
+          .when(col("link_chars") * 100 > col("n_chars") * linkDensityPct,
+            lit("chrome"))
+          .otherwise(lit("ok")).as("status"),
+        when(!col("bad"), size(col("anchors")).cast("long")).as("n_links"),
+        when(!col("bad"), col("link_chars")).as("link_chars"),
+        when(!col("bad"), col("n_chars")).as("n_chars"),
+        // unrounded single division of identical longs — bit-identical
+        when(!col("bad") && col("n_chars") > 0,
+          col("link_chars").cast("double") / col("n_chars").cast("double"))
+          .as("link_density"),
+        when(!col("bad"),
+          when(col("txt") === "", lit(0L))
+            .otherwise(size(split(col("txt"), " ")).cast("long"))).as("n_toks"),
+        when(!col("bad"), substring(col("txt"), 1, 50)).as("head_50")) ++
+        // the handoff column for downstream gates (gopherSignals,
+        // boilerplate, the quality classifier) — full extracted text,
+        // opt-in so the declared query's result stays stat-sized
+        (if (keepText) Seq(when(!col("bad"), col("txt")).as("text"))
+         else Nil): _*)
+  }
+
   /** The composed corpus build — the whole point of the toolbox in
     * one lazy plan: exact dedup (first doc_id per identical text) →
     * Gopher quality gate → deterministic per-domain sampling →

@@ -875,6 +875,43 @@ object ScaleStress {
         s"dsir failed to separate the planted domains: $sep")
       CacheScope.flush()
     }
+    // 19. Round-14 HTML extraction at nDocs pages: every 13th page
+    //     carries an UNCLOSED <script> (quarantine), every id%7==3
+    //     non-quarantined page a 40-anchor link farm over a tiny body
+    //     (guaranteed over the 30% density gate), the rest prose with
+    //     an entity-laden lead. EXACT planted status counts + decode
+    //     proof at scale; shape is scan → project, zero shuffles
+    //     before the verifying aggregate.
+    timed("htmlExtract") {
+      val pages = corpus.select(col("doc_id"), concat(
+        lit("<html><body><nav><a href=\"/\">home</a></nav>"),
+        when(col("doc_id") % 13 === 0, lit("<script>var broken = ["))
+          .otherwise(lit("<script>t()</script>")),
+        when(col("doc_id") % 7 === 3,
+          lit(EntrySupport.htmlLinkFarm + "<p>tiny</p>"))
+          .otherwise(concat(lit("<p>R&amp;D "), col("text"), lit("</p>"))),
+        lit("</body></html>")).as("html"))
+      val t0 = System.nanoTime()
+      val byStatus = ops.Corpus.htmlExtract(pages, linkDensityPct = 30)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("head_50").startsWith("home R&D "), 1L)
+            .otherwise(0L)).as("n_decoded"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ids = 0L until nDocs
+      val expQ = ids.count(_ % 13 == 0).toLong
+      val expC = ids.count(i => i % 13 != 0 && i % 7 == 3).toLong
+      val expOk = nDocs - expQ - expC
+      println(f"[scale]   $nDocs pages in $wall%.2f s " +
+        f"(${nDocs / wall}%.0f pages/s) -> $byStatus")
+      assert(byStatus("quarantined")._1 == expQ, s"quarantine count: $byStatus")
+      assert(byStatus("chrome")._1 == expC, s"chrome count: $byStatus")
+      assert(byStatus("ok")._1 == expOk, s"ok count: $byStatus")
+      // every surviving page decoded its entities (nav text leads)
+      assert(byStatus("ok")._2 == expOk, s"decode proof failed: $byStatus")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

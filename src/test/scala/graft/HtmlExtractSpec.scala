@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Corpus
+
+/** Planted-case pins for Corpus.htmlExtract — the crawl front door
+  * (script/style strip, tag strip, entity decode, link-density chrome
+  * gate, malformed-markup quarantine). The oracle pins exact values on
+  * the constructed corpus; this pins the SEMANTICS each planted case
+  * exists to prove, plus the downstream-gate composition.
+  */
+class HtmlExtractSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def extract(pages: (Long, String)*) =
+    Corpus.htmlExtract(pages.toSeq.toDF("doc_id", "html"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("clean page: tags stripped, entities decoded, script/style gone") {
+    val out = extract((1L,
+      "<html><head><style>p{color:red}</style>" +
+        "<script>var t = 1;</script></head>" +
+        "<body><p>R&amp;D says x &lt; y &gt; 0 &quot;q&quot;&nbsp;end</p>" +
+        "</body></html>"))
+    val r = out(1L)
+    assert(r.getAs[String]("status") === "ok")
+    assert(r.getAs[String]("head_50") === "R&D says x < y > 0 \"q\" end")
+    assert(r.getAs[Long]("n_links") === 0L)
+    assert(r.getAs[Long]("n_toks") === 9L)
+    // neither the style body nor the script body survives
+    assert(!r.getAs[String]("head_50").contains("color"))
+  }
+
+  test("entity double-decode guard: &amp;lt; yields the TEXT &lt;") {
+    val out = extract((2L, "<p>a &amp;lt; b</p>"))
+    assert(out(2L).getAs[String]("head_50") === "a &lt; b")
+  }
+
+  test("link farm crosses the density gate; prose page does not") {
+    val farm = (0 until 30).map(i => s"""<a href="/p$i">anchor$i</a>""")
+      .mkString(" ")
+    val prose = "plain words " * 40
+    val out = extract(
+      (3L, s"<body><nav>$farm</nav><p>tiny</p></body>"),
+      (4L, s"<body><nav><a href='/'>home</a></nav><p>$prose</p></body>"))
+    assert(out(3L).getAs[String]("status") === "chrome")
+    assert(out(4L).getAs[String]("status") === "ok")
+    assert(out(3L).getAs[Long]("n_links") === 30L)
+    assert(out(4L).getAs[Double]("link_density") <
+      out(3L).getAs[Double]("link_density"))
+  }
+
+  test("unclosed <script> quarantines the page with NULL extraction") {
+    val out = extract(
+      (5L, "<body><script>var broken = [<p>never extracted</p></body>"),
+      // BALANCED multi-script page stays ok — the count check is not
+      // fooled by several well-formed scripts
+      (6L, "<body><script>a()</script><p>kept</p><script>b()</script></body>"))
+    val q = out(5L)
+    assert(q.getAs[String]("status") === "quarantined")
+    assert(q.isNullAt(q.fieldIndex("n_links")))
+    assert(q.isNullAt(q.fieldIndex("n_chars")))
+    assert(q.isNullAt(q.fieldIndex("link_density")))
+    assert(q.isNullAt(q.fieldIndex("head_50")))
+    assert(out(6L).getAs[String]("status") === "ok")
+    assert(out(6L).getAs[String]("head_50") === "kept")
+  }
+
+  test("whitespace normalizes to single spaces; empty body yields 0 tokens") {
+    val out = extract(
+      (7L, "<body><p>a</p>\n\n<p>b</p>\t <p>c</p></body>"),
+      (8L, "<body><div></div></body>"))
+    assert(out(7L).getAs[String]("head_50") === "a b c")
+    assert(out(7L).getAs[Long]("n_toks") === 3L)
+    assert(out(8L).getAs[Long]("n_toks") === 0L)
+    assert(out(8L).getAs[Long]("n_chars") === 0L)
+    assert(out(8L).isNullAt(out(8L).fieldIndex("link_density")))
+  }
+
+  test("keepText hands the full extraction to the downstream quality gate") {
+    val prose = (1 to 60).map(i => s"word$i").mkString(" ")
+    val pages = Seq(
+      (9L, s"<body><p>$prose</p></body>"),
+      (10L, "<body><script>x = [</body>")).toDF("doc_id", "html")
+    val extracted = Corpus.htmlExtract(pages, keepText = true)
+      .filter(col("status") === "ok")
+      .select(col("doc_id"), col("text"))
+    // composition: the extraction IS the corpus the Gopher gate reads
+    val gated = Corpus.gopherSignals(extracted).collect()
+    assert(gated.map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("empty input survives (first-run-of-the-day contract)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "html")
+    assert(Corpus.htmlExtract(empty).count() === 0)
+  }
+
+  test("linkDensityPct is validated loudly") {
+    val pages = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
+    intercept[IllegalArgumentException] {
+      Corpus.htmlExtract(pages, linkDensityPct = 0)
+    }
+  }
+}
