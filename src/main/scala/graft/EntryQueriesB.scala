@@ -488,6 +488,38 @@ private[graft] object EntryQueriesB {
         .orderBy(col("lang"))
     }),
 
+    "q_spm_encode" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // the trained unigram-LM tokenizer (SentencePiece's .model)
+      // loads from the corpus-versioned store; segmentation is the
+      // Viterbi-DP column expression over the DISTINCT word frame,
+      // broadcast back onto occurrences (Text.spmSegmentFrame
+      // scaladoc). Planted docs exercise piece-vs-char choice, the
+      // UNK fallback, and prefix overlaps through BOTH engines.
+      val model = spmModel(s, dir)
+      val planted = spmPlantedDocs(model).toDF("doc_id", "text")
+      Text.spmEncodeDocs(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .unionByName(planted)
+            .repartition(s.sparkContext.defaultParallelism),
+          model, maxPieceLen = SpmMaxPieceLen)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_spm_fertility" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // per-language pieces/word under the SAME trained unigram-LM
+      // store — the direct comparison row for q_bpe_fertility: the two
+      // tokenizer families graded on the same corpus per language
+      Text.spmFertilityByLang(
+          Tables.documents(s, dir)
+            .select(col("lang"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          spmModel(s, dir), maxPieceLen = SpmMaxPieceLen)
+        .orderBy(col("lang"))
+    }),
+
     "q_chunk_docs" -> ((s0, dir) => {
       val s = ensure(s0)
       Corpus.chunkDocs(

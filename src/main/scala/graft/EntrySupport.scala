@@ -762,6 +762,59 @@ private[graft] object EntrySupport {
   private val bpeMergesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
 
+  /** The SPM training configuration both the store build and the
+    * dynamic oracle's independent re-train share — ONE definition so
+    * they cannot drift (vocab 300 pieces, ≤4-char pieces, 3 hard-EM
+    * rounds, hapax words pruned).
+    */
+  private[graft] val SpmVocabSize = 300
+  private[graft] val SpmMaxPieceLen = 4
+  private[graft] val SpmEmIters = 3
+  private[graft] def spmTrain(s: SparkSession, dir: String): Seq[(String, Long)] =
+    graft.ops.Text.spmTrainLocal(
+      Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+      vocabSize = SpmVocabSize, maxPieceLen = SpmMaxPieceLen,
+      emIters = SpmEmIters, minWordCount = 2L)
+
+  /** Materialized trained unigram-LM piece vocabulary — (piece,
+    * cost_u6) rows from [[graft.ops.Text.spmTrainLocal]]. The SECOND
+    * canonical shipped tokenizer artifact next to [[bpeMerges]]
+    * (SentencePiece's .model file); same memo / independent-retrain
+    * reasoning — the dynamic oracle re-trains at Verify time with the
+    * identical call, so a drifted store fails the hash gate.
+    */
+  private[graft] def spmModel(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    import s.implicits._
+    val path = tmpDir("spm_model", dir)
+    spmModelMemo.computeIfAbsent(path, { _ =>
+      Sinks.ensureWritten(
+        spmTrain(s, dir).toDF("piece", "cost_u6"), path)
+      s.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    })
+  }
+  private val spmModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
+
+  /** Adversarial planted docs for q_spm_encode — piece-concatenation
+    * words (the DP must choose pieces over chars), an out-of-vocab
+    * character (`~` never appears in corpus tokens — exercises the
+    * UNK single-char fallback on BOTH engines), and prefix-overlap
+    * words where greedy longest-match and Viterbi can diverge. Built
+    * from the two longest learned pieces so the corners exercise the
+    * real trained vocabulary whatever the corpus.
+    */
+  private[graft] def spmPlantedDocs(model: Seq[(String, Long)]): Seq[(Long, String)] = {
+    val multis = model.map(_._1).filter(_.length > 1)
+      .sortBy(p => (-p.length, p))
+    val p = multis.headOption.getOrElse("aa")
+    val q = multis.drop(1).headOption.getOrElse("bb")
+    Seq(
+      (9100001L, s"$p$q$p $q$p $p$p"),
+      (9100002L, s"$p~$q ~~ ~$p~"),
+      (9100003L, s"${p.head}$p $q${q.last} $p${p.head}$q"))
+  }
+
   /** Adversarial planted docs for q_bpe_encode — adjacent-occurrence
     * and self-pair merge corners that random corpus text may never
     * hit, run through BOTH engines' replace chains (the oracle mirrors
@@ -835,7 +888,7 @@ private[graft] object EntrySupport {
   private[graft] val modelStoreReaders: Set[String] = Set(
     "q_quality_classifier", "q_sim_ann_kmeans", "q_sim_ann_pq",
     "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
-    "q_bpe_encode", "q_bpe_fertility")
+    "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw

@@ -76,6 +76,7 @@ object SparkEntry {
     qualityModel(s, sfDir)
     pqModel(s, sfDir)
     bpeMerges(s, sfDir)
+    spmModel(s, sfDir)
     tokPostings(s, sfDir)
     tokPostingsQueryLocal(s, sfDir, 10)
     tokPostingsQueryLocal(s, sfDir, 20)
@@ -159,6 +160,20 @@ object SparkEntry {
             .repartition(s.sparkContext.defaultParallelism),
           nMerges = 32, minWordCount = 2L)
         ops.Text.bpeFertilityOracleSql(merges)
+      },
+      "q_spm_encode" -> {
+        // identical training call to the spm_model store build; the
+        // generated SQL re-runs the WHOLE Viterbi segmentation from
+        // raw text via a recursive-CTE DP, planted rows mirrored
+        val model = spmTrain(s, sfDir)
+        val extra = spmPlantedDocs(model).map { case (id, t) =>
+          s"\n  UNION ALL SELECT $id AS doc_id, '${t.replace("'", "''")}' AS text"
+        }.mkString
+        ops.Text.spmEncodeOracleSql(model, SpmMaxPieceLen, extra)
+      },
+      "q_spm_fertility" -> {
+        val model = spmTrain(s, sfDir)
+        ops.Text.spmFertilityOracleSql(model, SpmMaxPieceLen)
       })
   }
 }

@@ -779,6 +779,301 @@ object Text {
        |FROM n GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the SECOND tokenizer
+  // family an LLM pipeline ships next to BPE (Kudo 2018, "Subword
+  // Regularization"; Kudo & Richardson 2018, SentencePiece): a
+  // VOCABULARY of pieces with unigram log-probs, trained by EM over
+  // the word histogram, applied by Viterbi (max-likelihood)
+  // segmentation. Where BPE greedily merges, the unigram LM SELECTS a
+  // vocabulary and segments globally-optimally per word.
+  // ------------------------------------------------------------------
+
+  /** UNK cost in integer micro-nats (25 nats ≈ e⁻²⁵ — strictly worse
+    * than any trained piece, so the single-char fallback only fires on
+    * characters the training never saw). Shared by the Scala
+    * segmenter, the column expression, and the generated DuckDB DP.
+    */
+  private[graft] val SpmUnkCostU6 = 25000000L
+
+  /** Train a unigram-LM piece vocabulary DRIVER-LOCALLY (the bpeTrain
+    * precedent — a tokenizer needs the Heaps-bounded word HISTOGRAM,
+    * not the corpus, so the only cluster work is one vocab-sized
+    * map-side-combined count; at 100 TB train on the histogram of a
+    * sample and ship the model like merges.txt):
+    *
+    *   1. SEED: every substring of every histogram word up to
+    *      `maxPieceLen` chars, scored freq·len (the SentencePiece
+    *      seed heuristic); all single chars kept unconditionally
+    *      (coverage), top multis by (score DESC, piece ASC).
+    *   2. EM (hard/Viterbi EM, `emIters` rounds): E = segment each
+    *      word TYPE by Viterbi under current costs, fold each piece's
+    *      word-count-weighted usage; M = re-estimate costs from usage
+    *      and PRUNE to `vocabSize` (single chars always survive with
+    *      add-1 usage — the coverage floor; multis by (usage DESC,
+    *      piece ASC)). Hard EM keeps every step integer/argmax-
+    *      deterministic — same reasoning as bpeTrain's tiebreaks.
+    *
+    * Costs are quantized to INTEGER micro-nats (round(−ln(p)·1e6)) —
+    * the model ships as exact longs, so both engines' DP sums are
+    * exact long arithmetic and bit-identical (the dsirWeights rule).
+    * Returns (piece, cost_u6) sorted by piece.
+    */
+  def spmTrainLocal(documents: DataFrame, vocabSize: Int, maxPieceLen: Int,
+                    emIters: Int, minWordCount: Long = 1L): Seq[(String, Long)] = {
+    require(vocabSize >= 2 && maxPieceLen >= 1 && emIters >= 1,
+      s"spmTrainLocal: bad params ($vocabSize, $maxPieceLen, $emIters)")
+    val hist: Array[(String, Long)] = documents
+      .select(explode(Dedup.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minWordCount)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val seedFreq = scala.collection.mutable.HashMap[String, Long]()
+    hist.foreach { case (w, wc) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + l)
+          seedFreq(p) = seedFreq.getOrElse(p, 0L) + wc
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seedFreq.keysIterator.filter(_.length == 1).toSeq.sorted
+    def topMulti(scored: Seq[(String, Long)], n: Int): Seq[(String, Long)] =
+      scored.filter(_._1.length > 1)
+        .sortBy { case (p, s) => (-s, p) }.take(math.max(0, n))
+    def quantize(usage: Map[String, Long]): Map[String, Long] = {
+      val total = usage.values.sum.toDouble
+      usage.map { case (p, c) =>
+        p -> math.round((math.log(total) - math.log(c.toDouble)) * 1e6)
+      }
+    }
+    // initial model: seed freqs, length-weighted pre-selection
+    val seedMulti = topMulti(
+      seedFreq.toSeq.map { case (p, f) => (p, f * p.length) },
+      vocabSize - chars.size).map(_._1)
+    var cost: Map[String, Long] = quantize(
+      (chars ++ seedMulti).map(p => p -> seedFreq(p)).toMap)
+    for (_ <- 1 to emIters) {
+      val usage = scala.collection.mutable.HashMap[String, Long]()
+      hist.foreach { case (w, wc) =>
+        spmViterbiLocal(w, cost, maxPieceLen).foreach { p =>
+          usage(p) = usage.getOrElse(p, 0L) + wc
+        }
+      }
+      val kept =
+        chars.map(c => c -> (usage.getOrElse(c, 0L) + 1L)) ++
+          topMulti(usage.toSeq, vocabSize - chars.size)
+      cost = quantize(kept.toMap)
+    }
+    cost.toSeq.sortBy(_._1)
+  }
+
+  /** Viterbi segmentation of ONE word under integer micro-nat costs —
+    * the reference segmenter the EM trainer uses and the parity target
+    * the column-expression DP is pinned against (SpmSpec). Candidate
+    * order at each position: minimize (total cost, piece count, −len)
+    * — the last component makes every candidate tuple DISTINCT, so the
+    * argmin is unique and engine-order-independent (the same tuple
+    * both [[spmSegmentFrame]]'s array_min and the generated DuckDB
+    * list_sort compare). Unknown single chars cost [[SpmUnkCostU6]].
+    */
+  private[graft] def spmViterbiLocal(word: String, cost: Map[String, Long],
+                                     maxPieceLen: Int): List[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val dpc = new Array[Long](n + 1)
+    val dpn = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var p = 1
+    while (p <= n) {
+      var best: (Long, Long, Int) = null
+      var l = 1
+      while (l <= math.min(p, maxPieceLen)) {
+        val piece = word.substring(p - l, p)
+        val pc = cost.get(piece)
+          .orElse(if (l == 1) Some(SpmUnkCostU6) else None)
+        pc.foreach { c =>
+          val cand = (dpc(p - l) + c, dpn(p - l) + 1L, -l)
+          if (best == null || Ordering[(Long, Long, Int)].lt(cand, best)) {
+            best = cand; bp(p) = l
+          }
+        }
+        l += 1
+      }
+      dpc(p) = best._1; dpn(p) = best._2
+      p += 1
+    }
+    var pieces: List[String] = Nil
+    var q = n
+    while (q > 0) { pieces = word.substring(q - bp(q), q) :: pieces; q -= bp(q) }
+    pieces
+  }
+
+  /** The Viterbi DP as a pure COLUMN EXPRESSION over a `word` column:
+    * one `aggregate` fold over positions 1..len, accumulator = the dp
+    * array of (cost_u6, n_pieces) structs, each step an `array_min`
+    * over the ≤ `maxPieceLen` candidate (cost, count, −len) structs
+    * with the trained costs read from a literal map. Exact long
+    * arithmetic end to end. Applied to the DISTINCT-word frame, never
+    * per occurrence: word TYPES are Heaps-bounded, so the DP runs
+    * vocab-many times however Zipf-heavy the corpus, and occurrences
+    * pick their result up by broadcast join ([[spmEncodeDocs]]) — the
+    * same economics as [[oovRate]]'s df table.
+    */
+  private[graft] def spmSegmentFrame(words: DataFrame,
+                                     model: Seq[(String, Long)],
+                                     maxPieceLen: Int): DataFrame = {
+    val m = typedlit(model.toMap)
+    val w = col("word")
+    val dp = aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(0L).as("c"), lit(0L).as("n"))),
+      (acc, i) => concat(acc, transform(
+        array(array_min(filter(
+          transform(sequence(lit(1), least(i, lit(maxPieceLen))), l =>
+            struct(
+              (try_element_at(acc, i - l + 1).getField("c") +
+                coalesce(try_element_at(m, w.substr(i - l + 1, l)),
+                  when(l === 1, lit(SpmUnkCostU6)))).as("c"),
+              (try_element_at(acc, i - l + 1).getField("n") + 1L).as("n"),
+              (-l).as("negl"))),
+          x => x.getField("c").isNotNull))),
+        b => struct(b.getField("c").as("c"), b.getField("n").as("n")))),
+      acc => try_element_at(acc, lit(-1)))
+    words.select(w,
+      dp.getField("n").as("wn"), dp.getField("c").as("wc_u6"))
+  }
+
+  /** Per-row (doc-keyed) SPM encode counts shared by [[spmEncodeDocs]]
+    * and [[spmFertilityByLang]] — explode words, segment the DISTINCT
+    * word frame once, broadcast the vocab-sized result back onto the
+    * occurrence stream. Docs with no word are dropped (nothing to
+    * encode — the bpe convention).
+    */
+  private def withSpmCounts(documents: DataFrame, keyCols: Seq[String],
+                            model: Seq[(String, Long)],
+                            maxPieceLen: Int): DataFrame = {
+    val toks = documents.select(
+      keyCols.map(col) :+ explode(Dedup.tokens(col("text"))).as("word"): _*)
+    val seg = spmSegmentFrame(toks.select(col("word")).distinct(),
+      model, maxPieceLen)
+    toks.join(broadcast(seg), Seq("word"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wn")).as("n_spm"),
+        sum(col("wc_u6")).as("cost_u6"))
+  }
+
+  /** Unigram-LM encode over a corpus: per doc, word count, Viterbi
+    * piece count, EXACT total cost in micro-nats (long — the DP-sum
+    * proof the oracle re-derives), and pieces-per-word fertility as
+    * one UNROUNDED long/long IEEE division (bit-identical
+    * cross-engine; rounding would re-open the .5 boundary — the
+    * dsirWeights rule).
+    */
+  def spmEncodeDocs(documents: DataFrame, model: Seq[(String, Long)],
+                    maxPieceLen: Int): DataFrame =
+    withSpmCounts(documents.select(col("doc_id"), col("text")),
+        Seq("doc_id"), model, maxPieceLen)
+      .select(col("doc_id"), col("n_words"), col("n_spm"), col("cost_u6"),
+        (col("n_spm").cast("double") / col("n_words").cast("double"))
+          .as("spm_per_word"))
+
+  /** Per-language unigram-LM fertility under the same trained model —
+    * the direct comparison row for [[bpeFertilityByLang]]: the two
+    * tokenizer families graded on the same corpus, per language, the
+    * number a multilingual mixing decision actually reads.
+    */
+  def spmFertilityByLang(documents: DataFrame, model: Seq[(String, Long)],
+                         maxPieceLen: Int): DataFrame =
+    withSpmCounts(documents.select(col("lang"), col("text")),
+        Seq("lang"), model, maxPieceLen)
+      .select(col("lang"),
+        col("n_words"), col("n_spm"),
+        (col("n_spm").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+
+  /** The generated-DuckDB mirror of the SPM Viterbi DP — a recursive
+    * CTE over the distinct-word frame carrying the dp cost/count LISTS
+    * as state, one row per (word, position), candidates built with the
+    * same (cost, count, −len) struct min and the same literal
+    * micro-nat map, so DuckDB re-runs the ENTIRE segmentation from raw
+    * text (the pinned-model dynamic-oracle pattern of
+    * [[bpeEncodeOracleSql]]). Shared by the encode and fertility
+    * oracle generators.
+    */
+  private def spmDpSqlCtes(model: Seq[(String, Long)], maxPieceLen: Int,
+                           srcSql: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val keys = model.map(p => s"'${esc(p._1)}'").mkString(", ")
+    val vals = model.map(_._2).mkString(", ")
+    val mapSql = s"MAP([$keys], CAST([$vals] AS BIGINT[]))"
+    s"""src AS ($srcSql),
+       |toks AS (
+       |  SELECT * REPLACE (unnest(list_filter(string_split(text, ' '),
+       |                                       x -> x != '')) AS text)
+       |  FROM src),
+       |w AS (SELECT DISTINCT text AS word FROM toks),
+       |step AS (
+       |  SELECT word, 0 AS i,
+       |         [CAST(0 AS BIGINT)] AS dpc, [CAST(0 AS BIGINT)] AS dpn
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word, i + 1,
+       |         list_append(dpc, best.c), list_append(dpn, best.n)
+       |  FROM (
+       |    SELECT word, i, dpc, dpn,
+       |      list_sort(list_filter(
+       |        list_transform(generate_series(1, least(i + 1, $maxPieceLen)),
+       |          l -> struct_pack(
+       |            c := dpc[i + 1 - l + 1] + coalesce(
+       |                   map_extract($mapSql,
+       |                               substr(word, i + 1 - l + 1, l))[1],
+       |                   CASE WHEN l = 1 THEN $SpmUnkCostU6 END),
+       |            n := dpn[i + 1 - l + 1] + 1,
+       |            negl := -l)),
+       |        x -> x.c IS NOT NULL))[1] AS best
+       |    FROM step WHERE i < len(word)) t),
+       |seg AS (
+       |  SELECT word, dpn[-1] AS wn, dpc[-1] AS wc_u6
+       |  FROM step WHERE i = len(word))""".stripMargin
+  }
+
+  /** DuckDB oracle for [[spmEncodeDocs]] under a trained model;
+    * `extraDocsSql` mirrors planted rows (the bpe convention).
+    */
+  def spmEncodeOracleSql(model: Seq[(String, Long)], maxPieceLen: Int,
+                         extraDocsSql: String = ""): String =
+    s"""WITH RECURSIVE ${spmDpSqlCtes(model, maxPieceLen,
+        s"SELECT doc_id, text FROM documents$extraDocsSql")}
+       |SELECT t.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.wn) AS BIGINT) AS n_spm,
+       |       CAST(sum(s.wc_u6) AS BIGINT) AS cost_u6,
+       |       CAST(sum(s.wn) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS spm_per_word
+       |FROM toks t JOIN seg s ON s.word = t.text
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[spmFertilityByLang]] — same DP, lang-keyed. */
+  def spmFertilityOracleSql(model: Seq[(String, Long)],
+                            maxPieceLen: Int): String =
+    s"""WITH RECURSIVE ${spmDpSqlCtes(model, maxPieceLen,
+        "SELECT lang, text FROM documents")}
+       |SELECT t.lang,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.wn) AS BIGINT) AS n_spm,
+       |       CAST(sum(s.wn) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS fertility
+       |FROM toks t JOIN seg s ON s.word = t.text
+       |GROUP BY t.lang ORDER BY lang""".stripMargin
+
   /** TF-IDF top terms per document: tf = in-doc term count, idf =
     * ln(N/df) with df from the same corpus, top `k` terms by score
     * (ties to the lexicographically first token). Three aggregations
