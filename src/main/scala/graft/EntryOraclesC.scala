@@ -241,8 +241,27 @@ private[graft] object EntryOraclesC {
     // full ExactSubstr: duplicated-8-gram runs merged into maximal
     // covered-token intervals; pk packing mirrors the engine
     // (doc_id·2^20 + i)
-    "q_dedup_substr_spans" ->
-      """WITH corpus AS (
+    "q_dedup_substr_spans" -> substrSpansOracleSql(8),
+
+    // the L-knob at the Lee et al. 2022 operating point: the paper
+    // deduplicates repeats of length >= 50 tokens; same template, L=50
+    "q_dedup_substr_spans50" -> substrSpansOracleSql(50),
+
+    // the trim twin: non-first occurrences of duplicated spans cut,
+    // kept tokens reassembled in position order
+    "q_dedup_substr_trim" -> substrTrimOracleSql(8),
+    "q_dedup_substr_trim50" -> substrTrimOracleSql(50)
+  ) ++ dsirAndHtmlOracles
+
+  /** The ExactSubstr oracle chain parameterized by the gram/min-repeat
+    * length L — ONE template for both declared operating points (L=8,
+    * the sub-doc boilerplate scale; L=50, the Lee et al. 2022 default)
+    * so the knob cannot drift between them. Mirrors
+    * [[graft.ops.Dedup.exactSubstrSpans]] stage for stage.
+    */
+  private def substrSpansOracleSql(l: Int): String = {
+    val g = l - 1
+    s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
         |  UNION ALL
         |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents WHERE doc_id < 2000),
@@ -250,15 +269,15 @@ private[graft] object EntryOraclesC {
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
         |  FROM corpus),
         |pos AS (
-        |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
-        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
-        |  WHERE len(toks) >= 8),
+        |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + $g), ' ') AS gram
+        |  FROM base, unnest(generate_series(1, len(toks) - $g)) AS u(i)
+        |  WHERE len(toks) >= $l),
         |gs AS (
         |  SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS total FROM pos),
         |dup AS (SELECT doc_id, i FROM gs WHERE total >= 2),
         |m AS (
         |  SELECT doc_id, i,
-        |         max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |         max(i + $g) OVER (PARTITION BY doc_id ORDER BY i
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
         |  FROM dup),
         |segd AS (
@@ -266,7 +285,7 @@ private[graft] object EntryOraclesC {
         |         sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY doc_id ORDER BY i) AS sid
         |  FROM m),
-        |spans AS (SELECT doc_id, sid, min(i) AS s, max(i) + 7 AS e
+        |spans AS (SELECT doc_id, sid, min(i) AS s, max(i) + $g AS e
         |          FROM segd GROUP BY 1, 2),
         |st AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -279,12 +298,12 @@ private[graft] object EntryOraclesC {
         |       coalesce(longest_span, 0) AS longest_span,
         |       round(coalesce(covered_tokens, 0)
         |             / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS covered_frac
-        |FROM base b LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM base b LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
-    // the trim twin: non-first occurrences of duplicated spans cut,
-    // kept tokens reassembled in position order
-    "q_dedup_substr_trim" ->
-      """WITH corpus AS (
+  private def substrTrimOracleSql(l: Int): String = {
+    val g = l - 1
+    s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
         |  UNION ALL
         |  SELECT doc_id + 100000, text || ' zz9 zz9' FROM documents WHERE doc_id < 2000),
@@ -292,10 +311,10 @@ private[graft] object EntryOraclesC {
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
         |  FROM corpus),
         |pos AS (
-        |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram,
+        |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + $g), ' ') AS gram,
         |         doc_id * 1048576 + i AS pk
-        |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
-        |  WHERE len(toks) >= 8),
+        |  FROM base, unnest(generate_series(1, len(toks) - $g)) AS u(i)
+        |  WHERE len(toks) >= $l),
         |gs AS (
         |  SELECT doc_id, i, pk,
         |         count(*) OVER (PARTITION BY gram) AS total,
@@ -304,7 +323,7 @@ private[graft] object EntryOraclesC {
         |dup AS (SELECT doc_id, i FROM gs WHERE total >= 2 AND pk <> first_pk),
         |m AS (
         |  SELECT doc_id, i,
-        |         max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |         max(i + $g) OVER (PARTITION BY doc_id ORDER BY i
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
         |  FROM dup),
         |segd AS (
@@ -312,7 +331,7 @@ private[graft] object EntryOraclesC {
         |         sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY doc_id ORDER BY i) AS sid
         |  FROM m),
-        |spans AS (SELECT doc_id, sid, min(i) AS s, max(i) + 7 AS e
+        |spans AS (SELECT doc_id, sid, min(i) AS s, max(i) + $g AS e
         |          FROM segd GROUP BY 1, 2),
         |tok AS (
         |  SELECT doc_id, j, toks[j] AS tok
@@ -331,8 +350,16 @@ private[graft] object EntryOraclesC {
         |SELECT b.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |       coalesce(n_kept, 0) AS n_kept,
         |       coalesce(kept_text, '') AS kept_text
-        |FROM base b LEFT JOIN keptagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM base b LEFT JOIN keptagg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
+  /** The remainder of the batch 18-21+ oracle inventory (split behind
+    * the same `map` — the ExactSubstr templates above needed defs, and
+    * a Scala Map literal cannot interleave them). A `def`, not a val:
+    * `map` concatenates it during object init, before a later-declared
+    * val would be assigned (the dsirDocCte rule).
+    */
+  private def dsirAndHtmlOracles: Map[String, String] = Map(
     "q_sparse_cosine" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf

@@ -622,6 +622,26 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- batch 34 (round 14): the ExactSubstr L-knob at the Lee et
+    // al. 2022 operating point (length >= 50 tokens, the paper's
+    // default) — same operators, same corpus, L=50: only docs long
+    // enough to repeat a 50-token run report spans (the planted
+    // whole-doc duplicates on >= 50-token originals), short docs and
+    // short repeats correctly report zeros. Oracle = the SAME SQL
+    // template as the L=8 pair with L substituted.
+
+    "q_dedup_substr_spans50" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.exactSubstrSpans(perturbedCorpus(s, dir, cap = 2000), L = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_substr_trim50" -> ((s0, dir) => {
+      val s = ensure(s0)
+      Dedup.exactSubstrTrim(perturbedCorpus(s, dir, cap = 2000), L = 50)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_video_decode" -> ((s0, dir) => {
       val s = ensure(s0)
       import s.implicits._

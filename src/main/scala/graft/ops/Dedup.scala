@@ -819,6 +819,23 @@ object Dedup {
     * array's gram-rank bucketing IS a sort by gram, which is the
     * shuffle below).
     *
+    * SUBSTITUTION ARGUMENT (why duplicated-L-gram runs = the suffix
+    * array's length-≥-L repeats): a position is covered by some
+    * duplicated substring of length ≥ L ⟺ its L-gram (or one
+    * containing it within the run) occurs twice — every duplicated
+    * substring of length ≥ L contains only duplicated L-grams and is
+    * exactly tiled by them, and conversely every duplicated L-gram IS
+    * a duplicated length-L substring. So the union of merged
+    * duplicated-gram runs equals the union of length-≥-L repeats the
+    * suffix array reports, position for position; what the gram form
+    * gives up is only the identity of WHICH other occurrence matched
+    * (adjacent grams may match different partners), which neither the
+    * span statistics nor the trim rewrite consume. L is the knob: L=8
+    * is the sub-document boilerplate scale the segment family uses,
+    * L=50 tokens is Lee et al.'s shipped default — both are declared
+    * queries (`q_dedup_substr_spans`/`_spans50`, `_trim`/`_trim50`)
+    * over one oracle template.
+    *
     * Returns per doc: token count, span count, covered-token count
     * (union of span intervals — adjacent/overlapping token ranges
     * merge), longest span, covered fraction. Docs with no duplicated

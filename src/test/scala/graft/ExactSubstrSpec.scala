@@ -98,4 +98,32 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(trim(1).getLong(2) === 0L && trim(1).getString(3) === "",
       "full-duplicate doc comes back empty, surfaced not dropped")
   }
+
+  test("the L knob at the Lee et al. operating point: a 60-token repeat " +
+      "is a span at L=50, a 40-token repeat is not") {
+    val long = (1 to 60).map(i => s"r$i").mkString(" ")   // >= 50: cut
+    val short = (1 to 40).map(i => s"u$i").mkString(" ")  // < 50: kept
+    val c = corpus(
+      1L -> s"x1 x2 $long x3",
+      2L -> s"y1 $long y2 y3",
+      3L -> s"z1 z2 $short z3",
+      4L -> s"v1 $short v2 v3")
+    val at50 = Dedup.exactSubstrSpans(c, L = 50).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    // the 60-token shared run lands as ONE span of exactly 60 in both
+    // sharers; the 40-token run is below the paper's threshold — zeros
+    assert(at50(1L) === ((1L, 60L)) && at50(2L) === ((1L, 60L)))
+    assert(at50(3L) === ((0L, 0L)) && at50(4L) === ((0L, 0L)))
+    // at L=8 BOTH repeats are spans — the knob is the only difference
+    val at8 = Dedup.exactSubstrSpans(c, L = 8).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(at8(1L) === 60L && at8(3L) === 40L)
+    // trim at L=50: the second occurrence loses exactly the 60 tokens,
+    // the 40-token repeat survives everywhere
+    val t50 = Dedup.exactSubstrTrim(c, L = 50).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t50(1L) === 63L, "corpus-first occurrence keeps everything")
+    assert(t50(2L) === 3L, "later occurrence loses the 60-token span")
+    assert(t50(3L) === 43L && t50(4L) === 43L, "sub-L repeats survive")
+  }
 }
