@@ -1204,8 +1204,10 @@ object Text {
     * 100 TB.
     */
   def bm25TopK(documents: DataFrame, nQueries: Int, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               dfCapFrac: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(dfCapFrac > 0.0 && dfCapFrac <= 1.0, "df cap must be a fraction of N")
     val byDoc = documents.repartition(col("doc_id"))
     val tf = graft.CacheScope.cached(byDoc
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
@@ -1226,6 +1228,14 @@ object Text {
       .join(dl, Seq("doc_id"))
       .join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(stats))
+      // df-cap posting bound (the tfidfCosineTopK lever, off by
+      // default so the declared query's plan is untouched): tokens in
+      // more than dfCapFrac·N docs — idf ≈ 0, join fan-out ≈ N per
+      // query term — drop BEFORE the query join. The recall trade is
+      // MEASURED, not asserted: ScaleStress's df-cap sweep publishes
+      // recall@k vs wall at multiple cap settings over a Zipf-hot tail
+      .transform(t => if (dfCapFrac < 1.0)
+        t.filter(col("df") <= col("__n") * dfCapFrac) else t)
       .join(broadcast(q), Seq("token"))
       .filter(col("q_id") =!= col("doc_id"))
       .groupBy(col("q_id"), col("doc_id"))

@@ -374,6 +374,60 @@ object ScaleStress {
       println(s"[scale]   rank-1 = clique sibling for $top1/16 queries")
       assert(top1 == 16, "BM25 relevance drifted at scale")
     }
+    // 10e. df-cap SENSITIVITY SWEEP (r13 verdict item 7): the Zipf-hot
+    //      tail tokens (df = nDocs/4 — idf ≈ 0, ~nDocs/4 posting-join
+    //      rows per query term) are what a df-cap prunes at 100 TB.
+    //      Measured, not asserted: recall@5 vs the uncapped baseline
+    //      and wall seconds at three cap settings — off, a cap that
+    //      prunes ONLY the hot tail (recall must hold at 1.0: the
+    //      discriminative clique tokens all sit at df ≈ 4), and a
+    //      destructive cap below the clique df (recall must visibly
+    //      drop — the trade's other edge, proving the sweep can see it).
+    timed("bm25 df-cap sweep") {
+      def top5(cap: Double): (Map[Long, Set[Long]], Double) = {
+        val t0 = System.nanoTime()
+        val rows = ops.Text.bm25TopK(corpus, nQueries = 16, k = 5,
+            dfCapFrac = cap)
+          .select(col("q_id"), col("c_id")).collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        CacheScope.flush()
+        (rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }, wall)
+      }
+      // PLANTED recall: the 3 clique siblings per query doc are the
+      // ground-truth relevant set (32 shared df≈4 tokens); every other
+      // candidate meets a query only through its df=nDocs/4 tail token
+      def siblingRecall(m: Map[Long, Set[Long]]): Double =
+        (0L until 16L).map { q =>
+          val sibs = (q / 4 * 4 until q / 4 * 4 + 4).filter(_ != q).toSet
+          m.get(q).map(c => (sibs & c).size.toDouble / sibs.size).getOrElse(0.0)
+        }.sum / 16.0
+      val (base, wallOff) = top5(1.0)
+      def overlapVsBase(m: Map[Long, Set[Long]]): Double =
+        base.map { case (q, s) =>
+          m.get(q).map(c => (s & c).size.toDouble / s.size).getOrElse(0.0)
+        }.sum / base.size
+      // cap between the clique df (~4/nDocs) and the hot tail (1/4)
+      val (hot, wallHot) = top5(0.01)
+      // destructive: below the clique df — candidates can only meet
+      // through their (pruned) hot token or nothing
+      val (destr, wallDestr) = top5(2.0 / nDocs)
+      val (rB, rH, rD) = (siblingRecall(base), siblingRecall(hot),
+        siblingRecall(destr))
+      val (oH, oD) = (overlapVsBase(hot), overlapVsBase(destr))
+      println(f"[scale]   cap=off    wall $wallOff%6.2f s  sib-recall@5 $rB%.3f  vs-uncapped 1.000")
+      println(f"[scale]   cap=0.01   wall $wallHot%6.2f s  sib-recall@5 $rH%.3f  vs-uncapped $oH%.3f")
+      println(f"[scale]   cap=2/N    wall $wallDestr%6.2f s  sib-recall@5 $rD%.3f  vs-uncapped $oD%.3f")
+      // the measured trade: pruning ONLY the idf≈0 hot tail keeps every
+      // planted-relevant result (the vs-uncapped overlap drops exactly
+      // by the junk tail-token candidates the cap exists to kill);
+      // capping below the clique df destroys relevance — the sweep can
+      // see both edges
+      assert(rB == 1.0 && rH == 1.0,
+        f"hot-tail-only cap must keep planted recall: base $rB%.3f hot $rH%.3f")
+      assert(rD < 0.5, f"destructive cap must visibly lose recall: $rD%.3f")
+      assert(oD <= oH, "overlap must degrade monotonically with the cap")
+    }
 
     // 11b. Perceptual-hash banding at 200k images through the REAL
     //      codec: encode → decode → aHash → band-bucket join. Groups
