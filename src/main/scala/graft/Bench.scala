@@ -493,6 +493,8 @@ object Bench {
       "q_boilerplate" -> "r13: segment keys now come from the compiled graft_seghash kernel (plans/SegHashes.scala, one byte-scan pass, bit-identical hashes) - and the bench number did NOT move (0.36s before and after, control-adjusted), which falsifies the r12 hypothesis that the hash map was the cost: the execute is the seg-keyed exchange + distinct/count + SHUFFLE_HASH join chain over 250k segment rows, 1 job, floor-bound. Kernel kept (fewer per-row allocations; the win grows with doc length)",
       "q_textrank" -> "r14: 2 jobs steady, ~0.4-0.6s execute; the 5-unrolled-iteration Catalyst construct (the r10 PlanCost floor) is now memoized per (dir) via EntrySupport.memoPlan - repeat constructs are a map lookup, execution fully re-runs per sample; per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape",
       "q_overlap_matrix" -> "3 jobs: cached distinct (source,h) build + per-source sizes + the h-keyed self-join; r10 keys on xxhash64 (no more shared 31-bit md5 collision coupling); join output bounded by sum over shingles of sources(h)^2",
+      "q_spm_encode" -> "r14: 1 job - one corpus scan + explode + broadcast join against the MEMOIZED pre-segmented vocabulary (LocalRelation; 31 word types on this corpus - the shipped-tokenizer-artifact slice, with an in-plan raise guard on any missing word) + doc-keyed agg; the Viterbi DP itself runs vocab-many times, never per occurrence",
+      "q_spm_fertility" -> "r14: 1 job - same memoized-seg shape as q_spm_encode with the lang-keyed aggregate (<= |langs| rows out); the residual is the tokenize scan floor shared with the bpe fertility twin",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",
       "q_cdc_apply" -> "r10: scenario builds in ONE conditional-aggregation pass over events (was 3 aggregates + 3 semijoin builds); steady 1 job - changelog apply itself is a bounded-frame window fold",
       "q_bigram_lm" -> "r9: reads the materialized lm_collapse fixture (tokenize runs once per corpus version in prepare); remaining jobs = lookup broadcast + fold, floor-bound",

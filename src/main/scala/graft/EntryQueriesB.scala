@@ -503,7 +503,8 @@ private[graft] object EntryQueriesB {
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
             .unionByName(planted)
             .repartition(s.sparkContext.defaultParallelism),
-          model, maxPieceLen = SpmMaxPieceLen)
+          model, maxPieceLen = SpmMaxPieceLen,
+          segRows = Some(spmSegLocal(s, dir)))
         .orderBy(col("doc_id"))
     }),
 
@@ -516,7 +517,8 @@ private[graft] object EntryQueriesB {
           Tables.documents(s, dir)
             .select(col("lang"), col("text"))
             .repartition(s.sparkContext.defaultParallelism),
-          spmModel(s, dir), maxPieceLen = SpmMaxPieceLen)
+          spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
+          segRows = Some(spmSegLocal(s, dir)))
         .orderBy(col("lang"))
     }),
 

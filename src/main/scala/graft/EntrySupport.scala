@@ -796,6 +796,31 @@ private[graft] object EntrySupport {
   private val spmModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
 
+  /** Memoized pre-segmented vocabulary — (word, n_pieces, cost_u6) for
+    * every corpus word type PLUS the planted-doc words, computed ONCE
+    * by the operator's own DP ([[graft.ops.Text.spmSegmentFrame]], so
+    * the arithmetic stays in one place) and replayed as a
+    * LocalRelation by both spm queries. Bounded (Heaps-law vocab; 31
+    * types on this corpus) — the segmented word list is a derived
+    * artifact of the shipped tokenizer, exactly the
+    * [[dsirRatioLocal]]/[[embQueryLocal]] pattern; the in-plan guard
+    * raises loudly on any word the slice misses.
+    */
+  private[graft] def spmSegLocal(s: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    spmSegMemo.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val model = spmModel(s, dir)
+      val words = Tables.documents(s, dir).select(col("text"))
+        .unionByName(spmPlantedDocs(model).map(_._2).toDF("text"))
+        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("word"))
+        .distinct()
+      graft.ops.Text.spmSegmentFrame(words, model, SpmMaxPieceLen)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    })
+  private val spmSegMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]
+
   /** Adversarial planted docs for q_spm_encode — piece-concatenation
     * words (the DP must choose pieces over chars), an out-of-vocab
     * character (`~` never appears in corpus tokens — exercises the

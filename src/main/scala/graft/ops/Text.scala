@@ -955,15 +955,42 @@ object Text {
     * word frame once, broadcast the vocab-sized result back onto the
     * occurrence stream. Docs with no word are dropped (nothing to
     * encode — the bpe convention).
+    *
+    * `segRows` is the optional PRE-SEGMENTED vocabulary slice — (word,
+    * n_pieces, cost_u6), the [[graft.EntrySupport.spmSegLocal]] memo:
+    * the segmented word list is a bounded derived artifact of the
+    * shipped tokenizer (Heaps-law vocab — 31 types on this corpus),
+    * so a memoizing caller replays it as a LocalRelation and the
+    * corpus-scan-for-31-words distinct job disappears (1 job instead
+    * of 2). Validated LOUDLY in-plan: a data word missing from the
+    * slice raises instead of silently dropping its documents (the
+    * left-join + raise guard), so an incomplete slice can never fake
+    * a smaller corpus. SpmSpec pins memo-fed ≡ internal row-for-row.
     */
   private def withSpmCounts(documents: DataFrame, keyCols: Seq[String],
-                            model: Seq[(String, Long)],
-                            maxPieceLen: Int): DataFrame = {
+                            model: Seq[(String, Long)], maxPieceLen: Int,
+                            segRows: Option[Seq[(String, Long, Long)]]): DataFrame = {
     val toks = documents.select(
       keyCols.map(col) :+ explode(Dedup.tokens(col("text"))).as("word"): _*)
-    val seg = spmSegmentFrame(toks.select(col("word")).distinct(),
-      model, maxPieceLen)
-    toks.join(broadcast(seg), Seq("word"))
+    val joined = segRows match {
+      case Some(rows) =>
+        require(rows.map(_._1).distinct.size == rows.size,
+          s"spm segRows must be DISTINCT words, got ${rows.size} rows")
+        val spark = documents.sparkSession
+        import spark.implicits._
+        val seg = spark.createDataset(rows).toDF("word", "wn", "wc_u6")
+        toks.join(broadcast(seg), Seq("word"), "left")
+          .withColumn("wn",
+            when(col("wn").isNull, raise_error(concat(
+              lit("spm segRows slice is missing word '"), col("word"),
+              lit("' — the pre-segmented vocabulary must cover the corpus")))
+              .cast("bigint"))
+              .otherwise(col("wn")))
+      case None =>
+        toks.join(broadcast(spmSegmentFrame(
+          toks.select(col("word")).distinct(), model, maxPieceLen)), Seq("word"))
+    }
+    joined
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_words"),
         sum(col("wn")).as("n_spm"),
@@ -978,9 +1005,10 @@ object Text {
     * dsirWeights rule).
     */
   def spmEncodeDocs(documents: DataFrame, model: Seq[(String, Long)],
-                    maxPieceLen: Int): DataFrame =
+                    maxPieceLen: Int,
+                    segRows: Option[Seq[(String, Long, Long)]] = None): DataFrame =
     withSpmCounts(documents.select(col("doc_id"), col("text")),
-        Seq("doc_id"), model, maxPieceLen)
+        Seq("doc_id"), model, maxPieceLen, segRows)
       .select(col("doc_id"), col("n_words"), col("n_spm"), col("cost_u6"),
         (col("n_spm").cast("double") / col("n_words").cast("double"))
           .as("spm_per_word"))
@@ -991,9 +1019,10 @@ object Text {
     * number a multilingual mixing decision actually reads.
     */
   def spmFertilityByLang(documents: DataFrame, model: Seq[(String, Long)],
-                         maxPieceLen: Int): DataFrame =
+                         maxPieceLen: Int,
+                         segRows: Option[Seq[(String, Long, Long)]] = None): DataFrame =
     withSpmCounts(documents.select(col("lang"), col("text")),
-        Seq("lang"), model, maxPieceLen)
+        Seq("lang"), model, maxPieceLen, segRows)
       .select(col("lang"),
         col("n_words"), col("n_spm"),
         (col("n_spm").cast("double") / col("n_words").cast("double"))

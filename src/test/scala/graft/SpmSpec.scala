@@ -121,6 +121,25 @@ class SpmSpec extends AnyFunSuite {
       s"spm($en)=${spm(en)} much worse than bpe($en)=${bpe(en)}")
   }
 
+  test("memo-fed seg slice ≡ internal DP; a missing word raises loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val model = EntrySupport.spmModel(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val a = Text.spmEncodeDocs(docs, model, 4)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Text.spmEncodeDocs(docs, model, 4,
+        segRows = Some(EntrySupport.spmSegLocal(spark, dir)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    // incomplete slice → loud raise, never a silently smaller corpus
+    val err = intercept[Exception] {
+      Text.spmEncodeDocs(docs, model, 4,
+        segRows = Some(Seq(("nosuchword", 1L, 100L)))).collect()
+    }
+    assert(err.getMessage.contains("missing word") ||
+      Option(err.getCause).exists(_.getMessage.contains("missing word")))
+  }
+
   test("empty input and wordless docs survive") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val model = Seq("a" -> 100L)
