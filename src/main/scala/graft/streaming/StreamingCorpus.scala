@@ -146,6 +146,74 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming twin of `q_html_extract` — the crawl front door run
+    * continuously: pages arrive as parquet files (doc_id, html), the
+    * WHOLE extraction ([[graft.ops.Corpus.htmlExtract]] — script/style
+    * strip, tag strip, entity decode, link-density gate, quarantine)
+    * is a pure projection and therefore applies DIRECTLY to the
+    * streaming frame; each micro-batch routes surviving rows (WITH the
+    * full extracted text, the downstream-gate handoff) to the good
+    * sink and quarantined doc_ids to the quarantine sink — the
+    * dirtyXmlIntake routing contract. Zero shuffles, zero streaming
+    * state beyond the file-source log; per-byte cost identical at
+    * 100 TB. HtmlExtractSpec pins streamed output ≡ batch row-for-row.
+    */
+  def htmlExtractStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      goodSink: String,
+      quarantineSink: String,
+      linkDensityPct: Int = 30): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    Corpus.htmlExtract(src, linkDensityPct, keepText = true)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.filter(col("status") =!= "quarantined")
+          .write.mode("append").parquet(goodSink)
+        b.filter(col("status") === "quarantined")
+          .select(col("doc_id"))
+          .write.mode("append").parquet(quarantineSink)
+        b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming twin of `q_spm_encode` — continuous tokenizer-encode
+    * under a FROZEN trained model (the deployment shape: train once,
+    * encode the stream): each micro-batch runs the batch operator
+    * verbatim ([[graft.ops.Text.spmEncodeDocs]] — per-batch distinct
+    * words, vocab-bounded DP, broadcast join, doc-keyed aggregate)
+    * inside foreachBatch, because a document's encode depends only on
+    * its own text + the static model — zero cross-batch state, and the
+    * per-batch aggregate is complete since files carry whole docs.
+    * SpmSpec pins streamed ≡ batch row-for-row.
+    */
+  def spmEncodeStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      sinkDir: String,
+      model: Seq[(String, Long)],
+      maxPieceLen: Int): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Text.spmEncodeDocs(batch, model, maxPieceLen)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class HashedDoc(doc_id: Long, ts_us: Long, h: String, in_corpus: Boolean,
                              __event_time: java.sql.Timestamp)
   final case class DocVerdict(doc_id: Long, ts_us: Long,

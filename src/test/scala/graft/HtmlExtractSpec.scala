@@ -94,6 +94,41 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(gated.map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("streaming twin routes and extracts exactly like the batch operator") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-html-stream").toString
+    val pages = Seq(
+      (1L, "<body><p>R&amp;D one " + ("w " * 60).trim + "</p></body>"),
+      (2L, "<body><script>broken = [<p>gone</p></body>"),
+      (3L, "<body>" + (0 until 30).map(i =>
+        s"""<a href="/$i">a$i</a>""").mkString(" ") + "<p>tiny</p></body>"))
+    pages.toDF("doc_id", "html").write.parquet(s"$base/src")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("html", StringType)))
+    graft.streaming.StreamingCorpus.htmlExtractStream(
+      spark, s"$base/src", schema, s"$base/ckpt",
+      s"$base/good", s"$base/quarantine").awaitTermination()
+    val good = spark.read.parquet(s"$base/good").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("text"))).toMap
+    assert(good.keySet === Set(1L, 3L))
+    assert(good(1L)._1 === "ok" && good(1L)._2.startsWith("R&D one"))
+    assert(good(3L)._1 === "chrome")
+    assert(spark.read.parquet(s"$base/quarantine")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // streamed rows ≡ the batch operator's on the same pages
+    val batch = Corpus.htmlExtract(pages.toDF("doc_id", "html"),
+        keepText = true)
+      .filter(col("status") =!= "quarantined")
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = spark.read.parquet(s"$base/good")
+      .select("doc_id", "status", "n_links", "link_chars", "n_chars",
+        "link_density", "n_toks", "head_50", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("empty input survives (first-run-of-the-day contract)") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "html")
     assert(Corpus.htmlExtract(empty).count() === 0)

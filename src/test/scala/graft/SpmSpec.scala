@@ -140,6 +140,27 @@ class SpmSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("missing word")))
   }
 
+  test("streaming encode twin ≡ batch under the frozen model") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val model = EntrySupport.spmModel(spark, dir)
+    val base = Files.createTempDirectory("graft-spm-stream").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(50)
+    docs.write.parquet(s"$base/src")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.streaming.StreamingCorpus.spmEncodeStream(
+      spark, s"$base/src", schema, s"$base/ckpt", s"$base/sink",
+      model, maxPieceLen = 4).awaitTermination()
+    val streamed = spark.read.parquet(s"$base/sink")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Text.spmEncodeDocs(spark.read.parquet(s"$base/src"), model, 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("empty input and wordless docs survive") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val model = Seq("a" -> 100L)
