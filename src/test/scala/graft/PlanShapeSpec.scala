@@ -53,6 +53,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range join fell back to nested loop:\n$p")
   }
 
+  test("htmlExtract stays shuffle-free (pure map-side — the 100TB scan→project contract)") {
+    val pages = docs.select($"doc_id",
+      concat(lit("<body><p>"), $"text", lit("</p></body>")).as("html"))
+    val p = plan(Corpus.htmlExtract(pages))
+    assert(!p.contains("Exchange"), s"the crawl front door must not shuffle:\n$p")
+  }
+
+  test("spmEncodeDocs: memo-fed seg joins back BROADCAST; the token stream never sort-merges") {
+    val model = Seq("tok" -> 500L, "end" -> 700L, "t" -> 900L, "o" -> 900L,
+      "k" -> 900L, "e" -> 900L, "n" -> 900L, "d" -> 900L, "0" -> 950L,
+      "1" -> 950L, "2" -> 950L, "3" -> 950L, "4" -> 950L, "5" -> 950L,
+      "6" -> 950L, "7" -> 950L, "8" -> 950L, "9" -> 950L)
+    val segged = (0 until 7).map(i => s"tok$i") ++
+      (0 until 11).map(i => s"tok${(i * 3) % 11}") ++
+      (0 until 13).map(i => s"tok${(i * 7) % 13}") :+ "end"
+    val rows = segged.distinct.sorted.map { w =>
+      val ps = graft.ops.Text.spmViterbiLocal(w, model.toMap, 4)
+      (w, ps.size.toLong,
+        ps.map(p => model.toMap.getOrElse(p, graft.ops.Text.SpmUnkCostU6)).sum)
+    }
+    val p = plan(graft.ops.Text.spmEncodeDocs(docs, model, 4, Some(rows)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"vocab slice must broadcast:\n$p")
+  }
+
+  test("thetaSetOpsRaw: pair frame broadcasts; no key-universe self-join") {
+    val gk = docs.select(($"doc_id" % 3).cast("string").as("g"),
+      $"text".as("k"))
+    val p = plan(graft.ops.Sketches.thetaSetOpsRaw(gk, "g", "k", k = 8))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"raw theta must never sort-merge:\n$p")
+  }
+
   test("piiMask and gopherSignals stay shuffle-free (pure map-side)") {
     val masked = docs.select(Corpus.piiMask($"text"))
     assert(!plan(masked).contains("Exchange"), plan(masked))
