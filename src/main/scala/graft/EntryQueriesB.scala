@@ -522,6 +522,23 @@ private[graft] object EntryQueriesB {
         .orderBy(col("lang"))
     }),
 
+    "q_spm_sample" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // subword REGULARIZATION (Kudo 2018): sampled segmentation under
+      // the same trained model — deterministic integer md5-noise
+      // ε-perturbs each candidate's cost (tau = 0.3 nat, epoch 1 is
+      // the seed), the DP argmins the perturbed cost, and the TRUE
+      // model cost of the sampled path is reported (≥ Viterbi's by
+      // optimality — the SpmSpec law). The oracle re-runs the whole
+      // perturbed DP with the same inlined noise formula.
+      Text.spmSampleEncodeDocs(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
+          tauU6 = SpmSampleTauU6, epoch = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_chunk_docs" -> ((s0, dir) => {
       val s = ensure(s0)
       Corpus.chunkDocs(

@@ -770,6 +770,12 @@ private[graft] object EntrySupport {
   private[graft] val SpmVocabSize = 300
   private[graft] val SpmMaxPieceLen = 4
   private[graft] val SpmEmIters = 3
+  /** Sampling temperature for q_spm_sample in integer micro-nats
+    * (0.3 nat — wide enough to flip close segmentation calls, far
+    * below the UNK penalty). Shared by the query and its dynamic
+    * oracle.
+    */
+  private[graft] val SpmSampleTauU6 = 300000L
   private[graft] def spmTrain(s: SparkSession, dir: String): Seq[(String, Long)] =
     graft.ops.Text.spmTrainLocal(
       Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
@@ -913,7 +919,8 @@ private[graft] object EntrySupport {
   private[graft] val modelStoreReaders: Set[String] = Set(
     "q_quality_classifier", "q_sim_ann_kmeans", "q_sim_ann_pq",
     "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
-    "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility")
+    "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility",
+    "q_spm_sample")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw

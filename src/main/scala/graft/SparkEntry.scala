@@ -174,6 +174,13 @@ object SparkEntry {
       "q_spm_fertility" -> {
         val model = spmTrain(s, sfDir)
         ops.Text.spmFertilityOracleSql(model, SpmMaxPieceLen)
+      },
+      "q_spm_sample" -> {
+        // same independent re-train; the oracle re-runs the PERTURBED
+        // DP with the identical inlined integer-noise formula
+        val model = spmTrain(s, sfDir)
+        ops.Text.spmSampleOracleSql(model, SpmMaxPieceLen,
+          SpmSampleTauU6, epoch = 1)
       })
   }
 }

@@ -1028,6 +1028,140 @@ object Text {
         (col("n_spm").cast("double") / col("n_words").cast("double"))
           .as("fertility"))
 
+  /** SAMPLED segmentation — subword REGULARIZATION (Kudo 2018 §3: at
+    * train time a word's segmentation is sampled, not argmaxed, so
+    * the model sees subword variety) with a fully DETERMINISTIC,
+    * oracle-checkable sampling story: each candidate piece's cost is
+    * perturbed by an INTEGER pseudo-noise in [0, tauU6) derived from
+    * md5(word, end-position, piece-length, epoch) — the md5 bridge
+    * both engines share — and the DP then argmins the perturbed cost
+    * exactly like Viterbi. ε-perturbed argmin IS sampling (a
+    * Gumbel-trick shape with a bounded-uniform integer in place of
+    * the float Gumbel, which would cost cross-engine ulp parity);
+    * `epoch` is the seed — per-epoch bit-reproducible, across epochs
+    * diverse. tauU6 = 0 (or 1) degenerates to exact Viterbi
+    * (SpmSpec law), and the TRUE model cost of the sampled path —
+    * what the output reports — is ≥ the Viterbi cost by optimality
+    * (the second law). Same distinct-word + broadcast-back economics
+    * as [[spmEncodeDocs]].
+    */
+  def spmSampleEncodeDocs(documents: DataFrame, model: Seq[(String, Long)],
+                          maxPieceLen: Int, tauU6: Long,
+                          epoch: Int): DataFrame = {
+    require(tauU6 >= 0, s"tauU6 must be >= 0, got $tauU6")
+    val toks = documents.select(
+      col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
+    val seg = spmSampleSegmentFrame(toks.select(col("word")).distinct(),
+      model, maxPieceLen, tauU6, epoch)
+    toks.join(broadcast(seg), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wn")).as("n_spm"),
+        sum(col("wc_u6")).as("cost_u6"))
+      .select(col("doc_id"), col("n_words"), col("n_spm"), col("cost_u6"),
+        (col("n_spm").cast("double") / col("n_words").cast("double"))
+          .as("spm_per_word"))
+  }
+
+  /** The ε-perturbed DP of [[spmSampleEncodeDocs]]: candidate tuples
+    * are (perturbed cost, TRUE cost, count, −len) — argmin on the
+    * perturbed cost, report the true cost — and the noise is the
+    * shared h32 bridge mod tauU6, so both engines add identical
+    * integers. tauU6 ≤ 1 short-circuits to zero noise ≡ Viterbi.
+    */
+  private[graft] def spmSampleSegmentFrame(words: DataFrame,
+      model: Seq[(String, Long)], maxPieceLen: Int,
+      tauU6: Long, epoch: Int): DataFrame = {
+    val m = typedlit(model.toMap)
+    val w = col("word")
+    def noise(i: Column, l: Column): Column =
+      if (tauU6 <= 1L) lit(0L)
+      else conv(substring(md5(concat_ws("|", w, i.cast("string"),
+          l.cast("string"), lit(epoch.toString)).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % tauU6
+    val dp = aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(0L).as("cp"), lit(0L).as("c"), lit(0L).as("n"))),
+      (acc, i) => concat(acc, transform(
+        array(array_min(filter(
+          transform(sequence(lit(1), least(i, lit(maxPieceLen))), l => {
+            val pieceCost =
+              coalesce(try_element_at(m, w.substr(i - l + 1, l)),
+                when(l === 1, lit(SpmUnkCostU6)))
+            struct(
+              (try_element_at(acc, i - l + 1).getField("cp") + pieceCost +
+                noise(i, l)).as("cp"),
+              (try_element_at(acc, i - l + 1).getField("c") + pieceCost).as("c"),
+              (try_element_at(acc, i - l + 1).getField("n") + 1L).as("n"),
+              (-l).as("negl"))
+          }),
+          x => x.getField("cp").isNotNull))),
+        b => struct(b.getField("cp").as("cp"), b.getField("c").as("c"),
+          b.getField("n").as("n")))),
+      acc => try_element_at(acc, lit(-1)))
+    words.select(w,
+      dp.getField("n").as("wn"), dp.getField("c").as("wc_u6"))
+  }
+
+  /** DuckDB oracle for [[spmSampleEncodeDocs]] — the recursive-CTE DP
+    * with the SAME integer noise formula inlined, so DuckDB re-runs
+    * the whole sampled segmentation from raw text.
+    */
+  def spmSampleOracleSql(model: Seq[(String, Long)], maxPieceLen: Int,
+                         tauU6: Long, epoch: Int): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val keys = model.map(p => s"'${esc(p._1)}'").mkString(", ")
+    val vals = model.map(_._2).mkString(", ")
+    val mapSql = s"MAP([$keys], CAST([$vals] AS BIGINT[]))"
+    val noiseSql = if (tauU6 <= 1L) "0"
+    else s"""(('0x' || substr(md5(word || '|' || CAST(i + 1 AS VARCHAR) ||
+         '|' || CAST(l AS VARCHAR) || '|' || '$epoch'), 1, 8))::BIGINT % $tauU6)"""
+    s"""WITH RECURSIVE src AS (SELECT doc_id, text FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |                                    x -> x != '')) AS word
+       |  FROM src),
+       |w AS (SELECT DISTINCT word FROM toks),
+       |step AS (
+       |  SELECT word, 0 AS i,
+       |         [CAST(0 AS BIGINT)] AS dpp, [CAST(0 AS BIGINT)] AS dpc,
+       |         [CAST(0 AS BIGINT)] AS dpn
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word, i + 1,
+       |         list_append(dpp, best.cp), list_append(dpc, best.c),
+       |         list_append(dpn, best.n)
+       |  FROM (
+       |    SELECT word, i, dpp, dpc, dpn,
+       |      list_sort(list_filter(
+       |        list_transform(generate_series(1, least(i + 1, $maxPieceLen)),
+       |          l -> struct_pack(
+       |            cp := dpp[i + 1 - l + 1] + coalesce(
+       |                   map_extract($mapSql,
+       |                               substr(word, i + 1 - l + 1, l))[1],
+       |                   CASE WHEN l = 1 THEN $SpmUnkCostU6 END)
+       |                 + $noiseSql,
+       |            c := dpc[i + 1 - l + 1] + coalesce(
+       |                   map_extract($mapSql,
+       |                               substr(word, i + 1 - l + 1, l))[1],
+       |                   CASE WHEN l = 1 THEN $SpmUnkCostU6 END),
+       |            n := dpn[i + 1 - l + 1] + 1,
+       |            negl := -l)),
+       |        x -> x.cp IS NOT NULL))[1] AS best
+       |    FROM step WHERE i < len(word)) t),
+       |seg AS (
+       |  SELECT word, dpn[-1] AS wn, dpc[-1] AS wc_u6
+       |  FROM step WHERE i = len(word))
+       |SELECT t.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.wn) AS BIGINT) AS n_spm,
+       |       CAST(sum(s.wc_u6) AS BIGINT) AS cost_u6,
+       |       CAST(sum(s.wn) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS spm_per_word
+       |FROM toks t JOIN seg s USING (word)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** The generated-DuckDB mirror of the SPM Viterbi DP — a recursive
     * CTE over the distinct-word frame carrying the dp cost/count LISTS
     * as state, one row per (word, position), candidates built with the

@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
       Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
         "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier",
         "q_sim_hnsw_routed", "q_bpe_encode", "q_bpe_fertility",
-        "q_spm_encode", "q_spm_fertility"))
+        "q_spm_encode", "q_spm_fertility", "q_spm_sample"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -45,8 +45,8 @@ class ContractSpec extends AnyFunSuite {
     // + q_bpe_fertility + q_ppl_band = 221
     // round 14: + q_sketch_theta_raw + q_html_extract + q_spm_encode
     // + q_spm_fertility + q_dedup_substr_spans50 + q_dedup_substr_trim50
-    // = 227
-    assert(SparkEntry.queries.size === 227)
+    // + q_spm_sample = 228
+    assert(SparkEntry.queries.size === 228)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

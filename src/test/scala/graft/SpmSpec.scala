@@ -140,6 +140,41 @@ class SpmSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("missing word")))
   }
 
+  test("sampled segmentation laws: tau=0 ≡ Viterbi; per-epoch " +
+      "deterministic; true cost ≥ Viterbi cost; epochs diversify") {
+    val dir = "/root/testdata/sf0.001"
+    val model = EntrySupport.spmModel(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // tau = 0: the perturbed DP IS Viterbi
+    assert(rows(Text.spmSampleEncodeDocs(docs, model, 4, tauU6 = 0, epoch = 1))
+      === rows(Text.spmEncodeDocs(docs, model, 4)))
+    // per-epoch bit-reproducibility (the seeded-RNG story)
+    val e1 = rows(Text.spmSampleEncodeDocs(docs, model, 4, 300000L, epoch = 1))
+    assert(e1 === rows(Text.spmSampleEncodeDocs(docs, model, 4, 300000L, epoch = 1)))
+    // optimality bound: the sampled path's TRUE cost can never beat
+    // Viterbi's, per doc (argmin over perturbed ≥ argmin over true)
+    val vit = Text.spmEncodeDocs(docs, model, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Text.spmSampleEncodeDocs(docs, model, 4, 300000L, epoch = 1)
+      .collect().foreach { r =>
+        assert(r.getLong(3) >= vit(r.getLong(0)),
+          s"doc ${r.getLong(0)} sampled below the Viterbi cost")
+      }
+    // diversity: on words with near-tied segmentations, different
+    // epochs pick different paths (what regularization exists for)
+    val close = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
+    val closeModel = Seq("a" -> 100L, "b" -> 110L, "ab" -> 205L,
+      "ba" -> 207L, "abab" -> 420L)
+    val picks = (1 to 8).map { ep =>
+      Text.spmSampleEncodeDocs(close, closeModel, 4, 300000L, epoch = ep)
+        .collect().head.getLong(2) // n_spm
+    }.toSet
+    assert(picks.size > 1,
+      s"8 epochs over near-tied segmentations never diversified: $picks")
+  }
+
   test("streaming encode twin ≡ batch under the frozen model") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
