@@ -1525,7 +1525,52 @@ private[graft] object EntryOraclesC {
         |            ELSE CAST(len(string_split(txt, ' ')) AS BIGINT)
         |       END AS n_toks,
         |       CASE WHEN bad THEN NULL ELSE substr(txt, 1, 50) END AS head_50
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // HEAD-metadata gate: same constructed pages, regexp extraction of
+    // title / canonical / robots restated, canonical-group sizes via
+    // one aggregate — exact integer arithmetic only
+    "q_html_meta" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title>' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN '<meta name="robots" content="noindex, nofollow">'
+        |         WHEN doc_id % 5 = 1
+        |           THEN '<meta name="robots" content="index, follow">'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '<link rel="canonical" href="https://example.com/c/'
+        |                || CAST(doc_id // 9 AS VARCHAR) || '">'
+        |         ELSE '' END ||
+        |    '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |         nullif(regexp_extract(html, '(?s)<title>(.*?)</title>', 1),
+        |                '') AS title,
+        |         nullif(regexp_extract(html,
+        |                  '<link rel="canonical" href="([^"]*)"', 1),
+        |                '') AS canonical,
+        |         regexp_extract(html,
+        |                  '<meta name="robots" content="([^"]*)"', 1) AS robots
+        |  FROM page),
+        |f AS (
+        |  SELECT doc_id, title, canonical,
+        |         CAST(CASE WHEN robots LIKE '%noindex%' THEN 1 ELSE 0 END
+        |              AS BIGINT) AS noindex,
+        |         CAST(CASE WHEN robots LIKE '%nofollow%' THEN 1 ELSE 0 END
+        |              AS BIGINT) AS nofollow
+        |  FROM x),
+        |g AS (
+        |  SELECT canonical, CAST(count(*) AS BIGINT) AS n_same_canonical
+        |  FROM f WHERE canonical IS NOT NULL GROUP BY 1)
+        |SELECT f.doc_id, f.title, f.canonical, f.noindex, f.nofollow,
+        |       CASE WHEN f.noindex = 1 THEN 'drop' ELSE 'index' END AS verdict,
+        |       coalesce(g.n_same_canonical, 1) AS n_same_canonical
+        |FROM f LEFT JOIN g USING (canonical)
+        |ORDER BY f.doc_id""".stripMargin
   )
 
   /** Shared DSIR CTE chain: tokenize → uni+bigram stream → md5 bucket

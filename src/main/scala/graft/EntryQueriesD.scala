@@ -1105,6 +1105,33 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    "q_html_meta" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // HEAD-metadata gate (Corpus.htmlMeta scaladoc): constructed
+      // pages plant a robots directive on doc_id % 5 ∈ {0 (noindex,
+      // nofollow), 1 (index, follow)}, a canonical link collapsing
+      // every doc_id % 3 == 0 page onto its doc_id/9 target (group
+      // sizes the dedup would act on), and a title on all pages; the
+      // oracle mirrors the construction
+      val page = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .when(col("doc_id") % 5 === 1,
+              lit("<meta name=\"robots\" content=\"index, follow\">"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
+              expr("doc_id div 9").cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+      Corpus.htmlMeta(page).orderBy(col("doc_id"))
+    }),
+
     "q_dsir_select" -> ((s0, dir) => {
       val s = ensure(s0)
       // the importance-RESAMPLING step: keep the 100 highest-weight

@@ -684,6 +684,46 @@ object Corpus {
          else Nil): _*)
   }
 
+  /** HTML HEAD metadata extraction — the crawl-INDEX gate next to
+    * [[htmlExtract]]'s content gate: `<title>`, the `rel="canonical"`
+    * link (the publisher's own dedup hint — crawl pipelines collapse
+    * variants onto it BEFORE any content hash), and the robots
+    * meta directives (`noindex` pages must not enter the corpus at
+    * all; `nofollow` kills link expansion). Emits per page the
+    * extracted fields, 0/1 directive flags, the index/drop verdict,
+    * and `n_same_canonical` — how many pages in the batch share this
+    * page's canonical target (the collapse size
+    * [[graft.ops.Text.canonicalUrlDedup]] would act on; pages without
+    * a canonical count as their own singleton group).
+    *
+    * Shape: map-side regexp extraction + ONE canonical-keyed count
+    * aggregate (distinct-canonical-sized — far smaller than pages)
+    * joined back broadcast. Exact integer/flag arithmetic only — no
+    * float parity surface.
+    */
+  def htmlMeta(pages: DataFrame): DataFrame = {
+    val title = regexp_extract(col("html"), "(?s)<title>(.*?)</title>", 1)
+    val canonical = regexp_extract(col("html"),
+      "<link rel=\"canonical\" href=\"([^\"]*)\"", 1)
+    val robots = regexp_extract(col("html"),
+      "<meta name=\"robots\" content=\"([^\"]*)\"", 1)
+    val base = pages.select(
+      col("doc_id"),
+      when(title =!= "", title).as("title"),
+      when(canonical =!= "", canonical).as("canonical"),
+      when(robots.contains("noindex"), 1L).otherwise(0L).as("noindex"),
+      when(robots.contains("nofollow"), 1L).otherwise(0L).as("nofollow"))
+    val groups = base.filter(col("canonical").isNotNull)
+      .groupBy(col("canonical")).agg(count(lit(1)).as("n_same_canonical"))
+    base.join(broadcast(groups), Seq("canonical"), "left")
+      .select(
+        col("doc_id"), col("title"), col("canonical"),
+        col("noindex"), col("nofollow"),
+        when(col("noindex") === 1L, lit("drop")).otherwise(lit("index"))
+          .as("verdict"),
+        coalesce(col("n_same_canonical"), lit(1L)).as("n_same_canonical"))
+  }
+
   /** The composed corpus build — the whole point of the toolbox in
     * one lazy plan: exact dedup (first doc_id per identical text) →
     * Gopher quality gate → deterministic per-domain sampling →

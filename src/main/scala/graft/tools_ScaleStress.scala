@@ -695,6 +695,44 @@ object ScaleStress {
         expr.size == ref.size, "BPE encode drifted at scale")
       CacheScope.flush()
     }
+    // 14b. Round-14 unigram-LM tokenizer at nDocs scale: training is
+    //      HISTOGRAM-bounded (the Heaps lever — the trainer touches
+    //      word TYPES, not occurrences), the Viterbi DP runs once per
+    //      distinct word (vocab-many times however Zipf-heavy the
+    //      corpus), the encode is one broadcast join + doc aggregate.
+    //      Slice parity pins the expression DP ≡ the reference
+    //      segmenter at scale; the λ-consistency check pins every
+    //      encoded doc at fertility ≥ 1 with exact word accounting.
+    timed("spmTrainEncode") {
+      val trainSlice =
+        if (nDupDocs > 0) corpus.filter(col("doc_id") < nDupDocs)
+        else corpus.filter(col("doc_id") % 97 === 0)
+      val model = ops.Text.spmTrainLocal(trainSlice, vocabSize = 300,
+        maxPieceLen = 4, emIters = 2, minWordCount = 4L)
+      println(s"[scale]   pieces=${model.size} " +
+        s"multis=${model.count(_._1.length > 1)}")
+      val enc = ops.Text.spmEncodeDocs(corpus, model, maxPieceLen = 4)
+      val agg = enc.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_spm") < col("n_words"), 1L).otherwise(0L)).as("under"),
+        sum(col("n_words")).as("w")).collect().head
+      val mm = model.toMap
+      val slice = corpus.filter(col("doc_id") % 2001 === 0)
+      val sliceWords = slice
+        .select(explode(ops.Dedup.tokens(col("text"))).as("word")).distinct()
+      val fromExpr = ops.Text.spmSegmentFrame(sliceWords, model, 4)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val mism = fromExpr.count { case (w, (wn, wc)) =>
+        val ref = ops.Text.spmViterbiLocal(w, mm, 4)
+        wn != ref.size.toLong ||
+          wc != ref.map(p => mm.getOrElse(p, ops.Text.SpmUnkCostU6)).sum
+      }
+      println(s"[scale]   encoded=${agg.getLong(0)} words=${agg.getLong(2)} " +
+        s"sliceChecked=${fromExpr.size} mismatches=$mism")
+      assert(agg.getLong(0) == nDocs && agg.getLong(1) == 0L && mism == 0,
+        "SPM encode drifted at scale")
+      CacheScope.flush()
+    }
     // 15. Mergeable sketches (round 11) at nDocs scale — fixed-state
     //     invariants: HLL registers stay 64/group whatever the
     //     cardinality (exact count EXACT, estimate within 3 sigma of

@@ -129,6 +129,49 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("htmlMeta: directives gate, canonical groups count, absences are NULL") {
+    val pages = Seq(
+      (1L, "<head><title>t1</title>" +
+        "<meta name=\"robots\" content=\"noindex, nofollow\">" +
+        "<link rel=\"canonical\" href=\"https://ex.com/c/1\"></head>"),
+      (2L, "<head><title>t2</title>" +
+        "<link rel=\"canonical\" href=\"https://ex.com/c/1\"></head>"),
+      (3L, "<head><meta name=\"robots\" content=\"index, follow\"></head>"),
+      (4L, "<head></head>")).toDF("doc_id", "html")
+    val out = Corpus.htmlMeta(pages).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("verdict") === "drop")
+    assert(out(1L).getAs[Long]("nofollow") === 1L)
+    assert(out(2L).getAs[String]("verdict") === "index")
+    // docs 1 and 2 share a canonical target — the collapse size
+    assert(out(1L).getAs[Long]("n_same_canonical") === 2L)
+    assert(out(2L).getAs[Long]("n_same_canonical") === 2L)
+    // no canonical → singleton group, NULL fields surface as NULL
+    assert(out(3L).getAs[Long]("n_same_canonical") === 1L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("canonical")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("title")))
+    assert(out(4L).getAs[Long]("noindex") === 0L)
+    assert(out(4L).getAs[String]("verdict") === "index")
+  }
+
+  test("htmlMeta composes with canonicalUrlDedup: publisher hints collapse variants") {
+    val pages = Seq(
+      (10L, "<head><link rel=\"canonical\" href=\"https://Ex.com/a?utm=1\"></head>"),
+      (11L, "<head><link rel=\"canonical\" href=\"https://ex.com/a/\"></head>"),
+      (12L, "<head><link rel=\"canonical\" href=\"https://ex.com/b\"></head>"))
+      .toDF("doc_id", "html")
+    val urls = Corpus.htmlMeta(pages)
+      .filter(col("canonical").isNotNull)
+      .select(col("doc_id"), col("canonical").as("url"))
+    // the URL canonicalizer then collapses host-case/query/slash
+    // variants of the publisher hints themselves
+    val dedup = graft.ops.Text.canonicalUrlDedup(urls)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("keep_id")).toMap
+    assert(dedup(10L) === dedup(11L), "variant canonical hints must collapse")
+    assert(dedup(12L) !== dedup(10L))
+  }
+
   test("empty input survives (first-run-of-the-day contract)") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "html")
     assert(Corpus.htmlExtract(empty).count() === 0)
