@@ -924,7 +924,14 @@ object Text {
     * per occurrence: word TYPES are Heaps-bounded, so the DP runs
     * vocab-many times however Zipf-heavy the corpus, and occurrences
     * pick their result up by broadcast join ([[spmEncodeDocs]]) — the
-    * same economics as [[oovRate]]'s df table.
+    * same economics as [[oovRate]]'s df table. BOUNDARY (measured in
+    * ScaleStress): an ADVERSARIAL open vocabulary — ids/hashes
+    * embedded in tokens, so word types grow with the corpus — makes
+    * the per-type DP the dominant cost (6.3M types at 200k synthetic
+    * docs ran ~11 min); real text saturates by Heaps' law, and for
+    * id-laden feeds pre-normalize (digit-fold / hash-bucket rare
+    * words — the minWordCount training lever's encode counterpart)
+    * before encoding.
     */
   private[graft] def spmSegmentFrame(words: DataFrame,
                                      model: Seq[(String, Long)],

