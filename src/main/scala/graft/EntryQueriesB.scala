@@ -535,7 +535,8 @@ private[graft] object EntryQueriesB {
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
             .repartition(s.sparkContext.defaultParallelism),
           spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
-          tauU6 = SpmSampleTauU6, epoch = 1)
+          tauU6 = SpmSampleTauU6, epoch = 1,
+          segRows = Some(spmSampleSegLocal(s, dir, SpmSampleTauU6, 1)))
         .orderBy(col("doc_id"))
     }),
 

@@ -827,6 +827,25 @@ private[graft] object EntrySupport {
   private val spmSegMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]
 
+  /** [[spmSegLocal]]'s SAMPLED twin — the per-(tau, epoch) perturbed
+    * segmentation of the corpus vocabulary (q_spm_sample's model
+    * slice; no planted docs in that query). Same bounded-artifact and
+    * loud-guard reasoning.
+    */
+  private[graft] def spmSampleSegLocal(s: SparkSession, dir: String,
+      tauU6: Long, epoch: Int): Seq[(String, Long, Long)] =
+    spmSampleSegMemo.computeIfAbsent((dir, tauU6, epoch), { _ =>
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("word"))
+        .distinct()
+      graft.ops.Text.spmSampleSegmentFrame(words, spmModel(s, dir),
+          SpmMaxPieceLen, tauU6, epoch)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    })
+  private val spmSampleSegMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Int), Seq[(String, Long, Long)]]
+
   /** Adversarial planted docs for q_spm_encode — piece-concatenation
     * words (the DP must choose pieces over chars), an out-of-vocab
     * character (`~` never appears in corpus tokens — exercises the

@@ -1053,14 +1053,33 @@ object Text {
     * as [[spmEncodeDocs]].
     */
   def spmSampleEncodeDocs(documents: DataFrame, model: Seq[(String, Long)],
-                          maxPieceLen: Int, tauU6: Long,
-                          epoch: Int): DataFrame = {
+                          maxPieceLen: Int, tauU6: Long, epoch: Int,
+                          segRows: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
     require(tauU6 >= 0, s"tauU6 must be >= 0, got $tauU6")
     val toks = documents.select(
       col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
-    val seg = spmSampleSegmentFrame(toks.select(col("word")).distinct(),
-      model, maxPieceLen, tauU6, epoch)
-    toks.join(broadcast(seg), Seq("word"))
+    // memo-fed pre-sampled vocabulary slice (per epoch — the
+    // [[spmEncodeDocs]] segRows contract, same loud missing-word guard)
+    val joined = segRows match {
+      case Some(rows) =>
+        require(rows.map(_._1).distinct.size == rows.size,
+          s"spm sample segRows must be DISTINCT words, got ${rows.size} rows")
+        val spark = documents.sparkSession
+        import spark.implicits._
+        val seg = spark.createDataset(rows).toDF("word", "wn", "wc_u6")
+        toks.join(broadcast(seg), Seq("word"), "left")
+          .withColumn("wn",
+            when(col("wn").isNull, raise_error(concat(
+              lit("spm sample segRows slice is missing word '"), col("word"),
+              lit("' — the pre-sampled vocabulary must cover the corpus")))
+              .cast("bigint"))
+              .otherwise(col("wn")))
+      case None =>
+        toks.join(broadcast(spmSampleSegmentFrame(
+          toks.select(col("word")).distinct(),
+          model, maxPieceLen, tauU6, epoch)), Seq("word"))
+    }
+    joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("wn")).as("n_spm"),

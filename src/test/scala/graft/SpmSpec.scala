@@ -162,6 +162,10 @@ class SpmSpec extends AnyFunSuite {
         assert(r.getLong(3) >= vit(r.getLong(0)),
           s"doc ${r.getLong(0)} sampled below the Viterbi cost")
       }
+    // memo-fed pre-sampled slice ≡ internal (the segRows contract)
+    assert(e1 === rows(Text.spmSampleEncodeDocs(docs, model, 4, 300000L,
+      epoch = 1,
+      segRows = Some(EntrySupport.spmSampleSegLocal(spark, dir, 300000L, 1)))))
     // diversity: on words with near-tied segmentations, different
     // epochs pick different paths (what regularization exists for)
     val close = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
