@@ -1527,6 +1527,89 @@ private[graft] object EntryOraclesC {
         |       CASE WHEN bad THEN NULL ELSE substr(txt, 1, 50) END AS head_50
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // the composed crawl front door: one superset page construction,
+    // the extraction chain (script/style strip, tag strip, density
+    // gate, quarantine) + the metadata chain (robots, canonical) +
+    // the canonical-keeper window over gate-survivors
+    "q_crawl_pipeline" ->
+      s"""WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title>' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN '<meta name="robots" content="noindex, nofollow">'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '<link rel="canonical" href="https://example.com/c/'
+        |                || CAST(doc_id // 9 AS VARCHAR) || '">'
+        |         ELSE '' END ||
+        |    '<style>p { margin: 0; }</style></head><body>' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN '<script>var broken = trackers['
+        |         ELSE '<script>track();</script>' END ||
+        |    CASE WHEN doc_id % 7 = 3 THEN '${EntrySupport.htmlLinkFarm}'
+        |         ELSE '' END ||
+        |    '<p>R&amp;D says x &lt; y</p><p>' || text || '</p></body></html>'
+        |      AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, html,
+        |         len(regexp_extract_all(html, '<script')) <>
+        |         len(regexp_extract_all(html, '</script>')) AS bad,
+        |         nullif(regexp_extract(html,
+        |                  '<link rel="canonical" href="([^"]*)"', 1),
+        |                '') AS canonical,
+        |         CASE WHEN regexp_extract(html,
+        |                '<meta name="robots" content="([^"]*)"', 1)
+        |                LIKE '%noindex%' THEN 'drop' ELSE 'index' END AS verdict
+        |  FROM page),
+        |s AS (
+        |  SELECT doc_id, bad, canonical, verdict,
+        |         regexp_replace(
+        |           regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+        |                          ' ', 'g'),
+        |           '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nos
+        |  FROM x),
+        |a AS (
+        |  SELECT doc_id, bad, canonical, verdict,
+        |         regexp_extract_all(nos, '(?s)<a[^>]*>(.*?)</a>', 1) AS anch,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(
+        |             regexp_replace(nos, '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&nbsp;', ' '), '&amp;', '&'),
+        |           '\\s+', ' ', 'g')) AS txt
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, bad, canonical, verdict, txt,
+        |         CAST(coalesce(list_sum(list_transform(anch, t -> len(t))), 0)
+        |              AS BIGINT) AS link_chars,
+        |         CAST(len(txt) AS BIGINT) AS n_chars
+        |  FROM a),
+        |j AS (
+        |  SELECT doc_id, canonical, verdict,
+        |         CASE WHEN bad THEN 'quarantined'
+        |              WHEN link_chars * 100 > n_chars * 30 THEN 'chrome'
+        |              ELSE 'ok' END AS status,
+        |         CASE WHEN bad THEN NULL WHEN txt = '' THEN 0
+        |              ELSE CAST(len(string_split(txt, ' ')) AS BIGINT)
+        |         END AS n_toks
+        |  FROM c),
+        |p AS (
+        |  SELECT *, CASE WHEN status = 'ok' AND verdict = 'index'
+        |                 THEN 1 ELSE 0 END AS passes
+        |  FROM j),
+        |r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN row_number() OVER (PARTITION BY canonical
+        |                ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS is_keeper
+        |  FROM p WHERE passes = 1 AND canonical IS NOT NULL)
+        |SELECT p.doc_id, p.status, p.verdict,
+        |       CAST(CASE WHEN p.passes = 0 THEN 0
+        |                 ELSE coalesce(r.is_keeper, 1) END AS BIGINT) AS kept,
+        |       p.n_toks
+        |FROM p LEFT JOIN r USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
+
     // HEAD-metadata gate: same constructed pages, regexp extraction of
     // title / canonical / robots restated, canonical-group sizes via
     // one aggregate — exact integer arithmetic only

@@ -1132,6 +1132,59 @@ private[graft] object EntryQueriesD {
       Corpus.htmlMeta(page).orderBy(col("doc_id"))
     }),
 
+    "q_crawl_pipeline" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // the COMPOSED crawl front door (the q_dedup_pipeline pattern,
+      // applied to ingest): one page construction carrying BOTH
+      // content hazards (unclosed script on %13, link farm on %7==3,
+      // entity lead) and head metadata (robots on %5, canonical groups
+      // on %3 → div 9), then meta gate (drop noindex) → content gate
+      // (drop quarantined/chrome) → publisher-hint dedup (min doc_id
+      // per canonical among SURVIVORS keeps; docs without a canonical
+      // keep themselves). Per-doc verdict row — every drop reason
+      // visible, nothing silently vanishes.
+      val page = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
+              expr("doc_id div 9").cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("<style>p { margin: 0; }</style></head><body>"),
+          when(col("doc_id") % 13 === 0, lit("<script>var broken = trackers["))
+            .otherwise(lit("<script>track();</script>")),
+          when(col("doc_id") % 7 === 3, lit(htmlLinkFarm)).otherwise(lit("")),
+          lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+      val meta = Corpus.htmlMeta(page)
+        .select(col("doc_id"), col("verdict"), col("canonical"))
+      val ext = Corpus.htmlExtract(page, linkDensityPct = 30)
+        .select(col("doc_id"), col("status"), col("n_toks"))
+      val joined = ext.join(meta, Seq("doc_id"))
+        .withColumn("passes",
+          (col("status") === "ok" && col("verdict") === "index").cast("long"))
+      // keeper rank only among gate-survivors WITH a canonical; docs
+      // without a canonical are their own keeper (NULL must not form
+      // one giant group — the canonicalUrlDedup malformed-row rule)
+      val w = Window.partitionBy(col("canonical")).orderBy(col("doc_id"))
+      val ranked = joined
+        .filter(col("passes") === 1L && col("canonical").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), (col("rn") === 1).cast("long").as("is_keeper"))
+      joined.join(ranked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"), col("verdict"),
+          when(col("passes") === 0L, lit(0L))
+            .otherwise(coalesce(col("is_keeper"), lit(1L))).as("kept"),
+          col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dsir_select" -> ((s0, dir) => {
       val s = ensure(s0)
       // the importance-RESAMPLING step: keep the 100 highest-weight

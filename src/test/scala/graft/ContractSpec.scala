@@ -45,8 +45,8 @@ class ContractSpec extends AnyFunSuite {
     // + q_bpe_fertility + q_ppl_band = 221
     // round 14: + q_sketch_theta_raw + q_html_extract + q_spm_encode
     // + q_spm_fertility + q_dedup_substr_spans50 + q_dedup_substr_trim50
-    // + q_spm_sample + q_html_meta = 229
-    assert(SparkEntry.queries.size === 229)
+    // + q_spm_sample + q_html_meta + q_crawl_pipeline = 230
+    assert(SparkEntry.queries.size === 230)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

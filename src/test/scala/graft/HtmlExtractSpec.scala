@@ -172,6 +172,43 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(dedup(12L) !== dedup(10L))
   }
 
+  test("crawl-pipeline keeper law: one keeper per canonical group among " +
+      "survivors; gate-failed docs never keep") {
+    // replicate the declared query's composition on planted pages:
+    // docs 1,2 share a canonical (2 survives only as non-keeper),
+    // doc 5 is noindex (meta gate), doc 13 is malformed (content gate)
+    val mk = (id: Long, noindex: Boolean, canon: Option[String], body: String) =>
+      (id, "<html><head>" +
+        (if (noindex) "<meta name=\"robots\" content=\"noindex, nofollow\">" else "") +
+        canon.map(c => s"""<link rel="canonical" href="$c">""").getOrElse("") +
+        s"</head><body>$body</body></html>")
+    val prose = (1 to 40).map(i => s"w$i").mkString(" ")
+    val pages = Seq(
+      mk(1L, false, Some("https://ex.com/c/0"), s"<p>$prose</p>"),
+      mk(2L, false, Some("https://ex.com/c/0"), s"<p>$prose extra</p>"),
+      mk(5L, true, None, s"<p>$prose</p>"),
+      mk(13L, false, None, "<script>broken = [<p>x</p>"),
+      mk(20L, false, None, s"<p>$prose</p>")).toDF("doc_id", "html")
+    val meta = Corpus.htmlMeta(pages).select(col("doc_id"), col("verdict"),
+      col("canonical"))
+    val ext = Corpus.htmlExtract(pages).select(col("doc_id"), col("status"))
+    val joined = ext.join(meta, Seq("doc_id"))
+      .withColumn("passes",
+        (col("status") === "ok" && col("verdict") === "index").cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canonical")).orderBy(col("doc_id"))
+    val ranked = joined
+      .filter(col("passes") === 1L && col("canonical").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), (col("rn") === 1).cast("long").as("is_keeper"))
+    val kept = joined.join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("passes") === 0L, lit(0L))
+          .otherwise(coalesce(col("is_keeper"), lit(1L))).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(1L -> 1L, 2L -> 0L, 5L -> 0L, 13L -> 0L, 20L -> 1L))
+  }
+
   test("empty input survives (first-run-of-the-day contract)") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "html")
     assert(Corpus.htmlExtract(empty).count() === 0)
