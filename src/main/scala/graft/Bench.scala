@@ -496,6 +496,7 @@ object Bench {
       "q_spm_encode" -> "r14: 1 job - one corpus scan + explode + broadcast join against the MEMOIZED pre-segmented vocabulary (LocalRelation; 31 word types on this corpus - the shipped-tokenizer-artifact slice, with an in-plan raise guard on any missing word) + doc-keyed agg; the Viterbi DP itself runs vocab-many times, never per occurrence",
       "q_spm_fertility" -> "r14: 1 job - same memoized-seg shape as q_spm_encode with the lang-keyed aggregate (<= |langs| rows out); the residual is the tokenize scan floor shared with the bpe fertility twin",
       "q_spm_sample" -> "r14: 1 job - the q_spm_encode shape with the per-(tau,epoch) pre-sampled vocabulary slice memoized (spmSampleSegLocal); residual is the same tokenize scan + broadcast-join + doc-agg floor",
+      "q_crawl_pipeline" -> "r14: 3 jobs, each real work over the composed front door - canonical-group broadcast build (0.13s), survivor keeper-window rank (0.14s), and the main pass running BOTH regexp extraction chains over every page (~0.5s, the regexp-per-byte cost, map-side); the two single-chain queries (q_html_extract 0.13s, q_html_meta 0.17s) bound the composition at its parts' sum + one window - job-floor + scan-bound, scale-safe",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",
       "q_cdc_apply" -> "r10: scenario builds in ONE conditional-aggregation pass over events (was 3 aggregates + 3 semijoin builds); steady 1 job - changelog apply itself is a bounded-frame window fold",
       "q_bigram_lm" -> "r9: reads the materialized lm_collapse fixture (tokenize runs once per corpus version in prepare); remaining jobs = lookup broadcast + fold, floor-bound",
