@@ -22,13 +22,18 @@ object CacheScope {
   // created without disturbing concurrent registrations from other
   // threads (the bench's 8-way throughput mode constructs concurrently)
   private val capture =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+      override def initialValue(): List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
+    }
 
   /** Persist `df` and remember it for the next [[flush]]. */
   def cached(df: DataFrame): DataFrame = synchronized {
     tracked += df
-    val cap = capture.get()
-    if (cap != null) cap += df
+    // record into EVERY active capture on this thread (a stack, so a
+    // nested memo build is visible to its enclosing memo too — each
+    // level re-arms the full set on its own hits; double re-arm is a
+    // no-op cache() + a second harmless unpersist)
+    capture.get().foreach(_ += df)
     df.cache()
   }
 
@@ -39,10 +44,21 @@ object CacheScope {
     * applying to the operator's internal caches.
     */
   def capturing[T](build: => T): (T, Seq[DataFrame]) = {
+    // re-entrant: captures form a STACK — a nested capturing call (a
+    // memoized build that itself memoizes) pushes its own buffer while
+    // the enclosing one keeps recording, so the outer memo's internal-
+    // cache list stays complete and the finally pop restores the outer
+    // buffer instead of discarding it
     val buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    capture.set(buf)
+    capture.set(buf :: capture.get())
     try { val r = build; (r, buf.toList) }
-    finally capture.remove()
+    finally {
+      capture.get() match {
+        case Nil      => capture.remove() // unreachable: we pushed above
+        case _ :: Nil => capture.remove()
+        case _ :: t   => capture.set(t)
+      }
+    }
   }
 
   /** Unpersist every tracked intermediate (blocking, so a bench sample

@@ -1162,25 +1162,27 @@ private[graft] object EntryQueriesD {
           when(col("doc_id") % 7 === 3, lit(htmlLinkFarm)).otherwise(lit("")),
           lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
           lit("</p></body></html>")).as("html"))
-      val meta = Corpus.htmlMeta(page)
-        .select(col("doc_id"), col("verdict"), col("canonical"))
-      val ext = Corpus.htmlExtract(page, linkDensityPct = 30)
-        .select(col("doc_id"), col("status"), col("n_toks"))
-      val joined = ext.join(meta, Seq("doc_id"))
+      // ONE fused projection (Corpus.crawlGate) computes both the
+      // content chain and the head fields — the two-chain + doc_id
+      // self-join form paid a second full pass over the page bytes.
+      val gated = Corpus.crawlGate(page, linkDensityPct = 30)
         .withColumn("passes",
           (col("status") === "ok" && col("verdict") === "index").cast("long"))
       // keeper rank only among gate-survivors WITH a canonical; docs
       // without a canonical are their own keeper (NULL must not form
-      // one giant group — the canonicalUrlDedup malformed-row rule)
-      val w = Window.partitionBy(col("canonical")).orderBy(col("doc_id"))
-      val ranked = joined
-        .filter(col("passes") === 1L && col("canonical").isNotNull)
+      // one giant group — the canonicalUrlDedup malformed-row rule).
+      // A SYNTHETIC partition key keeps every row in one frame — no
+      // filter + join-back: eligible rows group by canonical, everyone
+      // else is a singleton, so rn = 1 means "keeper or own-keeper"
+      val pkey = when(col("passes") === 1L && col("canonical").isNotNull,
+          concat(lit("c:"), col("canonical")))
+        .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(pkey).orderBy(col("doc_id"))
+      gated
         .withColumn("rn", row_number().over(w))
-        .select(col("doc_id"), (col("rn") === 1).cast("long").as("is_keeper"))
-      joined.join(ranked, Seq("doc_id"), "left")
         .select(col("doc_id"), col("status"), col("verdict"),
           when(col("passes") === 0L, lit(0L))
-            .otherwise(coalesce(col("is_keeper"), lit(1L))).as("kept"),
+            .when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("kept"),
           col("n_toks"))
         .orderBy(col("doc_id"))
     }),

@@ -684,6 +684,70 @@ object Corpus {
          else Nil): _*)
   }
 
+  /** The FUSED crawl front-door projection — [[htmlExtract]]'s content
+    * chain and [[htmlMeta]]'s head fields computed in ONE pass over the
+    * page bytes, for pipelines that consume both (the composed
+    * `q_crawl_pipeline` / `q_web_corpus` shape). Both chains are pure
+    * map-side regexp projections of the same `html` column; running
+    * them as two separate chains joined on doc_id costs a second full
+    * scan of the corpus plus a doc_id exchange — avoidable at any
+    * scale, fatal at 100 TB. Emits per page the content verdict
+    * (`status`/`n_toks`, htmlExtract's exact rules incl. the
+    * quarantine and the integer link-density gate) AND the index
+    * verdict (`verdict`/`canonical`, htmlMeta's exact extraction);
+    * `keepText` opts in the full extracted text, the downstream-gate
+    * handoff. htmlMeta's canonical-group COUNT is deliberately not
+    * here — it is an aggregate, not a projection; consumers that need
+    * group sizes join the (distinct-canonical-sized) count back
+    * broadcast, and the dedup pipelines key a keeper window on
+    * `canonical` directly. Zero shuffles, zero joins — scan → project.
+    */
+  def crawlGate(pages: DataFrame, linkDensityPct: Int = 30,
+                keepText: Boolean = false): DataFrame = {
+    require(linkDensityPct > 0 && linkDensityPct <= 100,
+      s"linkDensityPct must be in (0,100], got $linkDensityPct")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST — double-decode guard
+      .foldLeft(regexp_replace(col("nos"), "<[^>]*>", " ")) {
+        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+      }
+    // head fields read the RAW html (htmlMeta's contract — the meta
+    // chain never quarantines; a malformed body must not hide a
+    // noindex directive)
+    val canonical = regexp_extract(col("html"),
+      "<link rel=\"canonical\" href=\"([^\"]*)\"", 1)
+    val robots = regexp_extract(col("html"),
+      "<meta name=\"robots\" content=\"([^\"]*)\"", 1)
+    pages
+      .withColumn("bad",
+        size(regexp_extract_all(col("html"), lit("<script"), lit(0))) =!=
+          size(regexp_extract_all(col("html"), lit("</script>"), lit(0))))
+      .withColumn("nos",
+        regexp_replace(
+          regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
+          "(?s)<style[^>]*>.*?</style>", " "))
+      .withColumn("anchors",
+        regexp_extract_all(col("nos"), lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)))
+      .withColumn("link_chars",
+        aggregate(col("anchors"), lit(0L), (acc, a) => acc + length(a)))
+      .withColumn("txt", trim(regexp_replace(decoded, "\\s+", " ")))
+      .withColumn("n_chars", length(col("txt")).cast("long"))
+      .select(Seq(
+        col("doc_id"),
+        when(col("bad"), lit("quarantined"))
+          .when(col("link_chars") * 100 > col("n_chars") * linkDensityPct,
+            lit("chrome"))
+          .otherwise(lit("ok")).as("status"),
+        when(!col("bad"),
+          when(col("txt") === "", lit(0L))
+            .otherwise(size(split(col("txt"), " ")).cast("long"))).as("n_toks"),
+        when(canonical =!= "", canonical).as("canonical"),
+        when(robots.contains("noindex"), lit("drop")).otherwise(lit("index"))
+          .as("verdict")) ++
+        (if (keepText) Seq(when(!col("bad"), col("txt")).as("text"))
+         else Nil): _*)
+  }
+
   /** HTML HEAD metadata extraction — the crawl-INDEX gate next to
     * [[htmlExtract]]'s content gate: `<title>`, the `rel="canonical"`
     * link (the publisher's own dedup hint — crawl pipelines collapse

@@ -1263,12 +1263,20 @@ object Dedup {
       docShingles0(docs.select(col("source").as("doc_id"), col("text")))
         .withColumn("h", xxhash64(col("shingle")))
         .select(col("doc_id").as("source"), col("h")).distinct())
-    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = srcSh.as("x").join(srcSh.as("y"), Seq("h"))
-      .filter(col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    inter
+    // per-source set sizes FOLD INTO the pair aggregation: keep the
+    // diagonal (x.source = y.source — each distinct (source, h) matches
+    // exactly itself, so the diagonal count IS |shingles(source)|)
+    // instead of a separate aggregation pass over the cached store.
+    // One extra |srcSh| self-match rows through the join for one fewer
+    // full pass; the r4 sizes-into-signature precedent.
+    val pairs = graft.CacheScope.cached(
+      srcSh.as("x").join(srcSh.as("y"), Seq("h"))
+        .filter(col("x.source") <= col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared")))
+    val sizes = pairs.filter(col("src_a") === col("src_b"))
+      .select(col("src_a").as("source"), col("n_shared").as("n"))
+    pairs.filter(col("src_a") =!= col("src_b"))
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
       .select(

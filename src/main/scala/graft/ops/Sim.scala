@@ -1512,11 +1512,12 @@ object Sim {
         col("v").as("cv"), normF(col("v")).as("cn"))
     // pre-collected holdout validated LOUDLY on both paths: ids must be
     // ascending multiples of `modulus` (a wrong-modulus slice would
-    // silently score the wrong holdout — the positional-matrix trap)
-    // an EMPTY slice is consistent with an empty embeddings table (the
-    // internal collect path returns empty there too) — only ordering
-    // and modulus membership are validated, so the memo-fed and
-    // collect paths agree on empty input (EmptyInputSpec pins this)
+    // silently score the wrong holdout — the positional-matrix trap).
+    // An EMPTY slice is accepted (consistent with an empty embeddings
+    // table, so memo-fed ≡ collect-path on empty input — EmptyInputSpec
+    // pins this) but is completeness-checked IN-PLAN below: if the
+    // table actually has holdout rows, the guard branch raises instead
+    // of silently returning zero rows
     holdoutRows.foreach { hs =>
       require(hs.map(_._1) == hs.map(_._1).sorted &&
           hs.forall(_._1 % modulus == 0),
@@ -1591,13 +1592,37 @@ object Sim {
       """array_max(transform(array_distinct(labels),
         |  l -> struct(size(filter(labels, x -> x = l)) as votes,
         |              -l as neg)))""".stripMargin)
-    neighbors
+    val voted = neighbors
       .withColumn("b", best)
       .select(
         col("q_id").as("vec_id"), col("q_label").as("label"),
         (-col("b.neg")).cast("int").as("pred_label"),
         col("b.votes").cast("long").as("votes"),
         when((-col("b.neg")).cast("int") === col("q_label"), 1L).otherwise(0L).as("correct"))
+    // empty pre-collected slice: consistent with an EMPTY embeddings
+    // table (both paths return zero rows there), but against a
+    // NON-empty table it means a stale/wrong memo that would silently
+    // fake "no holdout" — so the plan itself checks: union a guard
+    // branch that raises iff any holdout-eligible row exists (limit 1
+    // — one short-circuiting probe, no rows when the table is truly
+    // empty). The loud-validation contract of the SPM segRows path.
+    holdoutRows match {
+      case Some(hs) if hs.isEmpty =>
+        val guard = asDouble
+          .filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0)
+          .limit(1)
+          .select(
+            raise_error(concat(
+              lit("knnLabelVote holdoutRows slice is EMPTY but the embeddings " +
+                "table has holdout row vec_id="),
+              col("vec_id").cast("string"))).cast("long").as("vec_id"),
+            lit(null).cast("int").as("label"),
+            lit(null).cast("int").as("pred_label"),
+            lit(null).cast("long").as("votes"),
+            lit(null).cast("long").as("correct"))
+        voted.unionByName(guard)
+      case _ => voted
+    }
   }
 
   /** Prototypicality ranking: cosine of each vector to its class

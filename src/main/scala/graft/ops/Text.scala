@@ -938,6 +938,11 @@ object Text {
                                      maxPieceLen: Int): DataFrame = {
     val m = typedlit(model.toMap)
     val w = col("word")
+    // zero-length guard: sequence(1, 0) is DESCENDING [1, 0] in Spark,
+    // so an empty word would iterate invalid positions — filter it out
+    // (Dedup.tokens never emits one, but arbitrary word frames from
+    // streaming/memo callers must not be able to feed one in)
+    val nonEmpty = words.filter(length(w) > 0)
     val dp = aggregate(
       sequence(lit(1), length(w)),
       array(struct(lit(0L).as("c"), lit(0L).as("n"))),
@@ -953,7 +958,7 @@ object Text {
           x => x.getField("c").isNotNull))),
         b => struct(b.getField("c").as("c"), b.getField("n").as("n")))),
       acc => try_element_at(acc, lit(-1)))
-    words.select(w,
+    nonEmpty.select(w,
       dp.getField("n").as("wn"), dp.getField("c").as("wc_u6"))
   }
 
@@ -1100,6 +1105,8 @@ object Text {
       tauU6: Long, epoch: Int): DataFrame = {
     val m = typedlit(model.toMap)
     val w = col("word")
+    // same zero-length guard as [[spmSegmentFrame]]
+    val nonEmpty = words.filter(length(w) > 0)
     def noise(i: Column, l: Column): Column =
       if (tauU6 <= 1L) lit(0L)
       else conv(substring(md5(concat_ws("|", w, i.cast("string"),
@@ -1125,7 +1132,7 @@ object Text {
         b => struct(b.getField("cp").as("cp"), b.getField("c").as("c"),
           b.getField("n").as("n")))),
       acc => try_element_at(acc, lit(-1)))
-    words.select(w,
+    nonEmpty.select(w,
       dp.getField("n").as("wn"), dp.getField("c").as("wc_u6"))
   }
 

@@ -151,10 +151,15 @@ object StreamingCorpus {
     * WHOLE extraction ([[graft.ops.Corpus.htmlExtract]] — script/style
     * strip, tag strip, entity decode, link-density gate, quarantine)
     * is a pure projection and therefore applies DIRECTLY to the
-    * streaming frame; each micro-batch routes surviving rows (WITH the
-    * full extracted text, the downstream-gate handoff) to the good
-    * sink and quarantined doc_ids to the quarantine sink — the
-    * dirtyXmlIntake routing contract. Zero shuffles, zero streaming
+    * streaming frame; each micro-batch routes EXTRACTABLE rows — both
+    * `status = 'ok'` AND `status = 'chrome'`, with the full extracted
+    * text and the status column as the downstream filter — to the good
+    * sink, and quarantined doc_ids to the quarantine sink (the
+    * dirtyXmlIntake routing contract). Chrome pages are content-gate
+    * FAILURES in the batch semantics; they ride the good sink because
+    * their extraction is valid and some consumers re-gate at a
+    * different link-density threshold — a consumer that wants only
+    * gate-passed rows must filter `status = 'ok'`. Zero shuffles, zero streaming
     * state beyond the file-source log; per-byte cost identical at
     * 100 TB. HtmlExtractSpec pins streamed output ≡ batch row-for-row.
     */
