@@ -492,11 +492,11 @@ object Bench {
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
       "q_boilerplate" -> "r13: segment keys now come from the compiled graft_seghash kernel (plans/SegHashes.scala, one byte-scan pass, bit-identical hashes) - and the bench number did NOT move (0.36s before and after, control-adjusted), which falsifies the r12 hypothesis that the hash map was the cost: the execute is the seg-keyed exchange + distinct/count + SHUFFLE_HASH join chain over 250k segment rows, 1 job, floor-bound. Kernel kept (fewer per-row allocations; the win grows with doc length)",
       "q_textrank" -> "r14: 2 jobs steady, ~0.4-0.6s execute; the 5-unrolled-iteration Catalyst construct (the r10 PlanCost floor) is now memoized per (dir) via EntrySupport.memoPlan - repeat constructs are a map lookup, execution fully re-runs per sample; per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape",
-      "q_overlap_matrix" -> "3 jobs: cached distinct (source,h) build + per-source sizes + the h-keyed self-join; r10 keys on xxhash64 (no more shared 31-bit md5 collision coupling); join output bounded by sum over shingles of sources(h)^2",
+      "q_overlap_matrix" -> "r15: 2 jobs - cached distinct (source,h) build + the h-keyed <= self-join whose DIAGONAL carries the per-source sizes (the separate sizes pass folded away); OverlapAB measured both shapes interleaved at sf0.1: fold min 0.57-0.64s vs separate-sizes min 0.54-0.68s - parity on min, fold far more stable (0.57-0.59 band vs 0.54-1.39), so the remaining cost IS the h-keyed join floor; join output bounded by sum over shingles of sources(h)^2 (+|store| self-matches, map-side combined)",
       "q_spm_encode" -> "r14: 1 job - one corpus scan + explode + broadcast join against the MEMOIZED pre-segmented vocabulary (LocalRelation; 31 word types on this corpus - the shipped-tokenizer-artifact slice, with an in-plan raise guard on any missing word) + doc-keyed agg; the Viterbi DP itself runs vocab-many times, never per occurrence",
       "q_spm_fertility" -> "r14: 1 job - same memoized-seg shape as q_spm_encode with the lang-keyed aggregate (<= |langs| rows out); the residual is the tokenize scan floor shared with the bpe fertility twin",
       "q_spm_sample" -> "r14: 1 job - the q_spm_encode shape with the per-(tau,epoch) pre-sampled vocabulary slice memoized (spmSampleSegLocal); residual is the same tokenize scan + broadcast-join + doc-agg floor",
-      "q_crawl_pipeline" -> "r14: 3 jobs, each real work over the composed front door - canonical-group broadcast build (0.13s), survivor keeper-window rank (0.14s), and the main pass running BOTH regexp extraction chains over every page (~0.5s, the regexp-per-byte cost, map-side); the two single-chain queries (q_html_extract 0.13s, q_html_meta 0.17s) bound the composition at its parts' sum + one window - job-floor + scan-bound, scale-safe",
+      "q_crawl_pipeline" -> "r15: 1 job, 0.16s steady (was 3 jobs / 0.61s) - the two extraction chains FUSED into one Corpus.crawlGate projection over the page bytes and the keeper join-back replaced by a synthetic-key window (eligible rows group by canonical, everyone else a singleton), so the whole front door is scan -> project -> one window exchange; bounded by q_html_extract (0.14s) + the window, flag retired",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",
       "q_cdc_apply" -> "r10: scenario builds in ONE conditional-aggregation pass over events (was 3 aggregates + 3 semijoin builds); steady 1 job - changelog apply itself is a bounded-frame window fold",
       "q_bigram_lm" -> "r9: reads the materialized lm_collapse fixture (tokenize runs once per corpus version in prepare); remaining jobs = lookup broadcast + fold, floor-bound",

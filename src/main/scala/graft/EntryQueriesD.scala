@@ -1187,6 +1187,115 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    "q_web_corpus" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import org.apache.spark.sql.expressions.Window
+      // the END-TO-END web-corpus capstone — "one engine, crawl to
+      // training shards" as ONE declared plan: the q_crawl_pipeline
+      // page construction runs through the fused front door
+      // (Corpus.crawlGate with keepText — meta gate, content gate,
+      // extraction) then straight into the corpus build (canonical
+      // dedup → exact text dedup → Gopher quality gate → sequence
+      // packing), with a per-doc STAGE verdict so every drop reason is
+      // visible and the survivor counts reconcile stage by stage.
+      // Shape: scan → one fused projection → three synthetic-key
+      // windows (keeper, text-dup, per-shard pack) — dead rows ride
+      // as singleton partitions instead of filter + join-back, so the
+      // whole capstone is one exchange chain, no self-joins, map-side
+      // everything else; bounded by q_crawl_pipeline + q_corpus_
+      // pipeline's parts. Planted pages (clean markup, no head
+      // hazards — ids +1M/+2M/+3M off every doc_id % 50 == 1 doc)
+      // force the two stages the organic corpus never reaches: a
+      // same-text page pair (text_dup fires on the later ids) and a
+      // two-word page (low_quality fires on the Gopher word floor).
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      // title text survives tag strip, so the dup PAIR must share one
+      // title (keyed to the seed doc, not the planted id) for its
+      // extracted texts to collide
+      def cleanPage(title: Column, body: Column): Column = concat(
+        lit("<html><head><title>"), title,
+        lit("</title></head><body><script>track();</script><p>"),
+        body, lit("</p></body></html>"))
+      val seed = docs.filter(col("doc_id") % 50 === 1)
+      val dupTitle = concat(lit("dup "), col("doc_id").cast("string"))
+      val dupBody = concat(lit("R&amp;D says x &lt; y</p><p>"), col("text"))
+      val planted =
+        seed.select((col("doc_id") + 1000000L).as("doc_id"),
+            cleanPage(dupTitle, dupBody).as("html"))
+          .unionByName(seed.select((col("doc_id") + 2000000L).as("doc_id"),
+            cleanPage(dupTitle, dupBody).as("html")))
+          .unionByName(seed.select((col("doc_id") + 3000000L).as("doc_id"),
+            cleanPage(dupTitle, lit("low quality")).as("html")))
+      val page = docs
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
+              expr("doc_id div 9").cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("<style>p { margin: 0; }</style></head><body>"),
+          when(col("doc_id") % 13 === 0, lit("<script>var broken = trackers["))
+            .otherwise(lit("<script>track();</script>")),
+          when(col("doc_id") % 7 === 3, lit(htmlLinkFarm)).otherwise(lit("")),
+          lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+        .unionByName(planted)
+      val g = Corpus.crawlGate(page, linkDensityPct = 30, keepText = true)
+        .withColumn("passes",
+          (col("status") === "ok" && col("verdict") === "index").cast("long"))
+      // stage 1: publisher-hint (canonical) dedup among gate survivors
+      val k1 = when(col("passes") === 1L && col("canonical").isNotNull,
+          concat(lit("c:"), col("canonical")))
+        .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+      val r1 = g
+        .withColumn("rn1",
+          row_number().over(Window.partitionBy(k1).orderBy(col("doc_id"))))
+        .withColumn("alive1", col("passes") === 1L && col("rn1") === 1)
+      // stage 2: exact text dedup (extracted text, not raw html —
+      // mirror pages differing only in chrome still collapse)
+      val k2 = when(col("alive1"), concat(lit("t:"), col("text")))
+        .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+      val r2 = r1
+        .withColumn("rn2",
+          row_number().over(Window.partitionBy(k2).orderBy(col("doc_id"))))
+        .withColumn("alive2", col("alive1") && col("rn2") === 1)
+      // stage 3: Gopher gate on the extracted text (map-side; the
+      // kernel is null-safe, so dead rows' NULL text just rides along)
+      val r3 = Corpus.withGopher(r2)
+        .withColumn("alive3",
+          col("alive2") && coalesce(col("gopher_ok"), lit(0L)) === 1L)
+      // stage 4: sequence packing over survivors (per-shard running
+      // sum; dead rows are singleton partitions contributing 0)
+      val k3 = when(col("alive3"),
+          concat(lit("s:"), expr("doc_id div 64").cast("string")))
+        .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+      val wPack = Window.partitionBy(k3).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r3
+        .withColumn("cum",
+          sum(when(col("alive3"), col("n_toks")).otherwise(lit(0L))).over(wPack))
+        .select(
+          col("doc_id"),
+          when(col("status") === "quarantined", lit("quarantined"))
+            .when(col("status") === "chrome", lit("chrome"))
+            .when(col("verdict") === "drop", lit("noindex"))
+            .when(col("rn1") =!= 1, lit("canonical_dup"))
+            .when(col("rn2") =!= 1, lit("text_dup"))
+            .when(coalesce(col("gopher_ok"), lit(0L)) =!= 1L, lit("low_quality"))
+            .otherwise(lit("kept")).as("stage"),
+          when(col("alive3"), col("n_toks")).as("tok_cnt"),
+          when(col("alive3"), expr("doc_id div 64")).as("shard"),
+          when(col("alive3"),
+            ((col("cum") - col("n_toks")) / 2048).cast("long")).as("seq_id"),
+          when(col("alive3"), (col("cum") - col("n_toks")) % 2048).as("offset_in"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dsir_select" -> ((s0, dir) => {
       val s = ensure(s0)
       // the importance-RESAMPLING step: keep the 100 highest-weight

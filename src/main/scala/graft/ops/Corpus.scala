@@ -345,7 +345,7 @@ object Corpus {
     * row-local expressions; joining a map-side-derivable column would
     * be a gratuitous shuffle at any scale).
     */
-  private def withGopher(docs: DataFrame): DataFrame = {
+  private[graft] def withGopher(docs: DataFrame): DataFrame = {
     val native = docs.sparkSession.catalog.functionExists("graft_gopher")
     val withCounts =
       if (native)

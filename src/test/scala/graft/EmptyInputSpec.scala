@@ -156,6 +156,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.Sim.knnLabelVote(emptyEmbLabeled, 10, 3).count() === 0)
     assert(graft.ops.Sim.knnLabelVote(emptyEmbLabeled, 10, 3,
       holdoutRows = Some(Seq.empty)).count() === 0)
+    // ...but an empty slice against a NON-empty table is a stale memo
+    // and must raise IN-PLAN, not silently return zero rows (the
+    // round-14 ADVICE loud-validation item)
+    val oneHoldout = Seq((10L, 1, Array(1.0f, 0.0f)), (11L, 0, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val thrown = intercept[Exception] {
+      graft.ops.Sim.knnLabelVote(oneHoldout, 10, 3,
+        holdoutRows = Some(Seq.empty)).count()
+    }
+    assert(thrown.getMessage != null)
     // hnswTopK rejects a DUPLICATE-id query slice loudly (API hardening
     // from the same ADVICE item)
     intercept[IllegalArgumentException] {

@@ -209,6 +209,44 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(kept === Map(1L -> 1L, 2L -> 0L, 5L -> 0L, 13L -> 0L, 20L -> 1L))
   }
 
+  test("crawlGate fusion law: the one-pass projection equals htmlExtract " +
+      "x htmlMeta on every shared field, incl. the keepText handoff") {
+    // every hazard class in one frame: clean, entity-laden, link farm,
+    // unclosed script, noindex, canonical pair, empty body
+    val farm = (0 until 30).map(i => s"""<a href="/p$i">anchor$i</a>""")
+      .mkString(" ")
+    val prose = (1 to 40).map(i => s"w$i").mkString(" ")
+    val pages = Seq(
+      (1L, s"<html><head><link rel=\"canonical\" href=\"https://ex.com/c/0\">" +
+        s"</head><body><p>$prose</p></body></html>"),
+      (2L, s"<html><head><link rel=\"canonical\" href=\"https://ex.com/c/0\">" +
+        s"</head><body><p>$prose extra</p></body></html>"),
+      (3L, "<html><head><meta name=\"robots\" content=\"noindex, nofollow\">" +
+        "</head><body><p>a &amp;lt; b &quot;q&quot;</p></body></html>"),
+      (4L, s"<body><nav>$farm</nav><p>tiny</p></body>"),
+      (5L, "<body><script>broken = [<p>never</p></body>"),
+      (6L, "<body></body>")).toDF("doc_id", "html")
+    val fused = Corpus.crawlGate(pages, linkDensityPct = 30, keepText = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ext = Corpus.htmlExtract(pages, linkDensityPct = 30, keepText = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val meta = Corpus.htmlMeta(pages)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fused.keySet === ext.keySet)
+    fused.foreach { case (id, f) =>
+      assert(f.getAs[String]("status") === ext(id).getAs[String]("status"), s"doc $id")
+      assert(f.getAs[java.lang.Long]("n_toks") === ext(id).getAs[java.lang.Long]("n_toks"), s"doc $id")
+      assert(f.getAs[String]("text") === ext(id).getAs[String]("text"), s"doc $id")
+      assert(f.getAs[String]("canonical") === meta(id).getAs[String]("canonical"), s"doc $id")
+      assert(f.getAs[String]("verdict") === meta(id).getAs[String]("verdict"), s"doc $id")
+    }
+    // and the hazard classes actually exercised what they plant
+    assert(fused(5L).getAs[String]("status") === "quarantined")
+    assert(fused(4L).getAs[String]("status") === "chrome")
+    assert(fused(3L).getAs[String]("verdict") === "drop")
+    assert(fused(1L).getAs[String]("canonical") === "https://ex.com/c/0")
+  }
+
   test("empty input survives (first-run-of-the-day contract)") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "html")
     assert(Corpus.htmlExtract(empty).count() === 0)
