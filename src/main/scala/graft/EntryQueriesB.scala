@@ -540,6 +540,27 @@ private[graft] object EntryQueriesB {
         .orderBy(col("doc_id"))
     }),
 
+    "q_spm_byte_fallback" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // byte-fallback encode (SentencePiece's --byte_fallback
+      // production default) under the SAME trained unigram-LM store:
+      // planted accented/CJK/non-BMP rows the training never saw
+      // tokenize as their UTF-8 bytes at SpmByteCostU6 each instead of
+      // the untrainable 25-nat UNK — with fallback ON every string
+      // encodes (UNK rate 0; the SpmSpec law), and n_fb counts the
+      // fallback byte-pieces (0 on in-vocab ASCII text). The oracle
+      // re-trains independently and re-runs the fallback DP as a
+      // recursive CTE with the same byte tallies.
+      Text.spmEncodeDocs(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .unionByName(spmFallbackPlantedDocs.toDF("doc_id", "text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
+          byteFallback = true)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_chunk_docs" -> ((s0, dir) => {
       val s = ensure(s0)
       Corpus.chunkDocs(

@@ -865,6 +865,19 @@ private[graft] object EntrySupport {
       (9100003L, s"${p.head}$p $q${q.last} $p${p.head}$q"))
   }
 
+  /** Planted docs for q_spm_byte_fallback — precomposed accents, CJK,
+    * and NON-BMP code points (4-byte UTF-8, one code point = two Java
+    * chars — the surrogate-pair case the codepoint-based DP must
+    * handle) that the training corpus never saw, plus an all-ASCII
+    * control row where n_fb must be 0 (single-char coverage survives
+    * training). Literal rows, mirrored verbatim into the oracle.
+    */
+  private[graft] val spmFallbackPlantedDocs: Seq[(Long, String)] = Seq(
+    (9200001L, "naïve café déjà"),
+    (9200002L, "東京 データ 処理"),
+    (9200003L, "🎼 music 𝄞 clef 🚀"),
+    (9200004L, "plain ascii control row"))
+
   /** Adversarial planted docs for q_bpe_encode — adjacent-occurrence
     * and self-pair merge corners that random corpus text may never
     * hit, run through BOTH engines' replace chains (the oracle mirrors
@@ -939,7 +952,7 @@ private[graft] object EntrySupport {
     "q_quality_classifier", "q_sim_ann_kmeans", "q_sim_ann_pq",
     "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
     "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility",
-    "q_spm_sample")
+    "q_spm_sample", "q_spm_byte_fallback")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw

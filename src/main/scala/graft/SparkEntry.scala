@@ -181,6 +181,16 @@ object SparkEntry {
         val model = spmTrain(s, sfDir)
         ops.Text.spmSampleOracleSql(model, SpmMaxPieceLen,
           SpmSampleTauU6, epoch = 1)
+      },
+      "q_spm_byte_fallback" -> {
+        // same independent re-train; the oracle re-runs the
+        // byte-fallback DP (strlen-priced unseen chars, dpu tally)
+        // with the planted unseen-character rows mirrored as literals
+        val model = spmTrain(s, sfDir)
+        val extra = spmFallbackPlantedDocs.map { case (id, t) =>
+          s"\n  UNION ALL SELECT $id AS doc_id, '${t.replace("'", "''")}' AS text"
+        }.mkString
+        ops.Text.spmEncodeFallbackOracleSql(model, SpmMaxPieceLen, extra)
       })
   }
 }

@@ -796,6 +796,19 @@ object Text {
     */
   private[graft] val SpmUnkCostU6 = 25000000L
 
+  /** Byte-fallback piece cost in integer micro-nats (20 nats per
+    * byte — SentencePiece's `--byte_fallback` production default
+    * re-expressed in this model's cost space): strictly worse than any
+    * trained piece as long as the training histogram's total usage
+    * stays under e²⁰ ≈ 4.9·10⁸ (trained cost ≤ ln(total) micro-nats),
+    * so fallback only ever fires on characters the training never saw
+    * — but, unlike [[SpmUnkCostU6]]'s lump sum, it scales with the
+    * character's UTF-8 width and EVERY string becomes tokenizable
+    * (UNK rate 0 with fallback on: an unseen char emits its 1-4 byte
+    * pieces instead of one untrainable UNK).
+    */
+  private[graft] val SpmByteCostU6 = 20000000L
+
   /** Train a unigram-LM piece vocabulary DRIVER-LOCALLY (the bpeTrain
     * precedent — a tokenizer needs the Heaps-bounded word HISTOGRAM,
     * not the corpus, so the only cluster work is one vocab-sized
@@ -885,7 +898,13 @@ object Text {
     */
   private[graft] def spmViterbiLocal(word: String, cost: Map[String, Long],
                                      maxPieceLen: Int): List[String] = {
-    val n = word.length
+    // CODEPOINT positions, not UTF-16 units — Spark's substr/length and
+    // DuckDB's substr/len both count code points, so the reference
+    // segmenter must too or a non-BMP char (one code point, two Java
+    // chars) would make the parity targets disagree on position math.
+    // BMP-only text is unaffected (code point == char there).
+    val cps = word.codePoints.toArray
+    val n = cps.length
     if (n == 0) return Nil
     val dpc = new Array[Long](n + 1)
     val dpn = new Array[Long](n + 1)
@@ -895,7 +914,7 @@ object Text {
       var best: (Long, Long, Int) = null
       var l = 1
       while (l <= math.min(p, maxPieceLen)) {
-        val piece = word.substring(p - l, p)
+        val piece = new String(cps, p - l, l)
         val pc = cost.get(piece)
           .orElse(if (l == 1) Some(SpmUnkCostU6) else None)
         pc.foreach { c =>
@@ -911,8 +930,56 @@ object Text {
     }
     var pieces: List[String] = Nil
     var q = n
-    while (q > 0) { pieces = word.substring(q - bp(q), q) :: pieces; q -= bp(q) }
+    while (q > 0) { pieces = new String(cps, q - bp(q), bp(q)) :: pieces; q -= bp(q) }
     pieces
+  }
+
+  /** Reference DP COUNTS — (n_pieces, cost_u6, n_fallback) — for one
+    * word under either fallback mode, the parity target the column DP
+    * ([[spmSegmentFrame]]) is pinned against in SpmSpec. With
+    * `byteFallback` an unseen single char emits its UTF-8 bytes as
+    * pieces at [[SpmByteCostU6]] each; without, it is one UNK piece at
+    * [[SpmUnkCostU6]]. The argmin tuple stays (cost, count, −len) —
+    * the fallback tally rides along and never decides a tie, exactly
+    * like the column DP's trailing `u` field.
+    */
+  private[graft] def spmViterbiLocalCounts(word: String, cost: Map[String, Long],
+      maxPieceLen: Int, byteFallback: Boolean): (Long, Long, Long) = {
+    val cps = word.codePoints.toArray
+    val n = cps.length
+    if (n == 0) return (0L, 0L, 0L)
+    val dpc = new Array[Long](n + 1)
+    val dpn = new Array[Long](n + 1)
+    val dpu = new Array[Long](n + 1)
+    var p = 1
+    while (p <= n) {
+      var best: (Long, Long, Int) = null
+      var bestU = 0L
+      var l = 1
+      while (l <= math.min(p, maxPieceLen)) {
+        val piece = new String(cps, p - l, l)
+        val hit = cost.get(piece)
+        val cand: Option[(Long, Long, Long)] = hit match {
+          case Some(c) => Some((c, 1L, 0L))
+          case None if l == 1 =>
+            if (byteFallback) {
+              val b = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+              Some((b * SpmByteCostU6, b, b))
+            } else Some((SpmUnkCostU6, 1L, 1L))
+          case None => None
+        }
+        cand.foreach { case (c, k, u) =>
+          val t = (dpc(p - l) + c, dpn(p - l) + k, -l)
+          if (best == null || Ordering[(Long, Long, Int)].lt(t, best)) {
+            best = t; bestU = dpu(p - l) + u
+          }
+        }
+        l += 1
+      }
+      dpc(p) = best._1; dpn(p) = best._2; dpu(p) = bestU
+      p += 1
+    }
+    (dpn(n), dpc(n), dpu(n))
   }
 
   /** The Viterbi DP as a pure COLUMN EXPRESSION over a `word` column:
@@ -935,7 +1002,8 @@ object Text {
     */
   private[graft] def spmSegmentFrame(words: DataFrame,
                                      model: Seq[(String, Long)],
-                                     maxPieceLen: Int): DataFrame = {
+                                     maxPieceLen: Int,
+                                     byteFallback: Boolean = false): DataFrame = {
     val m = typedlit(model.toMap)
     val w = col("word")
     // zero-length guard: sequence(1, 0) is DESCENDING [1, 0] in Spark,
@@ -945,21 +1013,41 @@ object Text {
     val nonEmpty = words.filter(length(w) > 0)
     val dp = aggregate(
       sequence(lit(1), length(w)),
-      array(struct(lit(0L).as("c"), lit(0L).as("n"))),
+      array(struct(lit(0L).as("c"), lit(0L).as("n"), lit(0L).as("u"))),
       (acc, i) => concat(acc, transform(
         array(array_min(filter(
-          transform(sequence(lit(1), least(i, lit(maxPieceLen))), l =>
+          transform(sequence(lit(1), least(i, lit(maxPieceLen))), l => {
+            val piece = w.substr(i - l + 1, l)
+            val hit = try_element_at(m, piece)
+            // fallback tallies for an UNSEEN l==1 piece: with byte
+            // fallback the char emits its 1-4 UTF-8 bytes as pieces at
+            // SpmByteCostU6 each; without, one UNK at SpmUnkCostU6.
+            // `u` counts fallback pieces and sits LAST in the struct —
+            // the argmin tuple stays (c, n, negl), whose negl component
+            // is unique per candidate, so u can never decide a tie and
+            // the byteFallback=false picks are bit-identical to the
+            // pre-u DP.
+            val fbCost: Column =
+              if (byteFallback) octet_length(piece).cast("long") * lit(SpmByteCostU6)
+              else lit(SpmUnkCostU6)
+            val fbN: Column =
+              if (byteFallback) octet_length(piece).cast("long") else lit(1L)
             struct(
               (try_element_at(acc, i - l + 1).getField("c") +
-                coalesce(try_element_at(m, w.substr(i - l + 1, l)),
-                  when(l === 1, lit(SpmUnkCostU6)))).as("c"),
-              (try_element_at(acc, i - l + 1).getField("n") + 1L).as("n"),
-              (-l).as("negl"))),
+                coalesce(hit, when(l === 1, fbCost))).as("c"),
+              (try_element_at(acc, i - l + 1).getField("n") +
+                when(hit.isNotNull, lit(1L)).otherwise(fbN)).as("n"),
+              (-l).as("negl"),
+              (try_element_at(acc, i - l + 1).getField("u") +
+                when(hit.isNotNull, lit(0L)).otherwise(fbN)).as("u"))
+          }),
           x => x.getField("c").isNotNull))),
-        b => struct(b.getField("c").as("c"), b.getField("n").as("n")))),
+        b => struct(b.getField("c").as("c"), b.getField("n").as("n"),
+          b.getField("u").as("u")))),
       acc => try_element_at(acc, lit(-1)))
     nonEmpty.select(w,
-      dp.getField("n").as("wn"), dp.getField("c").as("wc_u6"))
+      dp.getField("n").as("wn"), dp.getField("c").as("wc_u6"),
+      dp.getField("u").as("wu"))
   }
 
   /** Per-row (doc-keyed) SPM encode counts shared by [[spmEncodeDocs]]
@@ -981,7 +1069,10 @@ object Text {
     */
   private def withSpmCounts(documents: DataFrame, keyCols: Seq[String],
                             model: Seq[(String, Long)], maxPieceLen: Int,
-                            segRows: Option[Seq[(String, Long, Long)]]): DataFrame = {
+                            segRows: Option[Seq[(String, Long, Long)]],
+                            byteFallback: Boolean = false): DataFrame = {
+    require(!(byteFallback && segRows.nonEmpty),
+      "byte-fallback encode has no memoized seg-slice form — pass segRows = None")
     val toks = documents.select(
       keyCols.map(col) :+ explode(Dedup.tokens(col("text"))).as("word"): _*)
     val joined = segRows match {
@@ -1000,13 +1091,17 @@ object Text {
               .otherwise(col("wn")))
       case None =>
         toks.join(broadcast(spmSegmentFrame(
-          toks.select(col("word")).distinct(), model, maxPieceLen)), Seq("word"))
+          toks.select(col("word")).distinct(), model, maxPieceLen, byteFallback)),
+          Seq("word"))
     }
+    val aggs =
+      Seq(count(lit(1)).as("n_words"),
+        sum(col("wn")).as("n_spm"),
+        sum(col("wc_u6")).as("cost_u6")) ++
+        (if (byteFallback) Seq(sum(col("wu")).as("n_fb")) else Nil)
     joined
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("wn")).as("n_spm"),
-        sum(col("wc_u6")).as("cost_u6"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Unigram-LM encode over a corpus: per doc, word count, Viterbi
@@ -1018,12 +1113,15 @@ object Text {
     */
   def spmEncodeDocs(documents: DataFrame, model: Seq[(String, Long)],
                     maxPieceLen: Int,
-                    segRows: Option[Seq[(String, Long, Long)]] = None): DataFrame =
+                    segRows: Option[Seq[(String, Long, Long)]] = None,
+                    byteFallback: Boolean = false): DataFrame =
     withSpmCounts(documents.select(col("doc_id"), col("text")),
-        Seq("doc_id"), model, maxPieceLen, segRows)
-      .select(col("doc_id"), col("n_words"), col("n_spm"), col("cost_u6"),
+        Seq("doc_id"), model, maxPieceLen, segRows, byteFallback)
+      .select(Seq(
+        col("doc_id"), col("n_words"), col("n_spm"), col("cost_u6")) ++
+        (if (byteFallback) Seq(col("n_fb")) else Nil) ++ Seq(
         (col("n_spm").cast("double") / col("n_words").cast("double"))
-          .as("spm_per_word"))
+          .as("spm_per_word")): _*)
 
   /** Per-language unigram-LM fertility under the same trained model —
     * the direct comparison row for [[bpeFertilityByLang]]: the two
@@ -1205,11 +1303,60 @@ object Text {
     * oracle generators.
     */
   private def spmDpSqlCtes(model: Seq[(String, Long)], maxPieceLen: Int,
-                           srcSql: String): String = {
+                           srcSql: String,
+                           byteFallback: Boolean = false): String = {
     def esc(s: String) = s.replace("'", "''")
     val keys = model.map(p => s"'${esc(p._1)}'").mkString(", ")
     val vals = model.map(_._2).mkString(", ")
     val mapSql = s"MAP([$keys], CAST([$vals] AS BIGINT[]))"
+    if (byteFallback)
+      // the byte-fallback DP: dpu tracks fallback pieces, an unseen
+      // single char costs strlen (= UTF-8 bytes; DuckDB substr/len are
+      // codepoint-based like Spark's) × SpmByteCostU6 and counts its
+      // bytes as pieces; struct field order (c, n, negl, u) mirrors the
+      // Spark candidate struct so list_sort picks identically
+      return s"""src AS ($srcSql),
+       |toks AS (
+       |  SELECT * REPLACE (unnest(list_filter(string_split(text, ' '),
+       |                                       x -> x != '')) AS text)
+       |  FROM src),
+       |w AS (SELECT DISTINCT text AS word FROM toks),
+       |step AS (
+       |  SELECT word, 0 AS i,
+       |         [CAST(0 AS BIGINT)] AS dpc, [CAST(0 AS BIGINT)] AS dpn,
+       |         [CAST(0 AS BIGINT)] AS dpu
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word, i + 1,
+       |         list_append(dpc, best.c), list_append(dpn, best.n),
+       |         list_append(dpu, best.u)
+       |  FROM (
+       |    SELECT word, i, dpc, dpn, dpu,
+       |      list_sort(list_filter(
+       |        list_transform(generate_series(1, least(i + 1, $maxPieceLen)),
+       |          l -> struct_pack(
+       |            c := dpc[i + 1 - l + 1] + coalesce(
+       |                   map_extract($mapSql,
+       |                               substr(word, i + 1 - l + 1, l))[1],
+       |                   CASE WHEN l = 1 THEN
+       |                     strlen(substr(word, i + 1 - l + 1, l))
+       |                       * $SpmByteCostU6 END),
+       |            n := dpn[i + 1 - l + 1] + CASE WHEN
+       |                   map_extract($mapSql,
+       |                               substr(word, i + 1 - l + 1, l))[1]
+       |                   IS NOT NULL THEN 1
+       |                   ELSE strlen(substr(word, i + 1 - l + 1, l)) END,
+       |            negl := -l,
+       |            u := dpu[i + 1 - l + 1] + CASE WHEN
+       |                   map_extract($mapSql,
+       |                               substr(word, i + 1 - l + 1, l))[1]
+       |                   IS NOT NULL THEN 0
+       |                   ELSE strlen(substr(word, i + 1 - l + 1, l)) END)),
+       |        x -> x.c IS NOT NULL))[1] AS best
+       |    FROM step WHERE i < len(word)) t),
+       |seg AS (
+       |  SELECT word, dpn[-1] AS wn, dpc[-1] AS wc_u6, dpu[-1] AS wu
+       |  FROM step WHERE i = len(word))""".stripMargin
     s"""src AS ($srcSql),
        |toks AS (
        |  SELECT * REPLACE (unnest(list_filter(string_split(text, ' '),
@@ -1252,6 +1399,26 @@ object Text {
        |       CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(s.wn) AS BIGINT) AS n_spm,
        |       CAST(sum(s.wc_u6) AS BIGINT) AS cost_u6,
+       |       CAST(sum(s.wn) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS spm_per_word
+       |FROM toks t JOIN seg s ON s.word = t.text
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for the byte-fallback encode
+    * (`spmEncodeDocs(byteFallback = true)`): the fallback DP restated
+    * as a recursive CTE with the dpu fallback tally; `extraDocsSql`
+    * mirrors the planted unseen-character rows.
+    */
+  def spmEncodeFallbackOracleSql(model: Seq[(String, Long)], maxPieceLen: Int,
+                                 extraDocsSql: String = ""): String =
+    s"""WITH RECURSIVE ${spmDpSqlCtes(model, maxPieceLen,
+        s"SELECT doc_id, text FROM documents$extraDocsSql",
+        byteFallback = true)}
+       |SELECT t.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.wn) AS BIGINT) AS n_spm,
+       |       CAST(sum(s.wc_u6) AS BIGINT) AS cost_u6,
+       |       CAST(sum(s.wu) AS BIGINT) AS n_fb,
        |       CAST(sum(s.wn) AS DOUBLE) / CAST(count(*) AS DOUBLE)
        |         AS spm_per_word
        |FROM toks t JOIN seg s ON s.word = t.text

@@ -57,6 +57,41 @@ class SpmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("cost_u6") === 200L + Text.SpmUnkCostU6)
   }
 
+  test("byte-fallback laws: every string encodes with UNK rate 0; n_fb " +
+      "prices UTF-8 bytes; ASCII in-vocab text pays none; column DP ≡ " +
+      "reference counts in BOTH modes incl. non-BMP") {
+    val model = Map("a" -> 100L, "b" -> 120L, "ab" -> 90L)
+    // words covering: in-vocab ASCII, unseen ASCII, 2-byte accent,
+    // 3-byte CJK, 4-byte NON-BMP (surrogate pair in Java, one code
+    // point to Spark/DuckDB), and a mix
+    val words = Seq("ab", "a~b", "café", "東京", "a🎼b", "🎼")
+    val df = words.map(Tuple1(_)).toDF("word")
+    for (fb <- Seq(true, false)) {
+      val got = Text.spmSegmentFrame(df, model.toSeq, 4, byteFallback = fb)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      words.foreach { w =>
+        val ref = Text.spmViterbiLocalCounts(w, model, 4, byteFallback = fb)
+        assert(got(w) === ref, s"fb=$fb diverged on '$w'")
+      }
+    }
+    val fbOn = Text.spmSegmentFrame(df, model.toSeq, 4, byteFallback = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // in-vocab ASCII pays no fallback
+    assert(fbOn("ab") === ((1L, 90L, 0L)))
+    // a fully-unseen 4-byte code point = 4 byte-pieces, 4×SpmByteCostU6,
+    // and NO 25-nat UNK anywhere (UNK rate 0 law)
+    assert(fbOn("🎼") === ((4L, 4L * Text.SpmByteCostU6, 4L)))
+    assert(fbOn("東京") === ((6L, 6L * Text.SpmByteCostU6, 6L)))
+    // fallback OFF prices the same unseen char as ONE UNK piece
+    val fbOff = Text.spmSegmentFrame(df, model.toSeq, 4, byteFallback = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fbOff("🎼") === ((1L, Text.SpmUnkCostU6, 1L)))
+    assert(fbOff("a~b") === ((3L, 220L + Text.SpmUnkCostU6, 1L)))
+  }
+
   test("column-expression DP ≡ reference Viterbi on every corpus word") {
     val dir = "/root/testdata/sf0.001"
     val model = EntrySupport.spmModel(spark, dir)
