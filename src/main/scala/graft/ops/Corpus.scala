@@ -703,7 +703,8 @@ object Corpus {
     * `canonical` directly. Zero shuffles, zero joins — scan → project.
     */
   def crawlGate(pages: DataFrame, linkDensityPct: Int = 30,
-                keepText: Boolean = false): DataFrame = {
+                keepText: Boolean = false,
+                carry: Seq[String] = Nil): DataFrame = {
     require(linkDensityPct > 0 && linkDensityPct <= 100,
       s"linkDensityPct must be in (0,100], got $linkDensityPct")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -745,7 +746,8 @@ object Corpus {
         when(robots.contains("noindex"), lit("drop")).otherwise(lit("index"))
           .as("verdict")) ++
         (if (keepText) Seq(when(!col("bad"), col("txt")).as("text"))
-         else Nil): _*)
+         else Nil) ++
+        carry.map(col): _*)
   }
 
   /** HTML HEAD metadata extraction — the crawl-INDEX gate next to

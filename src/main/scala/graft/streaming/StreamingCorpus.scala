@@ -189,6 +189,80 @@ object StreamingCorpus {
       .start()
   }
 
+  final case class PageArrival(doc_id: Long, ts_us: Long, status: String,
+                               verdict: String, canonical: String, passes: Long,
+                               __event_time: java.sql.Timestamp)
+  final case class CrawlVerdict(doc_id: Long, ts_us: Long, status: String,
+                                verdict: String, kept: Long)
+
+  /** STREAMING publisher-hint (canonical) keeper — the continuous twin
+    * of `q_crawl_pipeline`'s dedup half: arriving pages run the fused
+    * front-door projection MAP-SIDE ([[graft.ops.Corpus.crawlGate]] —
+    * a pure projection, so it applies directly to the stream), and the
+    * keeper verdict is per-canonical FIRST-SEEN state: among
+    * gate-survivors, the earliest arrival (ts_us, doc_id — feed in doc
+    * order and verdicts coincide with the batch window's doc_id rank,
+    * the [[segmentFirstSeen]] contract) per canonical keeps; survivors
+    * without a canonical are their own keeper; gate-failed pages never
+    * keep and never consume a keeper slot. Emits one verdict row per
+    * page — the batch query's exact (status, verdict, kept) contract.
+    *
+    * State is ONE boolean per group inside the lateness horizon,
+    * evicted by event-time timeout; groups use the batch query's
+    * synthetic key (eligible rows by canonical, everyone else a
+    * per-doc singleton), so state is bounded by the horizon's pages,
+    * not the corpus — and at 100 TB the horizon state pairs with the
+    * maintained batch canonical index exactly like
+    * [[incrementalDedup]]'s corpus hash index.
+    */
+  def canonicalFirstSeen(
+      pages: DataFrame,
+      tsMicrosCol: String,
+      linkDensityPct: Int = 30,
+      lateness: String = "1 hour"): Dataset[CrawlVerdict] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val gated = Corpus.crawlGate(pages, linkDensityPct,
+        carry = Seq(tsMicrosCol))
+      .withColumn("passes",
+        (col("status") === "ok" && col("verdict") === "index").cast("long"))
+      .select(col("doc_id"), col(tsMicrosCol).as("ts_us"), col("status"),
+        col("verdict"), col("canonical"), col("passes"),
+        timestamp_micros(col(tsMicrosCol)).as("__event_time"))
+      .withWatermark("__event_time", lateness)
+      .as[PageArrival]
+    gated
+      .groupByKey(p =>
+        if (p.passes == 1L && p.canonical != null) "c:" + p.canonical
+        else "d:" + p.doc_id)
+      .flatMapGroupsWithState[Boolean, CrawlVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, newRows: Iterator[PageArrival], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var seen = state.getOption.getOrElse(false)
+            var maxTs = Long.MinValue
+            val out = arrivals.map { r =>
+              maxTs = math.max(maxTs, r.ts_us)
+              val kept =
+                if (r.passes == 0L) 0L
+                else if (seen) 0L
+                else { seen = true; 1L }
+              CrawlVerdict(r.doc_id, r.ts_us, r.status, r.verdict, kept)
+            }
+            state.update(seen)
+            // strictly after the current watermark so late-only groups
+            // don't fault (the lshCandidates clamp)
+            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(base, lateness)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming twin of `q_spm_encode` — continuous tokenizer-encode
     * under a FROZEN trained model (the deployment shape: train once,
     * encode the stream): each micro-batch runs the batch operator
