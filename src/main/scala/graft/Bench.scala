@@ -492,7 +492,7 @@ object Bench {
       "q_corpus_pipeline" -> "1 job; whole composed pipeline is a single exchange chain",
       "q_boilerplate" -> "r13: segment keys now come from the compiled graft_seghash kernel (plans/SegHashes.scala, one byte-scan pass, bit-identical hashes) - and the bench number did NOT move (0.36s before and after, control-adjusted), which falsifies the r12 hypothesis that the hash map was the cost: the execute is the seg-keyed exchange + distinct/count + SHUFFLE_HASH join chain over 250k segment rows, 1 job, floor-bound. Kernel kept (fewer per-row allocations; the win grows with doc length)",
       "q_textrank" -> "r14: 2 jobs steady, ~0.4-0.6s execute; the 5-unrolled-iteration Catalyst construct (the r10 PlanCost floor) is now memoized per (dir) via EntrySupport.memoPlan - repeat constructs are a map lookup, execution fully re-runs per sample; per-iteration work is one vocab-bounded edge join + broadcast scores, already the 100TB shape",
-      "q_overlap_matrix" -> "r15: 2 jobs - cached distinct (source,h) build + the h-keyed <= self-join whose DIAGONAL carries the per-source sizes (the separate sizes pass folded away); OverlapAB measured both shapes interleaved at sf0.1: fold min 0.57-0.64s vs separate-sizes min 0.54-0.68s - parity on min, fold far more stable (0.57-0.59 band vs 0.54-1.39), so the remaining cost IS the h-keyed join floor; join output bounded by sum over shingles of sources(h)^2 (+|store| self-matches, map-side combined)",
+      "q_overlap_matrix" -> "r15: the separate per-source sizes PASS over the big (source,h) store is folded away - sizes now read off the h-keyed <= self-join's DIAGONAL (4 scheduler jobs: store cache + tiny pair-agg cache + two broadcast size builds over that tiny cache, but only ONE pass over the store feeds the join); OverlapAB measured both shapes interleaved at sf0.1: fold min 0.57-0.64s vs separate-sizes min 0.54-0.68s - parity on min, fold far more stable (0.57-0.59 band vs 0.54-1.39), so the remaining cost IS the h-keyed join floor; join output bounded by sum over shingles of sources(h)^2 (+|store| self-matches, map-side combined)",
       "q_spm_encode" -> "r14: 1 job - one corpus scan + explode + broadcast join against the MEMOIZED pre-segmented vocabulary (LocalRelation; 31 word types on this corpus - the shipped-tokenizer-artifact slice, with an in-plan raise guard on any missing word) + doc-keyed agg; the Viterbi DP itself runs vocab-many times, never per occurrence",
       "q_spm_fertility" -> "r14: 1 job - same memoized-seg shape as q_spm_encode with the lang-keyed aggregate (<= |langs| rows out); the residual is the tokenize scan floor shared with the bpe fertility twin",
       "q_spm_sample" -> "r14: 1 job - the q_spm_encode shape with the per-(tau,epoch) pre-sampled vocabulary slice memoized (spmSampleSegLocal); residual is the same tokenize scan + broadcast-join + doc-agg floor",
@@ -514,7 +514,7 @@ object Bench {
       "q_sim_hnsw" -> "nominal ratio: the oracle is the 1000-vector brute-force scan (0.015s in-process) while Spark BUILDS per-segment HNSW graphs then searches — the graph build is the operator under test, priced per query; 2 jobs (segment flatMap + merge window), steady ~0.35s",
       "q_sim_hnsw_routed" -> "same rationale as q_sim_hnsw with the IVF routing stage added; the pinned-centroid oracle restates multi-probe exact search",
       "q_rrf" -> "r11: reads the tok_postings impact store (precomputed tf-idf weight + BM25 term per posting); 5 -> 3 jobs, 0.64 -> 0.48s steady - remaining cost is the scored posting join + two rank windows over the fused columns, job-floor bound; the r13 4.1x reading is the ORACLE tightening (0.137s merged min in a quiet window), not a regression — same 0.5s steady as r11-r12",
-      "q_dsir_weights" -> "r13: one cached tokenize+md5 gram pass (~1.75M uni+bigrams at sf0.1) + ONE fused 256-row histogram + broadcast ratio join + doc-keyed sum; the union-of-two-explodes shape measured 0.9s before the single-explode rewrite (0.54); DuckDB runs the IDENTICAL chain in 0.26 — the 1.8-1.9x residual is scan+md5 bound, 2-3 jobs",
+      "q_dsir_weights" -> "r15 DsirAB (clean window, interleaved, identical pipeline with only the bucket expr swapped): md5 bridge min 0.482/med 0.501 vs bench-only xxhash64 min 0.435/med 0.459 - the oracle-contract md5 costs a MEASURED ~0.05s (~10%); the remaining ~0.43s is the tokenize+explode gram scan floor (~1.75M uni+bigrams) + 256-row histogram + broadcast join + doc sum, which xxhash64 cannot touch. The 2x+ ratio is a proven contract cost + scan floor, not a plan defect; 2-3 jobs, corpus-linear",
       "q_dsir_select" -> "r14: scores against the MEMOIZED 256-row bucket-ratio model (dsirWeightsFrom - the frozen-model deployment shape), 2 jobs warm (was 3): gram scan + broadcast local-ratio join + ordered take; the residual is the same scan+md5 floor as q_dsir_weights, whose in-plan form keeps the full train+score pipeline declared",
       "q_sink_zorder" -> "r13 JobProfile: 4 jobs including two REAL parquet writes (range-partition 0.19 + sorted write 0.33 + two ~0.05s read-back checks) - sink queries time actual file I/O each sample; DuckDB's COPY denominator has no job or commit-protocol floor",
       "q_tfidf" -> "r13: 1 job, 0.35s bench-condition - ONE exchange + window over the posting store; the r11 A/B showed the store does not pay here (in-plan tokenize costs the same) and the r9 windowize note covers the agg+join alternative; job-floor bound at sf0.1",

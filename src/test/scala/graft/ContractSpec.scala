@@ -19,7 +19,8 @@ class ContractSpec extends AnyFunSuite {
       Set("q_sim_ann_kmeans", "q_dedup_semantic", "q_sim_ann_pq",
         "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier",
         "q_sim_hnsw_routed", "q_bpe_encode", "q_bpe_fertility",
-        "q_spm_encode", "q_spm_fertility", "q_spm_sample"))
+        "q_spm_encode", "q_spm_fertility", "q_spm_sample",
+        "q_spm_byte_fallback"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -46,7 +47,8 @@ class ContractSpec extends AnyFunSuite {
     // round 14: + q_sketch_theta_raw + q_html_extract + q_spm_encode
     // + q_spm_fertility + q_dedup_substr_spans50 + q_dedup_substr_trim50
     // + q_spm_sample + q_html_meta + q_crawl_pipeline = 230
-    assert(SparkEntry.queries.size === 230)
+    // round 15: + q_web_corpus + q_spm_byte_fallback = 232
+    assert(SparkEntry.queries.size === 232)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
