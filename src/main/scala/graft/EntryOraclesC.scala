@@ -1760,6 +1760,52 @@ private[graft] object EntryOraclesC {
         |         AS offset_in
         |FROM cm ORDER BY doc_id""".stripMargin,
 
+    // segment-level language ID + run collapse: 8-token windows, the
+    // q_lang_id marker scoring per window, gaps-and-islands collapse;
+    // planted multilingual docs mirrored as literals
+    "q_lang_segments" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents""" +
+        EntrySupport.langSegPlantedDocs.map { case (id, txt) =>
+          s"\n  UNION ALL SELECT $id, list_filter(string_split('$txt', ' '), x -> x != '')"
+        }.mkString + """),
+        |c0 AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, CAST((len(toks) - 1) // 8 AS INT))) AS i
+        |  FROM t WHERE len(toks) >= 1),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |         list_distinct(toks[i * 8 + 1 : i * 8 + 8]) AS dchunk
+        |  FROM c0),
+        |s AS (
+        |  SELECT doc_id, seg_idx,
+        |    CAST(len(list_distinct(list_intersect(dchunk, ['the','a','order','key']))) AS BIGINT)
+        |      AS score_p_article,
+        |    CAST(len(list_distinct(list_intersect(dchunk, ['spark','query','table','row']))) AS BIGINT)
+        |      AS score_p_query,
+        |    CAST(len(list_distinct(list_intersect(dchunk, ['batch','stream','window','merge']))) AS BIGINT)
+        |      AS score_p_stream
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id, seg_idx,
+        |    CASE WHEN score_p_stream >= score_p_query AND score_p_stream >= score_p_article
+        |           THEN 'p_stream'
+        |         WHEN score_p_query >= score_p_article THEN 'p_query'
+        |         ELSE 'p_article' END AS lang
+        |  FROM s),
+        |r AS (
+        |  SELECT *, seg_idx - row_number() OVER (PARTITION BY doc_id, lang
+        |                                         ORDER BY seg_idx) AS grp
+        |  FROM p)
+        |SELECT doc_id, lang,
+        |       CAST(min(seg_idx) AS BIGINT) AS seg_start,
+        |       CAST(max(seg_idx) AS BIGINT) AS seg_end,
+        |       CAST(count(*) AS BIGINT) AS n_chunks
+        |FROM r GROUP BY doc_id, lang, grp
+        |ORDER BY doc_id, seg_start""").stripMargin,
+
     // HEAD-metadata gate: same constructed pages, regexp extraction of
     // title / canonical / robots restated, canonical-group sizes via
     // one aggregate — exact integer arithmetic only

@@ -1296,6 +1296,23 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    "q_lang_segments" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // multilingual document SPLITTING (CCNet's per-paragraph LID):
+      // 8-token windows scored by the q_lang_id marker-profile argmax,
+      // consecutive same-language windows collapsed to segment rows —
+      // the per-segment routing table for per-language gates and
+      // tokenizers. Planted docs pin the two-half split, the run
+      // break, and the multi-chunk collapse through both engines.
+      Text.langSegments(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .unionByName(langSegPlantedDocs.toDF("doc_id", "text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          w = 8)
+        .orderBy(col("doc_id"), col("seg_start"))
+    }),
+
     "q_dsir_select" -> ((s0, dir) => {
       val s = ensure(s0)
       // the importance-RESAMPLING step: keep the 100 highest-weight

@@ -878,6 +878,21 @@ private[graft] object EntrySupport {
     (9200003L, "🎼 music 𝄞 clef 🚀"),
     (9200004L, "plain ascii control row"))
 
+  /** Planted multilingual docs for q_lang_segments (w = 8): a clean
+    * two-half doc (article→query, 2 segments), an alternating-thirds
+    * doc (article→stream→article, 3 segments — the run break), and a
+    * two-chunk same-language doc (collapses to ONE segment, n_chunks
+    * = 2). Literal rows, mirrored verbatim into the oracle.
+    */
+  private[graft] val langSegPlantedDocs: Seq[(Long, String)] = Seq(
+    (9300001L, "the a order key the key order a " +
+      "spark query table row spark row table query"),
+    (9300002L, "the a order key order the key a " +
+      "batch stream window merge stream batch merge window " +
+      "the key a order a the order key"),
+    (9300003L, "batch stream window merge merge window stream batch " +
+      "batch batch stream stream window window merge merge"))
+
   /** Adversarial planted docs for q_bpe_encode — adjacent-occurrence
     * and self-pair merge corners that random corpus text may never
     * hit, run through BOTH engines' replace chains (the oracle mirrors

@@ -122,6 +122,60 @@ object Text {
     scored.select(outCols: _*)
   }
 
+  /** Segment-level language ID + run collapse — the multilingual
+    * document SPLITTER (CCNet, Wenzek et al. 2020 runs LID
+    * per-paragraph precisely because web documents mix languages, and
+    * a doc-level label either discards the minority half or poisons
+    * the majority one): the document's tokens split into fixed
+    * `w`-token windows (the [[graft.ops.Dedup]] segment convention —
+    * these corpora are single-line, so the window IS the paragraph
+    * proxy), each window is scored by the same marker-profile argmax
+    * as [[languageId]], and CONSECUTIVE same-language windows collapse
+    * into one segment row (gaps-and-islands: group = seg_idx − per-
+    * language rank) carrying (lang, seg_start, seg_end, n_chunks) —
+    * the per-segment routing table a pipeline feeds to per-language
+    * quality gates and tokenizers.
+    *
+    * Shape: chunking + scoring are pure map-side HOFs (posexplode of a
+    * slice() transform); ONE doc-keyed exchange serves both the
+    * per-language rank window and the run aggregate (the (doc, lang)
+    * hash clustering already satisfies the (doc, lang, grp) grouping).
+    * At 100 TB: windows and aggregates are per-document — no global
+    * state, corpus-linear.
+    */
+  def langSegments(documents: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1, s"segment width must be positive, got $w")
+    val chunks = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ((size(col("toks")) - 1) / w).cast("int")),
+        i => slice(col("toks"), i * w + 1, lit(w)))).as(Seq("seg_idx", "chunk")))
+    val scored = langProfiles.foldLeft(
+      chunks.withColumn("dchunk", array_distinct(col("chunk")))) {
+      case (df, (name, markers)) =>
+        df.withColumn(s"score_$name",
+          size(array_intersect(col("dchunk"), array(markers.map(lit): _*)))
+            .cast("long"))
+    }
+    val best = langProfiles.map { case (name, _) =>
+      struct(col(s"score_$name").as("score"), lit(name).as("profile"))
+    }
+    val pred = scored.select(col("doc_id"),
+      col("seg_idx").cast("long").as("seg_idx"),
+      greatest(best: _*).getField("profile").as("lang"))
+    val wLang = Window.partitionBy(col("doc_id"), col("lang"))
+      .orderBy(col("seg_idx"))
+    pred
+      .withColumn("grp", col("seg_idx") - row_number().over(wLang))
+      .groupBy(col("doc_id"), col("lang"), col("grp"))
+      .agg(min(col("seg_idx")).as("seg_start"),
+        max(col("seg_idx")).as("seg_end"),
+        count(lit(1)).as("n_chunks"))
+      .drop("grp")
+  }
+
   /** Quality scoring: token count, mean token length, stopword ratio,
     * and a single [0,1] score — the length/punct/stopword heuristics a
     * corpus filter runs before training. All arithmetic mirrored in the

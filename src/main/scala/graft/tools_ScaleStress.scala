@@ -1019,6 +1019,119 @@ object ScaleStress {
       assert(byStatus("ok")._2 == expOk, s"decode proof failed: $byStatus")
       CacheScope.flush()
     }
+    // 20. Round-15 crawl-to-shards CAPSTONE at nDocs pages — the full
+    //     q_web_corpus chain (fused crawlGate projection → canonical
+    //     keeper → exact text dedup → Gopher gate → per-shard packing,
+    //     all synthetic-key windows) with EVERY stage's planted count
+    //     verified against a local simulator of the same rules:
+    //     %13 unclosed script → quarantined; else %7==3 link farm →
+    //     chrome; else %5 noindex; else %3 canonical groups (div 9) →
+    //     min-id keeper; %11==4 docs share per-thousand-block dup text
+    //     → first alive keeps; %17==6 (non-dup) two-word page →
+    //     low_quality; the rest prose (12 id-unique words) → kept.
+    //     Shape: scan → ONE projection → three window exchanges.
+    timed("webCorpusCapstone") {
+      val ids = spark.range(0, nDocs, 1, 64).select(col("id").as("doc_id"))
+      val prose = concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"p${i}x"), col("doc_id"))): _*)
+      val dupTxt = concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"d${i}g"), expr("doc_id div 1000"))): _*)
+      val body =
+        when(col("doc_id") % 11 === 4, dupTxt)
+          .when(col("doc_id") % 17 === 6, concat(lit("q"), col("doc_id")))
+          .otherwise(prose)
+      val pages = ids.select(col("doc_id"), concat(
+        lit("<html><head>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://ex.com/c/"),
+            expr("doc_id div 9").cast("string"), lit("\">")))
+          .otherwise(lit("")),
+        lit("</head><body>"),
+        when(col("doc_id") % 13 === 0, lit("<script>var broken = ["))
+          .otherwise(lit("<script>t()</script>")),
+        when(col("doc_id") % 7 === 3,
+          lit(EntrySupport.htmlLinkFarm + "<p>tiny</p>"))
+          .otherwise(concat(lit("<p>"), body, lit("</p>"))),
+        lit("</body></html>")).as("html"))
+      import org.apache.spark.sql.expressions.Window
+      val t0 = System.nanoTime()
+      val g = ops.Corpus.crawlGate(pages, linkDensityPct = 30, keepText = true)
+        .withColumn("passes",
+          (col("status") === "ok" && col("verdict") === "index").cast("long"))
+      val k1 = when(col("passes") === 1L && col("canonical").isNotNull,
+          concat(lit("c:"), col("canonical")))
+        .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+      val r1 = g.withColumn("rn1",
+          row_number().over(Window.partitionBy(k1).orderBy(col("doc_id"))))
+        .withColumn("alive1", col("passes") === 1L && col("rn1") === 1)
+      val k2 = when(col("alive1"), concat(lit("t:"), col("text")))
+        .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+      val r2 = r1.withColumn("rn2",
+          row_number().over(Window.partitionBy(k2).orderBy(col("doc_id"))))
+        .withColumn("alive2", col("alive1") && col("rn2") === 1)
+      val r3 = ops.Corpus.withGopher(r2)
+        .withColumn("alive3",
+          col("alive2") && coalesce(col("gopher_ok"), lit(0L)) === 1L)
+      val k3 = when(col("alive3"),
+          concat(lit("s:"), expr("doc_id div 64").cast("string")))
+        .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+      val wPack = Window.partitionBy(k3).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = r3
+        .withColumn("cum",
+          sum(when(col("alive3"), col("n_toks")).otherwise(lit(0L))).over(wPack))
+        .select(
+          when(col("status") === "quarantined", lit("quarantined"))
+            .when(col("status") === "chrome", lit("chrome"))
+            .when(col("verdict") === "drop", lit("noindex"))
+            .when(col("rn1") =!= 1, lit("canonical_dup"))
+            .when(col("rn2") =!= 1, lit("text_dup"))
+            .when(coalesce(col("gopher_ok"), lit(0L)) =!= 1L, lit("low_quality"))
+            .otherwise(lit("kept")).as("stage"),
+          when(col("alive3"), col("n_toks")).as("tok_cnt"),
+          when(col("alive3"), (col("cum") - col("n_toks")) % 2048).as("offset_in"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n"), sum(col("tok_cnt")).as("toks"),
+          max(col("offset_in")).as("max_off"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3))).toMap
+      val wall = (System.nanoTime() - t0) / 1e9
+      // local simulator of the same stage rules, ascending id = keeper order
+      val sim = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val canonSeen = scala.collection.mutable.HashSet[Long]()
+      val textSeen = scala.collection.mutable.HashSet[Long]()
+      var i = 0L
+      while (i < nDocs) {
+        val stage =
+          if (i % 13 == 0) "quarantined"
+          else if (i % 7 == 3) "chrome"
+          else if (i % 5 == 0) "noindex"
+          else if (i % 3 == 0 && !canonSeen.add(i / 9)) "canonical_dup"
+          else if (i % 11 == 4 && !textSeen.add(i / 1000)) "text_dup"
+          else if (i % 17 == 6 && i % 11 != 4) "low_quality"
+          else "kept"
+        sim(stage) += 1L
+        i += 1L
+      }
+      val got = out.map { case (k, v) => k -> v._1 }
+      println(f"[scale]   $nDocs pages through the capstone in $wall%.2f s " +
+        f"(${nDocs / wall}%.0f pages/s) -> $got")
+      sim.foreach { case (stage, n) =>
+        assert(got.getOrElse(stage, 0L) == n,
+          s"stage $stage: got ${got.getOrElse(stage, 0L)}, planted $n")
+      }
+      assert(got.values.sum == nDocs, s"capstone dropped rows: $got")
+      // every kept doc carries exactly its 12 planted words into the
+      // packing, and no offset escapes the 2048-token budget
+      assert(out("kept")._2 == 12L * sim("kept"),
+        s"kept token sum: ${out("kept")._2} vs ${12L * sim("kept")}")
+      assert(out("kept")._3 < 2048L, s"offset_in escaped budget: ${out("kept")._3}")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

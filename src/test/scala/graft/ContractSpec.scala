@@ -47,8 +47,9 @@ class ContractSpec extends AnyFunSuite {
     // round 14: + q_sketch_theta_raw + q_html_extract + q_spm_encode
     // + q_spm_fertility + q_dedup_substr_spans50 + q_dedup_substr_trim50
     // + q_spm_sample + q_html_meta + q_crawl_pipeline = 230
-    // round 15: + q_web_corpus + q_spm_byte_fallback = 232
-    assert(SparkEntry.queries.size === 232)
+    // round 15: + q_web_corpus + q_spm_byte_fallback + q_lang_segments
+    // = 233
+    assert(SparkEntry.queries.size === 233)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
