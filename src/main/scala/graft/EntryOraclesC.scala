@@ -1760,6 +1760,46 @@ private[graft] object EntryOraclesC {
         |         AS offset_in
         |FROM cm ORDER BY doc_id""".stripMargin,
 
+    // majority-of-signals quality ensemble: four single-division
+    // signals, exact interpolated medians, strict median votes
+    "q_quality_votes" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS ttr,
+        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |         CASE WHEN len(toks) >= 2 THEN
+        |           1.0 - CAST(len(list_distinct(list_transform(
+        |                   generate_series(1, len(toks) - 1),
+        |                   i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+        |                 / CAST(len(toks) - 1 AS DOUBLE)
+        |         ELSE 0.0 END AS dup_frac
+        |  FROM t WHERE len(toks) >= 1),
+        |m AS (
+        |  SELECT quantile_cont(n_toks, 0.5) AS m_len,
+        |         quantile_cont(ttr, 0.5) AS m_ttr,
+        |         quantile_cont(stop_ratio, 0.5) AS m_stop,
+        |         quantile_cont(dup_frac, 0.5) AS m_dup
+        |  FROM s)
+        |SELECT doc_id, n_toks, ttr, stop_ratio, dup_frac,
+        |       CAST(CASE WHEN n_toks > m_len THEN 1 ELSE 0 END
+        |          + CASE WHEN ttr > m_ttr THEN 1 ELSE 0 END
+        |          + CASE WHEN stop_ratio > m_stop THEN 1 ELSE 0 END
+        |          + CASE WHEN dup_frac < m_dup THEN 1 ELSE 0 END AS BIGINT)
+        |         AS votes,
+        |       CAST(CASE WHEN (CASE WHEN n_toks > m_len THEN 1 ELSE 0 END
+        |          + CASE WHEN ttr > m_ttr THEN 1 ELSE 0 END
+        |          + CASE WHEN stop_ratio > m_stop THEN 1 ELSE 0 END
+        |          + CASE WHEN dup_frac < m_dup THEN 1 ELSE 0 END) >= 3
+        |         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s, m ORDER BY doc_id""".stripMargin,
+
     // segment-level language ID + run collapse: 8-token windows, the
     // q_lang_id marker scoring per window, gaps-and-islands collapse;
     // planted multilingual docs mirrored as literals

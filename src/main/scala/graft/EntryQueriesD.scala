@@ -1296,6 +1296,19 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    "q_quality_votes" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // FineWeb-style majority-of-signals quality gate: four signals
+      // each voted against its corpus median, keep = >= 3 of 4. All
+      // arithmetic integer-or-single-division (bit-identical), medians
+      // exact order statistics — no float-fold parity surface.
+      Text.qualityVotes(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          stopwords = Seq("the", "a"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lang_segments" -> ((s0, dir) => {
       val s = ensure(s0)
       import s.implicits._

@@ -196,6 +196,64 @@ object Text {
           least(col("n_tok") / lit(100.0), lit(1.0)) *
             (lit(1.0) - col("n_stop") / col("n_tok")), 4).as("quality"))
 
+  /** Majority-of-signals quality ensemble — the FineWeb/RefinedWeb
+    * filtering shape (quality is a BATTERY of weak filters, not one
+    * score: a doc must look good on most dimensions to survive): four
+    * per-doc signals — token count, type-token ratio (lexical
+    * diversity), stopword ratio (natural prose carries function
+    * words; spam doesn't), repeated-bigram fraction — each compared
+    * against its own CORPUS MEDIAN, votes summed, keep = majority
+    * (≥ 3 of 4). Medians instead of z-scores on purpose: every signal
+    * is an integer count or ONE IEEE division of identical longs
+    * (bit-identical cross-engine), the median is an exact order
+    * statistic (or the midpoint of two — still deterministic), and
+    * the strict >/< votes are therefore exact integers — no
+    * float-fold variance anywhere, the dsirWeights parity discipline
+    * applied to ensemble scoring.
+    *
+    * Shape: ONE map-side signal pass, ONE 4-value global aggregate
+    * broadcast back (crossJoin of a 1-row frame — the established
+    * scalar pattern), map-side votes. No global window, no rank sort —
+    * at 100 TB swap the exact percentile for approx_percentile and
+    * the plan shape is unchanged.
+    */
+  def qualityVotes(documents: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    val bgLen = greatest(col("n_toks").cast("int") - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), bgLen),
+      slice(col("toks"), lit(2), bgLen),
+      (a, b) => concat_ws(" ", a, b))
+    val sigs = base
+      .withColumn("bg", bigrams)
+      .select(
+        col("doc_id"), col("n_toks"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          col("n_toks").cast("double")).as("ttr"),
+        (size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double") /
+          col("n_toks").cast("double")).as("stop_ratio"),
+        when(size(col("bg")) > 0,
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+    val meds = sigs.agg(
+      expr("percentile(n_toks, 0.5)").as("m_len"),
+      expr("percentile(ttr, 0.5)").as("m_ttr"),
+      expr("percentile(stop_ratio, 0.5)").as("m_stop"),
+      expr("percentile(dup_frac, 0.5)").as("m_dup"))
+    sigs.crossJoin(broadcast(meds))
+      .select(col("doc_id"), col("n_toks"), col("ttr"), col("stop_ratio"),
+        col("dup_frac"),
+        (when(col("n_toks").cast("double") > col("m_len"), 1L).otherwise(0L) +
+          when(col("ttr") > col("m_ttr"), 1L).otherwise(0L) +
+          when(col("stop_ratio") > col("m_stop"), 1L).otherwise(0L) +
+          when(col("dup_frac") < col("m_dup"), 1L).otherwise(0L)).as("votes"))
+      .withColumn("keep", (col("votes") >= 3L).cast("long"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single punctuation) — the
     * cheap proxy for "how many tokens will the tokenizer emit".

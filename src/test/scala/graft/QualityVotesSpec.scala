@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Text
+
+/** Majority-of-signals quality ensemble laws: strict median votes,
+  * the at-the-median neutrality, and range/coverage invariants.
+  */
+class QualityVotesSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(docs: (Long, String)*) =
+    Text.qualityVotes(docs.toSeq.toDF("doc_id", "text"), Seq("the", "a"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(5), r.getLong(6))).toMap
+
+  test("identical docs sit AT every median and cast zero votes") {
+    val t = "the quick brown fox jumps over a lazy dog today"
+    val out = run((1L, t), (2L, t), (3L, t))
+    assert(out.values.forall(_ == ((0L, 0L))),
+      s"at-the-median docs must vote 0 / keep 0, got $out")
+  }
+
+  test("a strictly better doc on all four signals wins every vote") {
+    // doc 1: long, diverse, stopword-bearing, repetition-free;
+    // doc 2 and 3: short, repetitive, stopword-free
+    val good = (1 to 30).map(i => if (i % 7 == 0) "the" else s"w$i").mkString(" ")
+    val out = run((1L, good), (2L, "spam spam spam spam"), (3L, "buy buy buy"))
+    assert(out(1L) === ((4L, 1L)), s"good doc must take all 4 votes: $out")
+    assert(out(2L)._2 === 0L && out(3L)._2 === 0L)
+  }
+
+  test("corpus invariants: every tokened doc emitted, votes in [0,4], " +
+      "keep ≡ votes >= 3, signals are valid ratios") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val rows = Text.qualityVotes(docs, Seq("the", "a")).collect()
+    assert(rows.length === docs.filter(
+      size(graft.ops.Dedup.tokens(col("text"))) >= 1).count())
+    rows.foreach { r =>
+      val (ttr, stop, dup) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (votes, keep) = (r.getLong(5), r.getLong(6))
+      assert(votes >= 0L && votes <= 4L)
+      assert(keep === (if (votes >= 3L) 1L else 0L))
+      assert(ttr > 0.0 && ttr <= 1.0 && stop >= 0.0 && stop <= 1.0 &&
+        dup >= 0.0 && dup < 1.0)
+    }
+    // the median split is real: both sides populated
+    assert(rows.exists(_.getLong(5) >= 3L) && rows.exists(_.getLong(5) <= 1L))
+  }
+}
