@@ -1296,6 +1296,64 @@ private[graft] object EntryQueriesD {
         .orderBy(col("doc_id"))
     }),
 
+    "q_web_corpus_incremental" -> ((s0, dir) => {
+      val s = ensure(s0)
+      import s.implicits._
+      // the capstone's DEPLOYMENT shape: a standing corpus already
+      // ingested, a batch arrives, and only the BATCH shuffles
+      // (Corpus.webCorpusIncrement — canonical/text probes against
+      // standing indexes instead of a union re-run). Batch plants all
+      // three duplicate classes: impersonating copies of standing
+      // pages (+5M — canonical_dup or text_dup where the standing
+      // original survived, kept where it didn't), fresh pages (+6M),
+      // and an in-batch same-text pair (+7M). The ORACLE runs the
+      // union capstone restricted to batch ids, so a hash match IS
+      // the increment ≡ union law verified cross-engine.
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val standing = docs
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
+              expr("doc_id div 9").cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("<style>p { margin: 0; }</style></head><body>"),
+          when(col("doc_id") % 13 === 0, lit("<script>var broken = trackers["))
+            .otherwise(lit("<script>track();</script>")),
+          when(col("doc_id") % 7 === 3, lit(htmlLinkFarm)).otherwise(lit("")),
+          lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+      val copies = docs.filter(col("doc_id") % 4 === 1).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title>"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
+              expr("doc_id div 9").cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body><script>track();</script>"),
+          lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+      val fresh = docs.filter(col("doc_id") % 4 === 2).select(
+        (col("doc_id") + 6000000L).as("doc_id"),
+        concat(lit("<html><head><title>new "), col("doc_id").cast("string"),
+          lit("</title></head><body><script>track();</script><p>"),
+          col("text"), lit(" fresh9</p></body></html>")).as("html"))
+      val pairHtml = "<html><head><title>pair</title></head><body>" +
+        "<script>track();</script><p>k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12" +
+        "</p></body></html>"
+      val pair = Seq((7000000L, pairHtml), (7000001L, pairHtml))
+        .toDF("doc_id", "html")
+      Corpus.webCorpusIncrement(standing,
+          copies.unionByName(fresh).unionByName(pair))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_votes" -> ((s0, dir) => {
       val s = ensure(s0)
       // FineWeb-style majority-of-signals quality gate: four signals

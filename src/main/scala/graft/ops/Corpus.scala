@@ -750,6 +750,91 @@ object Corpus {
         carry.map(col): _*)
   }
 
+  /** INCREMENTAL web-corpus ingest — the deployment shape of the
+    * composed capstone (`q_web_corpus`): a standing corpus is already
+    * ingested, a batch of new pages arrives, and each batch page gets
+    * the SAME per-doc stage verdict the batch pipeline would assign if
+    * the whole union were re-run — without ever re-shuffling the
+    * standing corpus on the hot side (the
+    * [[graft.ops.Dedup.incrementalNewDocs]] contract). The standing
+    * state is two indexes a production pipeline MAINTAINS between
+    * runs: the canonicals claimed by standing gate-survivors and the
+    * extracted texts of standing docs alive through the canonical
+    * stage. Batch pages gate map-side ([[crawlGate]]), rank within the
+    * batch (synthetic-key windows — batch-sized), and probe the two
+    * indexes with hash joins keyed on canonical / md5(text) — only the
+    * BATCH shuffles; the index sides are distinct-value-sized
+    * projections (at 100 TB they are materialized tables, not
+    * recomputed — here they derive in-plan from `standingPages` so the
+    * equivalence law is checkable end-to-end).
+    *
+    * Law (WebCorpusIncrementSpec): with every standing doc_id below
+    * every batch doc_id, `webCorpusIncrement(standing, batch)` ≡ the
+    * union capstone's verdicts restricted to the batch — standing docs
+    * win every canonical/text race exactly as their smaller ids would.
+    */
+  def webCorpusIncrement(standingPages: DataFrame, batchPages: DataFrame,
+                         linkDensityPct: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gated(pages: DataFrame): DataFrame =
+      crawlGate(pages, linkDensityPct, keepText = true)
+        .withColumn("passes",
+          (col("status") === "ok" && col("verdict") === "index").cast("long"))
+    // standing state: canonical index (claimed by any gate-survivor)
+    // and the alive1 text index (canonical keepers + no-canonical
+    // survivors — the set the union-capstone's text stage dedups over)
+    val sg = gated(standingPages)
+    val canonIdx = sg
+      .filter(col("passes") === 1L && col("canonical").isNotNull)
+      .select(col("canonical")).distinct()
+      .withColumn("in_standing_canon", lit(1L))
+    val sk1 = when(col("passes") === 1L && col("canonical").isNotNull,
+        concat(lit("c:"), col("canonical")))
+      .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+    val textIdx = sg
+      .withColumn("rn1",
+        row_number().over(Window.partitionBy(sk1).orderBy(col("doc_id"))))
+      .filter(col("passes") === 1L && col("rn1") === 1)
+      .select(md5(col("text")).as("th")).distinct()
+      .withColumn("in_standing_text", lit(1L))
+    // batch: gate, rank WITHIN the batch, probe the standing indexes
+    val bg = gated(batchPages)
+    val bk1 = when(col("passes") === 1L && col("canonical").isNotNull,
+        concat(lit("c:"), col("canonical")))
+      .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+    val b1 = bg
+      .withColumn("rn1",
+        row_number().over(Window.partitionBy(bk1).orderBy(col("doc_id"))))
+      .join(canonIdx, Seq("canonical"), "left")
+      .withColumn("canon_dup",
+        col("passes") === 1L && col("canonical").isNotNull &&
+          (col("in_standing_canon").isNotNull || col("rn1") =!= 1))
+      .withColumn("alive1", col("passes") === 1L && !col("canon_dup"))
+    val bk2 = when(col("alive1"), concat(lit("t:"), col("text")))
+      .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
+    val b2 = b1
+      .withColumn("rn2",
+        row_number().over(Window.partitionBy(bk2).orderBy(col("doc_id"))))
+      .withColumn("th", md5(col("text")))
+      .join(textIdx, Seq("th"), "left")
+      .withColumn("text_dup",
+        col("alive1") &&
+          (col("in_standing_text").isNotNull || col("rn2") =!= 1))
+      .withColumn("alive2", col("alive1") && !col("text_dup"))
+    withGopher(b2)
+      .select(
+        col("doc_id"),
+        when(col("status") === "quarantined", lit("quarantined"))
+          .when(col("status") === "chrome", lit("chrome"))
+          .when(col("verdict") === "drop", lit("noindex"))
+          .when(col("canon_dup"), lit("canonical_dup"))
+          .when(col("text_dup"), lit("text_dup"))
+          .when(coalesce(col("gopher_ok"), lit(0L)) =!= 1L, lit("low_quality"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("alive2") && coalesce(col("gopher_ok"), lit(0L)) === 1L,
+          col("n_toks")).as("tok_cnt"))
+  }
+
   /** HTML HEAD metadata extraction — the crawl-INDEX gate next to
     * [[htmlExtract]]'s content gate: `<title>`, the `rel="canonical"`
     * link (the publisher's own dedup hint — crawl pipelines collapse

@@ -48,8 +48,8 @@ class ContractSpec extends AnyFunSuite {
     // + q_spm_fertility + q_dedup_substr_spans50 + q_dedup_substr_trim50
     // + q_spm_sample + q_html_meta + q_crawl_pipeline = 230
     // round 15: + q_web_corpus + q_spm_byte_fallback + q_lang_segments
-    // + q_quality_votes = 234
-    assert(SparkEntry.queries.size === 234)
+    // + q_quality_votes + q_web_corpus_incremental = 235
+    assert(SparkEntry.queries.size === 235)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
