@@ -218,6 +218,50 @@ object Text {
     * the plan shape is unchanged.
     */
   def qualityVotes(documents: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val sigs = qualitySignals(documents, stopwords)
+    val meds = sigs.agg(
+      expr("percentile(n_toks, 0.5)").as("m_len"),
+      expr("percentile(ttr, 0.5)").as("m_ttr"),
+      expr("percentile(stop_ratio, 0.5)").as("m_stop"),
+      expr("percentile(dup_frac, 0.5)").as("m_dup"))
+    voteTail(sigs.crossJoin(broadcast(meds)))
+  }
+
+  /** [[qualityVotes]] against FROZEN medians — the deployment shape
+    * (train the thresholds on a reference corpus once, gate every
+    * batch/stream against them, exactly like the frozen tokenizer and
+    * DSIR models): pure map-side given the 4-double model, so it
+    * applies DIRECTLY to a streaming frame. QualityVotesSpec pins
+    * frozen-fed ≡ in-plan when the medians come from
+    * [[qualityVotesMedians]] on the same corpus.
+    */
+  def qualityVotesFrom(documents: DataFrame, stopwords: Seq[String],
+                       medians: (Double, Double, Double, Double)): DataFrame =
+    voteTail(qualitySignals(documents, stopwords)
+      .withColumn("m_len", lit(medians._1))
+      .withColumn("m_ttr", lit(medians._2))
+      .withColumn("m_stop", lit(medians._3))
+      .withColumn("m_dup", lit(medians._4)))
+
+  /** Collect the 4-double median model once (the bounded trained
+    * artifact [[qualityVotesFrom]] consumes) — runs the SAME plan
+    * [[qualityVotes]] broadcasts in-plan, so the two forms cannot
+    * drift.
+    */
+  def qualityVotesMedians(documents: DataFrame,
+                          stopwords: Seq[String]): (Double, Double, Double, Double) = {
+    val r = qualitySignals(documents, stopwords).agg(
+      expr("percentile(n_toks, 0.5)"), expr("percentile(ttr, 0.5)"),
+      expr("percentile(stop_ratio, 0.5)"), expr("percentile(dup_frac, 0.5)"))
+      .collect().head
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** The per-doc signal pass [[qualityVotes]], [[qualityVotesFrom]],
+    * and [[qualityVotesMedians]] share — one definition, no drift.
+    */
+  private def qualitySignals(documents: DataFrame,
+                             stopwords: Seq[String]): DataFrame = {
     val base = documents
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
@@ -227,7 +271,7 @@ object Text {
       slice(col("toks"), lit(1), bgLen),
       slice(col("toks"), lit(2), bgLen),
       (a, b) => concat_ws(" ", a, b))
-    val sigs = base
+    base
       .withColumn("bg", bigrams)
       .select(
         col("doc_id"), col("n_toks"),
@@ -239,20 +283,16 @@ object Text {
           lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
             size(col("bg")).cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
-    val meds = sigs.agg(
-      expr("percentile(n_toks, 0.5)").as("m_len"),
-      expr("percentile(ttr, 0.5)").as("m_ttr"),
-      expr("percentile(stop_ratio, 0.5)").as("m_stop"),
-      expr("percentile(dup_frac, 0.5)").as("m_dup"))
-    sigs.crossJoin(broadcast(meds))
-      .select(col("doc_id"), col("n_toks"), col("ttr"), col("stop_ratio"),
-        col("dup_frac"),
-        (when(col("n_toks").cast("double") > col("m_len"), 1L).otherwise(0L) +
-          when(col("ttr") > col("m_ttr"), 1L).otherwise(0L) +
-          when(col("stop_ratio") > col("m_stop"), 1L).otherwise(0L) +
-          when(col("dup_frac") < col("m_dup"), 1L).otherwise(0L)).as("votes"))
-      .withColumn("keep", (col("votes") >= 3L).cast("long"))
   }
+
+  private def voteTail(withMeds: DataFrame): DataFrame = withMeds
+    .select(col("doc_id"), col("n_toks"), col("ttr"), col("stop_ratio"),
+      col("dup_frac"),
+      (when(col("n_toks").cast("double") > col("m_len"), 1L).otherwise(0L) +
+        when(col("ttr") > col("m_ttr"), 1L).otherwise(0L) +
+        when(col("stop_ratio") > col("m_stop"), 1L).otherwise(0L) +
+        when(col("dup_frac") < col("m_dup"), 1L).otherwise(0L)).as("votes"))
+    .withColumn("keep", (col("votes") >= 3L).cast("long"))
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single punctuation) — the

@@ -263,6 +263,36 @@ object StreamingCorpus {
       }
   }
 
+  /** Streaming twin of `q_quality_votes` — the ensemble gate run
+    * continuously under a FROZEN median model (the deployment shape:
+    * thresholds trained once on a reference corpus, every arriving doc
+    * gated against them — the same train-once/serve-forever contract
+    * as [[spmEncodeStream]]'s tokenizer): scoring is pure map-side
+    * given the 4-double model, so each micro-batch runs the batch
+    * operator verbatim ([[graft.ops.Text.qualityVotesFrom]]) with zero
+    * cross-batch state. QualityVotesSpec pins streamed ≡ batch under
+    * the same frozen medians.
+    */
+  def qualityVotesStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      sinkDir: String,
+      stopwords: Seq[String],
+      medians: (Double, Double, Double, Double)): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Text.qualityVotesFrom(batch, stopwords, medians)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of `q_spm_encode` — continuous tokenizer-encode
     * under a FROZEN trained model (the deployment shape: train once,
     * encode the stream): each micro-batch runs the batch operator

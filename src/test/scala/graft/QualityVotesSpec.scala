@@ -33,6 +33,34 @@ class QualityVotesSpec extends AnyFunSuite {
     assert(out(2L)._2 === 0L && out(3L)._2 === 0L)
   }
 
+  test("frozen-median form ≡ in-plan form when the model comes from the " +
+      "same corpus; streamed ≡ batch under the frozen model") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(80)
+    val meds = Text.qualityVotesMedians(docs, Seq("the", "a"))
+    val inPlan = Text.qualityVotes(docs, Seq("the", "a"))
+      .collect().map(_.toString).sorted.toSeq
+    val frozen = Text.qualityVotesFrom(docs, Seq("the", "a"), meds)
+      .collect().map(_.toString).sorted.toSeq
+    assert(frozen === inPlan)
+    // streamed twin: two micro-batches, frozen model, same verdicts
+    val base = Files.createTempDirectory("graft-qvotes").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$base/src")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$base/src")
+    graft.streaming.StreamingCorpus.qualityVotesStream(
+      spark, s"$base/src", schema, s"$base/ckpt", s"$base/sink",
+      Seq("the", "a"), meds).awaitTermination()
+    val streamed = spark.read.parquet(s"$base/sink")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === frozen)
+  }
+
   test("corpus invariants: every tokened doc emitted, votes in [0,4], " +
       "keep ≡ votes >= 3, signals are valid ratios") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
