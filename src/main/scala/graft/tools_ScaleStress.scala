@@ -1132,6 +1132,99 @@ object ScaleStress {
       assert(out("kept")._3 < 2048L, s"offset_in escaped budget: ${out("kept")._3}")
       CacheScope.flush()
     }
+    // 21. Round-15 INCREMENTAL capstone: the case-20 standing corpus
+    //     (nDocs pages) + a nDocs/10 batch of impersonating copies
+    //     (clean head, the original's exact body — text_dup iff the
+    //     original was alive through the canonical stage, KEPT iff the
+    //     original died before its text entered the index: the
+    //     dead-owner rule) and fresh pages. Expected verdicts derive
+    //     from the SAME local simulator as case 20. Only the batch
+    //     shuffles on the hot side; the in-plan standing-index build
+    //     dominates wall here by design — production materializes it
+    //     once per corpus version (webCorpusIncrement scaladoc).
+    timed("webCorpusIncrement") {
+      val nBatch = nDocs / 10
+      def standingBody(idc: org.apache.spark.sql.Column) = {
+        val prose = concat_ws(" ", (0 until 12).map(i =>
+          concat(lit(s"p${i}x"), idc)): _*)
+        val dupTxt = concat_ws(" ", (0 until 12).map(i =>
+          concat(lit(s"d${i}g"), (idc / 1000).cast("long"))): _*)
+        when(idc % 11 === 4, dupTxt)
+          .when(idc % 17 === 6, concat(lit("q"), idc))
+          .otherwise(prose)
+      }
+      val standing = spark.range(0, nDocs, 1, 64)
+        .select(col("id").as("doc_id"), concat(
+          lit("<html><head>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://ex.com/c/"),
+              expr("doc_id div 9").cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body>"),
+          when(col("doc_id") % 13 === 0, lit("<script>var broken = ["))
+            .otherwise(lit("<script>t()</script>")),
+          when(col("doc_id") % 7 === 3,
+            lit(EntrySupport.htmlLinkFarm + "<p>tiny</p>"))
+            .otherwise(concat(lit("<p>"), standingBody(col("doc_id")), lit("</p>"))),
+          lit("</body></html>")).as("html"))
+      // batch: copies impersonate originals 0..nBatch/2 (clean head,
+      // exact original body, o % 11 != 4 so each copy's fate depends
+      // only on its OWN original); fresh pages carry unique prose
+      val half = nBatch / 2
+      val copies = spark.range(0, half, 1, 16)
+        .filter(col("id") % 11 =!= 4)
+        .select((col("id") + 10000000L).as("doc_id"), concat(
+          lit("<html><head></head><body><script>t()</script><p>"),
+          standingBody(col("id")), lit("</p></body></html>")).as("html"))
+      val fresh = spark.range(0, nBatch - half, 1, 16)
+        .select((col("id") + 20000000L).as("doc_id"), concat(
+          lit("<html><head></head><body><script>t()</script><p>"),
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit(s"f${i}y"), col("id"))): _*),
+          lit("</p></body></html>")).as("html"))
+      val t0 = System.nanoTime()
+      val got = ops.Corpus.webCorpusIncrement(
+          standing, copies.unionByName(fresh))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wall = (System.nanoTime() - t0) / 1e9
+      // simulate the standing stages (case-20 rules) to derive which
+      // originals were alive1 (their text entered the index): the
+      // copy of an alive1 original text-dups BEFORE the gopher stage
+      // (even a low-quality original's text is in the index); the
+      // copy of a DEAD original owns its text and proceeds to gopher
+      // (the dead-owner rule) — kept for prose bodies, low_quality
+      // for the 1-word q{o} bodies.
+      val canonSeen2 = scala.collection.mutable.HashSet[Long]()
+      var expDup = 0L; var expKeptCopies = 0L; var expLow = 0L
+      var o = 0L
+      while (o < half) {
+        val passing = o % 13 != 0 && o % 7 != 3 && o % 5 != 0
+        val alive1 = passing && !(o % 3 == 0 && !canonSeen2.add(o / 9))
+        if (o % 11 != 4) {
+          if (alive1) expDup += 1L
+          else if (o % 17 == 6) expLow += 1L
+          else expKeptCopies += 1L
+        }
+        o += 1L
+      }
+      val nFresh = nBatch - half
+      println(f"[scale]   standing=$nDocs batch=${got.values.sum} " +
+        f"in $wall%.2f s -> $got")
+      assert(got("text_dup") == expDup,
+        s"copy dups: ${got.get("text_dup")} vs $expDup")
+      assert(got.getOrElse("low_quality", 0L) == expLow,
+        s"dead-owner low copies: $got vs $expLow")
+      assert(got.getOrElse("kept", 0L) == expKeptCopies + nFresh,
+        s"kept: $got vs ${expKeptCopies + nFresh}")
+      assert(got.values.sum ==
+        (0L until half).count(_ % 11 != 4).toLong + nFresh,
+        s"increment dropped rows: $got")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }
