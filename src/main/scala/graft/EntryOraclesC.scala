@@ -1764,144 +1764,14 @@ private[graft] object EntryOraclesC {
     // restricted to batch ids — a hash match verifies the
     // increment ≡ union-rerun law cross-engine (standing ids all
     // below batch ids, so standing docs win every canonical/text race)
-    "q_web_corpus_incremental" ->
-      s"""WITH page AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
-        |    '</title>' ||
-        |    CASE WHEN doc_id % 5 = 0
-        |           THEN '<meta name="robots" content="noindex, nofollow">'
-        |         ELSE '' END ||
-        |    CASE WHEN doc_id % 3 = 0
-        |           THEN '<link rel="canonical" href="https://example.com/c/'
-        |                || CAST(doc_id // 9 AS VARCHAR) || '">'
-        |         ELSE '' END ||
-        |    '<style>p { margin: 0; }</style></head><body>' ||
-        |    CASE WHEN doc_id % 13 = 0 THEN '<script>var broken = trackers['
-        |         ELSE '<script>track();</script>' END ||
-        |    CASE WHEN doc_id % 7 = 3 THEN '${EntrySupport.htmlLinkFarm}'
-        |         ELSE '' END ||
-        |    '<p>R&amp;D says x &lt; y</p><p>' || text || '</p></body></html>'
-        |      AS html
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 5000000,
-        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
-        |    '</title>' ||
-        |    CASE WHEN doc_id % 3 = 0
-        |           THEN '<link rel="canonical" href="https://example.com/c/'
-        |                || CAST(doc_id // 9 AS VARCHAR) || '">'
-        |         ELSE '' END ||
-        |    '</head><body><script>track();</script>' ||
-        |    '<p>R&amp;D says x &lt; y</p><p>' || text || '</p></body></html>'
-        |  FROM documents WHERE doc_id % 4 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 6000000,
-        |    '<html><head><title>new ' || CAST(doc_id AS VARCHAR) ||
-        |    '</title></head><body><script>track();</script><p>' ||
-        |    text || ' fresh9</p></body></html>'
-        |  FROM documents WHERE doc_id % 4 = 2
-        |  UNION ALL
-        |  SELECT 7000000 + u.i,
-        |    '<html><head><title>pair</title></head><body>' ||
-        |    '<script>track();</script><p>k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12' ||
-        |    '</p></body></html>'
-        |  FROM (SELECT unnest(generate_series(0, 1)) AS i) u),
-        |x AS (
-        |  SELECT doc_id, html,
-        |         len(regexp_extract_all(html, '<script')) <>
-        |         len(regexp_extract_all(html, '</script>')) AS bad,
-        |         nullif(regexp_extract(html,
-        |                  '<link rel="canonical" href="([^"]*)"', 1),
-        |                '') AS canonical,
-        |         CASE WHEN regexp_extract(html,
-        |                '<meta name="robots" content="([^"]*)"', 1)
-        |                LIKE '%noindex%' THEN 'drop' ELSE 'index' END AS verdict
-        |  FROM page),
-        |s AS (
-        |  SELECT doc_id, bad, canonical, verdict,
-        |         regexp_replace(
-        |           regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
-        |                          ' ', 'g'),
-        |           '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nos
-        |  FROM x),
-        |a AS (
-        |  SELECT doc_id, bad, canonical, verdict,
-        |         regexp_extract_all(nos, '(?s)<a[^>]*>(.*?)</a>', 1) AS anch,
-        |         trim(regexp_replace(
-        |           replace(replace(replace(replace(replace(
-        |             regexp_replace(nos, '<[^>]*>', ' ', 'g'),
-        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |             '&nbsp;', ' '), '&amp;', '&'),
-        |           '\\s+', ' ', 'g')) AS txt
-        |  FROM s),
-        |c AS (
-        |  SELECT doc_id, bad, canonical, verdict, txt,
-        |         CAST(coalesce(list_sum(list_transform(anch, t -> len(t))), 0)
-        |              AS BIGINT) AS link_chars,
-        |         CAST(len(txt) AS BIGINT) AS n_chars
-        |  FROM a),
-        |j AS (
-        |  SELECT doc_id, canonical, verdict,
-        |         CASE WHEN bad THEN NULL ELSE txt END AS txt,
-        |         CASE WHEN bad THEN 'quarantined'
-        |              WHEN link_chars * 100 > n_chars * 30 THEN 'chrome'
-        |              ELSE 'ok' END AS status,
-        |         CASE WHEN bad THEN NULL WHEN txt = '' THEN 0
-        |              ELSE CAST(len(string_split(txt, ' ')) AS BIGINT)
-        |         END AS n_toks
-        |  FROM c),
-        |p AS (
-        |  SELECT *, CASE WHEN status = 'ok' AND verdict = 'index'
-        |                 THEN 1 ELSE 0 END AS passes
-        |  FROM j),
-        |r1 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY
-        |      CASE WHEN passes = 1 AND canonical IS NOT NULL
-        |           THEN 'c:' || canonical
-        |           ELSE 'd:' || CAST(doc_id AS VARCHAR) END
-        |      ORDER BY doc_id) AS rn1
-        |  FROM p),
-        |a1 AS (SELECT *, (passes = 1 AND rn1 = 1) AS alive1 FROM r1),
-        |r2 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY
-        |      CASE WHEN alive1 THEN 't:' || txt
-        |           ELSE 'd:' || CAST(doc_id AS VARCHAR) END
-        |      ORDER BY doc_id) AS rn2
-        |  FROM a1),
-        |a2 AS (SELECT *, (alive1 AND rn2 = 1) AS alive2 FROM r2),
-        |gt AS (
-        |  SELECT *, list_filter(string_split(txt, ' '), t -> t != '') AS toks
-        |  FROM a2),
-        |gs AS (
-        |  SELECT *, len(toks) AS n_words,
-        |         CASE WHEN len(toks) >= 2 THEN
-        |           list_transform(generate_series(1, len(toks) - 1),
-        |             i -> toks[i] || ' ' || toks[i + 1])
-        |         ELSE []::VARCHAR[] END AS bg
-        |  FROM gt),
-        |g2 AS (
-        |  SELECT *, CASE WHEN n_words BETWEEN 10 AND 100000
-        |    AND (CASE WHEN n_words > 0
-        |          THEN round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / n_words, 4)
-        |          ELSE 0.0 END) BETWEEN 2.0 AND 12.0
-        |    AND (CASE WHEN len(bg) > 0
-        |          THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
-        |          ELSE 0.0 END) < 0.3
-        |    THEN 1 ELSE 0 END AS gopher_ok
-        |  FROM gs),
-        |a3 AS (SELECT *, (alive2 AND gopher_ok = 1) AS alive3 FROM g2)
-        |SELECT doc_id,
-        |       CASE WHEN status = 'quarantined' THEN 'quarantined'
-        |            WHEN status = 'chrome' THEN 'chrome'
-        |            WHEN verdict = 'drop' THEN 'noindex'
-        |            WHEN rn1 <> 1 THEN 'canonical_dup'
-        |            WHEN rn2 <> 1 THEN 'text_dup'
-        |            WHEN coalesce(gopher_ok, 0) <> 1 THEN 'low_quality'
-        |            ELSE 'kept' END AS stage,
-        |       CAST(CASE WHEN alive3 THEN n_toks END AS BIGINT) AS tok_cnt
-        |FROM a3 WHERE doc_id >= 5000000
-        |ORDER BY doc_id""".stripMargin,
+    "q_web_corpus_incremental" -> webCorpusIncOracle(copyMod = 1, freshMod = 2),
+
+    // the store-fed form probes MATERIALIZED indexes; the oracle
+    // re-derives them from the standing corpus inside the same
+    // union-rerun law, so a hash match additionally proves the
+    // parquet round-trip of the two indexes lost nothing
+    "q_web_corpus_store" -> webCorpusIncOracle(copyMod = 3, freshMod = 0),
+
 
     // majority-of-signals quality ensemble: four single-division
     // signals, exact interpolated medians, strict median votes
@@ -2065,4 +1935,152 @@ private[graft] object EntryOraclesC {
       |                   - ln((sb.sc + 1) / (tot.s_tot + 256))) * 1e6)
       |           AS BIGINT) AS loglr_u6
       |  FROM sb LEFT JOIN tb USING (bucket), tot)""".stripMargin
+
+  /** The union-rerun oracle TEMPLATE behind q_web_corpus_incremental
+    * (in-plan standing indexes) and q_web_corpus_store (materialized
+    * standing indexes): the full capstone re-run over
+    * standing ∪ batch, restricted to batch ids (>= 5M) — a hash match
+    * IS the increment ≡ union law verified cross-engine. The two
+    * queries differ only in which documents mod-4 classes feed the
+    * impersonating-copy and fresh-page batch branches, so ONE template
+    * serves both and the planted-page construction cannot drift.
+    */
+  private def webCorpusIncOracle(copyMod: Int, freshMod: Int): String =
+    s"""WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title>' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN '<meta name="robots" content="noindex, nofollow">'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '<link rel="canonical" href="https://example.com/c/'
+        |                || CAST(doc_id // 9 AS VARCHAR) || '">'
+        |         ELSE '' END ||
+        |    '<style>p { margin: 0; }</style></head><body>' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN '<script>var broken = trackers['
+        |         ELSE '<script>track();</script>' END ||
+        |    CASE WHEN doc_id % 7 = 3 THEN '${EntrySupport.htmlLinkFarm}'
+        |         ELSE '' END ||
+        |    '<p>R&amp;D says x &lt; y</p><p>' || text || '</p></body></html>'
+        |      AS html
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '<link rel="canonical" href="https://example.com/c/'
+        |                || CAST(doc_id // 9 AS VARCHAR) || '">'
+        |         ELSE '' END ||
+        |    '</head><body><script>track();</script>' ||
+        |    '<p>R&amp;D says x &lt; y</p><p>' || text || '</p></body></html>'
+        |  FROM documents WHERE doc_id % 4 = $copyMod
+        |  UNION ALL
+        |  SELECT doc_id + 6000000,
+        |    '<html><head><title>new ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><script>track();</script><p>' ||
+        |    text || ' fresh9</p></body></html>'
+        |  FROM documents WHERE doc_id % 4 = $freshMod
+        |  UNION ALL
+        |  SELECT 7000000 + u.i,
+        |    '<html><head><title>pair</title></head><body>' ||
+        |    '<script>track();</script><p>k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12' ||
+        |    '</p></body></html>'
+        |  FROM (SELECT unnest(generate_series(0, 1)) AS i) u),
+        |x AS (
+        |  SELECT doc_id, html,
+        |         len(regexp_extract_all(html, '<script')) <>
+        |         len(regexp_extract_all(html, '</script>')) AS bad,
+        |         nullif(regexp_extract(html,
+        |                  '<link rel="canonical" href="([^"]*)"', 1),
+        |                '') AS canonical,
+        |         CASE WHEN regexp_extract(html,
+        |                '<meta name="robots" content="([^"]*)"', 1)
+        |                LIKE '%noindex%' THEN 'drop' ELSE 'index' END AS verdict
+        |  FROM page),
+        |s AS (
+        |  SELECT doc_id, bad, canonical, verdict,
+        |         regexp_replace(
+        |           regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+        |                          ' ', 'g'),
+        |           '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nos
+        |  FROM x),
+        |a AS (
+        |  SELECT doc_id, bad, canonical, verdict,
+        |         regexp_extract_all(nos, '(?s)<a[^>]*>(.*?)</a>', 1) AS anch,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(
+        |             regexp_replace(nos, '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&nbsp;', ' '), '&amp;', '&'),
+        |           '\\s+', ' ', 'g')) AS txt
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, bad, canonical, verdict, txt,
+        |         CAST(coalesce(list_sum(list_transform(anch, t -> len(t))), 0)
+        |              AS BIGINT) AS link_chars,
+        |         CAST(len(txt) AS BIGINT) AS n_chars
+        |  FROM a),
+        |j AS (
+        |  SELECT doc_id, canonical, verdict,
+        |         CASE WHEN bad THEN NULL ELSE txt END AS txt,
+        |         CASE WHEN bad THEN 'quarantined'
+        |              WHEN link_chars * 100 > n_chars * 30 THEN 'chrome'
+        |              ELSE 'ok' END AS status,
+        |         CASE WHEN bad THEN NULL WHEN txt = '' THEN 0
+        |              ELSE CAST(len(string_split(txt, ' ')) AS BIGINT)
+        |         END AS n_toks
+        |  FROM c),
+        |p AS (
+        |  SELECT *, CASE WHEN status = 'ok' AND verdict = 'index'
+        |                 THEN 1 ELSE 0 END AS passes
+        |  FROM j),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY
+        |      CASE WHEN passes = 1 AND canonical IS NOT NULL
+        |           THEN 'c:' || canonical
+        |           ELSE 'd:' || CAST(doc_id AS VARCHAR) END
+        |      ORDER BY doc_id) AS rn1
+        |  FROM p),
+        |a1 AS (SELECT *, (passes = 1 AND rn1 = 1) AS alive1 FROM r1),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY
+        |      CASE WHEN alive1 THEN 't:' || txt
+        |           ELSE 'd:' || CAST(doc_id AS VARCHAR) END
+        |      ORDER BY doc_id) AS rn2
+        |  FROM a1),
+        |a2 AS (SELECT *, (alive1 AND rn2 = 1) AS alive2 FROM r2),
+        |gt AS (
+        |  SELECT *, list_filter(string_split(txt, ' '), t -> t != '') AS toks
+        |  FROM a2),
+        |gs AS (
+        |  SELECT *, len(toks) AS n_words,
+        |         CASE WHEN len(toks) >= 2 THEN
+        |           list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |         ELSE []::VARCHAR[] END AS bg
+        |  FROM gt),
+        |g2 AS (
+        |  SELECT *, CASE WHEN n_words BETWEEN 10 AND 100000
+        |    AND (CASE WHEN n_words > 0
+        |          THEN round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / n_words, 4)
+        |          ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |    AND (CASE WHEN len(bg) > 0
+        |          THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+        |          ELSE 0.0 END) < 0.3
+        |    THEN 1 ELSE 0 END AS gopher_ok
+        |  FROM gs),
+        |a3 AS (SELECT *, (alive2 AND gopher_ok = 1) AS alive3 FROM g2)
+        |SELECT doc_id,
+        |       CASE WHEN status = 'quarantined' THEN 'quarantined'
+        |            WHEN status = 'chrome' THEN 'chrome'
+        |            WHEN verdict = 'drop' THEN 'noindex'
+        |            WHEN rn1 <> 1 THEN 'canonical_dup'
+        |            WHEN rn2 <> 1 THEN 'text_dup'
+        |            WHEN coalesce(gopher_ok, 0) <> 1 THEN 'low_quality'
+        |            ELSE 'kept' END AS stage,
+        |       CAST(CASE WHEN alive3 THEN n_toks END AS BIGINT) AS tok_cnt
+        |FROM a3 WHERE doc_id >= 5000000
+        |ORDER BY doc_id""".stripMargin
 }

@@ -1298,7 +1298,6 @@ private[graft] object EntryQueriesD {
 
     "q_web_corpus_incremental" -> ((s0, dir) => {
       val s = ensure(s0)
-      import s.implicits._
       // the capstone's DEPLOYMENT shape: a standing corpus already
       // ingested, a batch arrives, and only the BATCH shuffles
       // (Corpus.webCorpusIncrement — canonical/text probes against
@@ -1309,48 +1308,27 @@ private[graft] object EntryQueriesD {
       // and an in-batch same-text pair (+7M). The ORACLE runs the
       // union capstone restricted to batch ids, so a hash match IS
       // the increment ≡ union law verified cross-engine.
-      val docs = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-      val standing = docs
-        .select(col("doc_id"), concat(
-          lit("<html><head><title>doc "), col("doc_id").cast("string"),
-          lit("</title>"),
-          when(col("doc_id") % 5 === 0,
-            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 3 === 0,
-            concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
-              expr("doc_id div 9").cast("string"), lit("\">")))
-            .otherwise(lit("")),
-          lit("<style>p { margin: 0; }</style></head><body>"),
-          when(col("doc_id") % 13 === 0, lit("<script>var broken = trackers["))
-            .otherwise(lit("<script>track();</script>")),
-          when(col("doc_id") % 7 === 3, lit(htmlLinkFarm)).otherwise(lit("")),
-          lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
-          lit("</p></body></html>")).as("html"))
-      val copies = docs.filter(col("doc_id") % 4 === 1).select(
-        (col("doc_id") + 5000000L).as("doc_id"),
-        concat(lit("<html><head><title>doc "), col("doc_id").cast("string"),
-          lit("</title>"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
-              expr("doc_id div 9").cast("string"), lit("\">")))
-            .otherwise(lit("")),
-          lit("</head><body><script>track();</script>"),
-          lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
-          lit("</p></body></html>")).as("html"))
-      val fresh = docs.filter(col("doc_id") % 4 === 2).select(
-        (col("doc_id") + 6000000L).as("doc_id"),
-        concat(lit("<html><head><title>new "), col("doc_id").cast("string"),
-          lit("</title></head><body><script>track();</script><p>"),
-          col("text"), lit(" fresh9</p></body></html>")).as("html"))
-      val pairHtml = "<html><head><title>pair</title></head><body>" +
-        "<script>track();</script><p>k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12" +
-        "</p></body></html>"
-      val pair = Seq((7000000L, pairHtml), (7000001L, pairHtml))
-        .toDF("doc_id", "html")
-      Corpus.webCorpusIncrement(standing,
-          copies.unionByName(fresh).unionByName(pair))
+      Corpus.webCorpusIncrement(wcStandingPages(s, dir),
+          wcBatchPages(s, dir, copyMod = 1, freshMod = 2))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_web_corpus_store" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the STORE-FED incremental capstone — the round-15 verdict's #1
+      // growth edge: the standing corpus never appears in the plan;
+      // the two skinny indexes (claimed canonicals, alive text hashes)
+      // were MATERIALIZED once per corpus version at prepare time
+      // (EntrySupport.wcIndexes) and broadcast into the batch probe,
+      // so the run cost is batch-proportional by construction
+      // (Corpus.webCorpusIncrementFrom). Batch plants the same three
+      // duplicate classes as q_web_corpus_incremental on DIFFERENT mod
+      // classes; the oracle is the same union-rerun law (it rebuilds
+      // the indexes from the standing corpus in SQL — a hash match
+      // therefore also proves the store round-trip lost nothing).
+      val (canonIdx, textIdx) = wcIndexes(s, dir)
+      Corpus.webCorpusIncrementFrom(canonIdx, textIdx,
+          wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
         .orderBy(col("doc_id"))
     }),
 
@@ -1364,6 +1342,44 @@ private[graft] object EntryQueriesD {
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
             .repartition(s.sparkContext.defaultParallelism),
           stopwords = Seq("the", "a"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sim_ivf_incremental" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // IVF index MAINTENANCE (round-15 growth edge #3, the ANN twin
+      // of q_dedup_incremental): the standing corpus reads PRE-ASSIGNED
+      // from the cell-partitioned index store (built once per corpus
+      // version at prepare — EntrySupport.ivfAssignedStore), the
+      // planted batch (reversed +1M, exact copies +2M) assigns
+      // map-side against the SAME frozen coarse quantizer, and the
+      // multi-probe search runs over standing ∪ batch with no retrain
+      // and no standing re-assignment. The ORACLE recomputes the whole
+      // search from the centroid literals over the unioned corpus —
+      // a hash match IS the maintenance ≡ rebuild-assignment law
+      // cross-engine; IvfIncrementSpec pins it Spark-vs-Spark plus the
+      // planted cos 1.0 copy hits.
+      Sim.cosineTopKIvfIncrement(ivfAssignedStore(s, dir), ivfBatch(s, dir),
+          pqModel(s, dir)._1, nQueries = 10, k = 5, nProbe = 2)
+        .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_quality_votes_approx" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the 100 TB deployment form of q_quality_votes: thresholds from
+      // ONE mergeable approx_percentile pass (bounded state, no
+      // full-sort percentile buffer), frozen as a 4-double model
+      // (EntrySupport.qvApproxLocal), every doc gated map-side against
+      // it — train-once/serve-forever, the spmModel/dsir contract. The
+      // ORACLE embeds the same four literals and recomputes signals +
+      // votes independently; QualityVotesSpec pins the approx
+      // thresholds' rank error against the exact order statistic.
+      Text.qualityVotesFrom(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          stopwords = Seq("the", "a"),
+          medians = qvApproxLocal(s, dir))
         .orderBy(col("doc_id"))
     }),
 

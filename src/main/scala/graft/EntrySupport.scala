@@ -957,6 +957,155 @@ private[graft] object EntrySupport {
     (0 until 40).map(i => s"""<a href="/p$i">x$i</a>""")
       .mkString("<div>", " ", "</div>")
 
+  /** The MATERIALIZED standing IVF index for `q_sim_ivf_incremental` —
+    * [[graft.ops.Sim.ivfAssign]] over the embeddings table under the
+    * frozen pqModel coarse quantizer, written once per corpus version
+    * PARTITIONED BY cell (faiss's inverted lists as a parquet layout:
+    * a probe that filters on cell prunes whole partitions at scan
+    * time). Nightly maintenance appends batch assignments to this
+    * store; the declared query exercises the read + map-side batch
+    * assignment + union search path.
+    */
+  private[graft] def ivfAssignedStore(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("ivf_assigned_8", dir)
+    Sinks.ensurePartitioned(
+      graft.ops.Sim.ivfAssign(Tables.embeddings(s, dir), pqModel(s, dir)._1),
+      path, "cell")
+    Tables.readParquetCached(s, path)
+  }
+
+  /** The planted incremental embedding BATCH `q_sim_ivf_incremental`
+    * assigns and searches: reversed copies (+1M, vec_id % 3 == 0 —
+    * same elements, permuted order, so every arithmetic fold runs in
+    * the identical element order in both engines) and exact copies
+    * (+2M, vec_id % 5 == 1 — planted cos 1.0 hits: a copied query
+    * vector's nearest neighbor must be its original). ONE definition
+    * with [[ivfBatchSql]] so the Spark construction and the DuckDB
+    * oracle cannot drift.
+    */
+  private[graft] def ivfBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    emb.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      .unionByName(
+        emb.filter(col("vec_id") % 5 === 1)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** [[ivfBatch]] as UNION ALL branches for the dynamic oracle's
+    * corpus CTE. */
+  private[graft] val ivfBatchSql: String =
+    """
+      |  UNION ALL SELECT vec_id + 1000000,
+      |    list_reverse(CAST(embedding AS DOUBLE[]))
+      |  FROM embeddings WHERE vec_id % 3 = 0
+      |  UNION ALL SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 5 = 1""".stripMargin
+
+  /** The FROZEN approx-percentile threshold model for
+    * `q_quality_votes_approx` — [[graft.ops.Text.qualityVotesMediansApprox]]
+    * collected once per (dir) and memoized (the dsirRatioLocal
+    * discipline: bounded driver-local trained artifact, loud require
+    * inside the builder, parity pinned by QualityVotesSpec). The
+    * dynamic oracle embeds these same four doubles, so query and
+    * oracle cannot drift within a Verify run even though
+    * approx_percentile's merge order is not canonical across runs.
+    */
+  private[graft] def qvApproxLocal(s: SparkSession, dir: String): (Double, Double, Double, Double) =
+    qvApproxMemo.computeIfAbsent(dir, { _ =>
+      graft.ops.Text.qualityVotesMediansApprox(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism),
+        stopwords = Seq("the", "a"))
+    })
+  private val qvApproxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Double, Double, Double, Double)]
+
+  /** The planted standing-corpus HTML frame shared by
+    * `q_web_corpus_incremental` (in-plan indexes), `q_web_corpus_store`
+    * (prepare-materialized indexes — via [[wcIndexes]]), and the
+    * WebCorpusStream capstone spec: every documents row wrapped as a
+    * full page with planted noindex (%5), canonical hints (%3, target
+    * doc_id/9 so canonical groups have width 3), broken script (%13),
+    * link farms (%7==3), and entity-bearing chrome. ONE definition so
+    * the three consumers and both oracles cannot drift.
+    */
+  private[graft] def wcStandingPages(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit("</title>"),
+      when(col("doc_id") % 5 === 0,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
+          expr("doc_id div 9").cast("string"), lit("\">")))
+        .otherwise(lit("")),
+      lit("<style>p { margin: 0; }</style></head><body>"),
+      when(col("doc_id") % 13 === 0, lit("<script>var broken = trackers["))
+        .otherwise(lit("<script>track();</script>")),
+      when(col("doc_id") % 7 === 3, lit(htmlLinkFarm)).otherwise(lit("")),
+      lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
+      lit("</p></body></html>")).as("html"))
+  }
+
+  /** The planted incremental BATCH the two incremental web-corpus
+    * queries probe with: impersonating copies of standing pages
+    * (doc_id % 4 == copyMod, +5M — full-page impersonation including
+    * the title, so the text stage sees a true duplicate),
+    * fresh pages (% 4 == freshMod, +6M), and an in-batch same-text
+    * pair (+7M). The mod classes differ between the two queries so
+    * their outputs are distinct while sharing one oracle template.
+    */
+  private[graft] def wcBatchPages(s: SparkSession, dir: String,
+                                  copyMod: Int, freshMod: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val copies = docs.filter(col("doc_id") % 4 === copyMod).select(
+      (col("doc_id") + 5000000L).as("doc_id"),
+      concat(lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://example.com/c/"),
+            expr("doc_id div 9").cast("string"), lit("\">")))
+          .otherwise(lit("")),
+        lit("</head><body><script>track();</script>"),
+        lit("<p>R&amp;D says x &lt; y</p><p>"), col("text"),
+        lit("</p></body></html>")).as("html"))
+    val fresh = docs.filter(col("doc_id") % 4 === freshMod).select(
+      (col("doc_id") + 6000000L).as("doc_id"),
+      concat(lit("<html><head><title>new "), col("doc_id").cast("string"),
+        lit("</title></head><body><script>track();</script><p>"),
+        col("text"), lit(" fresh9</p></body></html>")).as("html"))
+    val pairHtml = "<html><head><title>pair</title></head><body>" +
+      "<script>track();</script><p>k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12" +
+      "</p></body></html>"
+    val pair = Seq((7000000L, pairHtml), (7000001L, pairHtml))
+      .toDF("doc_id", "html")
+    copies.unionByName(fresh).unionByName(pair)
+  }
+
+  /** The MATERIALIZED standing-index store for `q_web_corpus_store` —
+    * [[graft.ops.Corpus.webCorpusIndexes]] over the planted standing
+    * corpus written once per corpus version at prepare time (the
+    * production contract the webCorpusIncrement scaladoc names: a
+    * nightly ingest probes maintained index tables, it does not
+    * re-derive them from the standing corpus per run). Returns the two
+    * skinny frames read back from parquet.
+    */
+  private[graft] def wcIndexes(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cp = tmpDir("wc_canon_idx", dir)
+    val tp = tmpDir("wc_text_idx", dir)
+    lazy val built = graft.ops.Corpus.webCorpusIndexes(wcStandingPages(s, dir))
+    Sinks.ensureWritten(built._1, cp)
+    Sinks.ensureWritten(built._2, tp)
+    (Tables.readParquetCached(s, cp), Tables.readParquetCached(s, tp))
+  }
+
   /** Queries whose MODEL loads driver-side from a qtmp store (weights
     * collected and embedded as literals), which Bench's plan-walk
     * fixture detection cannot see — declared here so fixture_readers
@@ -967,7 +1116,7 @@ private[graft] object EntrySupport {
     "q_quality_classifier", "q_sim_ann_kmeans", "q_sim_ann_pq",
     "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
     "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility",
-    "q_spm_sample", "q_spm_byte_fallback")
+    "q_spm_sample", "q_spm_byte_fallback", "q_sim_ivf_incremental")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw

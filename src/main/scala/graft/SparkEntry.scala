@@ -81,6 +81,8 @@ object SparkEntry {
     tokPostingsQueryLocal(s, sfDir, 10)
     tokPostingsQueryLocal(s, sfDir, 20)
     bucketedOrdersCustomer(s, sfDir)
+    wcIndexes(s, sfDir)
+    ivfAssignedStore(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))
@@ -120,6 +122,15 @@ object SparkEntry {
       // scatter-gather merge lose nothing vs the cell-exhaustive scan
       "q_sim_hnsw_routed" ->
         ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2),
+      // the incremental form's oracle is the SAME pinned-centroid
+      // search over standing ∪ planted batch: the store's standing
+      // assignments and the map-side batch assignments are both the
+      // pure argmax of the frozen model, so one assignment rule in SQL
+      // covers both sides — a hash match proves index maintenance
+      // (store + add) ≡ assigning the world fresh
+      "q_sim_ivf_incremental" ->
+        ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2,
+          extraCorpusSql = ivfBatchSql),
       "q_dedup_semantic" ->
         ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40),
       "q_sim_ann_pq" ->
@@ -182,6 +193,11 @@ object SparkEntry {
         ops.Text.spmSampleOracleSql(model, SpmMaxPieceLen,
           SpmSampleTauU6, epoch = 1)
       },
+      "q_quality_votes_approx" ->
+        // the frozen threshold model is DATA: the same memoized
+        // 4-double slice the query scores with embeds as literals
+        ops.Text.qualityVotesFromOracleSql(qvApproxLocal(s, sfDir),
+          stopwords = Seq("the", "a")),
       "q_spm_byte_fallback" -> {
         // same independent re-train; the oracle re-runs the
         // byte-fallback DP (strlen-priced unseen chars, dpu tally)

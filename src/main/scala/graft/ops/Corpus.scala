@@ -750,44 +750,37 @@ object Corpus {
         carry.map(col): _*)
   }
 
-  /** INCREMENTAL web-corpus ingest — the deployment shape of the
-    * composed capstone (`q_web_corpus`): a standing corpus is already
-    * ingested, a batch of new pages arrives, and each batch page gets
-    * the SAME per-doc stage verdict the batch pipeline would assign if
-    * the whole union were re-run — without ever re-shuffling the
-    * standing corpus on the hot side (the
-    * [[graft.ops.Dedup.incrementalNewDocs]] contract). The standing
-    * state is two indexes a production pipeline MAINTAINS between
-    * runs: the canonicals claimed by standing gate-survivors and the
-    * extracted texts of standing docs alive through the canonical
-    * stage. Batch pages gate map-side ([[crawlGate]]), rank within the
-    * batch (synthetic-key windows — batch-sized), and probe the two
-    * indexes with hash joins keyed on canonical / md5(text) — only the
-    * BATCH shuffles; the index sides are distinct-value-sized
-    * projections (at 100 TB they are materialized tables, not
-    * recomputed — here they derive in-plan from `standingPages` so the
-    * equivalence law is checkable end-to-end).
-    *
-    * Law (WebCorpusIncrementSpec): with every standing doc_id below
-    * every batch doc_id, `webCorpusIncrement(standing, batch)` ≡ the
-    * union capstone's verdicts restricted to the batch — standing docs
-    * win every canonical/text race exactly as their smaller ids would.
+  /** [[crawlGate]] + the pass flag the incremental capstone's two
+    * ranking stages key on — shared by the index build and the batch
+    * probe so the two sides cannot drift.
     */
-  def webCorpusIncrement(standingPages: DataFrame, batchPages: DataFrame,
-                         linkDensityPct: Int = 30): DataFrame = {
+  private def incGated(pages: DataFrame, linkDensityPct: Int): DataFrame =
+    crawlGate(pages, linkDensityPct, keepText = true)
+      .withColumn("passes",
+        (col("status") === "ok" && col("verdict") === "index").cast("long"))
+
+  /** The STANDING STATE of the incremental web-corpus capstone — the
+    * two indexes a production pipeline materializes once per corpus
+    * version and maintains between ingest runs ([[webCorpusIncrement]]
+    * scaladoc): `(canonIdx, textIdx)` where canonIdx is the distinct
+    * `canonical` URLs claimed by any standing gate-survivor and
+    * textIdx is the distinct `th` = md5(extracted text) of standing
+    * docs alive through the canonical stage (canonical keepers +
+    * no-canonical survivors — exactly the set the union capstone's
+    * text stage dedups over). Both are skinny one-column
+    * distinct-value-sized frames, so they parquet-materialize cheaply
+    * and BROADCAST into every batch probe. The store-fed query
+    * (`q_web_corpus_store`) writes these once in prepare() and feeds
+    * [[webCorpusIncrementFrom]]; WebCorpusIncrementSpec pins
+    * store-fed ≡ in-plan.
+    */
+  def webCorpusIndexes(standingPages: DataFrame,
+                       linkDensityPct: Int = 30): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    def gated(pages: DataFrame): DataFrame =
-      crawlGate(pages, linkDensityPct, keepText = true)
-        .withColumn("passes",
-          (col("status") === "ok" && col("verdict") === "index").cast("long"))
-    // standing state: canonical index (claimed by any gate-survivor)
-    // and the alive1 text index (canonical keepers + no-canonical
-    // survivors — the set the union-capstone's text stage dedups over)
-    val sg = gated(standingPages)
+    val sg = incGated(standingPages, linkDensityPct)
     val canonIdx = sg
       .filter(col("passes") === 1L && col("canonical").isNotNull)
       .select(col("canonical")).distinct()
-      .withColumn("in_standing_canon", lit(1L))
     val sk1 = when(col("passes") === 1L && col("canonical").isNotNull,
         concat(lit("c:"), col("canonical")))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
@@ -796,16 +789,62 @@ object Corpus {
         row_number().over(Window.partitionBy(sk1).orderBy(col("doc_id"))))
       .filter(col("passes") === 1L && col("rn1") === 1)
       .select(md5(col("text")).as("th")).distinct()
-      .withColumn("in_standing_text", lit(1L))
-    // batch: gate, rank WITHIN the batch, probe the standing indexes
-    val bg = gated(batchPages)
+    (canonIdx, textIdx)
+  }
+
+  /** INCREMENTAL web-corpus ingest — the deployment shape of the
+    * composed capstone (`q_web_corpus`): a standing corpus is already
+    * ingested, a batch of new pages arrives, and each batch page gets
+    * the SAME per-doc stage verdict the batch pipeline would assign if
+    * the whole union were re-run — without ever re-shuffling the
+    * standing corpus on the hot side (the
+    * [[graft.ops.Dedup.incrementalNewDocs]] contract). The standing
+    * state is the two indexes of [[webCorpusIndexes]]. Batch pages
+    * gate map-side ([[crawlGate]]), rank within the batch
+    * (synthetic-key windows — batch-sized), and probe the two indexes
+    * with BROADCAST joins keyed on canonical / md5(text) — only the
+    * BATCH shuffles, the index sides are distinct-value-sized
+    * broadcast builds, and the mostly-NULL probe keys (no-canonical,
+    * gate-failed, dead rows) never route to a single shuffle partition
+    * because there is no shuffle to skew (were an index ever to
+    * outgrow the broadcast budget at 100 TB, pre-bucket the
+    * materialized index on its key and split the NULL-keyed batch rows
+    * around the join — the verdict logic is unchanged). Here the
+    * indexes derive in-plan from `standingPages` so the equivalence
+    * law is checkable end-to-end; `q_web_corpus_store` runs the
+    * materialized form.
+    *
+    * Law (WebCorpusIncrementSpec): with every standing doc_id below
+    * every batch doc_id, `webCorpusIncrement(standing, batch)` ≡ the
+    * union capstone's verdicts restricted to the batch — standing docs
+    * win every canonical/text race exactly as their smaller ids would.
+    */
+  def webCorpusIncrement(standingPages: DataFrame, batchPages: DataFrame,
+                         linkDensityPct: Int = 30): DataFrame = {
+    val (canonIdx, textIdx) = webCorpusIndexes(standingPages, linkDensityPct)
+    webCorpusIncrementFrom(canonIdx, textIdx, batchPages, linkDensityPct)
+  }
+
+  /** [[webCorpusIncrement]] against MATERIALIZED standing indexes —
+    * the store-fed deployment form (read `canonIdx` (`canonical`) and
+    * `textIdx` (`th`) from the corpus-version store, probe the batch):
+    * the standing corpus never appears in the plan at all, so the run
+    * cost is batch-proportional by construction.
+    */
+  def webCorpusIncrementFrom(canonIdx: DataFrame, textIdx: DataFrame,
+                             batchPages: DataFrame,
+                             linkDensityPct: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = incGated(batchPages, linkDensityPct)
     val bk1 = when(col("passes") === 1L && col("canonical").isNotNull,
         concat(lit("c:"), col("canonical")))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
     val b1 = bg
       .withColumn("rn1",
         row_number().over(Window.partitionBy(bk1).orderBy(col("doc_id"))))
-      .join(canonIdx, Seq("canonical"), "left")
+      .join(broadcast(canonIdx.select(col("canonical"))
+          .withColumn("in_standing_canon", lit(1L))),
+        Seq("canonical"), "left")
       .withColumn("canon_dup",
         col("passes") === 1L && col("canonical").isNotNull &&
           (col("in_standing_canon").isNotNull || col("rn1") =!= 1))
@@ -816,7 +855,9 @@ object Corpus {
       .withColumn("rn2",
         row_number().over(Window.partitionBy(bk2).orderBy(col("doc_id"))))
       .withColumn("th", md5(col("text")))
-      .join(textIdx, Seq("th"), "left")
+      .join(broadcast(textIdx.select(col("th"))
+          .withColumn("in_standing_text", lit(1L))),
+        Seq("th"), "left")
       .withColumn("text_dup",
         col("alive1") &&
           (col("in_standing_text").isNotNull || col("rn2") =!= 1))

@@ -578,11 +578,21 @@ object Sim {
     */
   private def searchCells(
       withNorm: DataFrame, dotF: (Column, Column) => Column,
+      cents: Centroids, nQueries: Int, k: Int, nProbe: Int): DataFrame =
+    searchAssigned(
+      CacheScope.cached(
+        withNorm
+          .withColumn("cell", argmaxCell(dotF, cents)(col("v"), col("nrm")))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))),
+      dotF, cents, nQueries, k, nProbe)
+
+  /** [[searchCells]] after assignment — the tail shared with the
+    * incremental form, whose standing side arrives PRE-ASSIGNED from
+    * the materialized index store.
+    */
+  private def searchAssigned(
+      assigned: DataFrame, dotF: (Column, Column) => Column,
       cents: Centroids, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val assigned = CacheScope.cached(
-      withNorm
-        .withColumn("cell", argmaxCell(dotF, cents)(col("v"), col("nrm")))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell")))
     val queries = assigned.filter(col("vec_id") < nQueries)
       .withColumn("probe",
         if (nProbe <= 1) array(col("cell"))
@@ -772,6 +782,49 @@ object Sim {
     searchCells(withNormed(embeddings, dotF), dotF, cents, nQueries, k, nProbe)
   }
 
+  /** Map-side frozen-cell assignment — the IVF index-MAINTENANCE
+    * primitive (faiss `IndexIVF.add`: route new vectors to existing
+    * cells, never retrain the coarse quantizer per batch): each vector
+    * gets (v, nrm, cell) where cell is the same 6dp-rounded cosine
+    * argmax the search uses. Zero joins, zero shuffles — a batch of
+    * any size assigns in one map pass, which is what makes nightly
+    * index maintenance batch-proportional. `ivf_assigned` in prepare()
+    * materializes this over the standing corpus PARTITIONED BY cell,
+    * so a probe-side filter on cell prunes standing partitions at
+    * scan time.
+    */
+  def ivfAssign(embeddings: DataFrame, cents: Centroids): DataFrame = {
+    val dotF = dotNative(embeddings.sparkSession) _
+    withNormed(embeddings, dotF)
+      .withColumn("cell",
+        argmaxCell(dotF, cents)(col("v"), col("nrm")).cast("int"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  }
+
+  /** INCREMENTAL IVF search — the ANN twin of
+    * [[graft.ops.Dedup.incrementalNewDocs]] (round-15 growth edge #3):
+    * the standing corpus arrives PRE-ASSIGNED from the materialized
+    * cell-partitioned index store (it is never re-assigned, never
+    * reshuffled — the index was built once per corpus version), the
+    * batch assigns map-side against the SAME frozen centroids
+    * ([[ivfAssign]]), and the multi-probe search runs over
+    * standing ∪ batch. Law (IvfIncrementSpec): ≡
+    * [[cosineTopKIvfFrom]] over the unioned raw embeddings with the
+    * same frozen model — adding a batch through maintenance loses
+    * nothing vs re-assigning the world, because assignment is a pure
+    * per-row function of (vector, frozen centroids).
+    */
+  def cosineTopKIvfIncrement(assignedStanding: DataFrame, batch: DataFrame,
+                             cents: Centroids, nQueries: Int, k: Int,
+                             nProbe: Int = 2): DataFrame = {
+    val dotF = dotNative(batch.sparkSession) _
+    val all = assignedStanding
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+      .unionByName(ivfAssign(batch, cents))
+    searchAssigned(CacheScope.cached(all), dotF, cents, nQueries, k, nProbe)
+  }
+
   /** DuckDB oracle SQL for the TRAINED-centroid IVF search — the
     * [[gaussianPlanes]] trick applied to k-means: the trained model is
     * DATA, not code, so the oracle embeds the centroid doubles as SQL
@@ -787,13 +840,14 @@ object Sim {
     * shortest-roundtrip literals so DuckDB parses the identical
     * doubles.
     */
-  def ivfSearchOracleSql(cents: Centroids, nQueries: Int, k: Int, nProbe: Int): String = {
+  def ivfSearchOracleSql(cents: Centroids, nQueries: Int, k: Int, nProbe: Int,
+                         extraCorpusSql: String = ""): String = {
     val centRows = cents.map { case (id, v) =>
       s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n       ")
     s"""WITH cent(cent_id, cv) AS (VALUES
        |       $centRows),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$extraCorpusSql),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cn AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
        |sc AS (

@@ -254,7 +254,87 @@ object Text {
       expr("percentile(n_toks, 0.5)"), expr("percentile(ttr, 0.5)"),
       expr("percentile(stop_ratio, 0.5)"), expr("percentile(dup_frac, 0.5)"))
       .collect().head
+    require(!r.isNullAt(0),
+      "qualityVotesMedians: corpus has no tokened documents — the four " +
+        "median thresholds are undefined (train on a non-empty reference " +
+        "corpus before freezing the model)")
     (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** [[qualityVotesMedians]]' 100 TB deployment twin — the swap the
+    * qualityVotes scaladoc names: the exact `percentile` is a
+    * sort-based aggregate whose buffer holds every value, while
+    * `approx_percentile` (Greenwald–Khanna summaries, as implemented
+    * by Spark's ApproximatePercentile) is one-pass, mergeable, and
+    * bounded at ~O(accuracy) memory per signal regardless of corpus
+    * size, with rank error ≤ N/accuracy (QualityVotesSpec pins that
+    * bound empirically against the exact order statistic). Collected
+    * once driver-side as the frozen 4-double model
+    * [[qualityVotesFrom]] serves — the thresholds are trained
+    * artifacts, so the ±N/accuracy wobble moves only which
+    * at-the-boundary docs flip votes, never the gate's semantics.
+    * m_len casts the integer percentile to double in-plan (exact for
+    * any realistic token count) so the model stays 4 doubles.
+    */
+  def qualityVotesMediansApprox(documents: DataFrame, stopwords: Seq[String],
+                                accuracy: Int = 10000): (Double, Double, Double, Double) = {
+    require(accuracy >= 1, s"accuracy must be positive, got $accuracy")
+    val r = qualitySignals(documents, stopwords).agg(
+      expr(s"cast(approx_percentile(n_toks, 0.5, $accuracy) as double)"),
+      expr(s"approx_percentile(ttr, 0.5, $accuracy)"),
+      expr(s"approx_percentile(stop_ratio, 0.5, $accuracy)"),
+      expr(s"approx_percentile(dup_frac, 0.5, $accuracy)"))
+      .collect().head
+    require(!r.isNullAt(0),
+      "qualityVotesMediansApprox: corpus has no tokened documents — the " +
+        "four median thresholds are undefined (train on a non-empty " +
+        "reference corpus before freezing the model)")
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** DuckDB oracle for [[qualityVotesFrom]] under a FROZEN threshold
+    * model: the trained model is DATA, not code (the
+    * [[graft.ops.Sim.ivfSearchOracleSql]] discipline), so the four
+    * thresholds embed as `Double.toString` shortest-roundtrip literals
+    * — DuckDB parses the identical doubles — and the oracle
+    * independently recomputes every signal (each an integer count or
+    * ONE IEEE division of identical longs, bit-identical cross-engine)
+    * and the strict >/< votes. Used by `q_quality_votes_approx`, whose
+    * thresholds come from [[qualityVotesMediansApprox]] at Verify time.
+    */
+  def qualityVotesFromOracleSql(m: (Double, Double, Double, Double),
+                                stopwords: Seq[String]): String = {
+    val stops = stopwords.map(s => s"'${s.replace("'", "''")}'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_toks,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE)
+       |           / CAST(len(toks) AS DOUBLE) AS ttr,
+       |         CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE)
+       |           / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |         CASE WHEN len(toks) >= 2 THEN
+       |           1.0 - CAST(len(list_distinct(list_transform(
+       |                   generate_series(1, len(toks) - 1),
+       |                   i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+       |                 / CAST(len(toks) - 1 AS DOUBLE)
+       |         ELSE 0.0 END AS dup_frac
+       |  FROM t WHERE len(toks) >= 1)
+       |SELECT doc_id, n_toks, ttr, stop_ratio, dup_frac,
+       |       CAST(CASE WHEN CAST(n_toks AS DOUBLE) > ${m._1} THEN 1 ELSE 0 END
+       |          + CASE WHEN ttr > ${m._2} THEN 1 ELSE 0 END
+       |          + CASE WHEN stop_ratio > ${m._3} THEN 1 ELSE 0 END
+       |          + CASE WHEN dup_frac < ${m._4} THEN 1 ELSE 0 END AS BIGINT)
+       |         AS votes,
+       |       CAST(CASE WHEN (CASE WHEN CAST(n_toks AS DOUBLE) > ${m._1} THEN 1 ELSE 0 END
+       |          + CASE WHEN ttr > ${m._2} THEN 1 ELSE 0 END
+       |          + CASE WHEN stop_ratio > ${m._3} THEN 1 ELSE 0 END
+       |          + CASE WHEN dup_frac < ${m._4} THEN 1 ELSE 0 END) >= 3
+       |         THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   /** The per-doc signal pass [[qualityVotes]], [[qualityVotesFrom]],

@@ -263,6 +263,173 @@ object StreamingCorpus {
       }
   }
 
+  final case class WcArr(doc_id: Long, ts_us: Long, status: String,
+      verdict: String, text: String, n_toks: Option[Long], canonical: String,
+      passes: Long, th: String, in_canon_idx: Boolean, in_text_idx: Boolean,
+      __event_time: java.sql.Timestamp)
+  final case class WcMid(doc_id: Long, ts_us: Long, status: String,
+      verdict: String, text: String, n_toks: Option[Long], th: String,
+      in_text_idx: Boolean, canon_dup: Boolean, alive1: Boolean,
+      __event_time: java.sql.Timestamp)
+  final case class WcStaged(doc_id: Long, ts_us: Long, status: String,
+      verdict: String, text: String, n_toks: Option[Long],
+      canon_dup: Boolean, text_dup: Boolean, alive2: Boolean)
+
+  /** The STREAMING end-to-end crawl capstone — the junction the
+    * round-15 residual named: [[canonicalFirstSeen]]'s canonical race
+    * CHAINED INTO [[incrementalDedup]]'s text-hash first-seen state in
+    * ONE streaming query, probing the SAME materialized standing
+    * indexes as the batch increment
+    * ([[graft.ops.Corpus.webCorpusIncrementFrom]]), so every arriving
+    * page gets the full per-doc stage verdict (quarantined / chrome /
+    * noindex / canonical_dup / text_dup / low_quality / kept)
+    * continuously.
+    *
+    * Stage by stage: (0) [[graft.ops.Corpus.crawlGate]] map-side +
+    * BROADCAST stream-static left joins against the two skinny
+    * standing indexes (`canonical`, `th` — zero streaming state);
+    * (1) flatMapGroupsWithState keyed on the claimed canonical —
+    * ONE boolean per canonical inside the lateness horizon, evicted by
+    * event-time timeout; (2) a second append-mode
+    * flatMapGroupsWithState keyed on md5(text) for canonical-stage
+    * survivors — the same bounded first-seen state as
+    * [[incrementalDedup]] (Spark supports chained stateful operators
+    * when every one is in append mode, which both stages are);
+    * (3) the Gopher gate rides map-side on the output. State is two
+    * booleans per distinct recent key, NEVER per page; the standing
+    * corpus appears only as the broadcast indexes.
+    *
+    * Law (WebCorpusStreamSpec): fed the batch increment's pages in
+    * arrival order (ts_us, doc_id) ascending with doc order, the
+    * streamed verdicts ≡ `webCorpusIncrementFrom(canonIdx, textIdx,
+    * batch)` row for row, across arbitrary micro-batch splits — the
+    * streaming twin of the increment ≡ union law.
+    *
+    * On `statefulOperator.checkCorrectness`: Spark's analyzer cannot
+    * see inside a flatMapGroupsWithState, so it conservatively rejects
+    * any stateful operator downstream of one — the hazard it guards
+    * against is a first stage that emits rows with event times BEHIND
+    * the advanced watermark (e.g. on timeout), which the second stage
+    * would then silently drop as late. This operator cannot produce
+    * that hazard: stage 1 emits every row in the SAME micro-batch it
+    * arrives, carrying its input's `__event_time` verbatim (timeouts
+    * emit nothing), and watermarks only advance BETWEEN micro-batches
+    * — so a row reaches stage 2 behind stage 2's watermark iff it
+    * already reached stage 1 behind stage 1's, i.e. the chain's
+    * lateness semantics are exactly a single stage's. The operator
+    * therefore disables the check on the session (the config Spark
+    * documents for precisely this reviewed-and-safe case), and the
+    * spec proves the semantics across batch splits.
+    */
+  def webCorpusStream(
+      pages: DataFrame,
+      tsMicrosCol: String,
+      canonIdx: DataFrame,
+      textIdx: DataFrame,
+      linkDensityPct: Int = 30,
+      lateness: String = "1 hour"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // safe here — see the scaladoc's checkCorrectness paragraph
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val gated = Corpus.crawlGate(pages, linkDensityPct, keepText = true,
+        carry = Seq(tsMicrosCol))
+      .withColumn("passes",
+        (col("status") === "ok" && col("verdict") === "index").cast("long"))
+      .withColumn("th", md5(col("text")))
+      .join(broadcast(canonIdx.select(col("canonical"))
+        .withColumn("__ic", lit(1L))), Seq("canonical"), "left")
+      .join(broadcast(textIdx.select(col("th"))
+        .withColumn("__it", lit(1L))), Seq("th"), "left")
+      .select(col("doc_id"), col(tsMicrosCol).as("ts_us"), col("status"),
+        col("verdict"), col("text"), col("n_toks"), col("canonical"),
+        col("passes"), col("th"),
+        col("__ic").isNotNull.as("in_canon_idx"),
+        col("__it").isNotNull.as("in_text_idx"),
+        timestamp_micros(col(tsMicrosCol)).as("__event_time"))
+      .withWatermark("__event_time", lateness)
+      .as[WcArr]
+    // stage 1: canonical first-seen — a passing page with a canonical
+    // claimed by the standing index OR by an earlier passing arrival
+    // is a canonical_dup (the batch rn1 rule under arrival order)
+    val afterCanon = gated
+      .groupByKey(p =>
+        if (p.passes == 1L && p.canonical != null) "c:" + p.canonical
+        else "d:" + p.doc_id)
+      .flatMapGroupsWithState[Boolean, WcMid](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, newRows: Iterator[WcArr], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var seen = state.getOption.getOrElse(false)
+            var maxTs = Long.MinValue
+            val out = arrivals.map { r =>
+              maxTs = math.max(maxTs, r.ts_us)
+              val claims = r.passes == 1L && r.canonical != null
+              val dup = claims && (r.in_canon_idx || seen)
+              if (claims && !dup) seen = true
+              WcMid(r.doc_id, r.ts_us, r.status, r.verdict, r.text, r.n_toks,
+                r.th, r.in_text_idx, canon_dup = dup,
+                alive1 = r.passes == 1L && !dup, r.__event_time)
+            }
+            state.update(seen)
+            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(base, lateness)
+            out.iterator
+          }
+      }
+    // stage 2: text-hash first-seen over canonical-stage survivors —
+    // the incrementalDedup state keyed on md5(text) (the batch rn2
+    // rule; md5 equality stands in for text equality exactly as the
+    // standing textIdx probe already does). The event-time column is
+    // RE-MARKED: watermark metadata does not survive a
+    // flatMapGroupsWithState, and the second stage's event-time
+    // timeout needs its own watermark node (chained append-mode
+    // stateful operators are supported; the re-mark is how the chain
+    // declares its time column at each stage)
+    val afterText = afterCanon
+      .withWatermark("__event_time", lateness)
+      .groupByKey(p => if (p.alive1) "t:" + p.th else "d:" + p.doc_id)
+      .flatMapGroupsWithState[Boolean, WcStaged](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, newRows: Iterator[WcMid], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var seen = state.getOption.getOrElse(false)
+            var maxTs = Long.MinValue
+            val out = arrivals.map { r =>
+              maxTs = math.max(maxTs, r.ts_us)
+              val dup = r.alive1 && (r.in_text_idx || seen)
+              if (r.alive1 && !dup) seen = true
+              WcStaged(r.doc_id, r.ts_us, r.status, r.verdict, r.text,
+                r.n_toks, r.canon_dup, text_dup = dup,
+                alive2 = r.alive1 && !dup)
+            }
+            state.update(seen)
+            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(base, lateness)
+            out.iterator
+          }
+      }
+    // stage 3: the Gopher gate map-side + the batch increment's final
+    // verdict projection
+    Corpus.withGopher(afterText.toDF())
+      .select(
+        col("doc_id"), col("ts_us"),
+        when(col("status") === "quarantined", lit("quarantined"))
+          .when(col("status") === "chrome", lit("chrome"))
+          .when(col("verdict") === "drop", lit("noindex"))
+          .when(col("canon_dup"), lit("canonical_dup"))
+          .when(col("text_dup"), lit("text_dup"))
+          .when(coalesce(col("gopher_ok"), lit(0L)) =!= 1L, lit("low_quality"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("alive2") && coalesce(col("gopher_ok"), lit(0L)) === 1L,
+          col("n_toks")).as("tok_cnt"))
+  }
+
   /** Streaming twin of `q_quality_votes` — the ensemble gate run
     * continuously under a FROZEN median model (the deployment shape:
     * thresholds trained once on a reference corpus, every arriving doc

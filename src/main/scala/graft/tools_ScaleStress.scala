@@ -1142,7 +1142,8 @@ object ScaleStress {
     //     shuffles on the hot side; the in-plan standing-index build
     //     dominates wall here by design — production materializes it
     //     once per corpus version (webCorpusIncrement scaladoc).
-    timed("webCorpusIncrement") {
+    // shared corpus for cases 21 (in-plan increment) and 22 (store-fed)
+    locally {
       val nBatch = nDocs / 10
       def standingBody(idc: org.apache.spark.sql.Column) = {
         val prose = concat_ws(" ", (0 until 12).map(i =>
@@ -1223,6 +1224,72 @@ object ScaleStress {
       assert(got.values.sum ==
         (0L until half).count(_ % 11 != 4).toLong + nFresh,
         s"increment dropped rows: $got")
+      CacheScope.flush()
+
+      // 22. Round-16 STORE-FED incremental capstone
+      //     (q_web_corpus_store's shape at scale): the two standing
+      //     indexes MATERIALIZED once to parquet — the per-corpus-
+      //     version build a production pipeline amortizes — then the
+      //     SAME batch probed via webCorpusIncrementFrom, whose plan
+      //     never touches the standing corpus: the nightly-run wall is
+      //     batch-proportional by construction, and the verdict map
+      //     must equal case 21's exactly (store round-trip loses
+      //     nothing).
+      timed("webCorpusIncrementFrom (store-fed)") {
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-wcidx").toString
+        val tb = System.nanoTime()
+        val (ci, ti) = ops.Corpus.webCorpusIndexes(standing)
+        ci.write.mode("overwrite").parquet(s"$idxDir/canon")
+        ti.write.mode("overwrite").parquet(s"$idxDir/text")
+        val buildWall = (System.nanoTime() - tb) / 1e9
+        val t1 = System.nanoTime()
+        val got22 = ops.Corpus.webCorpusIncrementFrom(
+            spark.read.parquet(s"$idxDir/canon"),
+            spark.read.parquet(s"$idxDir/text"),
+            copies.unionByName(fresh))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val runWall = (System.nanoTime() - t1) / 1e9
+        println(f"[scale]   index build (once/corpus version) $buildWall%.2f s; " +
+          f"store-fed nightly run: ${got22.values.sum} batch pages in " +
+          f"$runWall%.2f s -> $got22")
+        assert(got22 == got, s"store-fed verdicts diverge: $got22 vs $got")
+        CacheScope.flush()
+      }
+    }
+
+    // 23. Round-16 incremental IVF maintenance at 1M x 64-d: train the
+    //     coarse quantizer once, MATERIALIZE the standing assignment
+    //     store partitioned by cell (the faiss inverted lists as a
+    //     parquet layout), then time the nightly add+search: a ~1k
+    //     batch assigns map-side against the frozen cells and the
+    //     multi-probe search runs over store ∪ batch — no retrain, no
+    //     standing re-assignment, and a planted exact copy of query 3
+    //     must surface at cos 1.0.
+    timed("cosineTopKIvfIncrement (frozen cells, store + batch)") {
+      val cents = ops.Sim.kmeansCentroidsSampledLocal(
+        emb, k = 64, iters = 4, sampleMod = 100)
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-ivfidx").toString
+      val tb = System.nanoTime()
+      ops.Sim.ivfAssign(emb, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(storeDir)
+      val buildWall = (System.nanoTime() - tb) / 1e9
+      val batch = emb.filter(col("vec_id") % 997 === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val t1 = System.nanoTime()
+      val top = ops.Sim.cosineTopKIvfIncrement(
+          spark.read.parquet(storeDir), batch, cents,
+          nQueries = 10, k = 5, nProbe = 4)
+        .filter(col("rnk") === 1).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val runWall = (System.nanoTime() - t1) / 1e9
+      println(f"[scale]   assignment store build $buildWall%.2f s " +
+        f"(once/corpus version); batch add + search $runWall%.2f s -> " +
+        s"rank-1 hits ${top.toSeq.sortBy(_._1)}")
+      assert(top(3L) == ((10000003L, 1.0)),
+        s"planted copy of query 3 must be its cos-1.0 top hit, got ${top.get(3L)}")
       CacheScope.flush()
     }
     spark.stop()

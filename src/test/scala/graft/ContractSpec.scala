@@ -20,7 +20,8 @@ class ContractSpec extends AnyFunSuite {
         "q_sim_ann_pq_refine", "q_cluster_purity", "q_quality_classifier",
         "q_sim_hnsw_routed", "q_bpe_encode", "q_bpe_fertility",
         "q_spm_encode", "q_spm_fertility", "q_spm_sample",
-        "q_spm_byte_fallback"))
+        "q_spm_byte_fallback", "q_quality_votes_approx",
+        "q_sim_ivf_incremental"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -49,7 +50,9 @@ class ContractSpec extends AnyFunSuite {
     // + q_spm_sample + q_html_meta + q_crawl_pipeline = 230
     // round 15: + q_web_corpus + q_spm_byte_fallback + q_lang_segments
     // + q_quality_votes + q_web_corpus_incremental = 235
-    assert(SparkEntry.queries.size === 235)
+    // round 16: + q_web_corpus_store + q_quality_votes_approx
+    // + q_sim_ivf_incremental = 238
+    assert(SparkEntry.queries.size === 238)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

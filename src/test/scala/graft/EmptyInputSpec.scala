@@ -233,4 +233,32 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Text.dsirWeights(emptyDocsLang, col("lang") === "en", 256).count() === 0)
     assert(Text.bpeFertilityByLang(emptyDocsLang, Seq(("a", "b"))).count() === 0)
   }
+
+  test("round-16 ops on empty inputs") {
+    // the median MODEL on an empty (or all-untokened) corpus is
+    // undefined — the contract is a LOUD raise, not an NPE
+    val e1 = intercept[IllegalArgumentException] {
+      Text.qualityVotesMedians(emptyDocs, Seq("the"))
+    }
+    assert(e1.getMessage.contains("no tokened documents"))
+    val e2 = intercept[IllegalArgumentException] {
+      Text.qualityVotesMedians(Seq((1L, ""), (2L, " ")).toDF("doc_id", "text"),
+        Seq("the"))
+    }
+    assert(e2.getMessage.contains("no tokened documents"))
+    // the SCORING forms stay zero-rows-out on empties (gate semantics)
+    assert(Text.qualityVotes(emptyDocs, Seq("the")).count() === 0)
+    assert(Text.qualityVotesFrom(emptyDocs, Seq("the"),
+      (1.0, 0.5, 0.1, 0.1)).count() === 0)
+    // incremental web-corpus: empty batch, empty standing, both
+    val pages = Seq((1L, "<html><head><title>t</title></head><body>" +
+      "<p>w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12</p></body></html>"))
+      .toDF("doc_id", "html")
+    val emptyPages = Seq.empty[(Long, String)].toDF("doc_id", "html")
+    assert(Corpus.webCorpusIncrement(pages, emptyPages).count() === 0)
+    assert(Corpus.webCorpusIncrement(emptyPages, pages).count() === 1)
+    val (ci, ti) = Corpus.webCorpusIndexes(emptyPages)
+    assert(ci.count() === 0 && ti.count() === 0)
+    assert(Corpus.webCorpusIncrementFrom(ci, ti, emptyPages).count() === 0)
+  }
 }

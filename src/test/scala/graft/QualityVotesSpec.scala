@@ -61,6 +61,48 @@ class QualityVotesSpec extends AnyFunSuite {
     assert(streamed === frozen)
   }
 
+  test("approx-percentile thresholds: each sits within the documented " +
+      "rank-error bound of the true median; empty corpus raises loudly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val acc = 10000
+    val approx = Text.qualityVotesMediansApprox(docs, Seq("the", "a"), acc)
+    // recover the per-doc signals from the frozen-model scorer's own
+    // output columns (one definition of the signal pass — no drift)
+    val rows = Text.qualityVotesFrom(docs, Seq("the", "a"), approx).collect()
+    val n = rows.length
+    val err = n.toDouble / acc + 1.0 // rank error + interpolation slack
+    val signals: Seq[(String, Array[Double], Double)] = Seq(
+      ("n_toks", rows.map(_.getLong(1).toDouble), approx._1),
+      ("ttr", rows.map(_.getDouble(2)), approx._2),
+      ("stop_ratio", rows.map(_.getDouble(3)), approx._3),
+      ("dup_frac", rows.map(_.getDouble(4)), approx._4))
+    signals.foreach { case (name, xs, t) =>
+      val below = xs.count(_ < t).toDouble
+      val atOrBelow = xs.count(_ <= t).toDouble
+      assert(below <= n / 2.0 + err && atOrBelow >= n / 2.0 - err,
+        s"$name: approx median $t has rank window [$below, $atOrBelow] " +
+          s"outside N/2 ± $err of n=$n")
+      // the threshold is an actual element (GK summaries return
+      // observed values), so the gate's strict votes stay exact
+      assert(xs.contains(t), s"$name: approx median $t not an observed value")
+    }
+    // memoized model slice ≡ a fresh training call (the dsirRatioLocal
+    // parity discipline for driver-local frozen models)
+    assert(EntrySupport.qvApproxLocal(spark, "/root/testdata/sf0.001") ===
+      Text.qualityVotesMediansApprox(
+        Tables.documents(spark, "/root/testdata/sf0.001")
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism),
+        Seq("the", "a")))
+    val e = intercept[IllegalArgumentException] {
+      import spark.implicits._
+      Text.qualityVotesMediansApprox(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), Seq("the"))
+    }
+    assert(e.getMessage.contains("no tokened documents"))
+  }
+
   test("corpus invariants: every tokened doc emitted, votes in [0,4], " +
       "keep ≡ votes >= 3, signals are valid ratios") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

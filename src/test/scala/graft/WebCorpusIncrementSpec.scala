@@ -97,5 +97,19 @@ class WebCorpusIncrementSpec extends AnyFunSuite {
     assert(inc(108L) === "low_quality")
     assert(inc(109L) === "quarantined")
     assert(inc.size === 9)
+
+    // store-fed form ≡ in-plan form: round-trip the two standing
+    // indexes through parquet (the q_web_corpus_store shape — the
+    // materialized corpus-version store) and re-probe the same batch
+    val base = java.nio.file.Files.createTempDirectory("graft-wcs").toString
+    val (canonIdx, textIdx) = Corpus.webCorpusIndexes(standing)
+    canonIdx.write.mode("overwrite").parquet(s"$base/canon")
+    textIdx.write.mode("overwrite").parquet(s"$base/text")
+    val stored = Corpus.webCorpusIncrementFrom(
+        spark.read.parquet(s"$base/canon"), spark.read.parquet(s"$base/text"),
+        batch)
+      .select(col("doc_id"), col("stage"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stored === inc, "store-fed verdicts must equal in-plan verdicts")
   }
 }
