@@ -819,6 +819,27 @@ private[graft] object EntryQueriesD {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "q_sim_hnsw_growing" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the graph tier's INCREMENTAL shape (round-15 residual's
+      // "segment graphs" half): sealed per-cell HNSW graphs answer for
+      // the standing corpus unchanged, the planted batch (ivfBatch —
+      // the q_sim_ivf_incremental corpus) is brute-force scanned as
+      // the GROWING segment within each query's probed cells, and the
+      // per-query merge is lossless by construction. Saturated
+      // efSearch ≡ multi-probe IVF exact over standing ∪ batch, so the
+      // SAME pinned-centroid oracle as q_sim_ivf_incremental applies
+      // (identical SQL on purpose — the two operators implement one
+      // law through different physical tiers); IvfIncrementSpec pins
+      // growing ≡ increment Spark-vs-Spark at this configuration.
+      graft.ops.Hnsw.hnswTopKRoutedGrowing(Tables.embeddings(s, dir),
+          ivfBatch(s, dir), pqModel(s, dir)._1,
+          nQueries = 10, k = 5, nProbe = 2,
+          m = 8, efConstruction = 64, efSearch = 4096,
+          queryModel = Some(hnswRoutedQueryLocal(s, dir, 10, 2)))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "q_xpath_extract" -> ((s0, dir) => {
       val s = ensure(s0)
       // N1 params extraction through the XML parser surface (the

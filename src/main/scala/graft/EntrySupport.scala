@@ -1116,7 +1116,8 @@ private[graft] object EntrySupport {
     "q_quality_classifier", "q_sim_ann_kmeans", "q_sim_ann_pq",
     "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
     "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility",
-    "q_spm_sample", "q_spm_byte_fallback", "q_sim_ivf_incremental")
+    "q_spm_sample", "q_spm_byte_fallback", "q_sim_ivf_incremental",
+    "q_sim_hnsw_growing")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw

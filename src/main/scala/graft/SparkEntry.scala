@@ -131,6 +131,13 @@ object SparkEntry {
       "q_sim_ivf_incremental" ->
         ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2,
           extraCorpusSql = ivfBatchSql),
+      // identical SQL on purpose (the q_sim_hnsw_routed precedent):
+      // the growing-segment search saturates its sealed-graph walks,
+      // and sealed-graphs + brute-forced growing segment ≡ multi-probe
+      // IVF exact search over standing ∪ batch
+      "q_sim_hnsw_growing" ->
+        ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2,
+          extraCorpusSql = ivfBatchSql),
       "q_dedup_semantic" ->
         ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40),
       "q_sim_ann_pq" ->

@@ -370,6 +370,56 @@ object Hnsw {
       .collect().sortBy(_._1)
   }
 
+  /** GROWING-SEGMENT search — the production incremental shape of the
+    * routed graph tier, and the "segment graphs" half of the round-15
+    * incremental-ANN residual (the vector-store design Milvus ships
+    * and faiss users hand-roll: SEALED segments carry graphs built
+    * once per segment and never touched again; the GROWING segment —
+    * the not-yet-sealed arriving batch — is small, so it is
+    * brute-force scanned instead of indexed; a query fans out to both
+    * tiers and merges). Standing vectors answer through the per-cell
+    * graphs ([[hnswTopKRouted]], unchanged); the batch assigns
+    * map-side to the SAME frozen cells ([[Sim.ivfAssign]] — zero
+    * shuffles) and is scored exactly within each query's probed cells
+    * via one broadcast join; the per-query union re-ranks to top-k.
+    * The merge is LOSSLESS by construction: the overall top-k is a
+    * subset of (sealed-tier top-k) ∪ (every probed growing candidate),
+    * so no graph is rebuilt and no standing vector is rescored when a
+    * batch lands. At the saturated configuration (efSearch ≥ every
+    * cell) this ≡ multi-probe IVF exact search over standing ∪ batch —
+    * the same law, spec (IvfIncrementSpec), and pinned-centroid oracle
+    * as [[Sim.cosineTopKIvfIncrement]].
+    */
+  def hnswTopKRoutedGrowing(standing: DataFrame, batch: DataFrame,
+      cents: Sim.Centroids, nQueries: Int, k: Int, nProbe: Int, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 512,
+      queryModel: Option[Seq[(Long, Array[Double], Array[Int])]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = standing.sparkSession
+    import spark.implicits._
+    val dotF = Sim.dotNative(spark) _
+    val sealedTop = hnswTopKRouted(standing, cents, nQueries, k, nProbe,
+        m, efConstruction, efSearch, queryModel)
+      .select(col("q_id"), col("c_id"), col("cos_r"))
+    val queries = queryModel.map(_.toArray.sortBy(_._1)).getOrElse(
+      routedQueryModel(standing, cents, nQueries, nProbe))
+    val qdf = queries.toSeq.toDF("q_id", "qv", "probe")
+      .select(col("q_id"), col("qv"), explode(col("probe")).as("cell"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val growing = Sim.ivfAssign(batch, cents)
+      .join(broadcast(qdf), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(dotF(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("c_id").asc)
+    sealedTop.unionByName(growing)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+  }
+
   def hnswTopKRouted(embeddings: DataFrame, cents: Sim.Centroids,
                      nQueries: Int, k: Int, nProbe: Int, m: Int = 8,
                      efConstruction: Int = 64, efSearch: Int = 512,

