@@ -1772,6 +1772,13 @@ private[graft] object EntryOraclesC {
     // parquet round-trip of the two indexes lost nothing
     "q_web_corpus_store" -> webCorpusIncOracle(copyMod = 3, freshMod = 0),
 
+    // the index write-back half of the nightly cycle: the oracle
+    // states (from-scratch union indexes) MINUS (from-scratch standing
+    // indexes) from first principles — a hash match proves the
+    // engine's append deltas ≡ a full rebuild's additions
+    "q_web_corpus_index_delta" ->
+      webCorpusIndexDeltaOracle(copyMod = 3, freshMod = 0),
+
 
     // majority-of-signals quality ensemble: four single-division
     // signals, exact interpolated medians, strict median votes
@@ -1945,7 +1952,7 @@ private[graft] object EntryOraclesC {
     * impersonating-copy and fresh-page batch branches, so ONE template
     * serves both and the planted-page construction cannot drift.
     */
-  private def webCorpusIncOracle(copyMod: Int, freshMod: Int): String =
+  private def webCorpusIncPrefix(copyMod: Int, freshMod: Int): String =
     s"""WITH page AS (
         |  SELECT doc_id,
         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
@@ -2043,7 +2050,42 @@ private[graft] object EntryOraclesC {
         |           ELSE 'd:' || CAST(doc_id AS VARCHAR) END
         |      ORDER BY doc_id) AS rn1
         |  FROM p),
-        |a1 AS (SELECT *, (passes = 1 AND rn1 = 1) AS alive1 FROM r1),
+        |a1 AS (SELECT *, (passes = 1 AND rn1 = 1) AS alive1 FROM r1)""".stripMargin
+
+  /** The index WRITE-BACK oracle (q_web_corpus_index_delta):
+    * [[webCorpusIncPrefix]] re-runs the union's gate + canonical
+    * stage, then states the delta law from first principles — the
+    * from-scratch union indexes minus the from-scratch standing
+    * indexes (standing = ids < 5M). A hash match proves the engine's
+    * append-maintenance deltas reproduce exactly what a full index
+    * rebuild over standing ∪ batch would add.
+    */
+  private def webCorpusIndexDeltaOracle(copyMod: Int, freshMod: Int): String =
+    webCorpusIncPrefix(copyMod, freshMod) + """
+        |SELECT kind, key FROM (
+        |  SELECT 'canon' AS kind, canonical AS key
+        |  FROM p WHERE passes = 1 AND canonical IS NOT NULL
+        |    AND doc_id >= 5000000
+        |    AND canonical NOT IN (
+        |      SELECT canonical FROM p
+        |      WHERE passes = 1 AND canonical IS NOT NULL
+        |        AND doc_id < 5000000)
+        |  GROUP BY canonical
+        |  UNION ALL
+        |  SELECT 'text', md5(txt)
+        |  FROM a1 WHERE alive1 AND doc_id >= 5000000
+        |    AND md5(txt) NOT IN (
+        |      SELECT md5(txt) FROM a1
+        |      WHERE alive1 AND doc_id < 5000000)
+        |  GROUP BY md5(txt))
+        |ORDER BY kind, key""".stripMargin
+
+  /** The union-rerun verdict oracle (q_web_corpus_incremental /
+    * q_web_corpus_store): [[webCorpusIncPrefix]] + the text race,
+    * Gopher gate, and per-doc stage verdict, restricted to batch ids.
+    */
+  private def webCorpusIncOracle(copyMod: Int, freshMod: Int): String =
+    webCorpusIncPrefix(copyMod, freshMod) + "," + s"""
         |r2 AS (
         |  SELECT *, row_number() OVER (PARTITION BY
         |      CASE WHEN alive1 THEN 't:' || txt

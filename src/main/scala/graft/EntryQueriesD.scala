@@ -819,6 +819,25 @@ private[graft] object EntryQueriesD {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "q_web_corpus_index_delta" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the index WRITE-BACK half of the nightly cycle — what keeps
+      // q_web_corpus_store's standing indexes true between runs:
+      // the canonicals newly claimed by batch gate-survivors and the
+      // text hashes of batch canonical-stage survivors, each
+      // left-anti'd against the standing index (append-ready deltas;
+      // Corpus.webCorpusIndexDelta — batch-bounded, all probes
+      // broadcast). The ORACLE recomputes (union indexes) MINUS
+      // (standing indexes) from first principles, so a hash match
+      // proves append-maintenance ≡ full rebuild.
+      val (canonIdx, textIdx) = wcIndexes(s, dir)
+      val (cd, td) = Corpus.webCorpusIndexDelta(canonIdx, textIdx,
+        wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
+      cd.select(lit("canon").as("kind"), col("canonical").as("key"))
+        .unionByName(td.select(lit("text").as("kind"), col("th").as("key")))
+        .orderBy(col("kind"), col("key"))
+    }),
+
     "q_sim_hnsw_growing" -> ((s0, dir) => {
       val s = ensure(s0)
       // the graph tier's INCREMENTAL shape (round-15 residual's

@@ -831,15 +831,19 @@ object Corpus {
     * the standing corpus never appears in the plan at all, so the run
     * cost is batch-proportional by construction.
     */
-  def webCorpusIncrementFrom(canonIdx: DataFrame, textIdx: DataFrame,
-                             batchPages: DataFrame,
-                             linkDensityPct: Int = 30): DataFrame = {
+  /** The batch's gate + canonical stage against a standing canonical
+    * index — the front half [[webCorpusIncrementFrom]] (verdicts) and
+    * [[webCorpusIndexDelta]] (index write-back) share, so the two
+    * halves of the nightly cycle cannot drift.
+    */
+  private def incBatchCanonStage(canonIdx: DataFrame, batchPages: DataFrame,
+                                 linkDensityPct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bg = incGated(batchPages, linkDensityPct)
     val bk1 = when(col("passes") === 1L && col("canonical").isNotNull,
         concat(lit("c:"), col("canonical")))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
-    val b1 = bg
+    bg
       .withColumn("rn1",
         row_number().over(Window.partitionBy(bk1).orderBy(col("doc_id"))))
       .join(broadcast(canonIdx.select(col("canonical"))
@@ -849,6 +853,48 @@ object Corpus {
         col("passes") === 1L && col("canonical").isNotNull &&
           (col("in_standing_canon").isNotNull || col("rn1") =!= 1))
       .withColumn("alive1", col("passes") === 1L && !col("canon_dup"))
+  }
+
+  /** The index WRITE-BACK half of the nightly incremental cycle — what
+    * maintains the store [[webCorpusIncrementFrom]] probes: after a
+    * batch is ingested, the standing indexes must absorb exactly the
+    * batch's NEW keys or tomorrow's run re-admits today's duplicates.
+    * Returns `(canonDelta, textDelta)` — the canonicals claimed by any
+    * batch gate-survivor and the text hashes of batch
+    * canonical-stage survivors, each LEFT-ANTI-joined against the
+    * standing index so the frames are append-ready deltas (both
+    * broadcast: the deltas are batch-bounded, the anti probes hit the
+    * same skinny indexes the verdict pass already broadcast).
+    *
+    * Law (WebCorpusIncrementSpec): for standing ids below batch ids,
+    * `webCorpusIndexes(standing ∪ batch)` ≡ standing indexes ∪ these
+    * deltas, as sets — i.e. append-maintenance reproduces the
+    * from-scratch index build exactly, because a canonical's index
+    * membership needs any passing claim (rank-free) and a text hash's
+    * needs any canonical-stage survivor, and union ranking lets
+    * standing rows win every race the batch could contest.
+    */
+  def webCorpusIndexDelta(canonIdx: DataFrame, textIdx: DataFrame,
+                          batchPages: DataFrame,
+                          linkDensityPct: Int = 30): (DataFrame, DataFrame) = {
+    val b1 = incBatchCanonStage(canonIdx, batchPages, linkDensityPct)
+    val canonDelta = b1
+      .filter(col("passes") === 1L && col("canonical").isNotNull)
+      .select(col("canonical")).distinct()
+      .join(broadcast(canonIdx.select(col("canonical"))),
+        Seq("canonical"), "left_anti")
+    val textDelta = b1
+      .filter(col("alive1"))
+      .select(md5(col("text")).as("th")).distinct()
+      .join(broadcast(textIdx.select(col("th"))), Seq("th"), "left_anti")
+    (canonDelta, textDelta)
+  }
+
+  def webCorpusIncrementFrom(canonIdx: DataFrame, textIdx: DataFrame,
+                             batchPages: DataFrame,
+                             linkDensityPct: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b1 = incBatchCanonStage(canonIdx, batchPages, linkDensityPct)
     val bk2 = when(col("alive1"), concat(lit("t:"), col("text")))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
     val b2 = b1

@@ -1255,6 +1255,27 @@ object ScaleStress {
           f"store-fed nightly run: ${got22.values.sum} batch pages in " +
           f"$runWall%.2f s -> $got22")
         assert(got22 == got, s"store-fed verdicts diverge: $got22 vs $got")
+        // the WRITE-BACK half (q_web_corpus_index_delta): append-ready
+        // deltas for tomorrow's run, verified against the from-scratch
+        // union rebuild's sizes — fresh pages own their texts, copies
+        // of DEAD originals own theirs, copies of alive ones add none
+        val t2 = System.nanoTime()
+        val (cd, td) = ops.Corpus.webCorpusIndexDelta(
+          spark.read.parquet(s"$idxDir/canon"),
+          spark.read.parquet(s"$idxDir/text"),
+          copies.unionByName(fresh))
+        val (nCd, nTd) = (cd.count(), td.count())
+        val deltaWall = (System.nanoTime() - t2) / 1e9
+        val (uc, ut) = ops.Corpus.webCorpusIndexes(
+          standing.unionByName(copies).unionByName(fresh))
+        val standCanon = spark.read.parquet(s"$idxDir/canon").count()
+        val standText = spark.read.parquet(s"$idxDir/text").count()
+        println(f"[scale]   index write-back: +$nCd canon / +$nTd text keys " +
+          f"in $deltaWall%.2f s (batch-bounded)")
+        assert(standCanon + nCd == uc.count(),
+          s"canon append ($standCanon + $nCd) != union rebuild ${uc.count()}")
+        assert(standText + nTd == ut.count(),
+          s"text append ($standText + $nTd) != union rebuild ${ut.count()}")
         CacheScope.flush()
       }
     }

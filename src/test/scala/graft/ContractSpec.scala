@@ -51,8 +51,9 @@ class ContractSpec extends AnyFunSuite {
     // round 15: + q_web_corpus + q_spm_byte_fallback + q_lang_segments
     // + q_quality_votes + q_web_corpus_incremental = 235
     // round 16: + q_web_corpus_store + q_quality_votes_approx
-    // + q_sim_ivf_incremental + q_sim_hnsw_growing = 239
-    assert(SparkEntry.queries.size === 239)
+    // + q_sim_ivf_incremental + q_sim_hnsw_growing
+    // + q_web_corpus_index_delta = 240
+    assert(SparkEntry.queries.size === 240)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -491,4 +491,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate table shuffled for the refine join:\n$p")
     CacheScope.flush()
   }
+
+  test("webCorpusIncrementFrom / webCorpusIndexDelta: index probes stay " +
+      "BROADCAST — the standing side never enters a shuffled join") {
+    val pages = docs.select($"doc_id",
+      concat(lit("<html><head><title>t</title></head><body><p>"), $"text",
+        lit("</p></body></html>")).as("html"))
+    val (ci, ti) = Corpus.webCorpusIndexes(pages)
+    val pInc = plan(Corpus.webCorpusIncrementFrom(ci, ti, pages))
+    assert(!pInc.contains("SortMergeJoin") && !pInc.contains("ShuffledHashJoin"),
+      s"index probe shuffled:\n$pInc")
+    assert(pInc.contains("BroadcastHashJoin"), pInc)
+    val (cd, td) = Corpus.webCorpusIndexDelta(ci, ti, pages)
+    Seq(plan(cd), plan(td)).foreach { p =>
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"delta anti-join shuffled:\n$p")
+    }
+  }
+
+  test("cosineTopKIvfIncrement: queries broadcast onto the cached " +
+      "store ∪ batch union — candidates never sort-merge") {
+    val emb = (0L until 100L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents: graft.ops.Sim.Centroids =
+      (0L until 4L).map(c => (c, Array.tabulate(8)(j => (c * 2 + j).toDouble)))
+    val batch = emb.filter($"vec_id" % 7 === 1)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val p = plan(graft.ops.Sim.cosineTopKIvfIncrement(
+      graft.ops.Sim.ivfAssign(emb, cents), batch, cents,
+      nQueries = 4, k = 3, nProbe = 2))
+    assert(!p.contains("SortMergeJoin"),
+      s"candidates shuffled for the query join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    CacheScope.flush()
+  }
 }
