@@ -496,6 +496,7 @@ object Bench {
       "q_spm_encode" -> "r14: 1 job - one corpus scan + explode + broadcast join against the MEMOIZED pre-segmented vocabulary (LocalRelation; 31 word types on this corpus - the shipped-tokenizer-artifact slice, with an in-plan raise guard on any missing word) + doc-keyed agg; the Viterbi DP itself runs vocab-many times, never per occurrence",
       "q_spm_fertility" -> "r14: 1 job - same memoized-seg shape as q_spm_encode with the lang-keyed aggregate (<= |langs| rows out); the residual is the tokenize scan floor shared with the bpe fertility twin",
       "q_spm_sample" -> "r14: 1 job - the q_spm_encode shape with the per-(tau,epoch) pre-sampled vocabulary slice memoized (spmSampleSegLocal); residual is the same tokenize scan + broadcast-join + doc-agg floor",
+      "q_web_corpus_index_delta" -> "r16 JobProfile: 3 jobs steady - two skinny standing-index broadcast builds (~0.03s each, pure job floor) + ONE fused extraction->distinct->anti pass at 0.29-0.33s, which is at parity with the DuckDB oracle's whole-query 0.24s (the oracle re-runs the same regex extraction in-process with no job or broadcast floor). Single-pass by design: each page emits its <= 2 candidate keys from one array-explode, so the regex extraction runs once per batch; the anti probe is batch-bounded and the standing side never shuffles",
       "q_spm_byte_fallback" -> "r16: same 1-job memoized-vocab shape as q_spm_encode (corpus scan + explode + broadcast join against the pre-segmented fallback vocabulary slice + doc-keyed agg); the ~0.2s delta vs the encode twin is the codepoint-based fallback DP (unseen chars priced byte-by-byte, surrogate-pair-safe substr) plus the planted non-BMP rows. Steady seconds UNCHANGED from r15 (0.47-0.54); the flag appeared only because the r16 quiet-window oracle re-time tightened the DuckDB entry to 0.19s (recursive-CTE restatement, in-process) - an oracle-denominator move, not a regression",
       "q_crawl_pipeline" -> "r15: 1 job, 0.16s steady (was 3 jobs / 0.61s) - the two extraction chains FUSED into one Corpus.crawlGate projection over the page bytes and the keeper join-back replaced by a synthetic-key window (eligible rows group by canonical, everyone else a singleton), so the whole front door is scan -> project -> one window exchange; bounded by q_html_extract (0.14s) + the window, flag retired",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",

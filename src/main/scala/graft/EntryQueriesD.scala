@@ -831,10 +831,8 @@ private[graft] object EntryQueriesD {
       // (standing indexes) from first principles, so a hash match
       // proves append-maintenance ≡ full rebuild.
       val (canonIdx, textIdx) = wcIndexes(s, dir)
-      val (cd, td) = Corpus.webCorpusIndexDelta(canonIdx, textIdx,
-        wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
-      cd.select(lit("canon").as("kind"), col("canonical").as("key"))
-        .unionByName(td.select(lit("text").as("kind"), col("th").as("key")))
+      Corpus.webCorpusIndexDelta(canonIdx, textIdx,
+          wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
         .orderBy(col("kind"), col("key"))
     }),
 

@@ -859,12 +859,16 @@ object Corpus {
     * maintains the store [[webCorpusIncrementFrom]] probes: after a
     * batch is ingested, the standing indexes must absorb exactly the
     * batch's NEW keys or tomorrow's run re-admits today's duplicates.
-    * Returns `(canonDelta, textDelta)` — the canonicals claimed by any
-    * batch gate-survivor and the text hashes of batch
-    * canonical-stage survivors, each LEFT-ANTI-joined against the
-    * standing index so the frames are append-ready deltas (both
-    * broadcast: the deltas are batch-bounded, the anti probes hit the
-    * same skinny indexes the verdict pass already broadcast).
+    * Returns ONE append-ready delta frame `(kind, key)` — kind 'canon'
+    * for canonicals claimed by any batch gate-survivor, kind 'text'
+    * for md5 hashes of batch canonical-stage survivors — LEFT-ANTI'd
+    * against the keyed union of both standing indexes. One frame on
+    * purpose: each page emits its ≤ 2 candidate keys from a single
+    * array-explode over the gate + canonical stage, so the regex-heavy
+    * extraction runs ONCE per batch (a two-frame API re-ran it per
+    * output; the store writer partitions the append by `kind`). One
+    * batch-bounded distinct exchange + one broadcast anti-join — the
+    * standing side never shuffles.
     *
     * Law (WebCorpusIncrementSpec): for standing ids below batch ids,
     * `webCorpusIndexes(standing ∪ batch)` ≡ standing indexes ∪ these
@@ -876,18 +880,22 @@ object Corpus {
     */
   def webCorpusIndexDelta(canonIdx: DataFrame, textIdx: DataFrame,
                           batchPages: DataFrame,
-                          linkDensityPct: Int = 30): (DataFrame, DataFrame) = {
+                          linkDensityPct: Int = 30): DataFrame = {
     val b1 = incBatchCanonStage(canonIdx, batchPages, linkDensityPct)
-    val canonDelta = b1
-      .filter(col("passes") === 1L && col("canonical").isNotNull)
-      .select(col("canonical")).distinct()
-      .join(broadcast(canonIdx.select(col("canonical"))),
-        Seq("canonical"), "left_anti")
-    val textDelta = b1
-      .filter(col("alive1"))
-      .select(md5(col("text")).as("th")).distinct()
-      .join(broadcast(textIdx.select(col("th"))), Seq("th"), "left_anti")
-    (canonDelta, textDelta)
+    val standingKeys = canonIdx
+      .select(lit("canon").as("kind"), col("canonical").as("key"))
+      .unionByName(textIdx.select(lit("text").as("kind"), col("th").as("key")))
+    b1
+      .select(explode(array(
+        when(col("passes") === 1L && col("canonical").isNotNull,
+          struct(lit("canon").as("kind"), col("canonical").as("key"))),
+        when(col("alive1"),
+          struct(lit("text").as("kind"), md5(col("text")).as("key")))))
+        .as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.kind").as("kind"), col("e.key").as("key"))
+      .distinct()
+      .join(broadcast(standingKeys), Seq("kind", "key"), "left_anti")
   }
 
   def webCorpusIncrementFrom(canonIdx: DataFrame, textIdx: DataFrame,

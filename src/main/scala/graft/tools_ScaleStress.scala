@@ -1260,11 +1260,14 @@ object ScaleStress {
         // union rebuild's sizes — fresh pages own their texts, copies
         // of DEAD originals own theirs, copies of alive ones add none
         val t2 = System.nanoTime()
-        val (cd, td) = ops.Corpus.webCorpusIndexDelta(
-          spark.read.parquet(s"$idxDir/canon"),
-          spark.read.parquet(s"$idxDir/text"),
-          copies.unionByName(fresh))
-        val (nCd, nTd) = (cd.count(), td.count())
+        val deltas = ops.Corpus.webCorpusIndexDelta(
+            spark.read.parquet(s"$idxDir/canon"),
+            spark.read.parquet(s"$idxDir/text"),
+            copies.unionByName(fresh))
+          .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (nCd, nTd) =
+          (deltas.getOrElse("canon", 0L), deltas.getOrElse("text", 0L))
         val deltaWall = (System.nanoTime() - t2) / 1e9
         val (uc, ut) = ops.Corpus.webCorpusIndexes(
           standing.unionByName(copies).unionByName(fresh))

@@ -115,25 +115,24 @@ class WebCorpusIncrementSpec extends AnyFunSuite {
     // the index WRITE-BACK law: appending the deltas to the standing
     // indexes must reproduce exactly the from-scratch index build over
     // standing ∪ batch (what tomorrow's run probes)
-    val (cd, td) = Corpus.webCorpusIndexDelta(canonIdx, textIdx, batch)
-    val mergedCanon = canonIdx.unionByName(cd)
-      .collect().map(_.getString(0)).toSet
-    val mergedText = textIdx.unionByName(td)
-      .collect().map(_.getString(0)).toSet
-    val (uc, ut) = Corpus.webCorpusIndexes(standing.unionByName(batch))
-    assert(mergedCanon === uc.collect().map(_.getString(0)).toSet,
-      "canon index: append-maintenance must equal the union rebuild")
-    assert(mergedText === ut.collect().map(_.getString(0)).toSet,
-      "text index: append-maintenance must equal the union rebuild")
-    // deltas are truly new keys (append-ready: no overlap with standing)
+    val deltas = Corpus.webCorpusIndexDelta(canonIdx, textIdx, batch)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val cd = deltas.filter(_._1 == "canon").map(_._2)
+    val td = deltas.filter(_._1 == "text").map(_._2)
     val standingCanon = canonIdx.collect().map(_.getString(0)).toSet
     val standingText = textIdx.collect().map(_.getString(0)).toSet
-    assert(cd.collect().map(_.getString(0)).forall(!standingCanon.contains(_)))
-    assert(td.collect().map(_.getString(0)).forall(!standingText.contains(_)))
+    val (uc, ut) = Corpus.webCorpusIndexes(standing.unionByName(batch))
+    assert(standingCanon ++ cd === uc.collect().map(_.getString(0)).toSet,
+      "canon index: append-maintenance must equal the union rebuild")
+    assert(standingText ++ td === ut.collect().map(_.getString(0)).toSet,
+      "text index: append-maintenance must equal the union rebuild")
+    // deltas are truly new keys (append-ready: no overlap with standing)
+    assert(cd.forall(!standingCanon.contains(_)))
+    assert(td.forall(!standingText.contains(_)))
     // the batch plants both classes: a fresh canonical claim (102's
     // https://e/c/9) and fresh text hashes; the standing-claimed
     // canonical (c/0) must NOT re-enter
-    assert(cd.collect().map(_.getString(0)).toSet === Set("https://e/c/9"))
-    assert(td.count() > 0)
+    assert(cd === Set("https://e/c/9"))
+    assert(td.nonEmpty)
   }
 }
