@@ -97,4 +97,111 @@ class WebCorpusStreamSpec extends AnyFunSuite {
       "the pair's second member arrived in a LATER micro-batch and must " +
         "still lose the text race to the stored keeper slot")
   }
+
+  test("the nightly cycle turns twice: wave-2 probes the DELTA-APPENDED " +
+      "store — recrawls of wave-1 pages dup, wave-1 canonicals are " +
+      "claimed, and none of that holds without the write-back") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft-wc-cycle").toString
+    val t0 = 1710000000000000L
+
+    // day 0 store + day-1 batch (the declared q_web_corpus_store pair)
+    val (ci0, ti0) = EntrySupport.wcIndexes(spark, dir)
+    val w1prose = (1 to 12).map(i => s"w1c$i").mkString(" ")
+    // the declared batch plus one page planting a FRESH canonical —
+    // the key the day-2 claimer will contest
+    val wave1 = EntrySupport.wcBatchPages(spark, dir, copyMod = 3, freshMod = 0)
+      .unionByName(Seq((7600000L,
+        "<html><head><title>w1c</title>" +
+          "<link rel=\"canonical\" href=\"https://cycle/c/1\"></head><body>" +
+          s"<script>t()</script><p>$w1prose</p></body></html>"))
+        .toDF("doc_id", "html"))
+    // day-1 write-back: append the deltas by kind (the store layout
+    // webCorpusIndexDelta's scaladoc names)
+    val d1 = Corpus.webCorpusIndexDelta(ci0, ti0, wave1)
+    ci0.write.parquet(s"$base/canon")
+    d1.filter(col("kind") === "canon").select(col("key").as("canonical"))
+      .write.mode("append").parquet(s"$base/canon")
+    ti0.write.parquet(s"$base/text")
+    d1.filter(col("kind") === "text").select(col("key").as("th"))
+      .write.mode("append").parquet(s"$base/text")
+    val ci1 = spark.read.parquet(s"$base/canon")
+    val ti1 = spark.read.parquet(s"$base/text")
+
+    // day-2 batch, all ids above wave 1: RE-CRAWLS of wave-1 fresh
+    // pages (same html verbatim, new crawl ids — dup iff the text
+    // delta landed), one page claiming wave 1's fresh canonical c/9
+    // (dup iff the canon delta landed), one genuinely new page
+    val recrawls = wave1
+      .filter(col("doc_id") >= 6000000L && col("doc_id") < 7000000L &&
+        col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("html"))
+    val prose12 = (1 to 12).map(i => s"cyc$i").mkString(" ")
+    val wave2 = recrawls.unionByName(Seq(
+      (9500000L, "<html><head><title>claimer</title>" +
+        "<link rel=\"canonical\" href=\"https://cycle/c/1\"></head><body>" +
+        s"<script>t()</script><p>$prose12 claim</p></body></html>"),
+      (9500001L, "<html><head><title>newpage</title></head><body>" +
+        s"<script>t()</script><p>$prose12 novel</p></body></html>"))
+      .toDF("doc_id", "html"))
+
+    // batch reference over the UPDATED store, and the rebuilt-store
+    // equivalence (appended ≡ webCorpusIndexes(standing ∪ wave1))
+    def verdictMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    val batch2 = verdictMap(Corpus.webCorpusIncrementFrom(ci1, ti1, wave2)
+      .select(col("doc_id"), col("stage")))
+    val (uc, ut) = Corpus.webCorpusIndexes(
+      EntrySupport.wcStandingPages(spark, dir).unionByName(wave1))
+    val rebuilt2 = verdictMap(Corpus.webCorpusIncrementFrom(uc, ut, wave2)
+      .select(col("doc_id"), col("stage")))
+    assert(batch2 === rebuilt2,
+      "the appended store must behave exactly like a full index rebuild")
+
+    // streamed wave 2 (fresh state — the day boundary), two splits
+    val feed = wave2.withColumn("ts_us", lit(t0) + col("doc_id"))
+    def run(): Unit = {
+      val q = StreamingCorpus.webCorpusStream(
+          spark.readStream.schema(schema).parquet(s"$base/src"), "ts_us",
+          ci1, ti1)
+        .writeStream
+        .format("parquet").option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    feed.filter(col("doc_id") < 9400000L)
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    run()
+    feed.filter(col("doc_id") >= 9400000L)
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    run()
+    val streamed2 = spark.read.parquet(s"$base/sink").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    assert(streamed2 === batch2)
+
+    // the discriminators: every gate-passing recrawl text-dups against
+    // the APPENDED text index; the claimer loses to the APPENDED canon
+    // index; the novel page is kept
+    assert(streamed2(9500000L) === "canonical_dup")
+    assert(streamed2(9500001L) === "kept")
+    val recrawlStages = streamed2.filter(_._1 >= 9000000L)
+      .filter(_._1 < 9400000L).values.toSet
+    assert(recrawlStages.subsetOf(Set("text_dup", "noindex", "quarantined",
+      "chrome", "low_quality")) && recrawlStages.contains("text_dup"),
+      s"recrawls must never be kept against the updated store: $recrawlStages")
+    // NEGATIVE control: without the write-back (day-0 indexes), the
+    // same recrawls would sail through as kept — the delta is what
+    // makes tomorrow's run correct
+    val stale = verdictMap(Corpus.webCorpusIncrementFrom(ci0, ti0, wave2)
+      .select(col("doc_id"), col("stage")))
+    assert(stale.exists { case (id, s) =>
+      id >= 9000000L && id < 9400000L && s == "kept" },
+      "control broken: recrawls should pass against the STALE store")
+    assert(stale(9500000L) === "kept",
+      "control broken: the claimer should pass against the STALE store")
+  }
 }
