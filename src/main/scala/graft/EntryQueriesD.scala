@@ -819,6 +819,22 @@ private[graft] object EntryQueriesD {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "q_dedup_semantic_incremental" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // SemDeDup's nightly form — the dedup twin of
+      // q_sim_ivf_incremental over the SAME frozen quantizer and the
+      // SAME cell-partitioned standing store: the planted batch
+      // (ivfBatch — reversed +1M, exact copies +2M) assigns map-side,
+      // scores only its cell's standing + in-batch mates, and each
+      // batch vector gets the union keeper rule (exact copies MUST
+      // discard onto a standing id). The ORACLE re-runs the full
+      // SemDeDup over standing ∪ batch from centroid literals
+      // restricted to batch ids — increment ≡ union, cross-engine.
+      Sim.semanticDedupIncrement(ivfAssignedStore(s, dir),
+          ivfBatch(s, dir), pqModel(s, dir)._1, minCos = 0.40)
+        .orderBy(col("vec_id"))
+    }),
+
     "q_web_corpus_index_delta" -> ((s0, dir) => {
       val s = ensure(s0)
       // the index WRITE-BACK half of the nightly cycle — what keeps

@@ -1117,7 +1117,7 @@ private[graft] object EntrySupport {
     "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
     "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility",
     "q_spm_sample", "q_spm_byte_fallback", "q_sim_ivf_incremental",
-    "q_sim_hnsw_growing")
+    "q_sim_hnsw_growing", "q_dedup_semantic_incremental")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw

@@ -140,6 +140,13 @@ object SparkEntry {
           extraCorpusSql = ivfBatchSql),
       "q_dedup_semantic" ->
         ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40),
+      // the incremental form's oracle is the SAME pinned-model SemDeDup
+      // re-run over standing ∪ planted batch, restricted to batch ids —
+      // a hash match IS the increment ≡ union keeper law cross-engine
+      "q_dedup_semantic_incremental" ->
+        ops.Sim.semanticDedupOracleSql(cents, minCos = 0.40,
+          extraCorpusSql = ivfBatchSql,
+          restrictSql = "WHERE s.vec_id >= 1000000"),
       "q_sim_ann_pq" ->
         ops.Sim.ivfPqSearchOracleSql(cents, cbs, nQueries = 10, k = 5,
           nProbe = 2),

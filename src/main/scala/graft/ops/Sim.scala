@@ -965,20 +965,74 @@ object Sim {
         least(col("vec_id"), coalesce(col("nb"), col("vec_id"))).as("keep_id"))
   }
 
+  /** INCREMENTAL SemDeDup — the dedup twin of
+    * [[cosineTopKIvfIncrement]] (round-15 residual closed from the
+    * other side: same frozen coarse quantizer, same materialized
+    * cell-partitioned standing store, now deciding keep/discard
+    * instead of top-k): a batch of new vectors assigns map-side
+    * ([[ivfAssign]]), scores against its cell's STANDING vectors (the
+    * store side never re-assigns and never shuffles — the batch
+    * broadcasts onto it) and against its in-batch cell-mates, and each
+    * batch vector gets the union keeper rule
+    * `keep_id = min(vec_id, min cell-neighbor with cos ≥ minCos)`.
+    * Standing keep_ids are untouched BY CONSTRUCTION: batch ids sit
+    * above all standing ids, so no standing minimum can change — which
+    * is exactly why the increment restricted to batch rows ≡ the full
+    * [[semanticDedupKeepersFrom]] re-run over standing ∪ batch
+    * (IvfIncrementSpec pins it; the declared oracle re-runs the union
+    * in DuckDB restricted to batch ids). Work is the SemDeDup bound
+    * applied across corpora: Σ_cell |standing_cell|·|batch_cell| +
+    * |batch_cell|², never |standing|².
+    */
+  def semanticDedupIncrement(assignedStanding: DataFrame, batch: DataFrame,
+                             cents: Centroids, minCos: Double): DataFrame = {
+    val dotF = dotNative(batch.sparkSession) _
+    val bAssigned = CacheScope.cached(ivfAssign(batch, cents))
+    val standingNb = assignedStanding
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cell").cast("int").as("cell")).as("s")
+      .join(broadcast(bAssigned.as("b")), col("s.cell") === col("b.cell"))
+      .filter(round(dotF(col("s.v"), col("b.v")) /
+        (col("s.nrm") * col("b.nrm")), 4) >= minCos)
+      .select(col("b.vec_id").as("vec_id"), col("s.vec_id").as("nb"))
+    val batchPairs = bAssigned.as("x")
+      .join(bAssigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(dotF(col("x.v"), col("y.v")) /
+        (col("x.nrm") * col("y.nrm")), 4) >= minCos)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val batchNb = batchPairs
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("vec_id"), col("e.b").as("nb"))
+    val minNb = standingNb.unionByName(batchNb)
+      .groupBy(col("vec_id")).agg(min(col("nb")).as("nb"))
+    bAssigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(minNb), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+        least(col("vec_id"), coalesce(col("nb"), col("vec_id"))).as("keep_id"))
+  }
+
   /** DuckDB oracle for [[semanticDedupKeepers]] — the pinned-model
     * trick of [[ivfSearchOracleSql]]: the trained centroids are DATA,
     * so the oracle embeds them as literals and independently
     * recomputes assignment (6dp round, cent_id tiebreak), the
     * within-cell pair set (4dp round vs `minCos`), the undirected
-    * min-neighbor fold, and the keeper rule.
+    * min-neighbor fold, and the keeper rule. `extraCorpusSql` widens
+    * the corpus (the incremental form's planted batch);
+    * `restrictSql` filters the final keeper rows (e.g. to batch ids —
+    * the increment ≡ union-rerun law, cross-engine).
     */
-  def semanticDedupOracleSql(cents: Centroids, minCos: Double): String = {
+  def semanticDedupOracleSql(cents: Centroids, minCos: Double,
+                             extraCorpusSql: String = "",
+                             restrictSql: String = ""): String = {
     val centRows = cents.map { case (id, v) =>
       s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n       ")
     s"""WITH cent(cent_id, cv) AS (VALUES
        |       $centRows),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$extraCorpusSql),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cn AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
        |sc AS (
@@ -1002,6 +1056,7 @@ object Sim {
        |SELECT s.vec_id, s.cell,
        |       least(s.vec_id, coalesce(mn.nb, s.vec_id)) AS keep_id
        |FROM assign s LEFT JOIN mn USING (vec_id)
+       |$restrictSql
        |ORDER BY s.vec_id""".stripMargin
   }
 

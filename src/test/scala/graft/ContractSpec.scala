@@ -21,7 +21,8 @@ class ContractSpec extends AnyFunSuite {
         "q_sim_hnsw_routed", "q_bpe_encode", "q_bpe_fertility",
         "q_spm_encode", "q_spm_fertility", "q_spm_sample",
         "q_spm_byte_fallback", "q_quality_votes_approx",
-        "q_sim_ivf_incremental", "q_sim_hnsw_growing"))
+        "q_sim_ivf_incremental", "q_sim_hnsw_growing",
+        "q_dedup_semantic_incremental"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -52,8 +53,8 @@ class ContractSpec extends AnyFunSuite {
     // + q_quality_votes + q_web_corpus_incremental = 235
     // round 16: + q_web_corpus_store + q_quality_votes_approx
     // + q_sim_ivf_incremental + q_sim_hnsw_growing
-    // + q_web_corpus_index_delta = 240
-    assert(SparkEntry.queries.size === 240)
+    // + q_web_corpus_index_delta + q_dedup_semantic_incremental = 241
+    assert(SparkEntry.queries.size === 241)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -76,6 +76,31 @@ class IvfIncrementSpec extends AnyFunSuite {
     assert(growing.nonEmpty && inc.nonEmpty)
   }
 
+  test("SemDeDup increment ≡ the full union re-run restricted to batch " +
+      "ids; planted copies always discard onto a smaller id") {
+    val batch = EntrySupport.ivfBatch(spark, dir)
+    val inc = Sim.semanticDedupIncrement(
+        EntrySupport.ivfAssignedStore(spark, dir), batch, cents,
+        minCos = 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val union = Sim.semanticDedupKeepersFrom(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+          .unionByName(batch), cents, minCos = 0.40)
+      .filter(col("vec_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(inc === union)
+    // every +2M exact copy shares its original's cell at cos 1.0, so
+    // it can never keep itself — and its keeper is at most the original
+    val copies = inc.filter(_._1 >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, _, keep) =>
+      assert(keep <= id - 2000000L,
+        s"copy $id must discard onto its original (or smaller), got $keep")
+    }
+  }
+
   test("empty batch: increment degenerates to the standing-only search") {
     import spark.implicits._
     val emptyBatch = Seq.empty[(Long, Array[Float])]
