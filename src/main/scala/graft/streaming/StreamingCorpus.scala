@@ -295,9 +295,15 @@ object StreamingCorpus {
     * survivors — the same bounded first-seen state as
     * [[incrementalDedup]] (Spark supports chained stateful operators
     * when every one is in append mode, which both stages are);
-    * (3) the Gopher gate rides map-side on the output. State is two
-    * booleans per distinct recent key, NEVER per page; the standing
-    * corpus appears only as the broadcast indexes.
+    * (3) the Gopher gate rides map-side on the output. State is one
+    * boolean per CONTESTED key inside the horizon — a claimed
+    * canonical in stage 1, a canonical-survivor text hash in stage 2;
+    * per-doc `d:` singleton groups (gate-failed, dead, no-canonical
+    * rows in stage 1; non-survivors in stage 2) compute their verdicts
+    * without ever consulting state, so the handlers write NO state and
+    * register NO timer for them (ADVICE r16) — the store never holds a
+    * per-page entry. The standing corpus appears only as the broadcast
+    * indexes.
     *
     * Law (WebCorpusStreamSpec): fed the batch increment's pages in
     * arrival order (ts_us, doc_id) ascending with doc order, the
@@ -316,11 +322,37 @@ object StreamingCorpus {
     * emit nothing), and watermarks only advance BETWEEN micro-batches
     * — so a row reaches stage 2 behind stage 2's watermark iff it
     * already reached stage 1 behind stage 1's, i.e. the chain's
-    * lateness semantics are exactly a single stage's. The operator
-    * therefore disables the check on the session (the config Spark
-    * documents for precisely this reviewed-and-safe case), and the
-    * spec proves the semantics across batch splits.
+    * lateness semantics are exactly a single stage's. The check is
+    * session-wide, so this operator does NOT flip it itself (a
+    * permanent disable would silently strip the guard from every
+    * OTHER streaming query later built on the session — ADVICE r16):
+    * callers opt in by wrapping plan construction AND `start()` in
+    * [[withChainedStatefulGuardDisabled]], which restores the prior
+    * session value the moment the query is running. The spec proves
+    * the semantics across batch splits under exactly that scope.
     */
+  /** Runs `body` with Spark's multi-stateful-operator analyzer guard
+    * (`spark.sql.streaming.statefulOperator.checkCorrectness.enabled`)
+    * disabled, restoring the session's prior value afterwards — the
+    * opt-in scope for starting [[webCorpusStream]] (whose chained
+    * append-mode stages are proven safe in its scaladoc) without
+    * stripping the guard from every other streaming query the session
+    * later builds. Wrap BOTH the plan construction and the
+    * `writeStream...start()` call: the analyzer consults the conf at
+    * query start. Once `start()` returns, the running query is not
+    * re-checked, so restoring immediately after is safe.
+    */
+  def withChainedStatefulGuardDisabled[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def webCorpusStream(
       pages: DataFrame,
       tsMicrosCol: String,
@@ -330,9 +362,6 @@ object StreamingCorpus {
       lateness: String = "1 hour"): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // safe here — see the scaladoc's checkCorrectness paragraph
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val gated = Corpus.crawlGate(pages, linkDensityPct, keepText = true,
         carry = Seq(tsMicrosCol))
       .withColumn("passes",
@@ -359,7 +388,7 @@ object StreamingCorpus {
         else "d:" + p.doc_id)
       .flatMapGroupsWithState[Boolean, WcMid](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, newRows: Iterator[WcArr], state: GroupState[Boolean]) =>
+        (key: String, newRows: Iterator[WcArr], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
@@ -374,9 +403,16 @@ object StreamingCorpus {
                 r.th, r.in_text_idx, canon_dup = dup,
                 alive1 = r.passes == 1L && !dup, r.__event_time)
             }
-            state.update(seen)
-            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
-            state.setTimeoutTimestamp(base, lateness)
+            // `d:` groups hold only non-claiming rows (claims = false
+            // above for every member), whose verdicts never consult
+            // `seen` — persisting state + a timer for them would put
+            // one entry per PAGE in the store for the whole horizon.
+            // Only contested canonical keys keep state.
+            if (!key.startsWith("d:")) {
+              state.update(seen)
+              val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+              state.setTimeoutTimestamp(base, lateness)
+            }
             out.iterator
           }
       }
@@ -394,7 +430,7 @@ object StreamingCorpus {
       .groupByKey(p => if (p.alive1) "t:" + p.th else "d:" + p.doc_id)
       .flatMapGroupsWithState[Boolean, WcStaged](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, newRows: Iterator[WcMid], state: GroupState[Boolean]) =>
+        (key: String, newRows: Iterator[WcMid], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
@@ -408,9 +444,14 @@ object StreamingCorpus {
                 r.n_toks, r.canon_dup, text_dup = dup,
                 alive2 = r.alive1 && !dup)
             }
-            state.update(seen)
-            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
-            state.setTimeoutTimestamp(base, lateness)
+            // same state-free rule as stage 1: `d:` groups hold only
+            // non-survivors (alive1 = false), whose verdicts never
+            // consult `seen` — skip the store write and the timer
+            if (!key.startsWith("d:")) {
+              state.update(seen)
+              val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+              state.setTimeoutTimestamp(base, lateness)
+            }
             out.iterator
           }
       }

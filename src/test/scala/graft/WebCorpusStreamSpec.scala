@@ -51,16 +51,24 @@ class WebCorpusStreamSpec extends AnyFunSuite {
         .toDF("doc_id", "html"))
     val feed = batch.withColumn("ts_us", lit(t0) + col("doc_id"))
 
+    // construction + start run under the SCOPED guard disable; the
+    // session's prior value must be back the moment start() returns
+    val guardKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     def run(): Unit = {
-      val q = StreamingCorpus.webCorpusStream(
-          spark.readStream.schema(schema).parquet(src), "ts_us",
-          canonIdx, textIdx)
-        .writeStream
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = StreamingCorpus.withChainedStatefulGuardDisabled(spark) {
+        StreamingCorpus.webCorpusStream(
+            spark.readStream.schema(schema).parquet(src), "ts_us",
+            canonIdx, textIdx)
+          .writeStream
+          .format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      assert(spark.conf.get(guardKey) === "true",
+        "the guard must be restored session-wide once the query is running")
       q.awaitTermination()
     }
     // three arrival waves: the split at 5.5M lands inside the
@@ -162,15 +170,17 @@ class WebCorpusStreamSpec extends AnyFunSuite {
     // streamed wave 2 (fresh state — the day boundary), two splits
     val feed = wave2.withColumn("ts_us", lit(t0) + col("doc_id"))
     def run(): Unit = {
-      val q = StreamingCorpus.webCorpusStream(
-          spark.readStream.schema(schema).parquet(s"$base/src"), "ts_us",
-          ci1, ti1)
-        .writeStream
-        .format("parquet").option("path", s"$base/sink")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = StreamingCorpus.withChainedStatefulGuardDisabled(spark) {
+        StreamingCorpus.webCorpusStream(
+            spark.readStream.schema(schema).parquet(s"$base/src"), "ts_us",
+            ci1, ti1)
+          .writeStream
+          .format("parquet").option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
     }
     feed.filter(col("doc_id") < 9400000L)
