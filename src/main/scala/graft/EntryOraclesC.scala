@@ -654,6 +654,96 @@ private[graft] object EntryOraclesC {
         |SELECT a, b, n_bands, hamming FROM ham
         |WHERE hamming <= 2 ORDER BY a, b""".stripMargin,
 
+    // the media tier's nightly form: both sides' 64-bit aHashes derived
+    // arithmetically from doc_id (standing = the q_media_phash_band
+    // corpus; batch = exact copies +1M, one-extra-bit near-dups +2M,
+    // fresh out-of-base-space +3M, corrupt where orig % 9 = 5), then
+    // the union dedup restated from first principles restricted to
+    // batch ids — a hash match proves increment ≡ union cross-engine
+    "q_media_dedup_incremental" ->
+      """WITH sx AS (
+        |  SELECT doc_id AS media_id,
+        |         array_to_string(list_transform(generate_series(0, 63), i ->
+        |           CASE WHEN (xor(i * 144115188075855881,
+        |                          (doc_id % 64) * 2654435761) % 97 < 48)
+        |                     != (doc_id % 2 = 1 AND i = (doc_id // 64) % 64)
+        |                THEN '1' ELSE '0' END), '') AS ahash
+        |  FROM documents WHERE doc_id % 9 != 0 AND doc_id < 2000),
+        |bh AS (
+        |  SELECT doc_id + 1000000 * (doc_id % 4) AS media_id,
+        |         array_to_string(list_transform(generate_series(0, 63), i ->
+        |           CASE WHEN (CASE WHEN doc_id % 4 = 3
+        |             THEN (xor(i * 144115188075855881,
+        |                       (doc_id % 64 + 64) * 2654435761) % 97 < 48)
+        |             ELSE ((xor(i * 144115188075855881,
+        |                        (doc_id % 64) * 2654435761) % 97 < 48)
+        |                   != (doc_id % 2 = 1 AND i = (doc_id // 64) % 64))
+        |                  != (doc_id % 4 = 2 AND i = (doc_id * 7) % 64)
+        |             END)
+        |           THEN '1' ELSE '0' END), '') AS ahash
+        |  FROM documents
+        |  WHERE doc_id < 2000 AND doc_id % 4 != 0 AND doc_id % 9 != 5),
+        |sb AS (
+        |  SELECT media_id,
+        |         list_transform(generate_series(0, 3), bi ->
+        |           list_sum(list_transform(generate_series(0, 15), j ->
+        |             CASE WHEN substr(ahash, bi * 16 + j + 1, 1) = '1'
+        |                  THEN 1 << (15 - j) ELSE 0 END))) AS bints
+        |  FROM sx),
+        |bb AS (
+        |  SELECT media_id,
+        |         list_transform(generate_series(0, 3), bi ->
+        |           list_sum(list_transform(generate_series(0, 15), j ->
+        |             CASE WHEN substr(ahash, bi * 16 + j + 1, 1) = '1'
+        |                  THEN 1 << (15 - j) ELSE 0 END))) AS bints
+        |  FROM bh),
+        |sband AS (
+        |  SELECT media_id, bints, bi, bints[bi] AS bv
+        |  FROM sb, unnest(generate_series(1, 4)) AS u(bi)),
+        |bband AS (
+        |  SELECT media_id, bints, bi, bints[bi] AS bv
+        |  FROM bb, unnest(generate_series(1, 4)) AS u(bi)),
+        |scand AS (
+        |  SELECT y.media_id AS m, x.media_id AS s_id,
+        |         y.bints AS ba, x.bints AS b2
+        |  FROM bband y JOIN sband x ON y.bi = x.bi AND y.bv = x.bv
+        |  GROUP BY 1, 2, 3, 4),
+        |sdup AS (
+        |  SELECT m AS media_id,
+        |         CAST(count(DISTINCT s_id) AS BIGINT) AS n_standing_dups
+        |  FROM scand
+        |  WHERE list_sum(list_transform(generate_series(1, 4), i ->
+        |          bit_count(xor(CAST(ba[i] AS BIGINT),
+        |                        CAST(b2[i] AS BIGINT))))) <= 2
+        |  GROUP BY m),
+        |bpair AS (
+        |  SELECT y.media_id AS m, x.media_id AS e,
+        |         y.bints AS ba, x.bints AS b2
+        |  FROM bband x JOIN bband y
+        |    ON x.bi = y.bi AND x.bv = y.bv AND x.media_id < y.media_id
+        |  GROUP BY 1, 2, 3, 4),
+        |bdup AS (
+        |  SELECT DISTINCT m AS media_id FROM bpair
+        |  WHERE list_sum(list_transform(generate_series(1, 4), i ->
+        |          bit_count(xor(CAST(ba[i] AS BIGINT),
+        |                        CAST(b2[i] AS BIGINT))))) <= 2),
+        |allb AS (
+        |  SELECT doc_id + 1000000 * (doc_id % 4) AS media_id,
+        |         CASE WHEN doc_id % 9 != 5 THEN 1 ELSE 0 END AS decoded
+        |  FROM documents WHERE doc_id < 2000 AND doc_id % 4 != 0)
+        |SELECT a.media_id,
+        |       CAST(a.decoded AS BIGINT) AS decoded,
+        |       CAST(coalesce(s.n_standing_dups, 0) AS BIGINT) AS n_standing_dups,
+        |       CAST(CASE WHEN d.media_id IS NOT NULL THEN 1 ELSE 0 END
+        |            AS BIGINT) AS dup_in_batch,
+        |       CAST(CASE WHEN a.decoded = 1 AND s.media_id IS NULL
+        |                  AND d.media_id IS NULL
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM allb a
+        |LEFT JOIN sdup s USING (media_id)
+        |LEFT JOIN bdup d USING (media_id)
+        |ORDER BY a.media_id""".stripMargin,
+
     // ---- batch 21 ----
 
     "q_dedup_lines_trim" ->
@@ -1779,6 +1869,22 @@ private[graft] object EntryOraclesC {
     "q_web_corpus_index_delta" ->
       webCorpusIndexDeltaOracle(copyMod = 3, freshMod = 0),
 
+    // the bucketed-store twins (round 17): SAME oracle templates on
+    // their own mod classes — the physical probe (pre-bucketed
+    // sort-merge vs broadcast) must be invisible to the verdicts and
+    // deltas, and a hash match proves exactly that cross-engine
+    "q_web_corpus_store_bucketed" ->
+      webCorpusIncOracle(copyMod = 2, freshMod = 1),
+    "q_web_corpus_index_delta_bucketed" ->
+      webCorpusIndexDeltaOracle(copyMod = 2, freshMod = 1),
+
+    // the composed cycle (round 17): both halves' laws in one SQL
+    // over the shared CTE chain — the verdict subselect is
+    // q_web_corpus_store's verbatim, the delta subselect is
+    // q_web_corpus_index_delta's verbatim
+    "q_nightly_cycle" ->
+      webCorpusNightlyCycleOracle(copyMod = 3, freshMod = 0),
+
 
     // majority-of-signals quality ensemble: four single-division
     // signals, exact interpolated medians, strict median votes
@@ -2060,8 +2166,10 @@ private[graft] object EntryOraclesC {
     * append-maintenance deltas reproduce exactly what a full index
     * rebuild over standing ∪ batch would add.
     */
-  private def webCorpusIndexDeltaOracle(copyMod: Int, freshMod: Int): String =
-    webCorpusIncPrefix(copyMod, freshMod) + """
+  /** The delta law's SELECT body, shared verbatim by the standalone
+    * write-back oracle and the composed nightly-cycle oracle.
+    */
+  private lazy val webCorpusDeltaSelect: String = """
         |SELECT kind, key FROM (
         |  SELECT 'canon' AS kind, canonical AS key
         |  FROM p WHERE passes = 1 AND canonical IS NOT NULL
@@ -2077,7 +2185,10 @@ private[graft] object EntryOraclesC {
         |    AND md5(txt) NOT IN (
         |      SELECT md5(txt) FROM a1
         |      WHERE alive1 AND doc_id < 5000000)
-        |  GROUP BY md5(txt))
+        |  GROUP BY md5(txt))""".stripMargin
+
+  private def webCorpusIndexDeltaOracle(copyMod: Int, freshMod: Int): String =
+    webCorpusIncPrefix(copyMod, freshMod) + webCorpusDeltaSelect + """
         |ORDER BY kind, key""".stripMargin
 
   /** The union-rerun verdict oracle (q_web_corpus_incremental /
@@ -2085,7 +2196,14 @@ private[graft] object EntryOraclesC {
     * Gopher gate, and per-doc stage verdict, restricted to batch ids.
     */
   private def webCorpusIncOracle(copyMod: Int, freshMod: Int): String =
-    webCorpusIncPrefix(copyMod, freshMod) + "," + s"""
+    webCorpusIncPrefix(copyMod, freshMod) + "," + webCorpusStageCtes +
+      webCorpusVerdictSelect + """
+        |ORDER BY doc_id""".stripMargin
+
+  /** The text race, Gopher gate, and alive3 CTE chain — shared by the
+    * verdict oracle and the composed nightly-cycle oracle.
+    */
+  private lazy val webCorpusStageCtes: String = s"""
         |r2 AS (
         |  SELECT *, row_number() OVER (PARTITION BY
         |      CASE WHEN alive1 THEN 't:' || txt
@@ -2113,7 +2231,9 @@ private[graft] object EntryOraclesC {
         |          ELSE 0.0 END) < 0.3
         |    THEN 1 ELSE 0 END AS gopher_ok
         |  FROM gs),
-        |a3 AS (SELECT *, (alive2 AND gopher_ok = 1) AS alive3 FROM g2)
+        |a3 AS (SELECT *, (alive2 AND gopher_ok = 1) AS alive3 FROM g2)""".stripMargin
+
+  private lazy val webCorpusVerdictSelect: String = """
         |SELECT doc_id,
         |       CASE WHEN status = 'quarantined' THEN 'quarantined'
         |            WHEN status = 'chrome' THEN 'chrome'
@@ -2123,6 +2243,29 @@ private[graft] object EntryOraclesC {
         |            WHEN coalesce(gopher_ok, 0) <> 1 THEN 'low_quality'
         |            ELSE 'kept' END AS stage,
         |       CAST(CASE WHEN alive3 THEN n_toks END AS BIGINT) AS tok_cnt
-        |FROM a3 WHERE doc_id >= 5000000
-        |ORDER BY doc_id""".stripMargin
+        |FROM a3 WHERE doc_id >= 5000000""".stripMargin
+
+  /** The composed nightly-cycle oracle (q_nightly_cycle): BOTH halves
+    * of the cycle stated from first principles in ONE SQL over the
+    * shared CTE chain — the verdict half is [[webCorpusVerdictSelect]]
+    * verbatim (so it hash-matches q_web_corpus_store's law) and the
+    * delta half is [[webCorpusDeltaSelect]] verbatim (so it
+    * hash-matches q_web_corpus_index_delta's). NULL-padding both
+    * halves into one (part, doc_id, stage, tok_cnt, kind, key) schema
+    * is the only composition the oracle adds.
+    */
+  private def webCorpusNightlyCycleOracle(copyMod: Int, freshMod: Int): String =
+    webCorpusIncPrefix(copyMod, freshMod) + "," + webCorpusStageCtes + """
+        |SELECT part, doc_id, stage, tok_cnt, kind, key FROM (
+        |  SELECT 'verdict' AS part, doc_id, stage, tok_cnt,
+        |         CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS key
+        |  FROM (""".stripMargin + webCorpusVerdictSelect + """
+        |  )
+        |  UNION ALL
+        |  SELECT 'delta' AS part, CAST(NULL AS BIGINT) AS doc_id,
+        |         CAST(NULL AS VARCHAR) AS stage, CAST(NULL AS BIGINT) AS tok_cnt,
+        |         kind, key
+        |  FROM (""".stripMargin + webCorpusDeltaSelect + """
+        |  ))
+        |ORDER BY part, doc_id, kind, key""".stripMargin
 }

@@ -545,41 +545,41 @@ private[graft] object EntryQueriesD {
 
     "q_media_phash_band" -> ((s0, dir) => {
       val s = ensure(s0)
-      import s.implicits._
-      // near-dup image planting: base pattern from doc_id % 64, odd
-      // ids flip ONE bit at (doc_id/64) % 64 — same-base pairs sit at
-      // hamming 0/1/2 and banding must find them all; every 9th
-      // payload corrupt (quarantined out before banding). The pattern
-      // bits come from an XOR MIX of (base, i) — NOT an additive
-      // shift family: any pattern of the form f(s + step·i) makes
-      // different bases collide on whole 16-bit bands (and sit at
-      // small hamming), flooding the verify with cross-group
-      // candidates — measured 49 s at sf0.1 before the mix; the XOR
-      // decorrelates bands across bases (measured: candidates ==
-      // within-group pairs)
-      val media = Tables.documents(s, dir)
-        .filter(col("doc_id") < 2000).select(col("doc_id")).as[Long]
-        .map { id =>
-          val base = id % 64
-          val flip = if (id % 2 == 1) ((id / 64) % 64).toInt else -1
-          val rgb = new Array[Byte](8 * 8 * 3)
-          var i = 0
-          while (i < 64) {
-            val bright =
-              (((i * 144115188075855881L) ^ (base * 2654435761L)) % 97 < 48) !=
-                (i == flip)
-            val v: Byte = if (bright) 255.toByte else 0.toByte
-            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
-            i += 1
-          }
-          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(8, 8, rgb))
-          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
-          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
-        }
+      // near-dup image planting (the shared EntrySupport.phashMedia
+      // fixture): base pattern from doc_id % 64, odd ids flip ONE bit
+      // at (doc_id/64) % 64 — same-base pairs sit at hamming 0/1/2 and
+      // banding must find them all; every 9th payload corrupt
+      // (quarantined out before banding). The pattern bits come from
+      // an XOR MIX of (base, i) — NOT an additive shift family: any
+      // pattern of the form f(s + step·i) makes different bases
+      // collide on whole 16-bit bands (and sit at small hamming),
+      // flooding the verify with cross-group candidates — measured
+      // 49 s at sf0.1 before the mix; the XOR decorrelates bands
+      // across bases (measured: candidates == within-group pairs)
       Multimodal.phashNearDupPairs(
-          Multimodal.averageHash(media, size = 8).toDF(),
+          Multimodal.averageHash(phashMedia(s, dir), size = 8).toDF(),
           hashBits = 64, bands = 4, maxHamming = 2)
         .orderBy(col("a"), col("b"))
+    }),
+
+    "q_media_dedup_incremental" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the media tier's NIGHTLY form (round-16 verdict #3): the
+      // standing corpus was decoded + hashed once per corpus version
+      // into the materialized band index (EntrySupport.mediaBandIdx);
+      // the planted batch (exact copies +1M, one-extra-bit near-dups
+      // +2M, fresh out-of-base-space images +3M, a corrupt class)
+      // decodes map-side and probes the index with the BATCH side as
+      // the broadcast build — no standing pixel is re-decoded, no
+      // index-sized shuffle or broadcast exists in the plan
+      // (Multimodal.phashIncrementalDedup). The ORACLE derives both
+      // sides' 64-bit hashes arithmetically and restates the union
+      // dedup restricted to batch ids — increment ≡ union,
+      // cross-engine.
+      Multimodal.phashIncrementalDedup(mediaBandIdx(s, dir),
+          Multimodal.averageHash(phashBatchMedia(s, dir), size = 8).toDF(),
+          hashBits = 64, bands = 4, maxHamming = 2)
+        .orderBy(col("media_id"))
     }),
 
     // ---- batch 21: actionable trim + sketch audit ----
@@ -713,30 +713,11 @@ private[graft] object EntryQueriesD {
       // the capstone composition: IMAGE near-dup pairs (real decode →
       // aHash → hamming banding) feed the SAME transitive CC keeper
       // machinery the text path uses — dedup is modality-agnostic once
-      // candidates exist. Same planted rasters as q_media_phash_band:
-      // every same-base pair sits within hamming 2, so components are
-      // exactly the base groups and the oracle derives keepers
-      // arithmetically
-      val media = Tables.documents(s, dir)
-        .filter(col("doc_id") < 2000).select(col("doc_id")).as[Long]
-        .map { id =>
-          val base = id % 64
-          val flip = if (id % 2 == 1) ((id / 64) % 64).toInt else -1
-          val rgb = new Array[Byte](8 * 8 * 3)
-          var i = 0
-          while (i < 64) {
-            val bright =
-              (((i * 144115188075855881L) ^ (base * 2654435761L)) % 97 < 48) !=
-                (i == flip)
-            val v: Byte = if (bright) 255.toByte else 0.toByte
-            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
-            i += 1
-          }
-          val bytes0 = Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(8, 8, rgb))
-          val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
-          Multimodal.MediaRow(id, "image", bytes, bytes.length.toLong, "ppm")
-        }
-      val hashes = Multimodal.averageHash(media, size = 8).toDF()
+      // candidates exist. Same planted rasters as q_media_phash_band
+      // (the shared EntrySupport.phashMedia fixture): every same-base
+      // pair sits within hamming 2, so components are exactly the base
+      // groups and the oracle derives keepers arithmetically
+      val hashes = Multimodal.averageHash(phashMedia(s, dir), size = 8).toDF()
       val pairs = Multimodal.phashNearDupPairs(hashes,
           hashBits = 64, bands = 4, maxHamming = 2)
         .select(col("a"), col("b"))
@@ -1384,6 +1365,62 @@ private[graft] object EntryQueriesD {
       Corpus.webCorpusIncrementFrom(canonIdx, textIdx,
           wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_web_corpus_store_bucketed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the BROADCAST-BUDGET form of the store-fed capstone (round-16
+      // verdict #1): at 100 TB the canonical/text-hash indexes are
+      // corpus-cardinality and cannot broadcast, so the standing store
+      // is PRE-BUCKETED on its key at prepare (EntrySupport
+      // .wcIndexesBucketed) and each probe is a sort-merge join whose
+      // standing side reads its bucket files with zero exchanges;
+      // only the batch rows that can match shuffle, NULL-keyed rows
+      // union around the join (Corpus.webCorpusIncrementFromBucketed).
+      // Distinct mod classes keep the output distinct from the
+      // broadcast twin; the oracle is the SAME union-rerun template —
+      // a hash match proves the physical probe swap changed nothing.
+      // BucketedIndexProbeSpec pins the plan shape (standing side
+      // exchange-free) and bucketed ≡ broadcast row-for-row.
+      val (canonIdx, textIdx) = wcIndexesBucketed(s, dir)
+      Corpus.webCorpusIncrementFromBucketed(canonIdx, textIdx,
+          wcBatchPages(s, dir, copyMod = 2, freshMod = 1))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_web_corpus_index_delta_bucketed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the write-back half under the same broadcast-budget regime:
+      // candidate keys distinct once (batch-bounded), then per-kind
+      // LEFT-ANTI sort-merge joins against each bucketed standing
+      // index directly — a keyed union of the two stores would destroy
+      // their bucketing, so the split rides the REUSED distinct
+      // exchange and the extraction still runs once
+      // (Corpus.webCorpusIndexDeltaBucketed). Same rebuild-equivalence
+      // oracle as the broadcast twin on its own mod classes.
+      val (canonIdx, textIdx) = wcIndexesBucketed(s, dir)
+      Corpus.webCorpusIndexDeltaBucketed(canonIdx, textIdx,
+          wcBatchPages(s, dir, copyMod = 2, freshMod = 1))
+        .orderBy(col("kind"), col("key"))
+    }),
+
+    "q_nightly_cycle" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the COMPOSED nightly cycle (round-16 verdict #2): verdicts AND
+      // index write-back from ONE linear plan over the SAME store +
+      // batch as q_web_corpus_store / q_web_corpus_index_delta — each
+      // page pays the regex-heavy extraction once and emits its
+      // verdict struct plus its ≤2 candidate keys through one
+      // array-explode; candidate dedup is a window (not a
+      // distinct+split that would re-run the extraction per output),
+      // the standing-key anti check a broadcast left join on the same
+      // pass (Corpus.webCorpusNightlyCycle). The oracle restates BOTH
+      // halves over one shared CTE chain, so a hash match proves the
+      // composition emits exactly what the two standalone runs would.
+      val (canonIdx, textIdx) = wcIndexes(s, dir)
+      Corpus.webCorpusNightlyCycle(canonIdx, textIdx,
+          wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
+        .orderBy(col("part"), col("doc_id"), col("kind"), col("key"))
     }),
 
     "q_quality_votes" -> ((s0, dir) => {

@@ -334,6 +334,94 @@ private[graft] object EntrySupport {
       .as[graft.ops.Multimodal.MediaRow]
   }
 
+  /** One planted 8×8 black/white raster of the q_media_phash_band
+    * family: bit i bright iff the multiply-xor-mod mix of (base, i)
+    * says so, XOR the parity of `flips` hitting i — the construction
+    * whose 64-bit aHash the DuckDB oracles restate arithmetically.
+    * ONE definition for the standing corpus, the incremental batch,
+    * and the spec, so the three cannot drift.
+    */
+  private def phashPpm(base: Long, flips: Seq[Int]): Array[Byte] = {
+    val rgb = new Array[Byte](8 * 8 * 3)
+    var i = 0
+    while (i < 64) {
+      val bright =
+        (((i * 144115188075855881L) ^ (base * 2654435761L)) % 97 < 48) !=
+          (flips.count(_ == i) % 2 == 1)
+      val v: Byte = if (bright) 255.toByte else 0.toByte
+      rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+      i += 1
+    }
+    graft.ops.Multimodal.PpmCodec.encode(
+      graft.ops.Multimodal.PpmCodec.Image(8, 8, rgb))
+  }
+
+  /** The STANDING media corpus of the perceptual-hash family
+    * (q_media_phash_band / q_media_dedup_cc / the incremental tier):
+    * base pattern from doc_id % 64, odd ids flip one bit at
+    * (doc_id/64) % 64 — same-base groups sit at hamming 0/1/2 — and
+    * every 9th payload corrupt (quarantined before banding).
+    */
+  private[graft] def phashMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir).filter(col("doc_id") < 2000)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val flips = if (id % 2 == 1) Seq(((id / 64) % 64).toInt) else Nil
+        val bytes0 = phashPpm(id % 64, flips)
+        val bytes = if (id % 9 == 0) bytes0.take(6) else bytes0
+        graft.ops.Multimodal.MediaRow(id, "image", bytes,
+          bytes.length.toLong, "ppm")
+      }
+  }
+
+  /** The incremental BATCH the media-dedup nightly run probes with
+    * (q_media_dedup_incremental): per standing original `o`, an exact
+    * COPY (+1M, o%4==1 — pattern(o) verbatim, hamming 0), a NEAR-DUP
+    * (+2M, o%4==2 — one extra bit flipped at (o·7)%64, hamming ≤ 1 of
+    * the original), and a FRESH image (+3M, o%4==3 — base o%64+64,
+    * outside the standing base space). Every original with o%9==5
+    * ships a corrupt batch payload (the decode-quarantine class is
+    * independent of the standing corrupt class o%9==0, so a valid
+    * copy of a corrupt original exercises the dead-owner rule).
+    */
+  private[graft] def phashBatchMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 2000 && col("doc_id") % 4 =!= 0)
+      .select(col("doc_id")).as[Long]
+      .map { o =>
+        val origFlips = if (o % 2 == 1) Seq(((o / 64) % 64).toInt) else Nil
+        val (mid, base, flips) = (o % 4) match {
+          case 1 => (o + 1000000L, o % 64, origFlips)
+          case 2 => (o + 2000000L, o % 64, origFlips :+ ((o * 7) % 64).toInt)
+          case _ => (o + 3000000L, o % 64 + 64, Seq.empty[Int])
+        }
+        val bytes0 = phashPpm(base, flips)
+        val bytes = if (o % 9 == 5) bytes0.take(6) else bytes0
+        graft.ops.Multimodal.MediaRow(mid, "image", bytes,
+          bytes.length.toLong, "ppm")
+      }
+  }
+
+  /** The MATERIALIZED standing pHash band index for
+    * `q_media_dedup_incremental` —
+    * [[graft.ops.Multimodal.phashBandIndex]] over [[phashMedia]]
+    * written once per corpus version at prepare (the decode + hash of
+    * the standing corpus is paid here, never per nightly run).
+    */
+  private[graft] def mediaBandIdx(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("media_band_idx", dir)
+    Sinks.ensureWritten(
+      graft.ops.Multimodal.phashBandIndex(
+        graft.ops.Multimodal.averageHash(phashMedia(s, dir), size = 8).toDF(),
+        hashBits = 64, bands = 4),
+      path)
+    Tables.readParquetCached(s, path)
+  }
+
   /** The materialized (doc_id, prev, next, c) bigram collapse every
     * LM scorer reads ([[graft.ops.Text.bigramCollapse]]) — the KenLM
     * count-table move: tokenize the corpus ONCE per version, serve
@@ -993,6 +1081,23 @@ private[graft] object EntrySupport {
           .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
   }
 
+  /** The SEALED segment store for `q_sim_hnsw_sealed` —
+    * [[graft.ops.Hnsw.hnswSealSegment]] over the planted [[ivfBatch]]
+    * written once at prepare (the compaction a vector store runs when
+    * a growing segment reaches its flush size): per-cell graphs built
+    * off the frozen quantizer, serialized node rows. The declared
+    * query walks this store, proving seal → persist → load → search
+    * loses nothing vs the growing tier.
+    */
+  private[graft] def hnswSealedStore(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("hnsw_sealed_seg", dir)
+    Sinks.ensureWritten(
+      graft.ops.Hnsw.hnswSealSegment(ivfBatch(s, dir), pqModel(s, dir)._1,
+        m = 8, efConstruction = 64),
+      path)
+    Tables.readParquetCached(s, path)
+  }
+
   /** [[ivfBatch]] as UNION ALL branches for the dynamic oracle's
     * corpus CTE. */
   private[graft] val ivfBatchSql: String =
@@ -1104,6 +1209,27 @@ private[graft] object EntrySupport {
     Sinks.ensureWritten(built._1, cp)
     Sinks.ensureWritten(built._2, tp)
     (Tables.readParquetCached(s, cp), Tables.readParquetCached(s, tp))
+  }
+
+  /** The standing-index store of [[wcIndexes]] written as BUCKETED
+    * tables on their key (8 buckets, sorted — the `q_bucket_join`
+    * DDL), for `q_web_corpus_store_bucketed` /
+    * `q_web_corpus_index_delta_bucketed`: the corpus-version layout a
+    * deployment switches to once an index outgrows the broadcast
+    * budget, bought once at prepare so every nightly probe reads the
+    * standing side exchange-free forever.
+    */
+  private[graft] def wcIndexesBucketed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cp = tmpDir("wc_canon_idx_b", dir)
+    val tp = tmpDir("wc_text_idx_b", dir)
+    def fp(p: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+    val cName = s"graft_b_wc_canon_${fp(cp)}"
+    val tName = s"graft_b_wc_text_${fp(tp)}"
+    lazy val built = graft.ops.Corpus.webCorpusIndexes(wcStandingPages(s, dir))
+    ensureBucketed(s, built._1, "canonical", cp, cName)
+    ensureBucketed(s, built._2, "th", tp, tName)
+    (s.table(cName), s.table(tName))
   }
 
   /** Queries whose MODEL loads driver-side from a qtmp store (weights

@@ -82,6 +82,8 @@ object SparkEntry {
     tokPostingsQueryLocal(s, sfDir, 20)
     bucketedOrdersCustomer(s, sfDir)
     wcIndexes(s, sfDir)
+    wcIndexesBucketed(s, sfDir)
+    mediaBandIdx(s, sfDir)
     ivfAssignedStore(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(

@@ -32,7 +32,14 @@ object Tables {
     // two tasks instead of 32 micro-tasks (measured ~7% off the bench
     // total), and at 100 TB size-targeted reducers are exactly what
     // keeps shuffle partitions within executor memory.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    // Trust the in-bucket sort of bucketed tables (reported only when a
+    // bucket is exactly one file — every graft bucketed write
+    // repartitions on the bucket key first, which guarantees that), so
+    // sort-merge probes against a bucketed standing index scan it with
+    // zero exchanges AND zero sorts; without this a corpus-sized index
+    // would be re-sorted per nightly probe for no reason.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true"
   )
 
   /** STATIC configs — only settable on a session builder; setting them

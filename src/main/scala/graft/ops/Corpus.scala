@@ -806,10 +806,11 @@ object Corpus {
     * BATCH shuffles, the index sides are distinct-value-sized
     * broadcast builds, and the mostly-NULL probe keys (no-canonical,
     * gate-failed, dead rows) never route to a single shuffle partition
-    * because there is no shuffle to skew (were an index ever to
-    * outgrow the broadcast budget at 100 TB, pre-bucket the
-    * materialized index on its key and split the NULL-keyed batch rows
-    * around the join — the verdict logic is unchanged). Here the
+    * because there is no shuffle to skew (when an index outgrows the
+    * broadcast budget at 100 TB, [[webCorpusIncrementFromBucketed]] is
+    * the implemented fallback: the materialized index pre-bucketed on
+    * its key, NULL-keyed batch rows split around the join, verdict
+    * logic shared line-for-line). Here the
     * indexes derive in-plan from `standingPages` so the equivalence
     * law is checkable end-to-end; `q_web_corpus_store` runs the
     * materialized form.
@@ -831,24 +832,69 @@ object Corpus {
     * the standing corpus never appears in the plan at all, so the run
     * cost is batch-proportional by construction.
     */
+  /** How a batch frame consults a standing one-column index:
+    * `(batch, idx, joinKey, flagCol, canMatch)` → batch plus `flagCol`
+    * (1L where the key exists in the index, else NULL). The verdict
+    * logic upstream/downstream is identical under every strategy —
+    * only the physical probe differs.
+    */
+  private type IndexProbe = (DataFrame, DataFrame, String, String, Column) => DataFrame
+
+  /** The distinct-value-sized index builds once and broadcasts; the
+    * whole batch left-joins map-side (NULL keys never shuffle because
+    * nothing shuffles). Right at any realistic index-to-batch ratio,
+    * wrong once the index reaches corpus cardinality at 100 TB — then
+    * use [[bucketedIndexProbe]].
+    */
+  private val broadcastIndexProbe: IndexProbe = (batch, idx, key, flag, _) =>
+    batch.join(broadcast(idx.withColumn(flag, lit(1L))), Seq(key), "left")
+
+  /** The broadcast-budget fallback (VERDICT r16 #1) — a SEMI-JOIN
+    * REDUCTION: the index is a PRE-BUCKETED table on `key` (one
+    * sorted bucket file per task — prepare-time DDL), and instead of
+    * broadcasting it, the probe (1) collapses the rows that CAN match
+    * (`canMatch`) to their DISTINCT keys — a narrow, batch-bounded
+    * frame, (2) left-semi sort-merge joins those keys against the
+    * bucketed index, whose side reads its bucket files with ZERO
+    * exchanges no matter how large it grows (the MERGE hint pins SMJ
+    * so the planner cannot re-broadcast a small index at test scale
+    * and hide the shape this probe exists to prove), and (3)
+    * broadcasts the HIT SET — bounded by the batch's distinct keys,
+    * never by the index — back onto the unsplit pipeline as the flag.
+    * The main path stays LINEAR (no filter/union split whose pushed
+    * predicates would defeat exchange reuse and re-run the extraction
+    * per branch), NULL and can't-match keys never enter the probe
+    * exchange, and index cardinality buys bucket-file bytes scanned,
+    * never network or broadcast budget. A can't-match row whose key
+    * happens to be in the hit set picks up a spurious flag; harmless —
+    * every consumer guards the flag with the same `canMatch` predicate.
+    */
+  private val bucketedIndexProbe: IndexProbe = (batch, idx, key, flag, canMatch) => {
+    val needed = coalesce(canMatch, lit(false))
+    val hits = batch.filter(needed).select(col(key)).distinct()
+      .join(idx.hint("MERGE"), Seq(key), "left_semi")
+      .withColumn(flag, lit(1L))
+    batch.join(broadcast(hits), Seq(key), "left")
+  }
+
   /** The batch's gate + canonical stage against a standing canonical
     * index — the front half [[webCorpusIncrementFrom]] (verdicts) and
     * [[webCorpusIndexDelta]] (index write-back) share, so the two
     * halves of the nightly cycle cannot drift.
     */
   private def incBatchCanonStage(canonIdx: DataFrame, batchPages: DataFrame,
-                                 linkDensityPct: Int): DataFrame = {
+                                 linkDensityPct: Int,
+                                 probe: IndexProbe = broadcastIndexProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bg = incGated(batchPages, linkDensityPct)
     val bk1 = when(col("passes") === 1L && col("canonical").isNotNull,
         concat(lit("c:"), col("canonical")))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
-    bg
-      .withColumn("rn1",
-        row_number().over(Window.partitionBy(bk1).orderBy(col("doc_id"))))
-      .join(broadcast(canonIdx.select(col("canonical"))
-          .withColumn("in_standing_canon", lit(1L))),
-        Seq("canonical"), "left")
+    val ranked = bg.withColumn("rn1",
+      row_number().over(Window.partitionBy(bk1).orderBy(col("doc_id"))))
+    probe(ranked, canonIdx.select(col("canonical")), "canonical",
+        "in_standing_canon",
+        col("passes") === 1L && col("canonical").isNotNull)
       .withColumn("canon_dup",
         col("passes") === 1L && col("canonical").isNotNull &&
           (col("in_standing_canon").isNotNull || col("rn1") =!= 1))
@@ -898,37 +944,193 @@ object Corpus {
       .join(broadcast(standingKeys), Seq("kind", "key"), "left_anti")
   }
 
+  /** [[webCorpusIndexDelta]] against PRE-BUCKETED standing indexes —
+    * the write-back half of the nightly cycle at broadcast-breaking
+    * scale, completing [[webCorpusIncrementFromBucketed]]: the batch's
+    * canonical stage probes the bucketed canon index (the semi-join
+    * reduction), candidate `(kind, key)` rows distinct once
+    * (batch-bounded, narrow), then ONE LINEAR CHAIN of two left
+    * sort-merge probes — each against its own bucketed index directly
+    * (a keyed union of the two stores would destroy their bucketing;
+    * a per-kind branch split would push the kind filters below the
+    * distinct exchange and re-run the extraction per branch — the r16
+    * one-frame lesson). Cross-kind key collisions cannot corrupt the
+    * verdict: each probe sets its OWN flag and the final anti
+    * predicate consults the flag only under its kind. The candidate
+    * side shuffles ONCE — the second probe reuses the first's
+    * key-partitioning — and both standing sides scan exchange-free.
+    * Same output contract and the same rebuild-equivalence oracle as
+    * the broadcast form.
+    */
+  def webCorpusIndexDeltaBucketed(canonIdx: DataFrame, textIdx: DataFrame,
+                                  batchPages: DataFrame,
+                                  linkDensityPct: Int = 30): DataFrame = {
+    val b1 = incBatchCanonStage(canonIdx, batchPages, linkDensityPct,
+      bucketedIndexProbe)
+    b1
+      .select(explode(array(
+        when(col("passes") === 1L && col("canonical").isNotNull,
+          struct(lit("canon").as("kind"), col("canonical").as("key"))),
+        when(col("alive1"),
+          struct(lit("text").as("kind"), md5(col("text")).as("key")))))
+        .as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.kind").as("kind"), col("e.key").as("key"))
+      .distinct()
+      .join(canonIdx.select(col("canonical").as("key"))
+        .withColumn("__in_canon", lit(1L)).hint("MERGE"), Seq("key"), "left")
+      .join(textIdx.select(col("th").as("key"))
+        .withColumn("__in_text", lit(1L)).hint("MERGE"), Seq("key"), "left")
+      .filter(!(col("kind") === "canon" && col("__in_canon").isNotNull ||
+                col("kind") === "text" && col("__in_text").isNotNull))
+      .select(col("kind"), col("key"))
+  }
+
   def webCorpusIncrementFrom(canonIdx: DataFrame, textIdx: DataFrame,
                              batchPages: DataFrame,
-                             linkDensityPct: Int = 30): DataFrame = {
+                             linkDensityPct: Int = 30): DataFrame =
+    incrementFromWith(canonIdx, textIdx, batchPages, linkDensityPct,
+      broadcastIndexProbe)
+
+  /** The WHOLE nightly cycle as ONE run (VERDICT r16 #2): per-page
+    * stage verdicts ([[webCorpusIncrementFrom]]'s contract, rows with
+    * `part = 'verdict'`) AND the append-ready index write-back
+    * ([[webCorpusIndexDelta]]'s contract, rows with `part = 'delta'`)
+    * from a SINGLE linear plan — each page pays the regex-heavy gate +
+    * canonical + text stages once and emits its verdict struct plus
+    * its ≤ 2 candidate index keys through one array-explode. The
+    * candidate dedup is a WINDOW over a synthetic key (unique per
+    * verdict row, `(kind, key)` for candidates — every candidate row
+    * of a partition is content-identical, so the keeper is
+    * well-defined), NOT a `distinct` + branch split: a split's pushed
+    * filters would defeat exchange reuse and re-run the extraction per
+    * output, the exact two-output trap the r16 index-delta rebuild
+    * closed. The standing-key anti check rides the same pass as a
+    * broadcast left join consulted only on delta rows.
+    *
+    * Law: the `verdict` rows ≡ `webCorpusIncrementFrom(...)` and the
+    * `delta` rows ≡ `webCorpusIndexDelta(...)` exactly (spec-pinned
+    * Spark-vs-Spark; the declared query's oracle states both halves
+    * from first principles in one SQL). Day-2 idempotence — append the
+    * deltas, feed the next batch — is WebCorpusStreamSpec's "turns
+    * twice" junction and NightlyCycleSpec's day-2 case.
+    */
+  def webCorpusNightlyCycle(canonIdx: DataFrame, textIdx: DataFrame,
+                            batchPages: DataFrame,
+                            linkDensityPct: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b1 = incBatchCanonStage(canonIdx, batchPages, linkDensityPct)
-    val bk2 = when(col("alive1"), concat(lit("t:"), col("text")))
+    val g = incStagedFrame(canonIdx, textIdx, batchPages, linkDensityPct,
+      broadcastIndexProbe)
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    val exploded = g.select(explode(array(
+        struct(lit("verdict").as("part"), col("doc_id").as("doc_id"),
+          incVerdictStage.as("stage"), incVerdictTok.cast("long").as("tok_cnt"),
+          nullS.as("kind"), nullS.as("key")),
+        when(col("passes") === 1L && col("canonical").isNotNull,
+          struct(lit("delta").as("part"), nullL.as("doc_id"),
+            nullS.as("stage"), nullL.as("tok_cnt"),
+            lit("canon").as("kind"), col("canonical").as("key"))),
+        when(col("alive1"),
+          struct(lit("delta").as("part"), nullL.as("doc_id"),
+            nullS.as("stage"), nullL.as("tok_cnt"),
+            lit("text").as("kind"), col("th").as("key")))))
+        .as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.*"))
+    val dk = when(col("part") === "verdict",
+        concat(lit("v:"), col("doc_id").cast("string")))
+      .otherwise(concat(col("kind"), lit(":"), col("key")))
+    val standingKeys = canonIdx
+      .select(lit("canon").as("kind"), col("canonical").as("key"))
+      .unionByName(textIdx.select(lit("text").as("kind"), col("th").as("key")))
+    exploded
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(dk).orderBy(col("part"))))
+      .join(broadcast(standingKeys.withColumn("__std", lit(1L))),
+        Seq("kind", "key"), "left")
+      .filter(col("part") === "verdict" ||
+        (col("__rn") === 1 && col("__std").isNull))
+      .select(col("part"), col("doc_id"), col("stage"), col("tok_cnt"),
+        col("kind"), col("key"))
+  }
+
+  /** [[webCorpusIncrementFrom]] for standing indexes that have
+    * OUTGROWN the broadcast budget — the fallback the broadcast form's
+    * scaladoc promises, implemented: `canonIdx` / `textIdx` are
+    * PRE-BUCKETED tables on their key (written once per corpus version
+    * at prepare, the `q_bucket_join` DDL), and each probe is the
+    * [[bucketedIndexProbe]] semi-join reduction — the batch's distinct
+    * candidate keys (narrow, batch-bounded) sort-merge against the
+    * bucketed index with the standing side exchange-free, and the hit
+    * set (≤ the batch's distinct keys, NEVER index-sized) broadcasts
+    * back onto the unsplit pipeline. Verdict logic is shared
+    * line-for-line with the broadcast form ([[incrementFromWith]]),
+    * so the two variants cannot drift; the declared query's oracle is
+    * the same union-rerun law. Cost at any index size: two narrow
+    * batch-bounded probe exchanges + two batch-bounded broadcasts on
+    * top of the batch's own window shuffles — index cardinality buys
+    * bucket-file bytes scanned, never network or broadcast budget.
+    */
+  def webCorpusIncrementFromBucketed(canonIdx: DataFrame, textIdx: DataFrame,
+                                     batchPages: DataFrame,
+                                     linkDensityPct: Int = 30): DataFrame =
+    incrementFromWith(canonIdx, textIdx, batchPages, linkDensityPct,
+      bucketedIndexProbe)
+
+  private def incrementFromWith(canonIdx: DataFrame, textIdx: DataFrame,
+                                batchPages: DataFrame, linkDensityPct: Int,
+                                probe: IndexProbe): DataFrame =
+    incStagedFrame(canonIdx, textIdx, batchPages, linkDensityPct, probe)
+      .select(col("doc_id"), incVerdictStage.as("stage"),
+        incVerdictTok.as("tok_cnt"))
+
+  /** The full per-page stage frame of the incremental capstone — gate,
+    * canonical race + standing probe, text race + standing probe,
+    * Gopher — with every intermediate column still aboard, shared by
+    * the verdict projection ([[incrementFromWith]]) and the composed
+    * nightly cycle ([[webCorpusNightlyCycle]]), which also needs the
+    * candidate index keys the verdict form drops.
+    */
+  private def incStagedFrame(canonIdx: DataFrame, textIdx: DataFrame,
+                             batchPages: DataFrame, linkDensityPct: Int,
+                             probe: IndexProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b1 = incBatchCanonStage(canonIdx, batchPages, linkDensityPct, probe)
+    // the in-batch text race keys on md5(text) — the SAME equality
+    // relation the standing textIdx probe and the streaming twin
+    // (StreamingCorpus.webCorpusStream stage 2) already use, so every
+    // form of the race shares one relation (ADVICE r16); it also
+    // shuffles a 32-char key instead of the full text. The DuckDB
+    // oracle keeps RAW-TEXT equality, so the hash match doubles as
+    // evidence the md5 stand-in loses nothing on this corpus.
+    val bk2 = when(col("alive1"), concat(lit("t:"), col("th")))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
-    val b2 = b1
+    val staged = b1
+      .withColumn("th", md5(col("text")))
       .withColumn("rn2",
         row_number().over(Window.partitionBy(bk2).orderBy(col("doc_id"))))
-      .withColumn("th", md5(col("text")))
-      .join(broadcast(textIdx.select(col("th"))
-          .withColumn("in_standing_text", lit(1L))),
-        Seq("th"), "left")
+    val b2 = probe(staged, textIdx.select(col("th")), "th",
+        "in_standing_text", col("alive1"))
       .withColumn("text_dup",
         col("alive1") &&
           (col("in_standing_text").isNotNull || col("rn2") =!= 1))
       .withColumn("alive2", col("alive1") && !col("text_dup"))
     withGopher(b2)
-      .select(
-        col("doc_id"),
-        when(col("status") === "quarantined", lit("quarantined"))
-          .when(col("status") === "chrome", lit("chrome"))
-          .when(col("verdict") === "drop", lit("noindex"))
-          .when(col("canon_dup"), lit("canonical_dup"))
-          .when(col("text_dup"), lit("text_dup"))
-          .when(coalesce(col("gopher_ok"), lit(0L)) =!= 1L, lit("low_quality"))
-          .otherwise(lit("kept")).as("stage"),
-        when(col("alive2") && coalesce(col("gopher_ok"), lit(0L)) === 1L,
-          col("n_toks")).as("tok_cnt"))
   }
+
+  private def incVerdictStage: Column =
+    when(col("status") === "quarantined", lit("quarantined"))
+      .when(col("status") === "chrome", lit("chrome"))
+      .when(col("verdict") === "drop", lit("noindex"))
+      .when(col("canon_dup"), lit("canonical_dup"))
+      .when(col("text_dup"), lit("text_dup"))
+      .when(coalesce(col("gopher_ok"), lit(0L)) =!= 1L, lit("low_quality"))
+      .otherwise(lit("kept"))
+
+  private def incVerdictTok: Column =
+    when(col("alive2") && coalesce(col("gopher_ok"), lit(0L)) === 1L,
+      col("n_toks"))
 
   /** HTML HEAD metadata extraction — the crawl-INDEX gate next to
     * [[htmlExtract]]'s content gate: `<title>`, the `rel="canonical"`

@@ -261,6 +261,39 @@ object Hnsw {
         .take(k)
         .map { case (id, s, _) => (id, s) }
     }
+
+    /** SERIALIZE the graph — the seal step: one tuple per node with
+      * its vector, level, per-level neighbor VEC_IDs (adjacency taken
+      * verbatim, post-[[repairConnectivity]]), and the entry flag.
+      * [[loadSealed]] reconstructs the identical graph from these rows
+      * in linear time — no re-insertion, no re-repair.
+      */
+    def sealedNodes(): Iterator[(Long, Array[Double], Int, Array[Array[Long]], Boolean)] =
+      ids.indices.iterator.map { n =>
+        (ids(n), vecs(n), levels(n),
+          neighbors(n).map(_.toArray.map(ids(_))), n == entry)
+      }
+
+    /** Rebuild a sealed graph from [[sealedNodes]] output — the load
+      * path of the sealed-segment tier. Linear in the segment; the
+      * adjacency and entry point are restored verbatim, so searches
+      * over the loaded graph are bit-identical to searches over the
+      * graph that was sealed.
+      */
+    def loadSealed(nodes: Seq[(Long, Array[Double], Int, Array[Array[Long]], Boolean)]): Unit = {
+      require(vecs.isEmpty, "loadSealed requires a fresh graph")
+      val index = nodes.iterator.map(_._1).zipWithIndex.toMap
+      nodes.foreach { case (id, v, lvl, nbrs, isEntry) =>
+        var nrm = 0.0
+        var i = 0
+        while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+        val node = vecs.length
+        vecs += v; norms += math.sqrt(nrm); ids += id; levels += lvl
+        neighbors += nbrs.map(arr =>
+          scala.collection.mutable.ArrayBuffer(arr.map(index): _*))
+        if (isEntry) { entry = node; topLevel = lvl }
+      }
+    }
   }
 
   /** Driver/executor twin of Spark's `round(col, 4)` on DoubleType
@@ -415,6 +448,94 @@ object Hnsw {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("c_id").asc)
     sealedTop.unionByName(growing)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))
+  }
+
+  /** SEAL the growing segment (VERDICT r16 #4 — faiss/Milvus
+    * compaction): the accumulated batch builds its per-cell HNSW
+    * graphs ONCE off the frozen coarse quantizer and serializes them
+    * as a sealed-segment store — one row per node `(cell, vec_id, v,
+    * level, nbrs, is_entry)`, adjacency emitted verbatim after
+    * connectivity repair. Seal cost ∝ the SEGMENT: the standing corpus
+    * is never scanned, shuffled, or rebuilt, exactly like a Milvus
+    * growing→sealed flush. The emitted rows are what
+    * [[hnswTopKRoutedSealedFrom]] walks, retiring the per-query
+    * brute-force growing path the moment the segment seals.
+    * Deterministic (id-sorted insertion, hash-derived levels), so
+    * sealing the same batch twice writes identical rows.
+    */
+  def hnswSealSegment(batch: DataFrame, cents: Sim.Centroids,
+                      m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Sim.ivfAssign(batch, cents)
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      .repartition(col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { rows =>
+        val byCell = rows.toArray.groupBy(_._3)
+        byCell.toSeq.sortBy(_._1).iterator.flatMap { case (cell, vecs) =>
+          val g = new Graph(m, efConstruction)
+          vecs.sortBy(_._1).foreach { case (id, v, _) => g.insert(id, v) }
+          g.repairConnectivity()
+          g.sealedNodes().map { case (id, v, lvl, nbrs, isE) =>
+            (cell, id, v, lvl, nbrs, isE)
+          }
+        }
+      }
+      .toDF("cell", "vec_id", "v", "level", "nbrs", "is_entry")
+  }
+
+  /** Search the standing per-cell graphs PLUS a SEALED segment store
+    * ([[hnswSealSegment]] output) and merge per query — the
+    * post-compaction deployment shape in which the growing
+    * brute-force tier has retired: the sealed segment's graphs load
+    * linearly inside their cell partitions (no re-insertion) and
+    * answer through the same ef-bounded walks as the standing tier.
+    * At saturated efSearch this ≡ [[hnswTopKRoutedGrowing]] ≡
+    * multi-probe IVF exact search over standing ∪ batch — one law,
+    * three physical tiers, the same pinned-centroid oracle
+    * (HnswSealSpec pins seal→load→search ≡ growing Spark-vs-Spark).
+    */
+  def hnswTopKRoutedSealedFrom(standing: DataFrame, sealedSeg: DataFrame,
+      cents: Sim.Centroids, nQueries: Int, k: Int, nProbe: Int, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 512,
+      queryModel: Option[Seq[(Long, Array[Double], Array[Int])]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = standing.sparkSession
+    import spark.implicits._
+    val standingTop = hnswTopKRouted(standing, cents, nQueries, k, nProbe,
+        m, efConstruction, efSearch, queryModel)
+      .select(col("q_id"), col("c_id"), col("cos_r"))
+    val queries = queryModel.map(_.toArray.sortBy(_._1)).getOrElse(
+      routedQueryModel(standing, cents, nQueries, nProbe))
+    val bq = spark.sparkContext.broadcast(queries)
+    val segTop = sealedSeg
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("v").cast("array<double>").as("v"),
+        col("level").cast("int").as("level"), col("nbrs"), col("is_entry"))
+      .repartition(col("cell"))
+      .as[(Int, Long, Array[Double], Int, Array[Array[Long]], Boolean)]
+      .mapPartitions { rows =>
+        val byCell = rows.toArray.groupBy(_._1)
+        byCell.toSeq.sortBy(_._1).iterator.flatMap { case (cell, nodes) =>
+          val g = new Graph(m, efConstruction)
+          g.loadSealed(nodes.sortBy(_._2).toSeq
+            .map { case (_, id, v, lvl, nbrs, e) => (id, v, lvl, nbrs, e) })
+          bq.value.iterator
+            .filter(_._3.contains(cell))
+            .flatMap { case (qId, qv, _) =>
+              g.searchByMergeKey(qv, k, efSearch, excludeId = qId)
+                .map { case (cId, s) => (qId, cId, s) }
+            }
+        }
+      }.toDF("q_id", "c_id", "cos")
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_r"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("c_id").asc)
+    standingTop.unionByName(segTop)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("cos_r"), col("rnk"))

@@ -539,23 +539,43 @@ object Multimodal {
     * as textual LSH applies if one degenerate hash (all-black
     * thumbnails) floods a bucket: cap bucket size before the join.
     */
-  def phashNearDupPairs(hashes: DataFrame, hashBits: Int, bands: Int,
-                        maxHamming: Int): DataFrame = {
+  /** (media_id, bints) — each image's hash packed into `bands` LONGs
+    * (bands·|images| conv calls once per image), so pair-level
+    * verifies are `bands` bit_count(xor) ops — a per-CHARACTER string
+    * compare ran 16× the element count through interpreted HOF
+    * dispatch and dominated the whole query (measured ~5 s at 25k
+    * pairs before the pack). Undecoded rows drop here (NULL hash).
+    */
+  private def packedBands(hashes: DataFrame, hashBits: Int,
+                          bands: Int): DataFrame = {
     require(bands >= 1 && hashBits % bands == 0, "bands must divide hashBits")
     require(hashBits / bands <= 63, "band width must fit a signed long")
-    require(maxHamming < bands,
-      "banding only guarantees recall for hamming < bands (pigeonhole)")
     val bl = hashBits / bands
-    // pack each band into a LONG once per IMAGE (bands·|images| conv
-    // calls), so the pair-level verify is `bands` bit_count(xor) ops —
-    // a per-CHARACTER string compare here ran 16× the element count
-    // through interpreted HOF dispatch and dominated the whole query
-    // (measured ~5 s at 25k pairs before the pack)
-    val hs = hashes.filter(col("decoded") === 1)
+    hashes.filter(col("decoded") === 1)
       .select(col("media_id"),
         transform(sequence(lit(0), lit(bands - 1)),
           bi => conv(col("ahash").substr(bi * bl + 1, lit(bl)), 2, 10)
             .cast("long")).as("bints"))
+  }
+
+  /** The MATERIALIZED standing state of the incremental image-dedup
+    * tier ([[phashIncrementalDedup]]): one row per (band index, band
+    * value, image) with the image's full packed hash riding along —
+    * the hash-sized frame a production pipeline decodes + hashes ONCE
+    * per corpus version and appends to per batch, so no nightly run
+    * ever re-decodes a standing pixel. `bands`×|images| rows of
+    * (int, long, id, bands longs) — pixels never enter the store.
+    */
+  def phashBandIndex(hashes: DataFrame, hashBits: Int, bands: Int): DataFrame =
+    packedBands(hashes, hashBits, bands)
+      .select(col("media_id"), col("bints"),
+        posexplode(col("bints")).as(Seq("band_i", "band_val")))
+
+  def phashNearDupPairs(hashes: DataFrame, hashBits: Int, bands: Int,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      "banding only guarantees recall for hamming < bands (pigeonhole)")
+    val hs = packedBands(hashes, hashBits, bands)
     val banded = hs.select(col("media_id"), col("bints"),
       posexplode(col("bints")).as(Seq("band_i", "band_val")))
     val hamming = expr(
@@ -573,6 +593,69 @@ object Multimodal {
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("n_bands"), col("hamming"))
+  }
+
+  /** INCREMENTAL perceptual-hash image dedup — the media tier's
+    * nightly form (VERDICT r16 #3), completing the round-16 rule that
+    * every standing structure gets a batch-proportional maintenance
+    * path: the standing corpus was decoded + hashed ONCE per corpus
+    * version into the materialized [[phashBandIndex]] store; a batch
+    * of new images decodes, hashes, and band-packs MAP-SIDE, and the
+    * probe is ONE broadcast-hash join with the BATCH side as the
+    * build — the standing index streams off its parquet scan with no
+    * shuffle and no broadcast at index size, and not one standing
+    * pixel is ever re-decoded. In-batch races use the existing
+    * [[phashNearDupPairs]] band self-join (batch-bounded). Per batch
+    * image: `n_standing_dups` (distinct standing partners within
+    * `maxHamming`), `dup_in_batch` (1 iff an EARLIER batch image —
+    * smaller media_id, the batch window rule — sits within
+    * `maxHamming`; the partner's own fate is irrelevant, the standard
+    * LSH greedy rule — transitive clustering is the CC tier's job),
+    * and `keep`. Undecoded payloads surface with decoded = 0 and all
+    * flags 0 (the [[averageHash]] quarantine contract).
+    *
+    * Law (the `q_web_corpus_incremental` trick, stated cross-engine by
+    * the declared query's oracle): with standing ids below batch ids,
+    * the verdicts equal the union re-run's restricted to the batch —
+    * a batch image dups iff SOME smaller-id union member sits within
+    * `maxHamming`, split by side into the two flags.
+    */
+  def phashIncrementalDedup(standingBandIdx: DataFrame, batchHashes: DataFrame,
+                            hashBits: Int, bands: Int,
+                            maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      "banding only guarantees recall for hamming < bands (pigeonhole)")
+    val banded = packedBands(batchHashes, hashBits, bands)
+      .select(col("media_id"), col("bints"),
+        posexplode(col("bints")).as(Seq("band_i", "band_val")))
+    val hamming = expr(
+      """aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),
+        |          0, (acc, v) -> acc + v)""".stripMargin)
+    // standing side STREAMS (scan only); the batch bands broadcast
+    val standDups = standingBandIdx.as("s")
+      .join(broadcast(banded.as("x")),
+        col("x.band_i") === col("s.band_i") &&
+          col("x.band_val") === col("s.band_val"))
+      .groupBy(col("x.media_id").as("media_id"), col("s.media_id").as("s_id"),
+        col("x.bints").as("ba"), col("s.bints").as("bb"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("media_id"))
+      .agg(countDistinct(col("s_id")).as("n_standing_dups"))
+    val batchDup = phashNearDupPairs(batchHashes, hashBits, bands, maxHamming)
+      .select(col("b").as("media_id")).distinct()
+      .withColumn("__bd", lit(1L))
+    batchHashes
+      .select(col("media_id"), col("decoded").cast("long").as("decoded"))
+      .join(broadcast(standDups), Seq("media_id"), "left")
+      .join(broadcast(batchDup), Seq("media_id"), "left")
+      .select(
+        col("media_id"), col("decoded"),
+        coalesce(col("n_standing_dups"), lit(0L)).as("n_standing_dups"),
+        when(col("__bd").isNotNull, 1L).otherwise(0L).as("dup_in_batch"),
+        when(col("decoded") === 1L && col("n_standing_dups").isNull &&
+          col("__bd").isNull, 1L).otherwise(0L).as("keep"))
   }
 
   /** Manufacture a media table from `documents` (the harness testdata

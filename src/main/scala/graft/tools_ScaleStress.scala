@@ -484,6 +484,72 @@ object ScaleStress {
         println(s"[scale]   non-self keepers=$k (expect ${nGroups * 4})")
         assert(k == nGroups * 4, "image CC keeper counts drifted")
       }
+
+      // 11c. Round-17 INCREMENTAL media dedup at the same 200k standing
+      //      corpus: the band index MATERIALIZED once (the decode+hash
+      //      is paid per corpus version), then a planted batch — one
+      //      exact copy per group keeper (+10M → exactly 5 standing
+      //      partners each), one fresh unique-pattern image per group
+      //      (+20M → kept), and 100 in-batch twin pairs (+30M → second
+      //      member dups in-batch) — probed WITHOUT re-decoding or
+      //      re-shuffling a single standing row. Planted counts exact.
+      timed(s"phashIncrementalDedup x$nImg standing") {
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-mbidx").toString
+        val tb = System.nanoTime()
+        ops.Multimodal.phashBandIndex(
+            ops.Multimodal.averageHash(imgRows, size = 8).toDF(),
+            hashBits = 64, bands = 4)
+          .write.mode("overwrite").parquet(idxDir)
+        val buildWall = (System.nanoTime() - tb) / 1e9
+        def raster(base: Long, flip: Int): ops.Multimodal.MediaRow = {
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val bright =
+              ((scala.util.hashing.MurmurHash3.productHash((base, i)) & 1) == 1) !=
+                (i == flip)
+            val v: Byte = if (bright) 255.toByte else 0.toByte
+            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+            i += 1
+          }
+          val bytes = ops.Multimodal.PpmCodec.encode(
+            ops.Multimodal.PpmCodec.Image(8, 8, rgb))
+          ops.Multimodal.MediaRow(0L, "image", bytes, bytes.length.toLong, "ppm")
+        }
+        val copies = spark.range(0, nGroups, 1, 16).as[Long]
+          .map(o => raster(o % nGroups, if (o % 2 == 1) ((o / nGroups) % 64).toInt else -1)
+            .copy(media_id = o + 10000000L))
+        val freshB = spark.range(0, nGroups, 1, 16).as[Long]
+          .map(o => raster(nGroups + o, -1).copy(media_id = o + 20000000L))
+        val twins = spark.range(0, 200, 1, 4).as[Long]
+          .map(t => raster(2 * nGroups + t / 2, -1).copy(media_id = t + 30000000L))
+        val t1 = System.nanoTime()
+        val res = ops.Multimodal.phashIncrementalDedup(
+            spark.read.parquet(idxDir),
+            ops.Multimodal.averageHash(
+              copies.unionByName(freshB).unionByName(twins), size = 8).toDF(),
+            hashBits = 64, bands = 4, maxHamming = 2)
+          .groupBy(
+            (col("media_id") / 10000000L).cast("int").as("cls"),
+            col("n_standing_dups"), col("dup_in_batch"), col("keep"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+          .toMap
+        val runWall = (System.nanoTime() - t1) / 1e9
+        println(f"[scale]   band index build $buildWall%.2f s (once/corpus " +
+          f"version); batch probe ${res.values.sum} images in $runWall%.2f s " +
+          f"-> $res")
+        assert(res.getOrElse((1, 5L, 0L, 0L), 0L) == nGroups,
+          s"every copy must see exactly its 5 standing partners: $res")
+        assert(res.getOrElse((2, 0L, 0L, 1L), 0L) == nGroups,
+          s"every fresh image must be kept: $res")
+        assert(res.getOrElse((3, 0L, 0L, 1L), 0L) == 100L &&
+          res.getOrElse((3, 0L, 1L, 0L), 0L) == 100L,
+          s"each twin pair must keep its first member only: $res")
+        CacheScope.flush()
+      }
     }
 
     // 11. REAL codec throughput at 200k payloads (~0.5 GB of WAV, ~0.2
@@ -1279,6 +1345,60 @@ object ScaleStress {
           s"canon append ($standCanon + $nCd) != union rebuild ${uc.count()}")
         assert(standText + nTd == ut.count(),
           s"text append ($standText + $nTd) != union rebuild ${ut.count()}")
+        CacheScope.flush()
+      }
+
+      // 24. Round-17 BUCKETED standing-index probe — the broadcast-
+      //     budget fallback (q_web_corpus_store_bucketed /
+      //     q_web_corpus_index_delta_bucketed at scale): the same two
+      //     indexes written ONCE as bucketed tables, the same batch
+      //     probed via the semi-join reduction. Verdicts and
+      //     write-back sizes must equal the broadcast forms', the
+      //     nightly wall stays batch-proportional, and nothing in the
+      //     plan ever broadcasts or shuffles at index cardinality —
+      //     the regime where the indexes have outgrown any broadcast
+      //     budget costs bucket-file bytes only.
+      timed("webCorpusIncrementFromBucketed (bucketed store)") {
+        val bDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-wcbidx").toString
+        val tb = System.nanoTime()
+        val (ci, ti) = ops.Corpus.webCorpusIndexes(standing)
+        ci.repartition(8, col("canonical"))
+          .write.bucketBy(8, "canonical").sortBy("canonical")
+          .option("path", s"$bDir/c").mode("overwrite")
+          .saveAsTable("scale_wc_canon_b")
+        ti.repartition(8, col("th"))
+          .write.bucketBy(8, "th").sortBy("th")
+          .option("path", s"$bDir/t").mode("overwrite")
+          .saveAsTable("scale_wc_text_b")
+        val buildWall = (System.nanoTime() - tb) / 1e9
+        val t1 = System.nanoTime()
+        val got24 = ops.Corpus.webCorpusIncrementFromBucketed(
+            spark.table("scale_wc_canon_b"), spark.table("scale_wc_text_b"),
+            copies.unionByName(fresh))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val runWall = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val deltas24 = ops.Corpus.webCorpusIndexDeltaBucketed(
+            spark.table("scale_wc_canon_b"), spark.table("scale_wc_text_b"),
+            copies.unionByName(fresh))
+          .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val deltaWall = (System.nanoTime() - t2) / 1e9
+        println(f"[scale]   bucketed index build $buildWall%.2f s " +
+          f"(once/corpus version); bucketed nightly run " +
+          f"${got24.values.sum} pages in $runWall%.2f s; bucketed " +
+          f"write-back ${deltas24.values.sum} keys in $deltaWall%.2f s")
+        assert(got24 == got, s"bucketed verdicts diverge: $got24 vs $got")
+        val deltasB = ops.Corpus.webCorpusIndexDelta(ci, ti,
+            copies.unionByName(fresh))
+          .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(deltas24 == deltasB,
+          s"bucketed write-back diverges: $deltas24 vs $deltasB")
+        spark.sql("DROP TABLE IF EXISTS scale_wc_canon_b")
+        spark.sql("DROP TABLE IF EXISTS scale_wc_text_b")
         CacheScope.flush()
       }
     }

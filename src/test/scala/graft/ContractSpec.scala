@@ -54,7 +54,10 @@ class ContractSpec extends AnyFunSuite {
     // round 16: + q_web_corpus_store + q_quality_votes_approx
     // + q_sim_ivf_incremental + q_sim_hnsw_growing
     // + q_web_corpus_index_delta + q_dedup_semantic_incremental = 241
-    assert(SparkEntry.queries.size === 241)
+    // round 17: + q_web_corpus_store_bucketed
+    // + q_web_corpus_index_delta_bucketed + q_nightly_cycle
+    // + q_media_dedup_incremental = 245
+    assert(SparkEntry.queries.size === 245)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {
