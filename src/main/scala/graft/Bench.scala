@@ -496,7 +496,15 @@ object Bench {
       "q_spm_encode" -> "r14: 1 job - one corpus scan + explode + broadcast join against the MEMOIZED pre-segmented vocabulary (LocalRelation; 31 word types on this corpus - the shipped-tokenizer-artifact slice, with an in-plan raise guard on any missing word) + doc-keyed agg; the Viterbi DP itself runs vocab-many times, never per occurrence",
       "q_spm_fertility" -> "r14: 1 job - same memoized-seg shape as q_spm_encode with the lang-keyed aggregate (<= |langs| rows out); the residual is the tokenize scan floor shared with the bpe fertility twin",
       "q_spm_sample" -> "r14: 1 job - the q_spm_encode shape with the per-(tau,epoch) pre-sampled vocabulary slice memoized (spmSampleSegLocal); residual is the same tokenize scan + broadcast-join + doc-agg floor",
-      "q_web_corpus_index_delta" -> "r16 JobProfile: 3 jobs steady - two skinny standing-index broadcast builds (~0.03s each, pure job floor) + ONE fused extraction->distinct->anti pass at 0.29-0.33s, which is at parity with the DuckDB oracle's whole-query 0.24s (the oracle re-runs the same regex extraction in-process with no job or broadcast floor). Single-pass by design: each page emits its <= 2 candidate keys from one array-explode, so the regex extraction runs once per batch; the anti probe is batch-bounded and the standing side never shuffles",
+      "q_web_corpus_index_delta" -> "r16 JobProfile: 3 jobs steady - two skinny standing-index broadcast builds (~0.03s each, pure job floor) + ONE fused extraction->distinct->anti pass at 0.29-0.33s, which is at parity with the DuckDB oracle's whole-query 0.24s (the oracle re-runs the same regex extraction in-process with no job or broadcast floor). Single-pass by design: each page emits its <= 2 candidate keys from one array-explode, so the regex extraction runs once per batch; the anti probe is batch-bounded and the standing side never shuffles. LIKE-FOR-LIKE (ADVICE r16): no clean fixture CTE boundary exists for this family - the oracle's page/gate CTEs (p, a1) derive BOTH the standing indexes the engine reads prepare-materialized AND the batch stage, so the oracle re-derives the standing indexes in-query; ScaleStress prices the engine's once-per-corpus-version index build separately (6.9-8.0s at 1M pages)",
+      "q_web_corpus_store" -> "store-fed by design (ADVICE r16, like-for-like note): the engine probes the prepare-materialized corpus-version indexes (standing corpus absent from the plan; ScaleStress case 22 prices the once-per-version build at 6.9-8.0s/1M pages and the nightly run at 1.8-2.1s/95k pages), while the oracle re-derives those indexes from the raw standing corpus inside the same union-rerun SQL - there is no clean CTE boundary to time because the prefix CTEs also serve the batch stage, so ratio_vs_duckdb for this family reads the oracle's standing re-derivation as free",
+      "q_web_corpus_store_bucketed" -> "the BROADCAST-BUDGET twin of q_web_corpus_store: MERGE hints deliberately pin sort-merge probes against the pre-bucketed standing indexes (semi-join reduction; standing side exchange-free and sort-free) because at 100TB the indexes cannot broadcast - at sf0.1 they trivially could, and the broadcast twin runs the same batch ~2x faster, so the delta IS the measured price of the exchange-free plan shape (extra narrow probe exchanges + SMJ stages vs DuckDB's in-process hash join). Same like-for-like caveat as the store twin: the oracle re-derives the standing indexes in-query. ScaleStress case 24: bucketed nightly run 95k pages in 3.3-3.9s vs broadcast 1.8-2.1s at a 1M-page corpus",
+      "q_web_corpus_index_delta_bucketed" -> "same deliberate SMJ pinning as q_web_corpus_store_bucketed, write-back half: one linear chain of two bucketed anti probes (candidates shuffle on key once, standing sides never) + the canonical-stage semi probe - three SMJ stages of job floor the broadcast twin (0.53s) does not pay, vs the same no-boundary oracle. The flag prices the 100TB plan shape at test scale, not a defect; the broadcast twin IS the in-bench A/B",
+      "q_nightly_cycle" -> "the composed one-pass cycle: verdicts + write-back from ONE linear plan (single batch scan, spec-pinned) - its cost is bounded by the store half + the delta half minus the shared extraction, and the oracle restates BOTH halves over one CTE chain (re-deriving the standing indexes in-query, the family's like-for-like caveat). JobProfile r17: the shared gate/canonical stage runs once; the third (candidate-dedup) window and the standing-key broadcast are the only additions over q_web_corpus_store",
+      "q_sim_ivf_incremental" -> "reads the prepare-materialized cell-partitioned standing assignment store (the faiss inverted-lists layout; ScaleStress case 23 prices the once-per-version build at 10.7-12.5s/1M vectors, batch add + search 3.3-4.2s) while the dynamic oracle re-assigns the whole corpus from centroid literals - the 'assign' fixture CTE boundary is declared (oracle_fixture_cte.json) so time_oracle publishes the split; the boundary also covers the per-run batch assignment, making the split an upper bound on the moved cost",
+      "q_dedup_semantic_incremental" -> "same store-fed family (ADVICE r16 note): probes the cell-partitioned standing assignment store + frozen centroids; the dynamic oracle re-runs full SemDeDup over standing ∪ batch from centroid literals - standing re-derivation is in-query on the oracle side, prepare-materialized on the engine side",
+      "q_media_dedup_incremental" -> "the standing 2000-image corpus was decoded+hashed at prepare into the materialized band index; per run Spark REAL-decodes the ~1500 batch payloads (PPM codec) and probes the index with the batch broadcast, while the oracle derives BOTH sides' 64-bit hashes arithmetically from doc_id (the q_media_phash_band nominal-ratio rationale) - ratio is nominal by construction; ScaleStress case 11c pins exact planted counts at 200k standing images",
+      "q_sim_hnsw_sealed" -> "same rationale as q_sim_hnsw_routed/growing plus the LOAD path: Spark loads the prepare-sealed per-cell graphs (serialized adjacency - no re-insertion) and builds the standing tier's graphs in-run, while the pinned-centroid oracle restates multi-probe exact search with no graph work at all; the seal itself is priced by ScaleStress case 25 (1004-vector segment sealed in 0.7s, standing corpus untouched)",
       "q_spm_byte_fallback" -> "r16: same 1-job memoized-vocab shape as q_spm_encode (corpus scan + explode + broadcast join against the pre-segmented fallback vocabulary slice + doc-keyed agg); the ~0.2s delta vs the encode twin is the codepoint-based fallback DP (unseen chars priced byte-by-byte, surrogate-pair-safe substr) plus the planted non-BMP rows. Steady seconds UNCHANGED from r15 (0.47-0.54); the flag appeared only because the r16 quiet-window oracle re-time tightened the DuckDB entry to 0.19s (recursive-CTE restatement, in-process) - an oracle-denominator move, not a regression",
       "q_crawl_pipeline" -> "r15: 1 job, 0.16s steady (was 3 jobs / 0.61s) - the two extraction chains FUSED into one Corpus.crawlGate projection over the page bytes and the keeper join-back replaced by a synthetic-key window (eligible rows group by canonical, everyone else a singleton), so the whole front door is scan -> project -> one window exchange; bounded by q_html_extract (0.14s) + the window, flag retired",
       "q_ngram_novelty" -> "r10: 2 jobs - one h-keyed exchange read by both the first-seen aggregate and the SHUFFLE_HASH probe side (the q_boilerplate move; was cache + broadcast build + final)",

@@ -1885,6 +1885,23 @@ private[graft] object EntryOraclesC {
     "q_nightly_cycle" ->
       webCorpusNightlyCycleOracle(copyMod = 3, freshMod = 0),
 
+    // retention / GC of the claims store: the same planted standing
+    // corpus split into four daily waves, rank-free claims per day,
+    // max-day fold, horizon filter — all restated from first
+    // principles over the shared gate chain
+    "q_corpus_index_retention" ->
+      ("WITH page AS (" + wcStandingPageSql + ")," + webCorpusGateCtes + """,
+        |cl AS (
+        |  SELECT kind, key, doc_id % 4 + 1 AS day FROM (
+        |    SELECT 'canon' AS kind, canonical AS key, doc_id
+        |    FROM p WHERE passes = 1 AND canonical IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'text', md5(txt), doc_id
+        |    FROM p WHERE passes = 1))
+        |SELECT kind, key, CAST(max(day) AS BIGINT) AS last_day
+        |FROM cl GROUP BY kind, key HAVING max(day) >= 3
+        |ORDER BY kind, key""".stripMargin),
+
 
     // majority-of-signals quality ensemble: four single-division
     // signals, exact interpolated medians, strict median votes
@@ -2058,8 +2075,11 @@ private[graft] object EntryOraclesC {
     * impersonating-copy and fresh-page batch branches, so ONE template
     * serves both and the planted-page construction cannot drift.
     */
-  private def webCorpusIncPrefix(copyMod: Int, freshMod: Int): String =
-    s"""WITH page AS (
+  /** The STANDING planted-page branch (wcStandingPages in SQL) —
+    * shared by the increment-family prefix and the retention oracle.
+    */
+  private lazy val wcStandingPageSql: String =
+    s"""
         |  SELECT doc_id,
         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
         |    '</title>' ||
@@ -2077,7 +2097,10 @@ private[graft] object EntryOraclesC {
         |         ELSE '' END ||
         |    '<p>R&amp;D says x &lt; y</p><p>' || text || '</p></body></html>'
         |      AS html
-        |  FROM documents
+        |  FROM documents""".stripMargin
+
+  private def webCorpusIncPrefix(copyMod: Int, freshMod: Int): String =
+    "WITH page AS (" + wcStandingPageSql + s"""
         |  UNION ALL
         |  SELECT doc_id + 5000000,
         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
@@ -2100,7 +2123,14 @@ private[graft] object EntryOraclesC {
         |    '<html><head><title>pair</title></head><body>' ||
         |    '<script>track();</script><p>k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12' ||
         |    '</p></body></html>'
-        |  FROM (SELECT unnest(generate_series(0, 1)) AS i) u),
+        |  FROM (SELECT unnest(generate_series(0, 1)) AS i) u),""".stripMargin +
+      webCorpusGateCtes
+
+  /** The gate + canonical-race chain (crawlGate → passes → rn1 →
+    * alive1) over whatever `page` CTE precedes it — shared by the
+    * increment family and the retention oracle.
+    */
+  private lazy val webCorpusGateCtes: String = s"""
         |x AS (
         |  SELECT doc_id, html,
         |         len(regexp_extract_all(html, '<script')) <>

@@ -854,6 +854,27 @@ private[graft] object EntryQueriesD {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "q_sim_hnsw_sealed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the graph tier's COMPACTION (round-16 verdict #4): the growing
+      // segment q_sim_hnsw_growing brute-forces has been SEALED — its
+      // per-cell graphs built once off the frozen quantizer and
+      // serialized to the segment store at prepare
+      // (EntrySupport.hnswSealedStore) — and search now walks standing
+      // graphs + the loaded sealed graphs, the brute-force path
+      // retired (Hnsw.hnswTopKRoutedSealedFrom). Saturated efSearch ≡
+      // multi-probe IVF exact over standing ∪ batch, so the SAME
+      // pinned-centroid oracle as the growing/increment forms applies
+      // (one law, three physical tiers); HnswSealSpec pins
+      // seal → persist → load → search ≡ growing Spark-vs-Spark.
+      graft.ops.Hnsw.hnswTopKRoutedSealedFrom(Tables.embeddings(s, dir),
+          hnswSealedStore(s, dir), pqModel(s, dir)._1,
+          nQueries = 10, k = 5, nProbe = 2,
+          m = 8, efConstruction = 64, efSearch = 4096,
+          queryModel = Some(hnswRoutedQueryLocal(s, dir, 10, 2)))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "q_xpath_extract" -> ((s0, dir) => {
       val s = ensure(s0)
       // N1 params extraction through the XML parser surface (the
@@ -1421,6 +1442,28 @@ private[graft] object EntryQueriesD {
       Corpus.webCorpusNightlyCycle(canonIdx, textIdx,
           wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
         .orderBy(col("part"), col("doc_id"), col("kind"), col("key"))
+    }),
+
+    "q_corpus_index_retention" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // retention / GC of the standing index store (round-16 verdict
+      // #7): the planted corpus arrives as four daily waves (day =
+      // doc_id % 4 + 1), each wave appends its RANK-FREE claims
+      // (re-crawls re-assert liveness — Corpus.webCorpusIndexClaims),
+      // and the nightly compaction folds every key to its LAST claim
+      // day and expires keys last claimed before the horizon (day 3)
+      // — dead canonicals and texts stop pinning broadcast/bucket
+      // budgets forever (Corpus.indexRetentionCompact). The ORACLE
+      // restates claims + max-day fold + horizon from first
+      // principles; RetentionSpec pins the law compact(all history,
+      // h) ≡ the same fold over only the retained days.
+      val pages = wcStandingPages(s, dir)
+      val claims = (1L to 4L).map { d =>
+        Corpus.webCorpusIndexClaims(
+          pages.filter(col("doc_id") % 4 === (d - 1L)), day = d)
+      }.reduce(_ unionByName _)
+      Corpus.indexRetentionCompact(claims, horizonDay = 3L)
+        .orderBy(col("kind"), col("key"))
     }),
 
     "q_quality_votes" -> ((s0, dir) => {

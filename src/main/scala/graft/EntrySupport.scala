@@ -1243,7 +1243,8 @@ private[graft] object EntrySupport {
     "q_sim_ann_pq_refine", "q_dedup_semantic", "q_cluster_purity",
     "q_bpe_encode", "q_bpe_fertility", "q_spm_encode", "q_spm_fertility",
     "q_spm_sample", "q_spm_byte_fallback", "q_sim_ivf_incremental",
-    "q_sim_hnsw_growing", "q_dedup_semantic_incremental")
+    "q_sim_hnsw_growing", "q_dedup_semantic_incremental",
+    "q_sim_hnsw_sealed")
 
   /** For each query whose Spark side reads a prepare-materialized qtmp
     * fixture while its DuckDB oracle recomputes the same stage from raw
@@ -1281,5 +1282,13 @@ private[graft] object EntrySupport {
     "q_tfidf"              -> "scored", // store = the per-posting weighted frame
     "q_sparse_cosine"      -> "unitv",  // store carries the unit weights
     "q_bm25"               -> "st",     // tf -> dl -> stats chain lives in the store
-    "q_rrf"                -> "unitv")
+    "q_rrf"                -> "unitv",
+    // r17 (ADVICE r16): the IVF increment reads the cell-partitioned
+    // STANDING assignment store (prepare-materialized) while its
+    // DYNAMIC oracle re-derives every assignment from centroid
+    // literals in the 'assign' CTE — boundary declared so the split
+    // is timed; 'assign' also covers the (map-side, per-run) batch
+    // assignments, so the split is the documented upper bound on the
+    // moved cost, not an exact decomposition
+    "q_sim_ivf_incremental" -> "assign")
 }

@@ -85,6 +85,7 @@ object SparkEntry {
     wcIndexesBucketed(s, sfDir)
     mediaBandIdx(s, sfDir)
     ivfAssignedStore(s, sfDir)
+    hnswSealedStore(s, sfDir)
     Sinks.ensureTextWritten(
       Tables.events(s, sfDir).select(
         when(col("event_id") % 13 === 0, lit("{broken json line"))
@@ -138,6 +139,13 @@ object SparkEntry {
       // and sealed-graphs + brute-forced growing segment ≡ multi-probe
       // IVF exact search over standing ∪ batch
       "q_sim_hnsw_growing" ->
+        ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2,
+          extraCorpusSql = ivfBatchSql),
+      // identical again for the COMPACTED form: sealing the growing
+      // segment into per-cell graphs changes the physical tier, not
+      // the law — saturated walks over standing graphs + the loaded
+      // sealed segment ≡ the same exact search over standing ∪ batch
+      "q_sim_hnsw_sealed" ->
         ops.Sim.ivfSearchOracleSql(cents, nQueries = 10, k = 5, nProbe = 2,
           extraCorpusSql = ivfBatchSql),
       "q_dedup_semantic" ->

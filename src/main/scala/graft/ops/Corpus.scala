@@ -986,6 +986,55 @@ object Corpus {
       .select(col("kind"), col("key"))
   }
 
+  /** Per-day index CLAIMS — the RETENTION-tier store rows (VERDICT
+    * r16 #7). The append-only `(kind, key)` indexes only ever grow;
+    * a GC-able store instead records, per ingest day, every key the
+    * day's gate survivors CLAIM — `('canon', canonical)` for each
+    * passing claimer, `('text', md5(text))` for each passing page —
+    * and lets re-crawls RE-ASSERT liveness (the LSM pattern: appends
+    * refresh recency, compaction folds to max-day and expires). The
+    * claim is deliberately RANK-FREE — a pure per-page property — so
+    * daily claim sets compose exactly: claims(day d pages) unioned
+    * over days ≡ claims(all pages at once), which is what makes the
+    * retention law provable without replaying history. (The rank-1
+    * standing textIdx suppresses texts carried only by
+    * canonical-losing pages; that suppression is NOT day-composable —
+    * a suppressor can expire — so the GC tier claims conservatively:
+    * a text stays "seen" while ANY gate survivor within the horizon
+    * carried it.) One batch-bounded distinct, everything else
+    * map-side.
+    */
+  def webCorpusIndexClaims(batchPages: DataFrame, day: Long,
+                           linkDensityPct: Int = 30): DataFrame =
+    incGated(batchPages, linkDensityPct)
+      .filter(col("passes") === 1L)
+      .select(explode(array(
+        when(col("canonical").isNotNull,
+          struct(lit("canon").as("kind"), col("canonical").as("key"))),
+        struct(lit("text").as("kind"), md5(col("text")).as("key"))))
+        .as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.kind").as("kind"), col("e.key").as("key"))
+      .distinct()
+      .withColumn("day", lit(day))
+
+  /** Retention compaction of the claims store: fold every key to its
+    * LAST claim day and drop keys last claimed before `horizonDay` —
+    * dead canonicals and texts stop pinning broadcast/bucket budgets.
+    * One key-grouped aggregate over the (already skinny) claims rows;
+    * run it as the nightly store rewrite and the store's size tracks
+    * the live horizon, not all of history.
+    *
+    * Law (RetentionSpec, and the declared query's oracle):
+    * `compact(⋃ all days' claims, h)` ≡ the same max-day fold over
+    * ONLY the retained days' claims — expiry ≡ never having ingested
+    * the expired days, key for key and day for day.
+    */
+  def indexRetentionCompact(claims: DataFrame, horizonDay: Long): DataFrame =
+    claims.groupBy(col("kind"), col("key"))
+      .agg(max(col("day")).as("last_day"))
+      .filter(col("last_day") >= horizonDay)
+
   def webCorpusIncrementFrom(canonIdx: DataFrame, textIdx: DataFrame,
                              batchPages: DataFrame,
                              linkDensityPct: Int = 30): DataFrame =

@@ -268,12 +268,13 @@ object StreamingCorpus {
       passes: Long, th: String, in_canon_idx: Boolean, in_text_idx: Boolean,
       __event_time: java.sql.Timestamp)
   final case class WcMid(doc_id: Long, ts_us: Long, status: String,
-      verdict: String, text: String, n_toks: Option[Long], th: String,
-      in_text_idx: Boolean, canon_dup: Boolean, alive1: Boolean,
-      __event_time: java.sql.Timestamp)
+      verdict: String, text: String, n_toks: Option[Long], canonical: String,
+      th: String, in_text_idx: Boolean, canon_dup: Boolean, alive1: Boolean,
+      new_canon: Boolean, __event_time: java.sql.Timestamp)
   final case class WcStaged(doc_id: Long, ts_us: Long, status: String,
-      verdict: String, text: String, n_toks: Option[Long],
-      canon_dup: Boolean, text_dup: Boolean, alive2: Boolean)
+      verdict: String, text: String, n_toks: Option[Long], canonical: String,
+      th: String, canon_dup: Boolean, text_dup: Boolean, alive2: Boolean,
+      new_canon: Boolean, new_text: Boolean)
 
   /** The STREAMING end-to-end crawl capstone — the junction the
     * round-15 residual named: [[canonicalFirstSeen]]'s canonical race
@@ -359,6 +360,36 @@ object StreamingCorpus {
       canonIdx: DataFrame,
       textIdx: DataFrame,
       linkDensityPct: Int = 30,
+      lateness: String = "1 hour"): DataFrame =
+    webCorpusStreamCycle(pages, tsMicrosCol, canonIdx, textIdx,
+      linkDensityPct, lateness)
+      .select(col("doc_id"), col("ts_us"), col("stage"), col("tok_cnt"))
+
+  /** [[webCorpusStream]] PLUS the streamed index write-back (VERDICT
+    * r16 #5) — the full nightly cycle as one continuous query: each
+    * verdict row also carries `delta_canon` / `delta_text`, non-NULL
+    * exactly on the row whose claim FIRST admitted that key (stage 1
+    * flags the arrival that takes a canonical's keeper slot against
+    * standing index ∪ stream state; stage 2 flags the arrival whose
+    * text hash first survives both) — so the keys with a non-NULL
+    * delta column are precisely [[graft.ops.Corpus.webCorpusIndexDelta]]'s
+    * append set: the batch form admits a canonical iff ANY gate
+    * survivor claims it (rank-free) and a text hash iff any
+    * canonical-stage survivor carries it, which is "a first such
+    * arrival exists", and the standing anti-join is the broadcast
+    * index probe both stages already consult. The sink routes verdict
+    * columns to the verdict store and the non-NULL delta values to
+    * the per-kind index appends — WebCorpusStreamSpec pins streamed
+    * deltas ≡ batch deltas across micro-batch splits, day-2 junction
+    * included. No new state: the claim flag rides the same boolean
+    * the races already keep.
+    */
+  def webCorpusStreamCycle(
+      pages: DataFrame,
+      tsMicrosCol: String,
+      canonIdx: DataFrame,
+      textIdx: DataFrame,
+      linkDensityPct: Int = 30,
       lateness: String = "1 hour"): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -398,10 +429,16 @@ object StreamingCorpus {
               maxTs = math.max(maxTs, r.ts_us)
               val claims = r.passes == 1L && r.canonical != null
               val dup = claims && (r.in_canon_idx || seen)
-              if (claims && !dup) seen = true
+              // the arrival that takes the keeper slot is the one that
+              // ADMITS the canonical into the index — the streamed
+              // write-back flag (≡ the batch delta's rank-free
+              // "any gate survivor claims it, not in standing")
+              val admits = claims && !dup
+              if (admits) seen = true
               WcMid(r.doc_id, r.ts_us, r.status, r.verdict, r.text, r.n_toks,
-                r.th, r.in_text_idx, canon_dup = dup,
-                alive1 = r.passes == 1L && !dup, r.__event_time)
+                r.canonical, r.th, r.in_text_idx, canon_dup = dup,
+                alive1 = r.passes == 1L && !dup, new_canon = admits,
+                r.__event_time)
             }
             // `d:` groups hold only non-claiming rows (claims = false
             // above for every member), whose verdicts never consult
@@ -439,10 +476,12 @@ object StreamingCorpus {
             val out = arrivals.map { r =>
               maxTs = math.max(maxTs, r.ts_us)
               val dup = r.alive1 && (r.in_text_idx || seen)
-              if (r.alive1 && !dup) seen = true
+              val admits = r.alive1 && !dup
+              if (admits) seen = true
               WcStaged(r.doc_id, r.ts_us, r.status, r.verdict, r.text,
-                r.n_toks, r.canon_dup, text_dup = dup,
-                alive2 = r.alive1 && !dup)
+                r.n_toks, r.canonical, r.th, r.canon_dup, text_dup = dup,
+                alive2 = r.alive1 && !dup, new_canon = r.new_canon,
+                new_text = admits)
             }
             // same state-free rule as stage 1: `d:` groups hold only
             // non-survivors (alive1 = false), whose verdicts never
@@ -456,7 +495,7 @@ object StreamingCorpus {
           }
       }
     // stage 3: the Gopher gate map-side + the batch increment's final
-    // verdict projection
+    // verdict projection, with the write-back columns riding along
     Corpus.withGopher(afterText.toDF())
       .select(
         col("doc_id"), col("ts_us"),
@@ -468,7 +507,9 @@ object StreamingCorpus {
           .when(coalesce(col("gopher_ok"), lit(0L)) =!= 1L, lit("low_quality"))
           .otherwise(lit("kept")).as("stage"),
         when(col("alive2") && coalesce(col("gopher_ok"), lit(0L)) === 1L,
-          col("n_toks")).as("tok_cnt"))
+          col("n_toks")).as("tok_cnt"),
+        when(col("new_canon"), col("canonical")).as("delta_canon"),
+        when(col("new_text"), col("th")).as("delta_text"))
   }
 
   /** Streaming twin of `q_quality_votes` — the ensemble gate run

@@ -1447,6 +1447,51 @@ object ScaleStress {
           s"(${inc.size} vs ${rebuild.size} rows)")
       CacheScope.flush()
     }
+
+    // 25. Round-17 SEAL of the growing segment (the compaction,
+    //     q_sim_hnsw_sealed's shape at scale): the accumulated ~1k
+    //     batch builds + serializes its per-cell graphs in time ∝ the
+    //     SEGMENT — the 1M standing corpus never appears in the seal
+    //     plan at all — and the sealed tier must answer EXACTLY like
+    //     the growing (brute-force) tier it retires: both tiers run
+    //     against an empty standing side (the standing graphs are
+    //     common to both deployment forms and cancel; full-form
+    //     equality is HnswSealSpec's pin) under the same frozen
+    //     quantizer and saturated efSearch.
+    timed("hnswSealSegment (seal cost ∝ segment)") {
+      val cents = ops.Sim.kmeansCentroidsSampledLocal(
+        emb, k = 64, iters = 4, sampleMod = 100)
+      val batch = emb.filter(col("vec_id") % 997 === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val nBatch = batch.count()
+      val segDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-seal").toString
+      val t0 = System.nanoTime()
+      ops.Hnsw.hnswSealSegment(batch, cents, m = 8, efConstruction = 64)
+        .write.mode("overwrite").parquet(segDir)
+      val sealWall = (System.nanoTime() - t0) / 1e9
+      val sealedRows = spark.read.parquet(segDir).count()
+      val qm = Some(ops.Hnsw.routedQueryModel(emb, cents, 10, 4).toSeq)
+      val noStanding = emb.filter(lit(false))
+      val t1 = System.nanoTime()
+      val viaSealed = ops.Hnsw.hnswTopKRoutedSealedFrom(noStanding,
+          spark.read.parquet(segDir), cents, nQueries = 10, k = 5,
+          nProbe = 4, m = 8, efConstruction = 64, efSearch = 1 << 20,
+          queryModel = qm)
+        .collect().map(_.toString).sorted.toSeq
+      val searchWall = (System.nanoTime() - t1) / 1e9
+      val viaGrowing = ops.Hnsw.hnswTopKRoutedGrowing(noStanding, batch,
+          cents, nQueries = 10, k = 5, nProbe = 4, m = 8,
+          efConstruction = 64, efSearch = 1 << 20, queryModel = qm)
+        .collect().map(_.toString).sorted.toSeq
+      println(f"[scale]   sealed $sealedRows nodes from a $nBatch-vector " +
+        f"segment in $sealWall%.2f s (standing corpus untouched); " +
+        f"sealed-tier search $searchWall%.2f s, rows=${viaSealed.size}")
+      assert(sealedRows == nBatch, "one sealed node per segment vector")
+      assert(viaSealed == viaGrowing,
+        "the sealed tier must answer exactly like the growing tier")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

@@ -22,7 +22,7 @@ class ContractSpec extends AnyFunSuite {
         "q_spm_encode", "q_spm_fertility", "q_spm_sample",
         "q_spm_byte_fallback", "q_quality_votes_approx",
         "q_sim_ivf_incremental", "q_sim_hnsw_growing",
-        "q_dedup_semantic_incremental"))
+        "q_dedup_semantic_incremental", "q_sim_hnsw_sealed"))
   }
 
   test("dynamic oracles cover exactly the static-map gaps") {
@@ -56,8 +56,9 @@ class ContractSpec extends AnyFunSuite {
     // + q_web_corpus_index_delta + q_dedup_semantic_incremental = 241
     // round 17: + q_web_corpus_store_bucketed
     // + q_web_corpus_index_delta_bucketed + q_nightly_cycle
-    // + q_media_dedup_incremental = 245
-    assert(SparkEntry.queries.size === 245)
+    // + q_media_dedup_incremental + q_sim_hnsw_sealed
+    // + q_corpus_index_retention = 247
+    assert(SparkEntry.queries.size === 247)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

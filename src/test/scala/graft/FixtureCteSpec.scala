@@ -12,16 +12,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class FixtureCteSpec extends AnyFunSuite {
 
-  test("every annotated query is declared with a static oracle") {
+  test("every annotated query is declared with an oracle (static or " +
+      "dynamic)") {
     EntrySupport.oracleFixtureCte.keys.foreach { q =>
       assert(SparkEntry.queries.contains(q), s"$q not in SparkEntry.queries")
-      assert(SparkEntry.oracleSql.contains(q), s"$q not in SparkEntry.oracleSql")
     }
   }
 
   test("every annotated CTE exists in its oracle's WITH chain") {
+    // dynamic oracles (model-pinned SQL) are generated exactly as
+    // Verify generates them — the annotation must hold in the SQL
+    // time_oracle.py will actually see
+    lazy val dynamic = SparkEntry.oracleSqlDynamic(
+      SparkTestSession.spark, "/root/testdata/sf0.001")
     EntrySupport.oracleFixtureCte.foreach { case (q, cte) =>
-      val sql = SparkEntry.oracleSql(q)
+      val sql = SparkEntry.oracleSql.getOrElse(q, dynamic(q))
       assert(("""(?s).*\b""" + cte + """\s+AS\s*\(.*""").r.matches(sql),
         s"$q: CTE '$cte' not found in oracle SQL")
     }
@@ -43,7 +48,8 @@ class FixtureCteSpec extends AnyFunSuite {
       "q_dedup_pipeline", "q_dedup_simhash", "q_dedup_simhash_band",
       "q_dedup_cc", "q_dup_cluster_stats",
       "q_bigram_lm", "q_lm_interp", "q_kn_bigram",
-      "q_tfidf", "q_sparse_cosine", "q_bm25", "q_rrf")
+      "q_tfidf", "q_sparse_cosine", "q_bm25", "q_rrf",
+      "q_sim_ivf_incremental")
     assert(EntrySupport.oracleFixtureCte.keySet == expected)
   }
 }
