@@ -499,8 +499,10 @@ object Bench {
       "q_web_corpus_index_delta" -> "r16 JobProfile: 3 jobs steady - two skinny standing-index broadcast builds (~0.03s each, pure job floor) + ONE fused extraction->distinct->anti pass at 0.29-0.33s, which is at parity with the DuckDB oracle's whole-query 0.24s (the oracle re-runs the same regex extraction in-process with no job or broadcast floor). Single-pass by design: each page emits its <= 2 candidate keys from one array-explode, so the regex extraction runs once per batch; the anti probe is batch-bounded and the standing side never shuffles. LIKE-FOR-LIKE (ADVICE r16): no clean fixture CTE boundary exists for this family - the oracle's page/gate CTEs (p, a1) derive BOTH the standing indexes the engine reads prepare-materialized AND the batch stage, so the oracle re-derives the standing indexes in-query; ScaleStress prices the engine's once-per-corpus-version index build separately (6.9-8.0s at 1M pages)",
       "q_web_corpus_store" -> "store-fed by design (ADVICE r16, like-for-like note): the engine probes the prepare-materialized corpus-version indexes (standing corpus absent from the plan; ScaleStress case 22 prices the once-per-version build at 6.9-8.0s/1M pages and the nightly run at 1.8-2.1s/95k pages), while the oracle re-derives those indexes from the raw standing corpus inside the same union-rerun SQL - there is no clean CTE boundary to time because the prefix CTEs also serve the batch stage, so ratio_vs_duckdb for this family reads the oracle's standing re-derivation as free",
       "q_web_corpus_store_bucketed" -> "the BROADCAST-BUDGET twin of q_web_corpus_store: MERGE hints deliberately pin sort-merge probes against the pre-bucketed standing indexes (semi-join reduction; standing side exchange-free and sort-free) because at 100TB the indexes cannot broadcast - at sf0.1 they trivially could, and the broadcast twin runs the same batch ~2x faster, so the delta IS the measured price of the exchange-free plan shape (extra narrow probe exchanges + SMJ stages vs DuckDB's in-process hash join). Same like-for-like caveat as the store twin: the oracle re-derives the standing indexes in-query. ScaleStress case 24: bucketed nightly run 95k pages in 3.3-3.9s vs broadcast 1.8-2.1s at a 1M-page corpus",
-      "q_web_corpus_index_delta_bucketed" -> "same deliberate SMJ pinning as q_web_corpus_store_bucketed, write-back half: one linear chain of two bucketed anti probes (candidates shuffle on key once, standing sides never) + the canonical-stage semi probe - three SMJ stages of job floor the broadcast twin (0.53s) does not pay, vs the same no-boundary oracle. The flag prices the 100TB plan shape at test scale, not a defect; the broadcast twin IS the in-bench A/B",
-      "q_nightly_cycle" -> "the composed one-pass cycle: verdicts + write-back from ONE linear plan (single batch scan, spec-pinned) - its cost is bounded by the store half + the delta half minus the shared extraction, and the oracle restates BOTH halves over one CTE chain (re-deriving the standing indexes in-query, the family's like-for-like caveat). JobProfile r17: the shared gate/canonical stage runs once; the third (candidate-dedup) window and the standing-key broadcast are the only additions over q_web_corpus_store",
+      "q_web_corpus_index_delta_bucketed" -> "same deliberate SMJ pinning as q_web_corpus_store_bucketed, write-back half: one linear chain of two bucketed anti probes (candidates shuffle on key once, standing sides never) + the canonical-stage semi probe. JobProfile r17 steady: 2 jobs - the hit-set build (0.26-0.36s: extraction -> window -> distinct claimed keys -> SMJ semi vs the bucketed index, broadcast back) + the main chain (0.45-0.46s: candidate explode/distinct + two SMJ probes; the extraction rides the REUSED window exchange, it does not re-run) - SMJ stage floors the broadcast twin (0.53s total) does not pay, vs the same no-boundary oracle. The flag prices the 100TB plan shape at test scale, not a defect; the broadcast twin IS the in-bench A/B",
+      "q_nightly_cycle" -> "the composed one-pass cycle: verdicts + write-back from ONE linear plan (single batch scan, spec-pinned). JobProfile r17 steady: 4 jobs - three ~0.03-0.04s broadcast builds (two indexes + the standing-key anti frame) + ONE 0.34-0.50s main pass, i.e. the shared gate/canonical/text extraction provably runs ONCE and the composition (0.63s cached bench) undercuts running its two standalone halves (0.40 + 0.59s cached) - the r16 two-output lesson, measured. The oracle restates BOTH halves over one CTE chain, re-deriving the standing indexes in-query (the family's like-for-like caveat)",
+      "q_corpus_index_retention" -> "r17 JobProfile: ONE job steady (0.99-1.03s) - the whole 4-day claims history rides a single gate-extraction pass (regex over all 10k planted pages incl. the link-farm class) + one skinny distinct + the max-day fold; DuckDB restates the identical regex chain in-process at 0.31s (the q_html_extract-family floor, no job machinery). In DEPLOYMENT the claims are free: each day's ingest already runs the gate (the nightly cycle emits its candidates from the same frame), so the store appends ride the cycle's paid stage - this standalone query re-derives four days of history from raw pages, which is the backfill shape, not the nightly shape",
+      "q_nightly_cycle_bucketed" -> "the composed cycle over the PRE-BUCKETED indexes: bounded below by q_web_corpus_store_bucketed (whose MERGE-pinned SMJ probes + narrow exchanges it contains) plus the candidate-dedup window; the anti check is free (probe flags at emission). Same deliberate-SMJ and like-for-like caveats as the bucketed twins - the broadcast cycle (q_nightly_cycle) is the in-bench A/B and the oracle re-derives the standing indexes in-query",
       "q_sim_ivf_incremental" -> "reads the prepare-materialized cell-partitioned standing assignment store (the faiss inverted-lists layout; ScaleStress case 23 prices the once-per-version build at 10.7-12.5s/1M vectors, batch add + search 3.3-4.2s) while the dynamic oracle re-assigns the whole corpus from centroid literals - the 'assign' fixture CTE boundary is declared (oracle_fixture_cte.json) so time_oracle publishes the split; the boundary also covers the per-run batch assignment, making the split an upper bound on the moved cost",
       "q_dedup_semantic_incremental" -> "same store-fed family (ADVICE r16 note): probes the cell-partitioned standing assignment store + frozen centroids; the dynamic oracle re-runs full SemDeDup over standing ∪ batch from centroid literals - standing re-derivation is in-query on the oracle side, prepare-materialized on the engine side",
       "q_media_dedup_incremental" -> "the standing 2000-image corpus was decoded+hashed at prepare into the materialized band index; per run Spark REAL-decodes the ~1500 batch payloads (PPM codec) and probes the index with the batch broadcast, while the oracle derives BOTH sides' 64-bit hashes arithmetically from doc_id (the q_media_phash_band nominal-ratio rationale) - ratio is nominal by construction; ScaleStress case 11c pins exact planted counts at 200k standing images",

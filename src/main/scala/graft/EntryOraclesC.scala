@@ -1884,6 +1884,10 @@ private[graft] object EntryOraclesC {
     // q_web_corpus_index_delta's verbatim
     "q_nightly_cycle" ->
       webCorpusNightlyCycleOracle(copyMod = 3, freshMod = 0),
+    // the bucketed composition: same template on the bucketed twins'
+    // mod classes — the probe swap must be invisible to both halves
+    "q_nightly_cycle_bucketed" ->
+      webCorpusNightlyCycleOracle(copyMod = 2, freshMod = 1),
 
     // retention / GC of the claims store: the same planted standing
     // corpus split into four daily waves, rank-free claims per day,

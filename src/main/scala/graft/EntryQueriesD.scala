@@ -1434,13 +1434,30 @@ private[graft] object EntryQueriesD {
       // verdict struct plus its ≤2 candidate keys through one
       // array-explode; candidate dedup is a window (not a
       // distinct+split that would re-run the extraction per output),
-      // the standing-key anti check a broadcast left join on the same
-      // pass (Corpus.webCorpusNightlyCycle). The oracle restates BOTH
+      // and the standing anti check is FREE — candidates filter at
+      // emission via the probe flags the verdict pipeline already
+      // carries (Corpus.webCorpusNightlyCycle). The oracle restates BOTH
       // halves over one shared CTE chain, so a hash match proves the
       // composition emits exactly what the two standalone runs would.
       val (canonIdx, textIdx) = wcIndexes(s, dir)
       Corpus.webCorpusNightlyCycle(canonIdx, textIdx,
           wcBatchPages(s, dir, copyMod = 3, freshMod = 0))
+        .orderBy(col("part"), col("doc_id"), col("kind"), col("key"))
+    }),
+
+    "q_nightly_cycle_bucketed" -> ((s0, dir) => {
+      val s = ensure(s0)
+      // the composed cycle AT BROADCAST-BREAKING SCALE: the same
+      // one-pass verdicts + write-back over the PRE-BUCKETED standing
+      // indexes — the two semi-join-reduction probes swap in and
+      // nothing else changes, because the composition's anti check
+      // was already the probe flags (Corpus.webCorpusNightlyCycleBucketed).
+      // Same oracle template as q_nightly_cycle on the bucketed
+      // twins' mod classes — the full nightly deployment story in one
+      // declared run: no broadcast at index size anywhere in the plan.
+      val (canonIdx, textIdx) = wcIndexesBucketed(s, dir)
+      Corpus.webCorpusNightlyCycleBucketed(canonIdx, textIdx,
+          wcBatchPages(s, dir, copyMod = 2, freshMod = 1))
         .orderBy(col("part"), col("doc_id"), col("kind"), col("key"))
     }),
 
@@ -1457,11 +1474,12 @@ private[graft] object EntryQueriesD {
       // restates claims + max-day fold + horizon from first
       // principles; RetentionSpec pins the law compact(all history,
       // h) ≡ the same fold over only the retained days.
-      val pages = wcStandingPages(s, dir)
-      val claims = (1L to 4L).map { d =>
-        Corpus.webCorpusIndexClaims(
-          pages.filter(col("doc_id") % 4 === (d - 1L)), day = d)
-      }.reduce(_ unionByName _)
+      // the 4-wave history rides ONE gate pass (claims are per-page,
+      // so slicing commutes with claiming — the per-day form unioned
+      // over slices ran the regex extraction once per wave for the
+      // same rows; spec-pinned equal)
+      val claims = Corpus.webCorpusIndexClaimsWithDay(
+        wcStandingPages(s, dir), dayCol = col("doc_id") % 4 + 1)
       Corpus.indexRetentionCompact(claims, horizonDay = 3L)
         .orderBy(col("kind"), col("key"))
     }),

@@ -871,8 +871,18 @@ object Corpus {
     */
   private val bucketedIndexProbe: IndexProbe = (batch, idx, key, flag, canMatch) => {
     val needed = coalesce(canMatch, lit(false))
-    val hits = batch.filter(needed).select(col(key)).distinct()
-      .join(idx.hint("MERGE"), Seq(key), "left_semi")
+    // SHUFFLE_HASH semi with the CANDIDATE side as the build (a
+    // LeftSemi can only build right, so the INDEX takes the left/
+    // streamed seat): the hash map is batch-bounded — memory-safe at
+    // any index size — the bucketed standing side streams off its
+    // scan with no exchange and NO SORT demanded at all, and the
+    // candidate side skips the sort an SMJ would impose. (The outer
+    // probes of the delta chain stay MERGE — a shuffled-hash build
+    // there would be index-partition-sized.) hits = index ∩ candidate
+    // keys either way, since both sides are distinct on the key.
+    val hits = idx.join(
+        batch.filter(needed).select(col(key)).distinct().hint("SHUFFLE_HASH"),
+        Seq(key), "left_semi")
       .withColumn(flag, lit(1L))
     batch.join(broadcast(hits), Seq(key), "left")
   }
@@ -1006,17 +1016,29 @@ object Corpus {
     */
   def webCorpusIndexClaims(batchPages: DataFrame, day: Long,
                            linkDensityPct: Int = 30): DataFrame =
+    webCorpusIndexClaimsWithDay(batchPages, lit(day), linkDensityPct)
+
+  /** [[webCorpusIndexClaims]] with the day DERIVED per page — for
+    * replaying a multi-day history held in one frame (backfill, or
+    * the declared retention query's 4-wave simulation) in ONE pass:
+    * the gate extraction runs once over the whole history instead of
+    * once per day slice. Exactly ≡ unioning the per-day form over the
+    * slices (the claims are per-page, so slicing commutes with
+    * claiming — RetentionSpec pins it).
+    */
+  def webCorpusIndexClaimsWithDay(batchPages: DataFrame, dayCol: Column,
+                                  linkDensityPct: Int = 30): DataFrame =
     incGated(batchPages, linkDensityPct)
       .filter(col("passes") === 1L)
-      .select(explode(array(
+      .withColumn("day", dayCol)
+      .select(col("day"), explode(array(
         when(col("canonical").isNotNull,
           struct(lit("canon").as("kind"), col("canonical").as("key"))),
         struct(lit("text").as("kind"), md5(col("text")).as("key"))))
         .as("e"))
       .filter(col("e").isNotNull)
-      .select(col("e.kind").as("kind"), col("e.key").as("key"))
+      .select(col("e.kind").as("kind"), col("e.key").as("key"), col("day"))
       .distinct()
-      .withColumn("day", lit(day))
 
   /** Retention compaction of the claims store: fold every key to its
     * LAST claim day and drop keys last claimed before `horizonDay` —
@@ -1054,8 +1076,12 @@ object Corpus {
     * well-defined), NOT a `distinct` + branch split: a split's pushed
     * filters would defeat exchange reuse and re-run the extraction per
     * output, the exact two-output trap the r16 index-delta rebuild
-    * closed. The standing-key anti check rides the same pass as a
-    * broadcast left join consulted only on delta rows.
+    * closed. The standing anti check costs NOTHING extra: candidates
+    * filter against standing AT EMISSION via the probe flags the
+    * verdict pipeline already carries (authoritative under both probe
+    * strategies — a candidate is emitted exactly under its probe's
+    * canMatch predicate), so the composition adds only the dedup
+    * window over the broadcast/bucketed increment it contains.
     *
     * Law: the `verdict` rows ≡ `webCorpusIncrementFrom(...)` and the
     * `delta` rows ≡ `webCorpusIndexDelta(...)` exactly (spec-pinned
@@ -1066,21 +1092,48 @@ object Corpus {
     */
   def webCorpusNightlyCycle(canonIdx: DataFrame, textIdx: DataFrame,
                             batchPages: DataFrame,
-                            linkDensityPct: Int = 30): DataFrame = {
+                            linkDensityPct: Int = 30): DataFrame =
+    nightlyCycleWith(canonIdx, textIdx, batchPages, linkDensityPct,
+      broadcastIndexProbe)
+
+  /** [[webCorpusNightlyCycle]] over PRE-BUCKETED standing indexes —
+    * the whole composed cycle at broadcast-breaking scale: the two
+    * probes are the [[bucketedIndexProbe]] semi-join reduction and
+    * NOTHING else changes, because the composition never needed a
+    * standing-key structure of its own — the anti information for the
+    * delta half is already aboard every page as its probe flags. Same
+    * oracle template as the broadcast cycle on its own mod classes.
+    */
+  def webCorpusNightlyCycleBucketed(canonIdx: DataFrame, textIdx: DataFrame,
+                                    batchPages: DataFrame,
+                                    linkDensityPct: Int = 30): DataFrame =
+    nightlyCycleWith(canonIdx, textIdx, batchPages, linkDensityPct,
+      bucketedIndexProbe)
+
+  private def nightlyCycleWith(canonIdx: DataFrame, textIdx: DataFrame,
+                               batchPages: DataFrame, linkDensityPct: Int,
+                               probe: IndexProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = incStagedFrame(canonIdx, textIdx, batchPages, linkDensityPct,
-      broadcastIndexProbe)
+      probe)
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
+    // delta candidates filter against standing AT EMISSION via the
+    // probe flags the pipeline already carries (a candidate is emitted
+    // exactly under its probe's canMatch predicate, where the flag is
+    // authoritative under BOTH probe strategies) — no standing-key
+    // union, no extra broadcast, no anti join; the only post-explode
+    // work is the in-batch dedup window
     val exploded = g.select(explode(array(
         struct(lit("verdict").as("part"), col("doc_id").as("doc_id"),
           incVerdictStage.as("stage"), incVerdictTok.cast("long").as("tok_cnt"),
           nullS.as("kind"), nullS.as("key")),
-        when(col("passes") === 1L && col("canonical").isNotNull,
+        when(col("passes") === 1L && col("canonical").isNotNull &&
+            col("in_standing_canon").isNull,
           struct(lit("delta").as("part"), nullL.as("doc_id"),
             nullS.as("stage"), nullL.as("tok_cnt"),
             lit("canon").as("kind"), col("canonical").as("key"))),
-        when(col("alive1"),
+        when(col("alive1") && col("in_standing_text").isNull,
           struct(lit("delta").as("part"), nullL.as("doc_id"),
             nullS.as("stage"), nullL.as("tok_cnt"),
             lit("text").as("kind"), col("th").as("key")))))
@@ -1090,16 +1143,10 @@ object Corpus {
     val dk = when(col("part") === "verdict",
         concat(lit("v:"), col("doc_id").cast("string")))
       .otherwise(concat(col("kind"), lit(":"), col("key")))
-    val standingKeys = canonIdx
-      .select(lit("canon").as("kind"), col("canonical").as("key"))
-      .unionByName(textIdx.select(lit("text").as("kind"), col("th").as("key")))
     exploded
       .withColumn("__rn",
         row_number().over(Window.partitionBy(dk).orderBy(col("part"))))
-      .join(broadcast(standingKeys.withColumn("__std", lit(1L))),
-        Seq("kind", "key"), "left")
-      .filter(col("part") === "verdict" ||
-        (col("__rn") === 1 && col("__std").isNull))
+      .filter(col("part") === "verdict" || col("__rn") === 1)
       .select(col("part"), col("doc_id"), col("stage"), col("tok_cnt"),
         col("kind"), col("key"))
   }

@@ -67,21 +67,63 @@ class BucketedIndexProbeSpec extends AnyFunSuite {
     case other => other +: other.children.flatMap(flatten)
   }
 
+  private def isBucketedScan(p: SparkPlan): Boolean = p match {
+    case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+    case _ => false
+  }
+
+  // walk that STOPS at broadcast builds: a bucketed scan reachable
+  // only through a broadcast hit-set's lineage is not this side's
+  // stream (the candidate side of a later probe carries the earlier
+  // probe's broadcast internally)
+  private def flattenStreamed(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flattenStreamed(a.executedPlan)
+    case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      Seq(b)
+    case s: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec =>
+      Seq(s)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flattenStreamed(s.plan)
+    case other => other +: other.children.flatMap(flattenStreamed)
+  }
+
   private def assertStandingSideColocated(df: DataFrame, expectedProbes: Int): Unit = {
     val plan = flatten(df.queryExecution.executedPlan)
-    val smjList = plan.collect { case j: SortMergeJoinExec => j }
-    assert(smjList.size === expectedProbes,
-      s"expected $expectedProbes sort-merge probes, got ${smjList.size}")
-    smjList.foreach { j =>
-      val standingSub = flatten(j.right)
+    // probes are sort-merge (the outer/anti chain, standing right) or
+    // shuffled-hash semis (standing streamed LEFT, candidate build
+    // right); either way the standing side is the child STREAMING the
+    // bucketed scan — and it must reach the join with no exchange and
+    // no sort while the other (candidate) side pays its narrow one
+    // the standing side's scan is reachable WITHOUT crossing another
+    // join — a chained probe's candidate child contains the previous
+    // probe (and its streamed scan) below a join node
+    def directBucketedScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case a: AdaptiveSparkPlanExec => directBucketedScan(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        directBucketedScan(s.plan)
+      case other => other.children.exists(directBucketedScan)
+    }
+    def split(j: SparkPlan): Option[(SparkPlan, Seq[SparkPlan], Seq[SparkPlan])] = {
+      val (st, cand) = j.children.partition(directBucketedScan)
+      if (st.isEmpty) None
+      else Some((j, st.flatMap(flattenStreamed), cand.flatMap(flatten)))
+    }
+    val probes: Seq[(SparkPlan, Seq[SparkPlan], Seq[SparkPlan])] = plan.collect {
+      case j: SortMergeJoinExec => split(j)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        split(j)
+    }.flatten
+    assert(probes.size === expectedProbes,
+      s"expected $expectedProbes shuffle-side probes, got ${probes.size}")
+    probes.foreach { case (j, standingSub, candSub) =>
       assert(standingSub.collect { case s: ShuffleExchangeExec => s }.isEmpty,
         "the standing (index) side of a probe must never exchange:\n" + j)
       assert(standingSub.collect { case s: SortExec => s }.isEmpty,
-        "the standing side's in-bucket sort order must be trusted:\n" + j)
-      assert(standingSub.exists {
-        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
-        case _ => false
-      }, "the standing side must be the bucketed table scan:\n" + j)
+        "the standing side must stream unsorted off its bucket scan:\n" + j)
+      assert(candSub.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "control: the candidate side should shuffle into the bucket layout:\n" + j)
     }
   }
 
@@ -125,13 +167,23 @@ class BucketedIndexProbeSpec extends AnyFunSuite {
       .filter(_.startsWith("in_standing")).toSet
     assert(flagNames === Set("in_standing_canon", "in_standing_text"),
       s"expected one hit-set broadcast per standing index, got $flagNames")
-    // control: the CANDIDATE key sets pay their narrow batch-bounded
-    // exchanges — the probes really are shuffles meeting a bucketed
-    // scan, not a rewrite into something else
-    val smjList = plan.collect { case j: SortMergeJoinExec => j }
-    assert(smjList.forall(j =>
-      flatten(j.left).exists(_.isInstanceOf[ShuffleExchangeExec])),
-      "control: the candidate key set should shuffle into the bucket layout")
+    // (the candidate-side exchange control is inside
+    // assertStandingSideColocated — per probe)
+  }
+
+  test("the bucketed nightly-cycle composition ≡ the broadcast cycle, " +
+      "standing sides exchange-free, no standing-key broadcast anywhere") {
+    val (canonIdx, textIdx) = Corpus.webCorpusIndexes(standing)
+    val (bc, bt) = bucketedIdx
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (Option(r.get(1)), r.getString(0), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .sortBy(_.toString)
+    val broadcastCycle = Corpus.webCorpusNightlyCycle(canonIdx, textIdx, batch)
+    val bucketedCycle = Corpus.webCorpusNightlyCycleBucketed(bc, bt, batch)
+    assert(rows(bucketedCycle) === rows(broadcastCycle).toSeq,
+      "the probe swap must be invisible to both halves of the cycle")
+    assertStandingSideColocated(bucketedCycle, expectedProbes = 2)
   }
 
   test("bucketed write-back deltas ≡ broadcast deltas through one " +

@@ -57,8 +57,8 @@ class ContractSpec extends AnyFunSuite {
     // round 17: + q_web_corpus_store_bucketed
     // + q_web_corpus_index_delta_bucketed + q_nightly_cycle
     // + q_media_dedup_incremental + q_sim_hnsw_sealed
-    // + q_corpus_index_retention = 247
-    assert(SparkEntry.queries.size === 247)
+    // + q_corpus_index_retention + q_nightly_cycle_bucketed = 248
+    assert(SparkEntry.queries.size === 248)
   }
 
   test("entry (t1 smoke) returns rows on sf0.001") {

@@ -19,6 +19,17 @@ class RetentionSpec extends AnyFunSuite {
     Corpus.webCorpusIndexClaims(pages.filter(col("doc_id") % 4 === (d - 1L)),
       day = d)
 
+  test("the one-pass day-column form ≡ the per-day form unioned over " +
+      "slices — slicing commutes with claiming") {
+    val pages = EntrySupport.wcStandingPages(spark, dir)
+    val onePass = graft.ops.Corpus.webCorpusIndexClaimsWithDay(
+        pages, dayCol = col("doc_id") % 4 + 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val perDay = (1L to 4L).map(dayClaims(pages, _)).reduce(_ unionByName _)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(onePass === perDay)
+  }
+
   test("compact(all history, h) ≡ the same fold over only the retained " +
       "days — expiry ≡ never-ingested") {
     val pages = EntrySupport.wcStandingPages(spark, dir)
