@@ -494,31 +494,36 @@ object Multimodal {
   def averageHash(media: Dataset[MediaRow], size: Int = 8): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.map { row =>
-        PpmCodec.decode(row.bytes) match {
-          case Some(img0) =>
-            val img = PpmCodec.resize(img0, size, size)
-            val n = size * size
-            val luma = new Array[Double](n)
-            var s = 0.0
-            var p = 0
-            while (p < n) {
-              val l = 0.299 * (img.rgb(p * 3) & 0xff) +
-                0.587 * (img.rgb(p * 3 + 1) & 0xff) +
-                0.114 * (img.rgb(p * 3 + 2) & 0xff)
-              luma(p) = l; s += l; p += 1
-            }
-            val mean = s / n
-            val bits = new Array[Char](n)
-            p = 0
-            while (p < n) { bits(p) = if (luma(p) > mean) '1' else '0'; p += 1 }
-            MediaHash(row.media_id, 1, new String(bits))
-          case None => MediaHash(row.media_id, 0, null)
-        }
-      }
-    }
+    media.mapPartitions(rows => rows.map(r => averageHashOne(r, size)))
   }
+
+  /** One row of [[averageHash]] — exposed so the STREAMING media twin
+    * can hash arrivals map-side while keeping its event-time column
+    * aboard (the batch form's mapPartitions drops every non-MediaRow
+    * field). Identical arithmetic by construction: the batch form
+    * delegates here.
+    */
+  def averageHashOne(row: MediaRow, size: Int = 8): MediaHash =
+    PpmCodec.decode(row.bytes) match {
+      case Some(img0) =>
+        val img = PpmCodec.resize(img0, size, size)
+        val n = size * size
+        val luma = new Array[Double](n)
+        var s = 0.0
+        var p = 0
+        while (p < n) {
+          val l = 0.299 * (img.rgb(p * 3) & 0xff) +
+            0.587 * (img.rgb(p * 3 + 1) & 0xff) +
+            0.114 * (img.rgb(p * 3 + 2) & 0xff)
+          luma(p) = l; s += l; p += 1
+        }
+        val mean = s / n
+        val bits = new Array[Char](n)
+        p = 0
+        while (p < n) { bits(p) = if (luma(p) > mean) '1' else '0'; p += 1 }
+        MediaHash(row.media_id, 1, new String(bits))
+      case None => MediaHash(row.media_id, 0, null)
+    }
 
   /** Hamming-band near-duplicate pairs over perceptual hashes — the
     * image-side LSH: identical images already collapse by exact

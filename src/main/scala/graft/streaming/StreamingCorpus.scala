@@ -713,6 +713,107 @@ object StreamingCorpus {
       }
   }
 
+  final case class MediaBandRow(media_id: Long, ts_us: Long, band_i: Int,
+      band_val: Long, bints: Seq[Long], __event_time: java.sql.Timestamp)
+  final case class MediaBucket(ids: Seq[Long], bints: Seq[Seq[Long]])
+  final case class MediaCandPair(a: Long, b: Long, band_i: Int, hamming: Long)
+
+  /** STREAMING media near-duplicate pairs — the pHash twin of
+    * [[lshCandidates]], completing the media tier's streaming story:
+    * arriving images DECODE + aHash MAP-SIDE
+    * ([[graft.ops.Multimodal.averageHashOne]] — the batch hash
+    * verbatim, corrupt payloads quarantined right there), pack into
+    * `bands` longs, band-explode, and bucket by (band index, band
+    * value) in a `flatMapGroupsWithState` whose state carries each
+    * bucket member's packed hash — so unlike the MinHash twin, the
+    * TRUE hamming verify runs AT EMISSION (a bucket member's bints
+    * are already in state; `bands` xor/bit_counts per candidate) and
+    * the operator emits only VERIFIED pairs within `maxHamming`,
+    * exactly the pairs the batch band self-join
+    * ([[graft.ops.Multimodal.phashNearDupPairs]]) verifies. The same
+    * pair may still surface from several bands — keyed-sink dedup
+    * absorbs it, same contract as the batch operator's n_bands.
+    *
+    * State is BOUNDED: (id, bands·8 bytes) per ACTIVE bucket member
+    * inside the lateness horizon, evicted by event-time timeout —
+    * pixels never enter state, the horizon's hashes do.
+    */
+  def phashCandidates(
+      media: DataFrame,
+      tsMicrosCol: String,
+      hashBits: Int = 64,
+      bands: Int = 4,
+      maxHamming: Int = 2,
+      lateness: String = "1 hour"): Dataset[MediaCandPair] = {
+    require(bands >= 1 && hashBits % bands == 0, "bands must divide hashBits")
+    require(hashBits / bands <= 63, "band width must fit a signed long")
+    require(maxHamming < bands,
+      "banding only guarantees recall for hamming < bands (pigeonhole)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bl = hashBits / bands
+    val banded = media
+      .select(col("media_id"), col("bytes"),
+        col(tsMicrosCol).as("ts_us"),
+        timestamp_micros(col(tsMicrosCol)).as("__event_time"))
+      .as[(Long, Array[Byte], Long, java.sql.Timestamp)]
+      .flatMap { case (id, bytes, ts, et) =>
+        val h = graft.ops.Multimodal.averageHashOne(
+          graft.ops.Multimodal.MediaRow(id, "image", bytes,
+            bytes.length.toLong, "ppm"))
+        if (h.decoded != 1) Iterator.empty
+        else {
+          val bints: Seq[Long] = (0 until bands).map { b =>
+            java.lang.Long.parseLong(h.ahash.substring(b * bl, (b + 1) * bl), 2)
+          }
+          bints.iterator.zipWithIndex.map { case (bv, bi) =>
+            MediaBandRow(id, ts, bi, bv, bints, et)
+          }
+        }
+      }
+      .withWatermark("__event_time", lateness)
+      .as[MediaBandRow]
+    banded
+      .groupByKey(r => (r.band_i, r.band_val))
+      .flatMapGroupsWithState[MediaBucket, MediaCandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), newRows: Iterator[MediaBandRow],
+         state: GroupState[MediaBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = newRows.toSeq.sortBy(r => (r.ts_us, r.media_id))
+            var bucket = state.getOption.getOrElse(MediaBucket(Nil, Nil))
+            val out = Seq.newBuilder[MediaCandPair]
+            var maxTs = Long.MinValue
+            arrivals.foreach { r =>
+              if (!bucket.ids.contains(r.media_id)) {
+                bucket.ids.iterator.zip(bucket.bints.iterator).foreach {
+                  case (d, db) =>
+                    var ham = 0L
+                    var i = 0
+                    while (i < bands) {
+                      ham += java.lang.Long.bitCount(db(i) ^ r.bints(i))
+                      i += 1
+                    }
+                    if (ham <= maxHamming)
+                      out += MediaCandPair(math.min(d, r.media_id),
+                        math.max(d, r.media_id), key._1, ham)
+                }
+                bucket = MediaBucket(bucket.ids :+ r.media_id,
+                  bucket.bints :+ r.bints)
+              }
+              maxTs = math.max(maxTs, r.ts_us)
+            }
+            state.update(bucket)
+            val base = math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(base, lateness)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class BandRow(doc_id: Long, ts_us: Long, band_id: Int, sig: String,
                            __event_time: java.sql.Timestamp)
   final case class BucketState(docIds: Seq[Long])

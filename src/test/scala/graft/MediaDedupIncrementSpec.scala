@@ -82,6 +82,67 @@ class MediaDedupIncrementSpec extends AnyFunSuite {
       "some in-batch race must occur (copy vs near-dup of one original)")
   }
 
+  test("day 2: appending the batch's band rows makes tomorrow's probe " +
+      "behave exactly like a full index rebuild — the media write-back " +
+      "is the index build itself, composable per image") {
+    import spark.implicits._
+    val standingHashes = Multimodal
+      .averageHash(EntrySupport.phashMedia(spark, dir), size = 8).toDF()
+    val batchHashes = Multimodal
+      .averageHash(EntrySupport.phashBatchMedia(spark, dir), size = 8).toDF()
+    // the append: phashBandIndex composes per image, so day-1's
+    // write-back is just the batch's own band rows — no anti, no
+    // rank, nothing to reconcile
+    val idx0 = Multimodal.phashBandIndex(standingHashes, 64, 4)
+    val idx1 = idx0.unionByName(Multimodal.phashBandIndex(batchHashes, 64, 4))
+    val rebuilt = Multimodal.phashBandIndex(
+      standingHashes.unionByName(batchHashes), 64, 4)
+    assert(idx1.collect().map(_.toString).sorted.toSeq ===
+      rebuilt.collect().map(_.toString).sorted.toSeq,
+      "append ≡ rebuild, row for row")
+
+    // day-2 batch: recrawls of day-1's FRESH images (same pattern,
+    // new ids +5M) — they must dup against the APPENDED index and
+    // sail through the STALE day-0 one
+    val day2Media = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 2000 && col("doc_id") % 4 === 3 &&
+        col("doc_id") % 9 =!= 5)
+      .select(col("doc_id")).as[Long]
+      .map { o =>
+        val bytes = {
+          // same construction as the day-1 fresh class (base o%64+64)
+          val rgb = new Array[Byte](8 * 8 * 3)
+          var i = 0
+          while (i < 64) {
+            val bright =
+              ((i * 144115188075855881L) ^ ((o % 64 + 64) * 2654435761L)) % 97 < 48
+            val v: Byte = if (bright) 255.toByte else 0.toByte
+            rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+            i += 1
+          }
+          Multimodal.PpmCodec.encode(Multimodal.PpmCodec.Image(8, 8, rgb))
+        }
+        Multimodal.MediaRow(o + 5000000L, "image", bytes,
+          bytes.length.toLong, "ppm")
+      }
+    val day2Hashes = Multimodal.averageHash(day2Media, size = 8).toDF()
+    val fresh2 = Multimodal.phashIncrementalDedup(idx1, day2Hashes, 64, 4, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(fresh2.nonEmpty && fresh2.values.forall {
+      case (nStand, keep) => nStand >= 1L && keep == 0L },
+      "recrawls must dup against the appended index")
+    // control: against the stale index NO day-2 image has a standing
+    // partner (day-1's bases never reached it), so the only dups left
+    // are in-batch races among the recrawls themselves — first-of-base
+    // recrawls sail through as kept
+    val stale2 = Multimodal.phashIncrementalDedup(idx0, day2Hashes, 64, 4, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(stale2.values.forall(_._1 == 0L),
+      "control: the stale index must know none of day-1's fresh bases")
+    assert(stale2.values.exists(_._2 == 1L),
+      "control: first-of-base recrawls sail through the stale index")
+  }
+
   test("the standing index STREAMS: never broadcast, no exchange below " +
       "its probe join, batch side is the build") {
     val idxDf = EntrySupport.mediaBandIdx(spark, dir)
