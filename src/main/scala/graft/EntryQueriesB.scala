@@ -557,7 +557,8 @@ private[graft] object EntryQueriesB {
             .unionByName(spmFallbackPlantedDocs.toDF("doc_id", "text"))
             .repartition(s.sparkContext.defaultParallelism),
           spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
-          byteFallback = true)
+          byteFallback = true,
+          fbSegRows = Some(spmSegFbLocal(s, dir)))
         .orderBy(col("doc_id"))
     }),
 

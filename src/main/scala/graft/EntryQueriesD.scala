@@ -1432,8 +1432,9 @@ private[graft] object EntryQueriesD {
       // batch as q_web_corpus_store / q_web_corpus_index_delta — each
       // page pays the regex-heavy extraction once and emits its
       // verdict struct plus its ≤2 candidate keys through one
-      // array-explode; candidate dedup is a window (not a
-      // distinct+split that would re-run the extraction per output),
+      // array-explode; candidate dedup rides the pipeline's own race
+      // ranks (rn1/rn2 === 1 guards — r17 retired the post-explode
+      // dedup window and its exchange),
       // and the standing anti check is FREE — candidates filter at
       // emission via the probe flags the verdict pipeline already
       // carries (Corpus.webCorpusNightlyCycle). The oracle restates BOTH

@@ -915,6 +915,32 @@ private[graft] object EntrySupport {
   private val spmSegMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]
 
+  /** [[spmSegLocal]]'s BYTE-FALLBACK twin — (word, n_pieces, cost_u6,
+    * n_fallback_pieces) for every corpus word type PLUS the fallback
+    * planted-doc words, computed once by the operator's own fallback
+    * DP (r17: q_spm_encode already ran the memoized-vocab 1-job shape
+    * while q_spm_byte_fallback re-ran its DP in-plan per sample —
+    * same bounded-artifact rationale, same in-plan raise guard on any
+    * missing word; SpmSpec pins memo-fed ≡ internal for the fallback
+    * form too).
+    */
+  private[graft] def spmSegFbLocal(s: SparkSession, dir: String): Seq[(String, Long, Long, Long)] =
+    spmSegFbMemo.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val model = spmModel(s, dir)
+      val words = Tables.documents(s, dir).select(col("text"))
+        .unionByName(spmFallbackPlantedDocs.map(_._2).toDF("text"))
+        .select(explode(graft.ops.Dedup.tokens(col("text"))).as("word"))
+        .distinct()
+      graft.ops.Text.spmSegmentFrame(words, model, SpmMaxPieceLen,
+          byteFallback = true)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    })
+  private val spmSegFbMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long, Long)]]
+
   /** [[spmSegLocal]]'s SAMPLED twin — the per-(tau, epoch) perturbed
     * segmentation of the corpus vocabulary (q_spm_sample's model
     * slice; no planted docs in that query). Same bounded-artifact and

@@ -637,19 +637,37 @@ object Corpus {
     * pruning is the boilerplate operator's job ([[boilerplate]]),
     * which consumes this operator's output downstream.
     */
+  /** Count of non-overlapping occurrences of a LITERAL pattern —
+    * `(len(s) - len(replace(s, pat, ""))) / len(pat)`, the same count
+    * `size(regexp_extract_all(s, pat, 0))` produced (both scan left to
+    * right, non-overlapping; the pattern has no regex metacharacters)
+    * without the regex engine pass or the match-array allocation per
+    * page (r17). Integer-exact: the length delta is always a multiple
+    * of the pattern length.
+    */
+  private def litCount(s: Column, pat: String): Column =
+    ((length(s) - length(replace(s, lit(pat), lit("")))) / lit(pat.length))
+      .cast("int")
+
   def htmlExtract(pages: DataFrame, linkDensityPct: Int = 30,
                   keepText: Boolean = false): DataFrame = {
     require(linkDensityPct > 0 && linkDensityPct <= 100,
       s"linkDensityPct must be in (0,100], got $linkDensityPct")
+    // entity decode via literal `replace` (StringReplace), not
+    // regexp_replace: the five entity patterns contain no regex
+    // metacharacters, so left-to-right non-overlapping literal
+    // replacement is EXACTLY the same function — minus five java.regex
+    // engine passes over every page (r17, guide §1.2 step 2: per-task
+    // work after the job shape is right). Decode order unchanged —
+    // &amp; still LAST (the double-decode guard).
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST — double-decode guard
       .foldLeft(regexp_replace(col("nos"), "<[^>]*>", " ")) {
-        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
       }
     pages
-      .withColumn("bad",
-        size(regexp_extract_all(col("html"), lit("<script"), lit(0))) =!=
-          size(regexp_extract_all(col("html"), lit("</script>"), lit(0))))
+      .withColumn("bad", litCount(col("html"), "<script") =!=
+        litCount(col("html"), "</script>"))
       .withColumn("nos",
         regexp_replace(
           regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
@@ -707,10 +725,12 @@ object Corpus {
                 carry: Seq[String] = Nil): DataFrame = {
     require(linkDensityPct > 0 && linkDensityPct <= 100,
       s"linkDensityPct must be in (0,100], got $linkDensityPct")
+    // literal `replace` decode chain — same function, five fewer regex
+    // passes per page (see htmlExtract)
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST — double-decode guard
       .foldLeft(regexp_replace(col("nos"), "<[^>]*>", " ")) {
-        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
       }
     // head fields read the RAW html (htmlMeta's contract — the meta
     // chain never quarantines; a malformed body must not hide a
@@ -720,9 +740,8 @@ object Corpus {
     val robots = regexp_extract(col("html"),
       "<meta name=\"robots\" content=\"([^\"]*)\"", 1)
     pages
-      .withColumn("bad",
-        size(regexp_extract_all(col("html"), lit("<script"), lit(0))) =!=
-          size(regexp_extract_all(col("html"), lit("</script>"), lit(0))))
+      .withColumn("bad", litCount(col("html"), "<script") =!=
+        litCount(col("html"), "</script>"))
       .withColumn("nos",
         regexp_replace(
           regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
@@ -777,7 +796,16 @@ object Corpus {
   def webCorpusIndexes(standingPages: DataFrame,
                        linkDensityPct: Int = 30): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val sg = incGated(standingPages, linkDensityPct)
+    // the two index frames are SEPARATE consumers of the gated standing
+    // corpus (and an in-plan increment broadcasts each into its own
+    // probe build), so without materialization the regex-heavy gate
+    // extraction runs once per index subtree — plus the text index's
+    // rank window re-shuffles the full standing frame. Materialize the
+    // gate ONCE (CacheScope-registered, flushed per bench sample; the
+    // q_cooccur discipline). Store-fed deployments never execute this
+    // function per run at all — it is the prepare-time index build and
+    // the in-plan equivalence-law form (r17).
+    val sg = graft.CacheScope.cached(incGated(standingPages, linkDensityPct))
     val canonIdx = sg
       .filter(col("passes") === 1L && col("canonical").isNotNull)
       .select(col("canonical")).distinct()
@@ -833,18 +861,25 @@ object Corpus {
     * cost is batch-proportional by construction.
     */
   /** How a batch frame consults a standing one-column index:
-    * `(batch, idx, joinKey, flagCol, canMatch)` → batch plus `flagCol`
-    * (1L where the key exists in the index, else NULL). The verdict
-    * logic upstream/downstream is identical under every strategy —
-    * only the physical probe differs.
+    * `(batch, idx, joinKey, flagCol, candidates)` → batch plus
+    * `flagCol` (1L where the key exists in the index, else NULL).
+    * `candidates` is a narrow single-column frame of the keys that can
+    * match — derived by the CALLER from the shared gated frame, BEFORE
+    * any window/probe stage, so a probe's hit-set subtree never
+    * contains another probe (r17: deriving candidates from the staged
+    * batch made each hit-set build replay the upstream extraction,
+    * window and earlier probe — 22 parquet scans in one bucketed-cycle
+    * plan). The verdict logic upstream/downstream is identical under
+    * every strategy — only the physical probe differs.
     */
-  private type IndexProbe = (DataFrame, DataFrame, String, String, Column) => DataFrame
+  private type IndexProbe = (DataFrame, DataFrame, String, String, DataFrame) => DataFrame
 
   /** The distinct-value-sized index builds once and broadcasts; the
     * whole batch left-joins map-side (NULL keys never shuffle because
     * nothing shuffles). Right at any realistic index-to-batch ratio,
     * wrong once the index reaches corpus cardinality at 100 TB — then
-    * use [[bucketedIndexProbe]].
+    * use [[bucketedIndexProbe]]. Candidates are unused: the broadcast
+    * carries the whole index, so its plan has no hit-set subtree.
     */
   private val broadcastIndexProbe: IndexProbe = (batch, idx, key, flag, _) =>
     batch.join(broadcast(idx.withColumn(flag, lit(1L))), Seq(key), "left")
@@ -852,25 +887,26 @@ object Corpus {
   /** The broadcast-budget fallback (VERDICT r16 #1) — a SEMI-JOIN
     * REDUCTION: the index is a PRE-BUCKETED table on `key` (one
     * sorted bucket file per task — prepare-time DDL), and instead of
-    * broadcasting it, the probe (1) collapses the rows that CAN match
-    * (`canMatch`) to their DISTINCT keys — a narrow, batch-bounded
-    * frame, (2) left-semi sort-merge joins those keys against the
-    * bucketed index, whose side reads its bucket files with ZERO
-    * exchanges no matter how large it grows (the MERGE hint pins SMJ
-    * so the planner cannot re-broadcast a small index at test scale
-    * and hide the shape this probe exists to prove), and (3)
-    * broadcasts the HIT SET — bounded by the batch's distinct keys,
-    * never by the index — back onto the unsplit pipeline as the flag.
-    * The main path stays LINEAR (no filter/union split whose pushed
-    * predicates would defeat exchange reuse and re-run the extraction
-    * per branch), NULL and can't-match keys never enter the probe
-    * exchange, and index cardinality buys bucket-file bytes scanned,
-    * never network or broadcast budget. A can't-match row whose key
+    * broadcasting it, the probe (1) collapses the caller-supplied
+    * candidate keys (rows that CAN match, read off the MATERIALIZED
+    * gated batch — narrow and batch-bounded) to their DISTINCT values,
+    * (2) left-semi joins those keys against the bucketed index, whose
+    * side reads its bucket files with ZERO exchanges no matter how
+    * large it grows (the SHUFFLE_HASH hint pins the strategy so the
+    * planner cannot re-broadcast a small index at test scale and hide
+    * the shape this probe exists to prove), and (3) broadcasts the HIT
+    * SET — bounded by the batch's distinct keys, never by the index —
+    * back onto the unsplit pipeline as the flag. The main path stays
+    * LINEAR (no filter/union split whose pushed predicates would
+    * defeat exchange reuse and re-run the extraction per branch), NULL
+    * and can't-match keys never enter the probe exchange, and index
+    * cardinality buys bucket-file bytes scanned, never network or
+    * broadcast budget. A row outside the candidate set whose key
     * happens to be in the hit set picks up a spurious flag; harmless —
-    * every consumer guards the flag with the same `canMatch` predicate.
+    * every consumer guards the flag with the predicate that defined
+    * its candidates (or a stricter one).
     */
-  private val bucketedIndexProbe: IndexProbe = (batch, idx, key, flag, canMatch) => {
-    val needed = coalesce(canMatch, lit(false))
+  private val bucketedIndexProbe: IndexProbe = (batch, idx, key, flag, candidates) => {
     // SHUFFLE_HASH semi with the CANDIDATE side as the build (a
     // LeftSemi can only build right, so the INDEX takes the left/
     // streamed seat): the hash map is batch-bounded — memory-safe at
@@ -881,7 +917,7 @@ object Corpus {
     // there would be index-partition-sized.) hits = index ∩ candidate
     // keys either way, since both sides are distinct on the key.
     val hits = idx.join(
-        batch.filter(needed).select(col(key)).distinct().hint("SHUFFLE_HASH"),
+        candidates.distinct().hint("SHUFFLE_HASH"),
         Seq(key), "left_semi")
       .withColumn(flag, lit(1L))
     batch.join(broadcast(hits), Seq(key), "left")
@@ -894,17 +930,50 @@ object Corpus {
     */
   private def incBatchCanonStage(canonIdx: DataFrame, batchPages: DataFrame,
                                  linkDensityPct: Int,
-                                 probe: IndexProbe = broadcastIndexProbe): DataFrame = {
+                                 probe: IndexProbe = broadcastIndexProbe): DataFrame =
+    incCanonStageFromGated(canonIdx,
+      incGatedForProbe(batchPages, linkDensityPct, probe), probe)
+
+  /** [[incGated]], MATERIALIZED when the probe strategy needs to read
+    * it from more than one plan subtree. Under the BUCKETED probe,
+    * each hit-set build is a SEPARATE subtree over the batch (the
+    * broadcast probe is one linear join — no duplication), so without
+    * materialization the regex-heavy gate extraction re-executes once
+    * per probe subtree: measured r17 at sf0.1, the bucketed
+    * store/delta/cycle queries ran 1.01-1.51 s vs their broadcast
+    * twins' 0.34-0.81 s, with the replayed extraction the dominant
+    * delta (22 parquet scans in one bucketed-cycle plan). Materialize
+    * the gated batch ONCE per run instead (CacheScope-registered: the
+    * bench flushes it between samples, so every sample re-pays the
+    * extraction exactly once — the q_cooccur discipline). Bounded by
+    * the BATCH by the increment contract, never by the corpus, so the
+    * cache is safe at any standing-index size — which is the bucketed
+    * regime's premise.
+    */
+  private def incGatedForProbe(batchPages: DataFrame, linkDensityPct: Int,
+                               probe: IndexProbe): DataFrame = {
+    val gatedRaw = incGated(batchPages, linkDensityPct)
+    if (probe eq bucketedIndexProbe) graft.CacheScope.cached(gatedRaw)
+    else gatedRaw
+  }
+
+  /** The canonical stage over an already-gated batch frame `bg`. */
+  private def incCanonStageFromGated(canonIdx: DataFrame, bg: DataFrame,
+                                     probe: IndexProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bg = incGated(batchPages, linkDensityPct)
     val bk1 = when(col("passes") === 1L && col("canonical").isNotNull,
         concat(lit("c:"), col("canonical")))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
     val ranked = bg.withColumn("rn1",
       row_number().over(Window.partitionBy(bk1).orderBy(col("doc_id"))))
+    // probe candidates read off `bg` directly (not `ranked`): the rn1
+    // window never changes WHICH canonicals exist, and keeping the
+    // hit-set subtree window-free means it is one filter+distinct over
+    // the materialized gate — no replayed exchange, no replayed probe
     probe(ranked, canonIdx.select(col("canonical")), "canonical",
         "in_standing_canon",
-        col("passes") === 1L && col("canonical").isNotNull)
+        bg.filter(col("passes") === 1L && col("canonical").isNotNull)
+          .select(col("canonical")))
       .withColumn("canon_dup",
         col("passes") === 1L && col("canonical").isNotNull &&
           (col("in_standing_canon").isNotNull || col("rn1") =!= 1))
@@ -1070,13 +1139,14 @@ object Corpus {
     * from a SINGLE linear plan — each page pays the regex-heavy gate +
     * canonical + text stages once and emits its verdict struct plus
     * its ≤ 2 candidate index keys through one array-explode. The
-    * candidate dedup is a WINDOW over a synthetic key (unique per
-    * verdict row, `(kind, key)` for candidates — every candidate row
-    * of a partition is content-identical, so the keeper is
-    * well-defined), NOT a `distinct` + branch split: a split's pushed
-    * filters would defeat exchange reuse and re-run the extraction per
-    * output, the exact two-output trap the r16 index-delta rebuild
-    * closed. The standing anti check costs NOTHING extra: candidates
+    * candidate dedup is FREE (r17): the pipeline's own race ranks
+    * (rn1 within each canonical group, rn2 within each text group)
+    * already single out one row per live key, so each candidate emits
+    * under a `rn1/rn2 === 1` guard — no post-explode window, no
+    * `distinct` + branch split (a split's pushed filters would defeat
+    * exchange reuse and re-run the extraction per output, the exact
+    * two-output trap the r16 index-delta rebuild closed). The
+    * standing anti check costs NOTHING extra: candidates
     * filter against standing AT EMISSION via the probe flags the
     * verdict pipeline already carries (authoritative under both probe
     * strategies — a candidate is emitted exactly under its probe's
@@ -1113,7 +1183,6 @@ object Corpus {
   private def nightlyCycleWith(canonIdx: DataFrame, textIdx: DataFrame,
                                batchPages: DataFrame, linkDensityPct: Int,
                                probe: IndexProbe): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = incStagedFrame(canonIdx, textIdx, batchPages, linkDensityPct,
       probe)
     val nullS = lit(null).cast("string")
@@ -1122,33 +1191,35 @@ object Corpus {
     // probe flags the pipeline already carries (a candidate is emitted
     // exactly under its probe's canMatch predicate, where the flag is
     // authoritative under BOTH probe strategies) — no standing-key
-    // union, no extra broadcast, no anti join; the only post-explode
-    // work is the in-batch dedup window
-    val exploded = g.select(explode(array(
+    // union, no extra broadcast, no anti join. Candidate DEDUP is free
+    // too (r17): the staged frame already ranks every passing claimer
+    // within its canonical group (rn1 over `c:`+canonical) and every
+    // canonical-stage survivor within its text group (rn2 over
+    // `t:`+th), and the standing flags are GROUP-level (a canonical is
+    // in the index or not, for every claimer alike), so guarding each
+    // candidate's emission with `rn1 === 1` / `rn2 === 1` emits exactly
+    // one delta row per distinct live key — the set the previous
+    // explode-then-window form produced, minus its post-explode window
+    // exchange + sort over ~2× batch rows (one Exchange removed from
+    // both the broadcast and bucketed cycle plans; oracle hash
+    // unchanged, NightlyCycleSpec's two-halves law unchanged).
+    g.select(explode(array(
         struct(lit("verdict").as("part"), col("doc_id").as("doc_id"),
           incVerdictStage.as("stage"), incVerdictTok.cast("long").as("tok_cnt"),
           nullS.as("kind"), nullS.as("key")),
         when(col("passes") === 1L && col("canonical").isNotNull &&
-            col("in_standing_canon").isNull,
+            col("in_standing_canon").isNull && col("rn1") === 1,
           struct(lit("delta").as("part"), nullL.as("doc_id"),
             nullS.as("stage"), nullL.as("tok_cnt"),
             lit("canon").as("kind"), col("canonical").as("key"))),
-        when(col("alive1") && col("in_standing_text").isNull,
+        when(col("alive1") && col("in_standing_text").isNull &&
+            col("rn2") === 1,
           struct(lit("delta").as("part"), nullL.as("doc_id"),
             nullS.as("stage"), nullL.as("tok_cnt"),
             lit("text").as("kind"), col("th").as("key")))))
         .as("e"))
       .filter(col("e").isNotNull)
       .select(col("e.*"))
-    val dk = when(col("part") === "verdict",
-        concat(lit("v:"), col("doc_id").cast("string")))
-      .otherwise(concat(col("kind"), lit(":"), col("key")))
-    exploded
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(dk).orderBy(col("part"))))
-      .filter(col("part") === "verdict" || col("__rn") === 1)
-      .select(col("part"), col("doc_id"), col("stage"), col("tok_cnt"),
-        col("kind"), col("key"))
   }
 
   /** [[webCorpusIncrementFrom]] for standing indexes that have
@@ -1192,7 +1263,8 @@ object Corpus {
                              batchPages: DataFrame, linkDensityPct: Int,
                              probe: IndexProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b1 = incBatchCanonStage(canonIdx, batchPages, linkDensityPct, probe)
+    val bg = incGatedForProbe(batchPages, linkDensityPct, probe)
+    val b1 = incCanonStageFromGated(canonIdx, bg, probe)
     // the in-batch text race keys on md5(text) — the SAME equality
     // relation the standing textIdx probe and the streaming twin
     // (StreamingCorpus.webCorpusStream stage 2) already use, so every
@@ -1206,8 +1278,19 @@ object Corpus {
       .withColumn("th", md5(col("text")))
       .withColumn("rn2",
         row_number().over(Window.partitionBy(bk2).orderBy(col("doc_id"))))
+    // text-probe candidates come off `bg` with the WIDER gate-pass
+    // predicate (`passes`, map-side) instead of `alive1` (which needs
+    // the rn1 window + the canon probe): the hit set stays
+    // batch-bounded, alive1 rows' keys are all still in it (alive1 ⊆
+    // passes), so the flag every consumer reads UNDER alive1 is
+    // unchanged — and the hit-set subtree is one filter+hash+distinct
+    // over the materialized gate, with no replayed window or probe. A
+    // passes-but-not-alive1 row may pick up a spurious flag; every
+    // consumer guards with alive1 (text_dup, the cycle's delta
+    // emission), so it is unreadable.
     val b2 = probe(staged, textIdx.select(col("th")), "th",
-        "in_standing_text", col("alive1"))
+        "in_standing_text",
+        bg.filter(col("passes") === 1L).select(md5(col("text")).as("th")))
       .withColumn("text_dup",
         col("alive1") &&
           (col("in_standing_text").isNotNull || col("rn2") =!= 1))

@@ -1269,16 +1269,25 @@ object Dedup {
     // instead of a separate aggregation pass over the cached store.
     // One extra |srcSh| self-match rows through the join for one fewer
     // full pass; the r4 sizes-into-signature precedent.
-    val pairs = graft.CacheScope.cached(
-      srcSh.as("x").join(srcSh.as("y"), Seq("h"))
-        .filter(col("x.source") <= col("y.source"))
-        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
-        .agg(count(lit(1)).as("n_shared")))
-    val sizes = pairs.filter(col("src_a") === col("src_b"))
-      .select(col("src_a").as("source"), col("n_shared").as("n"))
-    pairs.filter(col("src_a") =!= col("src_b"))
-      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
-      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+    import org.apache.spark.sql.expressions.Window
+    val pairs = srcSh.as("x").join(srcSh.as("y"), Seq("h"))
+      .filter(col("x.source") <= col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // the diagonal sizes reach the off-diagonal rows as WINDOWS over
+    // the |sources|²/2-row pair frame (every source present in any
+    // pair row has its self-match diagonal row, so the window max is
+    // never NULL), replacing the r15 shape's pairs cache + two
+    // broadcast size builds: 4 scheduler jobs → 2 (srcSh cache + one
+    // main pass), identical arithmetic (r17; guide §2.4 — two
+    // operations keyed the same way share one pass). The exchanges the
+    // windows add carry ≤ |sources|²/2 rows — noise next to two saved
+    // job launches.
+    val diagN = max(when(col("src_a") === col("src_b"), col("n_shared")))
+    pairs
+      .withColumn("n_a", diagN.over(Window.partitionBy(col("src_a"))))
+      .withColumn("n_b", diagN.over(Window.partitionBy(col("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
       .select(
         col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
         round(col("n_shared") /

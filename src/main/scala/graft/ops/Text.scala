@@ -1302,26 +1302,42 @@ object Text {
   private def withSpmCounts(documents: DataFrame, keyCols: Seq[String],
                             model: Seq[(String, Long)], maxPieceLen: Int,
                             segRows: Option[Seq[(String, Long, Long)]],
-                            byteFallback: Boolean = false): DataFrame = {
+                            byteFallback: Boolean = false,
+                            fbSegRows: Option[Seq[(String, Long, Long, Long)]] = None): DataFrame = {
     require(!(byteFallback && segRows.nonEmpty),
-      "byte-fallback encode has no memoized seg-slice form — pass segRows = None")
+      "byte-fallback encode takes its slice via fbSegRows — pass segRows = None")
+    require(!(fbSegRows.nonEmpty && !byteFallback),
+      "fbSegRows is the byte-fallback slice — set byteFallback = true")
     val toks = documents.select(
       keyCols.map(col) :+ explode(Dedup.tokens(col("text"))).as("word"): _*)
-    val joined = segRows match {
-      case Some(rows) =>
+    // the missing-word guard shared by both memo-fed paths: an
+    // incomplete slice raises instead of silently dropping documents
+    def guardWn(j: DataFrame): DataFrame = j.withColumn("wn",
+      when(col("wn").isNull, raise_error(concat(
+        lit("spm segRows slice is missing word '"), col("word"),
+        lit("' — the pre-segmented vocabulary must cover the corpus")))
+        .cast("bigint"))
+        .otherwise(col("wn")))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val joined = (segRows, fbSegRows) match {
+      case (Some(rows), _) =>
         require(rows.map(_._1).distinct.size == rows.size,
           s"spm segRows must be DISTINCT words, got ${rows.size} rows")
-        val spark = documents.sparkSession
-        import spark.implicits._
         val seg = spark.createDataset(rows).toDF("word", "wn", "wc_u6")
-        toks.join(broadcast(seg), Seq("word"), "left")
-          .withColumn("wn",
-            when(col("wn").isNull, raise_error(concat(
-              lit("spm segRows slice is missing word '"), col("word"),
-              lit("' — the pre-segmented vocabulary must cover the corpus")))
-              .cast("bigint"))
-              .otherwise(col("wn")))
-      case None =>
+        guardWn(toks.join(broadcast(seg), Seq("word"), "left"))
+      case (_, Some(rows)) =>
+        // the byte-fallback memo slice (graft.EntrySupport
+        // .spmSegFbLocal): same bounded-artifact rationale as segRows
+        // with the fallback tally column `wu` aboard (r17 — the
+        // encode twin had the memoized-vocab 1-job shape, the
+        // fallback form re-ran its DP in-plan per sample for no
+        // semantic reason; SpmSpec pins memo-fed ≡ internal)
+        require(rows.map(_._1).distinct.size == rows.size,
+          s"spm fbSegRows must be DISTINCT words, got ${rows.size} rows")
+        val seg = spark.createDataset(rows).toDF("word", "wn", "wc_u6", "wu")
+        guardWn(toks.join(broadcast(seg), Seq("word"), "left"))
+      case _ =>
         toks.join(broadcast(spmSegmentFrame(
           toks.select(col("word")).distinct(), model, maxPieceLen, byteFallback)),
           Seq("word"))
@@ -1346,9 +1362,10 @@ object Text {
   def spmEncodeDocs(documents: DataFrame, model: Seq[(String, Long)],
                     maxPieceLen: Int,
                     segRows: Option[Seq[(String, Long, Long)]] = None,
-                    byteFallback: Boolean = false): DataFrame =
+                    byteFallback: Boolean = false,
+                    fbSegRows: Option[Seq[(String, Long, Long, Long)]] = None): DataFrame =
     withSpmCounts(documents.select(col("doc_id"), col("text")),
-        Seq("doc_id"), model, maxPieceLen, segRows, byteFallback)
+        Seq("doc_id"), model, maxPieceLen, segRows, byteFallback, fbSegRows)
       .select(Seq(
         col("doc_id"), col("n_words"), col("n_spm"), col("cost_u6")) ++
         (if (byteFallback) Seq(col("n_fb")) else Nil) ++ Seq(

@@ -175,6 +175,27 @@ class SpmSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("missing word")))
   }
 
+  test("byte-fallback memo-fed slice ≡ internal fallback DP; a missing " +
+      "word raises loudly (r17 — the encode twin's 1-job shape)") {
+    val dir = "/root/testdata/sf0.001"
+    val model = EntrySupport.spmModel(spark, dir)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(EntrySupport.spmFallbackPlantedDocs.toDF("doc_id", "text"))
+    val a = Text.spmEncodeDocs(docs, model, 4, byteFallback = true)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Text.spmEncodeDocs(docs, model, 4, byteFallback = true,
+        fbSegRows = Some(EntrySupport.spmSegFbLocal(spark, dir)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    val err = intercept[Exception] {
+      Text.spmEncodeDocs(docs, model, 4, byteFallback = true,
+        fbSegRows = Some(Seq(("nosuchword", 1L, 100L, 0L)))).collect()
+    }
+    assert(err.getMessage.contains("missing word") ||
+      Option(err.getCause).exists(_.getMessage.contains("missing word")))
+  }
+
   test("sampled segmentation laws: tau=0 ≡ Viterbi; per-epoch " +
       "deterministic; true cost ≥ Viterbi cost; epochs diversify") {
     val dir = "/root/testdata/sf0.001"
