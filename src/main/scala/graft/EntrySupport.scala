@@ -661,7 +661,7 @@ private[graft] object EntrySupport {
       Tables.table(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
       "c_custkey", cPath, cName)
-    (s.table(oName), s.table(cName))
+    (Tables.tableCached(s, oName), Tables.tableCached(s, cName))
   }
 
   private def ensureBucketed(s: SparkSession, df: => DataFrame, key: String,
@@ -1255,7 +1255,7 @@ private[graft] object EntrySupport {
     lazy val built = graft.ops.Corpus.webCorpusIndexes(wcStandingPages(s, dir))
     ensureBucketed(s, built._1, "canonical", cp, cName)
     ensureBucketed(s, built._2, "th", tp, tName)
-    (s.table(cName), s.table(tName))
+    (Tables.tableCached(s, cName), Tables.tableCached(s, tName))
   }
 
   /** Queries whose MODEL loads driver-side from a qtmp store (weights

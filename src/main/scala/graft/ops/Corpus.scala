@@ -659,47 +659,44 @@ object Corpus {
     // replacement is EXACTLY the same function — minus five java.regex
     // engine passes over every page (r17, guide §1.2 step 2: per-task
     // work after the job shape is right). Decode order unchanged —
-    // &amp; still LAST (the double-decode guard).
+    // &amp; still LAST (the double-decode guard). And ONE select over
+    // composed Column vals instead of the former withColumn chain —
+    // the identical optimized plan (CollapseProject folded the chain
+    // into this projection anyway) minus six driver-side analysis
+    // passes per construct (r17; see crawlGate).
+    val bad = litCount(col("html"), "<script") =!=
+      litCount(col("html"), "</script>")
+    val nos = regexp_replace(
+      regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val anchors = regexp_extract_all(nos, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1))
+    val linkChars = aggregate(anchors, lit(0L), (acc, a) => acc + length(a))
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST — double-decode guard
-      .foldLeft(regexp_replace(col("nos"), "<[^>]*>", " ")) {
+      .foldLeft(regexp_replace(nos, "<[^>]*>", " ")) {
         case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
       }
-    pages
-      .withColumn("bad", litCount(col("html"), "<script") =!=
-        litCount(col("html"), "</script>"))
-      .withColumn("nos",
-        regexp_replace(
-          regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
-          "(?s)<style[^>]*>.*?</style>", " "))
-      .withColumn("anchors",
-        regexp_extract_all(col("nos"), lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)))
-      .withColumn("link_chars",
-        aggregate(col("anchors"), lit(0L), (acc, a) => acc + length(a)))
-      .withColumn("txt", trim(regexp_replace(decoded, "\\s+", " ")))
-      .withColumn("n_chars", length(col("txt")).cast("long"))
-      .select(Seq(
-        col("doc_id"),
-        when(col("bad"), lit("quarantined"))
-          .when(col("link_chars") * 100 > col("n_chars") * linkDensityPct,
-            lit("chrome"))
-          .otherwise(lit("ok")).as("status"),
-        when(!col("bad"), size(col("anchors")).cast("long")).as("n_links"),
-        when(!col("bad"), col("link_chars")).as("link_chars"),
-        when(!col("bad"), col("n_chars")).as("n_chars"),
-        // unrounded single division of identical longs — bit-identical
-        when(!col("bad") && col("n_chars") > 0,
-          col("link_chars").cast("double") / col("n_chars").cast("double"))
-          .as("link_density"),
-        when(!col("bad"),
-          when(col("txt") === "", lit(0L))
-            .otherwise(size(split(col("txt"), " ")).cast("long"))).as("n_toks"),
-        when(!col("bad"), substring(col("txt"), 1, 50)).as("head_50")) ++
-        // the handoff column for downstream gates (gopherSignals,
-        // boilerplate, the quality classifier) — full extracted text,
-        // opt-in so the declared query's result stays stat-sized
-        (if (keepText) Seq(when(!col("bad"), col("txt")).as("text"))
-         else Nil): _*)
+    val txt = trim(regexp_replace(decoded, "\\s+", " "))
+    val nChars = length(txt).cast("long")
+    pages.select(Seq(
+      col("doc_id"),
+      when(bad, lit("quarantined"))
+        .when(linkChars * 100 > nChars * linkDensityPct, lit("chrome"))
+        .otherwise(lit("ok")).as("status"),
+      when(!bad, size(anchors).cast("long")).as("n_links"),
+      when(!bad, linkChars).as("link_chars"),
+      when(!bad, nChars).as("n_chars"),
+      // unrounded single division of identical longs — bit-identical
+      when(!bad && nChars > 0,
+        linkChars.cast("double") / nChars.cast("double")).as("link_density"),
+      when(!bad,
+        when(txt === "", lit(0L))
+          .otherwise(size(split(txt, " ")).cast("long"))).as("n_toks"),
+      when(!bad, substring(txt, 1, 50)).as("head_50")) ++
+      // the handoff column for downstream gates (gopherSignals,
+      // boilerplate, the quality classifier) — full extracted text,
+      // opt-in so the declared query's result stays stat-sized
+      (if (keepText) Seq(when(!bad, txt).as("text")) else Nil): _*)
   }
 
   /** The FUSED crawl front-door projection — [[htmlExtract]]'s content
@@ -725,13 +722,6 @@ object Corpus {
                 carry: Seq[String] = Nil): DataFrame = {
     require(linkDensityPct > 0 && linkDensityPct <= 100,
       s"linkDensityPct must be in (0,100], got $linkDensityPct")
-    // literal `replace` decode chain — same function, five fewer regex
-    // passes per page (see htmlExtract)
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST — double-decode guard
-      .foldLeft(regexp_replace(col("nos"), "<[^>]*>", " ")) {
-        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
-      }
     // head fields read the RAW html (htmlMeta's contract — the meta
     // chain never quarantines; a malformed body must not hide a
     // noindex directive)
@@ -739,34 +729,43 @@ object Corpus {
       "<link rel=\"canonical\" href=\"([^\"]*)\"", 1)
     val robots = regexp_extract(col("html"),
       "<meta name=\"robots\" content=\"([^\"]*)\"", 1)
-    pages
-      .withColumn("bad", litCount(col("html"), "<script") =!=
-        litCount(col("html"), "</script>"))
-      .withColumn("nos",
-        regexp_replace(
-          regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
-          "(?s)<style[^>]*>.*?</style>", " "))
-      .withColumn("anchors",
-        regexp_extract_all(col("nos"), lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)))
-      .withColumn("link_chars",
-        aggregate(col("anchors"), lit(0L), (acc, a) => acc + length(a)))
-      .withColumn("txt", trim(regexp_replace(decoded, "\\s+", " ")))
-      .withColumn("n_chars", length(col("txt")).cast("long"))
-      .select(Seq(
-        col("doc_id"),
-        when(col("bad"), lit("quarantined"))
-          .when(col("link_chars") * 100 > col("n_chars") * linkDensityPct,
-            lit("chrome"))
-          .otherwise(lit("ok")).as("status"),
-        when(!col("bad"),
-          when(col("txt") === "", lit(0L))
-            .otherwise(size(split(col("txt"), " ")).cast("long"))).as("n_toks"),
-        when(canonical =!= "", canonical).as("canonical"),
-        when(robots.contains("noindex"), lit("drop")).otherwise(lit("index"))
-          .as("verdict")) ++
-        (if (keepText) Seq(when(!col("bad"), col("txt")).as("text"))
-         else Nil) ++
-        carry.map(col): _*)
+    // ONE select over composed Column vals instead of the former
+    // withColumn chain (r17): each withColumn constructed and analyzed
+    // a whole new Dataset, and the optimizer's CollapseProject folded
+    // them back into exactly this single projection every sample — so
+    // the collapsed form is the identical optimized plan minus six
+    // driver-side analysis passes per construct (the bench's uncached
+    // column pays construct per sample; ConstructProf shows generic
+    // Catalyst tree-walking as the family's construct cost).
+    val bad = litCount(col("html"), "<script") =!=
+      litCount(col("html"), "</script>")
+    val nos = regexp_replace(
+      regexp_replace(col("html"), "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val anchors = regexp_extract_all(nos, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1))
+    val linkChars = aggregate(anchors, lit(0L), (acc, a) => acc + length(a))
+    // literal `replace` decode chain — same function, five fewer regex
+    // passes per page (see htmlExtract)
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST — double-decode guard
+      .foldLeft(regexp_replace(nos, "<[^>]*>", " ")) {
+        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+      }
+    val txt = trim(regexp_replace(decoded, "\\s+", " "))
+    val nChars = length(txt).cast("long")
+    pages.select(Seq(
+      col("doc_id"),
+      when(bad, lit("quarantined"))
+        .when(linkChars * 100 > nChars * linkDensityPct, lit("chrome"))
+        .otherwise(lit("ok")).as("status"),
+      when(!bad,
+        when(txt === "", lit(0L))
+          .otherwise(size(split(txt, " ")).cast("long"))).as("n_toks"),
+      when(canonical =!= "", canonical).as("canonical"),
+      when(robots.contains("noindex"), lit("drop")).otherwise(lit("index"))
+        .as("verdict")) ++
+      (if (keepText) Seq(when(!bad, txt).as("text")) else Nil) ++
+      carry.map(col): _*)
   }
 
   /** [[crawlGate]] + the pass flag the incremental capstone's two
@@ -970,14 +969,14 @@ object Corpus {
     // window never changes WHICH canonicals exist, and keeping the
     // hit-set subtree window-free means it is one filter+distinct over
     // the materialized gate — no replayed exchange, no replayed probe
+    val canonDup = col("passes") === 1L && col("canonical").isNotNull &&
+      (col("in_standing_canon").isNotNull || col("rn1") =!= 1)
     probe(ranked, canonIdx.select(col("canonical")), "canonical",
         "in_standing_canon",
         bg.filter(col("passes") === 1L && col("canonical").isNotNull)
           .select(col("canonical")))
-      .withColumn("canon_dup",
-        col("passes") === 1L && col("canonical").isNotNull &&
-          (col("in_standing_canon").isNotNull || col("rn1") =!= 1))
-      .withColumn("alive1", col("passes") === 1L && !col("canon_dup"))
+      .select(col("*"), canonDup.as("canon_dup"),
+        (col("passes") === 1L && !canonDup).as("alive1"))
   }
 
   /** The index WRITE-BACK half of the nightly incremental cycle — what
@@ -1272,12 +1271,12 @@ object Corpus {
     // shuffles a 32-char key instead of the full text. The DuckDB
     // oracle keeps RAW-TEXT equality, so the hash match doubles as
     // evidence the md5 stand-in loses nothing on this corpus.
-    val bk2 = when(col("alive1"), concat(lit("t:"), col("th")))
+    val thE = md5(col("text")) // deterministic — safe to inline twice
+    val bk2 = when(col("alive1"), concat(lit("t:"), thE))
       .otherwise(concat(lit("d:"), col("doc_id").cast("string")))
-    val staged = b1
-      .withColumn("th", md5(col("text")))
-      .withColumn("rn2",
-        row_number().over(Window.partitionBy(bk2).orderBy(col("doc_id"))))
+    val staged = b1.select(col("*"), thE.as("th"),
+      row_number().over(Window.partitionBy(bk2).orderBy(col("doc_id")))
+        .as("rn2"))
     // text-probe candidates come off `bg` with the WIDER gate-pass
     // predicate (`passes`, map-side) instead of `alive1` (which needs
     // the rn1 window + the canon probe): the hit set stays
@@ -1288,13 +1287,13 @@ object Corpus {
     // passes-but-not-alive1 row may pick up a spurious flag; every
     // consumer guards with alive1 (text_dup, the cycle's delta
     // emission), so it is unreadable.
+    val textDup = col("alive1") &&
+      (col("in_standing_text").isNotNull || col("rn2") =!= 1)
     val b2 = probe(staged, textIdx.select(col("th")), "th",
         "in_standing_text",
         bg.filter(col("passes") === 1L).select(md5(col("text")).as("th")))
-      .withColumn("text_dup",
-        col("alive1") &&
-          (col("in_standing_text").isNotNull || col("rn2") =!= 1))
-      .withColumn("alive2", col("alive1") && !col("text_dup"))
+      .select(col("*"), textDup.as("text_dup"),
+        (col("alive1") && !textDup).as("alive2"))
     withGopher(b2)
   }
 
