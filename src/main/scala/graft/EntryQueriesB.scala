@@ -334,7 +334,7 @@ private[graft] object EntryQueriesB {
         .unionByName(bench.select(
           (col("doc_id") + 100000L).as("doc_id"),
           concat(col("text"), lit(" zz9 zz9")).as("text")))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
       graft.ops.Corpus.decontaminate(train, bench, minShared = 5)
         .orderBy(col("doc_id"))
     }),
@@ -469,7 +469,7 @@ private[graft] object EntryQueriesB {
       Text.bpeEncodeDocs(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
             .unionByName(planted)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           merges)
         .orderBy(col("doc_id"))
     }),
@@ -483,7 +483,7 @@ private[graft] object EntryQueriesB {
       Text.bpeFertilityByLang(
           Tables.documents(s, dir)
             .select(col("doc_id"), col("lang"), col("text"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           bpeMerges(s, dir))
         .orderBy(col("lang"))
     }),
@@ -502,7 +502,7 @@ private[graft] object EntryQueriesB {
       Text.spmEncodeDocs(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
             .unionByName(planted)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           model, maxPieceLen = SpmMaxPieceLen,
           segRows = Some(spmSegLocal(s, dir)))
         .orderBy(col("doc_id"))
@@ -516,7 +516,7 @@ private[graft] object EntryQueriesB {
       Text.spmFertilityByLang(
           Tables.documents(s, dir)
             .select(col("lang"), col("text"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
           segRows = Some(spmSegLocal(s, dir)))
         .orderBy(col("lang"))
@@ -533,7 +533,7 @@ private[graft] object EntryQueriesB {
       // perturbed DP with the same inlined noise formula.
       Text.spmSampleEncodeDocs(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
           tauU6 = SpmSampleTauU6, epoch = 1,
           segRows = Some(spmSampleSegLocal(s, dir, SpmSampleTauU6, 1)))
@@ -555,7 +555,7 @@ private[graft] object EntryQueriesB {
       Text.spmEncodeDocs(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
             .unionByName(spmFallbackPlantedDocs.toDF("doc_id", "text"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           spmModel(s, dir), maxPieceLen = SpmMaxPieceLen,
           byteFallback = true,
           fbSegRows = Some(spmSegFbLocal(s, dir)))

@@ -329,7 +329,7 @@ private[graft] object EntryQueriesC {
       // scan fan-out: the hash-per-segment explode precedes the first
       // exchange and the corpus parquet is one split
       val withBanner = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
         .withColumn("text",
           when(col("doc_id") % 2 === 0,
             concat(lit("cookie banner terms apply here "), col("text")))
@@ -385,7 +385,7 @@ private[graft] object EntryQueriesC {
             .otherwise(to_json(struct(
               col("event_id"), col("event_type"),
               col("user_id"), col("ts_us")))).as("value"))
-          .repartition(s.sparkContext.defaultParallelism),
+          .repartition(fanEvN(s, dir)),
         feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
@@ -428,7 +428,7 @@ private[graft] object EntryQueriesC {
           elem("user_id", col("user_id").cast("string")),
           elem("ts_us", col("ts_us").cast("string")),
           lit("</row>")).as("value"))
-          .repartition(s.sparkContext.defaultParallelism),
+          .repartition(fanEvN(s, dir)),
         feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
@@ -458,7 +458,7 @@ private[graft] object EntryQueriesC {
           col("event_type"),
           coalesce(col("user_id").cast("string"), lit("")),
           col("ts_us").cast("string")).as("value"))
-          .repartition(s.sparkContext.defaultParallelism),
+          .repartition(fanEvN(s, dir)),
         feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
@@ -528,7 +528,7 @@ private[graft] object EntryQueriesC {
       // events parquet is one split — spread it before parsing
       EventOps.jsonKeyProfile(
           Tables.events(s, dir).select(raw.as("raw"))
-            .repartition(s.sparkContext.defaultParallelism), "raw")
+            .repartition(fanEvN(s, dir)), "raw")
         .orderBy(col("key"))
     }),
 
@@ -578,7 +578,7 @@ private[graft] object EntryQueriesC {
           concat(col("text"), lit(" zz8 zz8")).as("text"))
       val rebatch = fresh.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val batch = copies.unionByName(fresh).unionByName(rebatch)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
       Dedup.incrementalNewDocs(docs, batch).orderBy(col("doc_id"))
     }),
 
@@ -586,7 +586,7 @@ private[graft] object EntryQueriesC {
       val s = ensure(s0)
       Dedup.sourceOverlapMatrix(
           Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism))
+            .repartition(fanN(s, dir)))
         .orderBy(col("src_a"), col("src_b"))
     }),
 

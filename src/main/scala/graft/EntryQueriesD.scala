@@ -30,7 +30,7 @@ private[graft] object EntryQueriesD {
       memoPlan(s, "q_textrank", dir) {
         Text.textrank(
             Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism),
+              .repartition(fanN(s, dir)),
             0.85, 5)
           .orderBy(col("token"))
       }
@@ -55,7 +55,7 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       Text.winnow(
           Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           3, 4)
         .orderBy(col("doc_id"), col("fp_pos"))
     }),
@@ -97,7 +97,7 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       Text.hashedBowVectors(
           Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism), 64)
+            .repartition(fanN(s, dir)), 64)
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
@@ -105,7 +105,7 @@ private[graft] object EntryQueriesD {
       val s = ensure(s0)
       Text.skipgramPairs(
           Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism), 2)
+            .repartition(fanN(s, dir)), 2)
         .orderBy(col("center"), col("context"))
     }),
 
@@ -214,7 +214,7 @@ private[graft] object EntryQueriesD {
     "q_repetition" -> ((s0, dir) => {
       val s = ensure(s0)
       Text.repetitionSignals(
-          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+          Tables.documents(s, dir).repartition(fanN(s, dir)))
         .orderBy(col("doc_id"))
     }),
 
@@ -763,7 +763,7 @@ private[graft] object EntryQueriesD {
       val (w, b) = qualityModel(s, dir)
       Text.qualityScoreFrom(
           Text.qualityCorpus(Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism)), 256, w, b)
+            .repartition(fanN(s, dir))), 256, w, b)
         .orderBy(col("doc_id"))
     }),
 
@@ -778,7 +778,7 @@ private[graft] object EntryQueriesD {
       // production configuration (efSearch=64) by recall at sf0.1.
       graft.ops.Hnsw.hnswTopK(
           Tables.embeddings(s, dir)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanEmbN(s, dir)),
           nQueries = 10, k = 5, m = 8, efConstruction = 64, efSearch = 512,
           queryRows = Some(embQueryLocal(s, dir, 10)))
         .orderBy(col("q_id"), col("rnk"))
@@ -1126,7 +1126,7 @@ private[graft] object EntryQueriesD {
       // has the corpus-linear scale contract)
       Text.dsirWeights(
           Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           col("lang") === "en", buckets = 256)
         .orderBy(col("doc_id"))
     }),
@@ -1144,7 +1144,7 @@ private[graft] object EntryQueriesD {
       // head_50). The construction is mirrored in the oracle; the
       // shared farm literal lives in EntrySupport.htmlLinkFarm.
       val page = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
         .select(col("doc_id"), concat(
           lit("<html><head><title>doc "), col("doc_id").cast("string"),
           lit("</title><style>p { margin: 0; }</style></head><body>"),
@@ -1170,7 +1170,7 @@ private[graft] object EntryQueriesD {
       // sizes the dedup would act on), and a title on all pages; the
       // oracle mirrors the construction
       val page = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
         .select(col("doc_id"), concat(
           lit("<html><head><title>doc "), col("doc_id").cast("string"),
           lit("</title>"),
@@ -1201,7 +1201,7 @@ private[graft] object EntryQueriesD {
       // keep themselves). Per-doc verdict row — every drop reason
       // visible, nothing silently vanishes.
       val page = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
         .select(col("doc_id"), concat(
           lit("<html><head><title>doc "), col("doc_id").cast("string"),
           lit("</title>"),
@@ -1265,7 +1265,7 @@ private[graft] object EntryQueriesD {
       // same-text page pair (text_dup fires on the later ids) and a
       // two-word page (low_quality fires on the Gopher word floor).
       val docs = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
       // title text survives tag strip, so the dup PAIR must share one
       // title (keyed to the seed doc, not the planted id) for its
       // extracted texts to collide
@@ -1493,7 +1493,7 @@ private[graft] object EntryQueriesD {
       // exact order statistics — no float-fold parity surface.
       Text.qualityVotes(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           stopwords = Seq("the", "a"))
         .orderBy(col("doc_id"))
     }),
@@ -1530,7 +1530,7 @@ private[graft] object EntryQueriesD {
       // thresholds' rank error against the exact order statistic.
       Text.qualityVotesFrom(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           stopwords = Seq("the", "a"),
           medians = qvApproxLocal(s, dir))
         .orderBy(col("doc_id"))
@@ -1548,7 +1548,7 @@ private[graft] object EntryQueriesD {
       Text.langSegments(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))
             .unionByName(langSegPlantedDocs.toDF("doc_id", "text"))
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           w = 8)
         .orderBy(col("doc_id"), col("seg_start"))
     }),
@@ -1567,7 +1567,7 @@ private[graft] object EntryQueriesD {
       // the full train+score pipeline declared)
       Text.dsirWeightsFrom(
           Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, dir)),
           col("lang") === "en", buckets = 256,
           ratioRows = dsirRatioLocal(s, dir, 256))
         .orderBy(col("logw_r").desc, col("doc_id"))

@@ -22,6 +22,25 @@ private[graft] object EntrySupport {
     s
   }
 
+  /** Data-proportional fan-out widths for the per-row-heavy map stages
+    * in query bodies (r18, guide §2): width tracks the source table's
+    * BYTES (one partition per fanout-target of compressed parquet,
+    * clamped to the session's parallelism), replacing the former
+    * `defaultParallelism` — which shredded sub-MB corpora into one
+    * micro-task per core and made the whole bench anti-scale from 8 to
+    * 32 cores (VERDICT r17 #1). At 100 TB the byte term saturates the
+    * clamp and the width is the cluster parallelism, exactly as
+    * before. [[fanN]] = documents-derived frames (tokenize/shingle/
+    * decode tiers), [[fanEvN]] = events-derived feeds (JSON/XML/CSV
+    * intake), [[fanEmbN]] = embedding math.
+    */
+  private[graft] def fanN(s: SparkSession, dir: String): Int =
+    Tables.fanWidthFor(s, dir, "documents")
+  private[graft] def fanEvN(s: SparkSession, dir: String): Int =
+    Tables.fanWidthFor(s, dir, "events")
+  private[graft] def fanEmbN(s: SparkSession, dir: String): Int =
+    Tables.fanWidthFor(s, dir, "embeddings")
+
   /** Layout version for materialized scratch dirs: an ESCAPE HATCH for
     * layout changes the bytecode fingerprint below can't see (e.g. a
     * Spark upgrade changing parquet physical types). Routine producer
@@ -126,14 +145,14 @@ private[graft] object EntrySupport {
     d.unionByName(d.select(
       (col("doc_id") + 100000L).as("doc_id"),
       concat(col("text"), lit(" zz9 zz9")).as("text")))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(fanN(s, dir))
   }
 
   /** documents ∪ exact copies (identical token bags). */
   private[graft] def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(fanN(s, dir))
   }
 
   /** documents ∪ two prefix-truncated generations — guaranteed
@@ -152,7 +171,7 @@ private[graft] object EntrySupport {
     d.select(col("doc_id"), col("text"))
       .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"), prefix(0.80).as("text")))
       .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"), prefix(0.64).as("text")))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(fanN(s, dir))
   }
 
   /** The chain corpus is a deterministic derived FIXTURE (like the
@@ -274,7 +293,7 @@ private[graft] object EntrySupport {
     val path = tmpDir("jpeg_media", dir)
     Sinks.ensureWritten(
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
         .map { id =>
           val wb = (2 + id % 3).toInt; val hb = (2 + id % 2).toInt
           val w = wb * 8; val h = hb * 8
@@ -310,7 +329,7 @@ private[graft] object EntrySupport {
     val path = tmpDir("png_media", dir)
     Sinks.ensureWritten(
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(fanN(s, dir))
         .map { id =>
           val w = (12 + (id % 7) * 4).toInt // multiple of 4: x%4 offsets balance
           val h = (10 + (id % 5) * 6).toInt // even: y%2 offsets balance
@@ -435,7 +454,7 @@ private[graft] object EntrySupport {
     val path = tmpDir("lm_collapse", dir)
     Sinks.ensureWritten(
       graft.ops.Text.bigramCollapse(
-        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)),
+        Tables.documents(s, dir).repartition(fanN(s, dir))),
       path)
     Tables.readParquetCached(s, path)
   }
@@ -676,6 +695,7 @@ private[graft] object EntrySupport {
         .write.bucketBy(nBuckets, key).sortBy(key)
         .option("path", path).mode("overwrite").saveAsTable(name)
       Tables.invalidatePath(path)
+      Tables.invalidateTable(name)
     } else if (!s.catalog.tableExists(name)) {
       // re-registering pre-existing bucket files on a fresh session:
       // derive the DDL schema FROM the files, never from a
@@ -807,7 +827,7 @@ private[graft] object EntrySupport {
     qualityModelMemo.computeIfAbsent(path, { _ =>
       Sinks.ensureWritten({
         val docs = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(fanN(s, dir))
         val (w, b) = graft.ops.Text.trainQualityLrLocal(
           graft.ops.Text.qualityCorpus(docs), dim = 256)
         (w.zipWithIndex.map { case (x, i) => (i, x) }.toSeq :+ ((-1, b)))
@@ -839,7 +859,7 @@ private[graft] object EntrySupport {
     bpeMergesMemo.computeIfAbsent(path, { _ =>
       Sinks.ensureWritten({
         val m = graft.ops.Text.bpeTrain(
-          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          Tables.documents(s, dir).repartition(fanN(s, dir)),
           nMerges = 32, minWordCount = 2L)
         m.zipWithIndex.map { case ((a, b), i) => (i, a, b) }.toDF("rank", "a", "b")
       }, path)
@@ -866,7 +886,7 @@ private[graft] object EntrySupport {
   private[graft] val SpmSampleTauU6 = 300000L
   private[graft] def spmTrain(s: SparkSession, dir: String): Seq[(String, Long)] =
     graft.ops.Text.spmTrainLocal(
-      Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+      Tables.documents(s, dir).repartition(fanN(s, dir)),
       vocabSize = SpmVocabSize, maxPieceLen = SpmMaxPieceLen,
       emIters = SpmEmIters, minWordCount = 2L)
 
@@ -1147,7 +1167,7 @@ private[graft] object EntrySupport {
     qvApproxMemo.computeIfAbsent(dir, { _ =>
       graft.ops.Text.qualityVotesMediansApprox(
         Tables.documents(s, dir).select(col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism),
+          .repartition(fanN(s, dir)),
         stopwords = Seq("the", "a"))
     })
   private val qvApproxMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -1164,7 +1184,7 @@ private[graft] object EntrySupport {
     */
   private[graft] def wcStandingPages(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(fanN(s, dir))
     docs.select(col("doc_id"), concat(
       lit("<html><head><title>doc "), col("doc_id").cast("string"),
       lit("</title>"),
@@ -1195,7 +1215,7 @@ private[graft] object EntrySupport {
                                   copyMod: Int, freshMod: Int): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(fanN(s, dir))
     val copies = docs.filter(col("doc_id") % 4 === copyMod).select(
       (col("doc_id") + 5000000L).as("doc_id"),
       concat(lit("<html><head><title>doc "), col("doc_id").cast("string"),

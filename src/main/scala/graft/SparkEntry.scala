@@ -92,7 +92,7 @@ object SparkEntry {
           .otherwise(to_json(struct(
             col("event_id"), col("event_type"),
             col("user_id"), col("ts_us")))).as("value"))
-        .repartition(s.sparkContext.defaultParallelism),
+        .repartition(fanEvN(s, sfDir)),
       tmpDir("dirty_jsonl", sfDir))
   }
 
@@ -169,7 +169,7 @@ object SparkEntry {
         // identical training call to the query body (deterministic:
         // bounded sorted sample, zero init, fixed-order full-batch GD)
         val docs = Tables.documents(s, sfDir)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(fanN(s, sfDir))
         val (w, b) = ops.Text.trainQualityLrLocal(
           ops.Text.qualityCorpus(docs), dim = 256)
         ops.Text.qualityClassifierOracleSql(256, w, b)
@@ -180,7 +180,7 @@ object SparkEntry {
         // replace chain) from raw text in DuckDB, planted rows mirrored
         val merges = ops.Text.bpeTrain(
           Tables.documents(s, sfDir)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, sfDir)),
           nMerges = 32, minWordCount = 2L)
         val extra = bpePlantedDocs(merges).map { case (id, t) =>
           s"\n  UNION ALL SELECT $id AS doc_id, '${t.replace("'", "''")}' AS text"
@@ -192,7 +192,7 @@ object SparkEntry {
         // aggregates tokens/word per lang
         val merges = ops.Text.bpeTrain(
           Tables.documents(s, sfDir)
-            .repartition(s.sparkContext.defaultParallelism),
+            .repartition(fanN(s, sfDir)),
           nMerges = 32, minWordCount = 2L)
         ops.Text.bpeFertilityOracleSql(merges)
       },

@@ -607,6 +607,18 @@ object Corpus {
         col("a.split").as("split_a"), col("b.split").as("split_b"))
   }
 
+  /** Count of non-overlapping occurrences of a LITERAL pattern —
+    * `(len(s) - len(replace(s, pat, ""))) / len(pat)`, the same count
+    * `size(regexp_extract_all(s, pat, 0))` produced (both scan left to
+    * right, non-overlapping; the pattern has no regex metacharacters)
+    * without the regex engine pass or the match-array allocation per
+    * page (r17). Integer-exact: the length delta is always a multiple
+    * of the pattern length.
+    */
+  private def litCount(s: Column, pat: String): Column =
+    ((length(s) - length(replace(s, lit(pat), lit("")))) / lit(pat.length))
+      .cast("int")
+
   /** HTML text extraction — the crawl front door every pretraining
     * pipeline runs before any quality gate (C4, Raffel et al. 2020;
     * CCNet, Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023):
@@ -637,18 +649,6 @@ object Corpus {
     * pruning is the boilerplate operator's job ([[boilerplate]]),
     * which consumes this operator's output downstream.
     */
-  /** Count of non-overlapping occurrences of a LITERAL pattern —
-    * `(len(s) - len(replace(s, pat, ""))) / len(pat)`, the same count
-    * `size(regexp_extract_all(s, pat, 0))` produced (both scan left to
-    * right, non-overlapping; the pattern has no regex metacharacters)
-    * without the regex engine pass or the match-array allocation per
-    * page (r17). Integer-exact: the length delta is always a multiple
-    * of the pattern length.
-    */
-  private def litCount(s: Column, pat: String): Column =
-    ((length(s) - length(replace(s, lit(pat), lit("")))) / lit(pat.length))
-      .cast("int")
-
   def htmlExtract(pages: DataFrame, linkDensityPct: Int = 30,
                   keepText: Boolean = false): DataFrame = {
     require(linkDensityPct > 0 && linkDensityPct <= 100,
@@ -920,6 +920,51 @@ object Corpus {
         Seq(key), "left_semi")
       .withColumn(flag, lit(1L))
     batch.join(broadcast(hits), Seq(key), "left")
+  }
+
+  /** BOTH bucketed hit sets from ONE broadcast build (VERDICT r17 #3):
+    * under [[bucketedIndexProbe]] the canon and text hit-set builds
+    * were two separate broadcast-exchange jobs, each re-reading the
+    * materialized gate and its own bucketed store. Both candidate sets
+    * derive from the SAME gated frame, so one union frame — prefixed
+    * composite keys `c:`+canonical / `t:`+th, the [[incCanonStageFromGated]]
+    * `bk1` trick, so cross-kind collisions cannot exist — carries both
+    * hit sets, and BOTH flag-attach joins broadcast the SAME
+    * CacheScope-MATERIALIZED frame (one scheduler job doing both
+    * SHUFFLE_HASH semi probes; each standing side still scans its own
+    * bucket files with zero exchanges — the stores are never unioned,
+    * each semi keys on its own bucket column). The sharing is at the
+    * cache level, not ReuseExchange: the hits subtree reads the
+    * materialized gate through AQE TableCacheQueryStage wrappers whose
+    * attribute ids canonicalization does NOT normalize, so two inlined
+    * broadcast copies never canonical-match and neither AQE stage
+    * reuse nor ReuseExchange dedups them — without the cache the
+    * engine-default AQE config would run the union (and scan BOTH
+    * standing indexes) twice per query. The probe contract is
+    * unchanged: `flag` = 1L where the key exists in its index, NULL
+    * otherwise (a NULL key composes to a NULL pk and matches nothing,
+    * exactly like the USING-join it replaces).
+    */
+  private def fusedBucketedProbes(canonIdx: DataFrame, textIdx: DataFrame,
+                                  bg: DataFrame): IndexProbe = {
+    val candC = bg.filter(col("passes") === 1L && col("canonical").isNotNull)
+      .select(col("canonical"))
+    val candT = bg.filter(col("passes") === 1L)
+      .select(md5(col("text")).as("th"))
+    val hits = graft.CacheScope.cached(canonIdx.select(col("canonical"))
+      .join(candC.distinct().hint("SHUFFLE_HASH"), Seq("canonical"), "left_semi")
+      .select(concat(lit("c:"), col("canonical")).as("__pk"))
+      .unionByName(textIdx.select(col("th"))
+        .join(candT.distinct().hint("SHUFFLE_HASH"), Seq("th"), "left_semi")
+        .select(concat(lit("t:"), col("th")).as("__pk")))
+      .withColumn("__hit", lit(1L)))
+    (batch, _, key, flag, _) => {
+      val pfx = if (key == "canonical") "c:" else "t:"
+      batch.join(broadcast(hits),
+          concat(lit(pfx), col(key)) === col("__pk"), "left")
+        .withColumn(flag, col("__hit"))
+        .drop("__pk", "__hit")
+    }
   }
 
   /** The batch's gate + canonical stage against a standing canonical
@@ -1263,7 +1308,12 @@ object Corpus {
                              probe: IndexProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bg = incGatedForProbe(batchPages, linkDensityPct, probe)
-    val b1 = incCanonStageFromGated(canonIdx, bg, probe)
+    // under the bucketed strategy both probes read ONE fused hit-set
+    // broadcast (r18) — the broadcast strategy stays a plain linear
+    // join per index, which needs no fusion (no hit-set subtree)
+    val p = if (probe eq bucketedIndexProbe)
+      fusedBucketedProbes(canonIdx, textIdx, bg) else probe
+    val b1 = incCanonStageFromGated(canonIdx, bg, p)
     // the in-batch text race keys on md5(text) — the SAME equality
     // relation the standing textIdx probe and the streaming twin
     // (StreamingCorpus.webCorpusStream stage 2) already use, so every
@@ -1289,7 +1339,7 @@ object Corpus {
     // emission), so it is unreadable.
     val textDup = col("alive1") &&
       (col("in_standing_text").isNotNull || col("rn2") =!= 1)
-    val b2 = probe(staged, textIdx.select(col("th")), "th",
+    val b2 = p(staged, textIdx.select(col("th")), "th",
         "in_standing_text",
         bg.filter(col("passes") === 1L).select(md5(col("text")).as("th")))
       .select(col("*"), textDup.as("text_dup"),

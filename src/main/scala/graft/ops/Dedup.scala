@@ -756,8 +756,12 @@ object Dedup {
       .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("a"), col("v").as("av"), col("nrm").as("an"))
       // the capped block arrives as 1-2 parquet splits; spread the
-      // pairwise scoring over all cores
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      // pairwise scoring so each task carries ≥ ~50k pair-scorings
+      // (work is cap² pairs, DATA-proportional in the operator's own
+      // bound — never one micro-task per core, r18 guide §2)
+      .repartition(math.max(1, math.min(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        (cap.toLong * cap / 50000L).toInt)))
     val b = e.select(col("vec_id").as("b"), col("v").as("bv"), col("nrm").as("bn"))
     a.join(broadcast(b), col("a") < col("b"))
       .select(

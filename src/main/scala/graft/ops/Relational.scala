@@ -303,6 +303,34 @@ object Relational {
     }
   }
 
+  /** Exact global `row_number` over `orderKeys` that never funnels an
+    * unbounded input through one task: range-partition on the order
+    * keys (monotone, balanced partitions), rank locally, then add
+    * per-partition offsets from a bounded one-row-per-partition count
+    * collected to the driver. Global rank = offset + local rank is
+    * EXACT for any monotone partitioning, so the result is
+    * bit-identical to the partition-less window it replaces (the same
+    * construction [[bandedNtile]]'s scale path uses, factored out for
+    * rank-only callers — Text.zipfFit's vocabulary rank). Requires
+    * `orderKeys` to be a total order over the input.
+    */
+  def scaleRowNumber(df: DataFrame, orderKeys: Seq[Column], out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = graft.CacheScope.cached(
+      graft.CacheScope.cached(df).repartitionByRange(parts, orderKeys: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val cnt = ranged.groupBy(col("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    (0 until parts).foreach { p => offsets(p) = acc; acc += cnt.getOrElse(p, 0L) }
+    ranged.withColumn(out,
+        element_at(typedlit(offsets.toSeq), col("__pid") + 1) +
+          row_number().over(Window.partitionBy(col("__pid")).orderBy(orderKeys: _*)))
+      .drop("__pid")
+  }
+
   /** Equal-count bucketing (`ntile`) + per-bucket summary — the
     * decile/percentile-band report. The tile assignment is
     * [[bandedNtile]] ordered by (`valueCol`, `keyCol`): ntile is

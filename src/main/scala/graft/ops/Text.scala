@@ -2472,17 +2472,34 @@ object Text {
     * corpus look like language?" gate.
     *
     * Shape: the rank window runs over the VOCABULARY (Heaps' law —
-    * never corpus-sized), and the fit is the algebraic regr_ pair —
+    * sublinear in the corpus, but still corpus-CONNECTED: ~n^0.5 grows
+    * without bound), and the fit is the algebraic regr_ pair —
     * map-side combinable. The corpus is touched once for the counts.
+    *
+    * Rank strategy is size-gated (r18, guide §2.5/§5): under
+    * [[ZipfRankWindowMaxBytes]] of input the plain partition-less
+    * window is cheapest and its single task holds only a bounded
+    * corpus's vocabulary; past the gate the EXACT same rank comes from
+    * [[Relational.scaleRowNumber]] (range-partition + local rank +
+    * bounded per-partition offsets) so no task ever holds the whole
+    * vocabulary. The gate reads the optimizer's size statistic — no
+    * probe job. Path parity is pinned by Batch16OpsSpec.
     */
+  val ZipfRankWindowMaxBytes: Long = 1L << 30
+  @volatile private[graft] var testForceScaleZipfRank: Boolean = false
   def zipfFit(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = documents
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("token").asc)
-    freq
-      .withColumn("rnk", row_number().over(w))
+    val keys = Seq(col("freq").desc, col("token").asc)
+    val scale = testForceScaleZipfRank ||
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes > ZipfRankWindowMaxBytes
+    val ranked =
+      if (!scale)
+        freq.withColumn("rnk", row_number().over(Window.orderBy(keys: _*)))
+      else Relational.scaleRowNumber(freq, keys, "rnk")
+    ranked
       .select(log(col("rnk").cast("double")).as("lr"),
         log(col("freq").cast("double")).as("lf"))
       .agg(

@@ -30,7 +30,7 @@ object DsirAB {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(graft.Tables.fanWidthFor(spark, sfDir, "documents"))
     docs.cache(); docs.count() // warm base, like Bench's pool
 
     import graft.ops.{Dedup, Text}

@@ -25,7 +25,7 @@ object OverlapAB {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(graft.Tables.fanWidthFor(spark, sfDir, "documents"))
     docs.cache(); docs.count() // warm base, like Bench's pool
 
     def store(): DataFrame = CacheScope.cached(

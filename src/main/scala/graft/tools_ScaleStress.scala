@@ -1492,6 +1492,50 @@ object ScaleStress {
         "the sealed tier must answer exactly like the growing tier")
       CacheScope.flush()
     }
+
+    // 26. SPM memoized-vocab slice builds (VERDICT r17 #5): the spm
+    //     queries replay (word, n_pieces, cost) slices memoized once
+    //     per corpus version (EntrySupport.spmSegLocal /
+    //     spmSegFbLocal), so the bench no longer times the build —
+    //     THIS case does, at a 1M-word-type vocabulary: the DP is
+    //     vocab-bounded by construction (one row per word TYPE, never
+    //     per occurrence), and the collect is the artifact's own size
+    //     (a shipped tokenizer's .vocab slice). Synthetic model:
+    //     single chars + all 2-char pieces over [0-9a-z] + 3-char
+    //     prefixes, costs descending per char — the trained-LM shape
+    //     (a 2-char piece beats two singles).
+    timed("spmSegSlice build (1M word types)") {
+      val chars = "0123456789abcdefghijklmnopqrstuvwxyz"
+      val singles = chars.map(c => (c.toString, 14000000L))
+      val doubles = for (a <- chars; b <- chars) yield (s"$a$b", 20000000L)
+      val triples = for (a <- "abcdef"; b <- chars) yield (s"$a${b}q", 24000000L)
+      val model: Seq[(String, Long)] = singles ++ doubles ++ triples
+      val nWords = 1000000L
+      // distinct 5-6 char words: base-36 digits of (id + 36^4·2)
+      val words = spark.range(0, nWords, 1, 64)
+        .select(lower(conv(col("id") + 3359232L, 10, 36)).as("word"))
+      val t0 = System.nanoTime()
+      val slice = ops.Text.spmSegmentFrame(words, model, maxPieceLen = 3)
+        .collect()
+      val plainWall = (System.nanoTime() - t0) / 1e9
+      // byte-fallback twin: 1% of words carry an out-of-model char,
+      // the path q_spm_byte_fallback's memo (spmSegFbLocal) prices
+      val fbWords = spark.range(0, nWords, 1, 64).select(
+        concat(lower(conv(col("id") + 3359232L, 10, 36)),
+          when(pmod(col("id"), lit(97)) === 0, lit("~")).otherwise(lit("")))
+          .as("word"))
+      val t1 = System.nanoTime()
+      val fbSlice = ops.Text.spmSegmentFrame(fbWords, model, maxPieceLen = 3,
+          byteFallback = true)
+        .collect()
+      val fbWall = (System.nanoTime() - t1) / 1e9
+      println(f"[scale]   plain slice ${slice.length} word types in " +
+        f"$plainWall%.2f s; byte-fallback twin ${fbSlice.length} in " +
+        f"$fbWall%.2f s (DP + driver collect = the whole memo build)")
+      assert(slice.length == nWords && fbSlice.length == nWords,
+        "one slice row per word type")
+      CacheScope.flush()
+    }
     spark.stop()
   }
 }

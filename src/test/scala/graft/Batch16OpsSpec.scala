@@ -52,6 +52,27 @@ class Batch16OpsSpec extends AnyFunSuite {
     assert(out.getDouble(out.fieldIndex("r2_r")) > 0.999)
   }
 
+  test("zipfFit: the scale-path rank (range-partition + offsets) matches " +
+      "the window path bit for bit") {
+    // r18: past ZipfRankWindowMaxBytes the vocabulary rank must not
+    // single-partition (Heaps' law keeps growing); the scale path's
+    // global rank = per-partition offset + local rank is exact for the
+    // monotone range partitioning, so the fit is identical
+    val freqs = (1 to 50).map(r => (s"tok$r", math.max(1, 200 / r)))
+    val text = freqs.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val docs = Seq((1L, text), (2L, text + " extra")).toDF("doc_id", "text")
+    val window = Text.zipfFit(docs).collect().head
+    Text.testForceScaleZipfRank = true
+    try {
+      val scaled = Text.zipfFit(docs).collect().head
+      assert(scaled.toSeq === window.toSeq,
+        "scale-path zipf fit must equal the window-path fit")
+    } finally {
+      Text.testForceScaleZipfRank = false
+      graft.CacheScope.flush()
+    }
+  }
+
   // ---- tokenBurstiness -------------------------------------------------------
 
   test("tokenBurstiness: clumped tokens disperse over 1, even spread sits at mean 1") {
