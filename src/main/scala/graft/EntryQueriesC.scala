@@ -385,7 +385,7 @@ private[graft] object EntryQueriesC {
             .otherwise(to_json(struct(
               col("event_id"), col("event_type"),
               col("user_id"), col("ts_us")))).as("value"))
-          .repartition(fanEvN(s, dir)),
+          .repartition(fanEvHeavyN(s, dir)),
         feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
@@ -428,7 +428,7 @@ private[graft] object EntryQueriesC {
           elem("user_id", col("user_id").cast("string")),
           elem("ts_us", col("ts_us").cast("string")),
           lit("</row>")).as("value"))
-          .repartition(fanEvN(s, dir)),
+          .repartition(fanEvHeavyN(s, dir)),
         feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
@@ -458,7 +458,7 @@ private[graft] object EntryQueriesC {
           col("event_type"),
           coalesce(col("user_id").cast("string"), lit("")),
           col("ts_us").cast("string")).as("value"))
-          .repartition(fanEvN(s, dir)),
+          .repartition(fanEvHeavyN(s, dir)),
         feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),

@@ -38,6 +38,20 @@ private[graft] object EntrySupport {
     Tables.fanWidthFor(s, dir, "documents")
   private[graft] def fanEvN(s: SparkSession, dir: String): Int =
     Tables.fanWidthFor(s, dir, "events")
+  /** [[fanEvN]] at 1/8 the bytes/task target — for the row-format
+    * SERIALIZE→PARSE round-trip tier (dirty JSONL/XML/CSV feeds, the
+    * XML sink): their cost per source byte is ~an order of magnitude
+    * over columnar work (text expansion ×6 + java.regex/Jackson parse
+    * per row), and the written FILE COUNT is the read-back parse
+    * parallelism ceiling (row formats don't re-split below file
+    * boundaries once open-cost packing merges small files). Measured
+    * r18: the 8-file feed layout parsed 2-4-way and cost the intake
+    * trio +0.35 s each vs the ~380 KB/file layout this multiplier
+    * restores (still data-proportional: byte-driven below the clamp,
+    * cluster-parallel at 100 TB).
+    */
+  private[graft] def fanEvHeavyN(s: SparkSession, dir: String): Int =
+    Tables.fanWidthFor(s, dir, "events", targetMult = 0.125)
   private[graft] def fanEmbN(s: SparkSession, dir: String): Int =
     Tables.fanWidthFor(s, dir, "embeddings")
 

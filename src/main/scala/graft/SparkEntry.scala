@@ -92,7 +92,7 @@ object SparkEntry {
           .otherwise(to_json(struct(
             col("event_id"), col("event_type"),
             col("user_id"), col("ts_us")))).as("value"))
-        .repartition(fanEvN(s, sfDir)),
+        .repartition(fanEvHeavyN(s, sfDir)),
       tmpDir("dirty_jsonl", sfDir))
   }
 

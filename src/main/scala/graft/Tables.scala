@@ -54,7 +54,24 @@ object Tables {
     // micro-tasks at test scale. Parallelism for per-row-HEAVY
     // consumers comes from the data-proportional [[fanWidth]] spread,
     // not from shredding a megabyte scan 32 ways.
-    "spark.sql.files.minPartitionNum" -> "1"
+    "spark.sql.files.minPartitionNum" -> "1",
+    // Honor file boundaries when packing small files into scan splits
+    // (r18, guide §6): every multi-file layout this engine writes gets
+    // its file count from the data-proportional [[fanWidth]] — for
+    // row formats (JSONL/XML/CSV feeds) that count IS the read-back
+    // parse-parallelism ceiling, and the default 4 MB open cost lets
+    // the planner pack several such files into one split, silently
+    // serializing the parse the write side deliberately fanned out
+    // (measured: intake trio 0.79/0.62/0.56 s packed vs 0.33/0.24/0.26
+    // honoring boundaries; the multi-file parquet fixtures improved
+    // too — media decode 0.18→0.12). 16 MB ≈ "opening a file costs a
+    // split's worth of work below 16 MB", i.e. one task per file for
+    // the sub-16 MB files fanWidth produces. At 100 TB, compacted
+    // 128 MB-1 GB files exceed maxPartitionBytes and split by byte
+    // range — this knob never touches them; pathological millions of
+    // tiny EXTERNAL files remain an upstream-compaction problem
+    // (guide §6) exactly as at the 4 MB default.
+    "spark.sql.files.openCostInBytes" -> "16777216"
   )
 
   /** STATIC configs — only settable on a session builder; setting them
@@ -103,7 +120,7 @@ object Tables {
     * [[fanWidth]] of the table's own bytes — fan-out tracks input
     * volume at every scale instead of a constant.
     */
-  private def spreadParts(spark: SparkSession, path: String, targetMult: Int): Int =
+  private def spreadParts(spark: SparkSession, path: String, targetMult: Double): Int =
     sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
       .getOrElse(fanWidth(spark, pathBytes(spark, path), targetMult))
 
@@ -141,9 +158,9 @@ object Tables {
     * width = cluster parallelism. The target is a conf so the A/B is
     * one EXTRA_CONF flag, not a rebuild.
     */
-  def fanWidth(spark: SparkSession, bytes: Long, targetMult: Int = 1): Int = {
-    val target = targetMult *
-      spark.conf.get("spark.graft.fanout.targetBytes", "262144").toLong
+  def fanWidth(spark: SparkSession, bytes: Long, targetMult: Double = 1.0): Int = {
+    val target = math.max(1L, (targetMult *
+      spark.conf.get("spark.graft.fanout.targetBytes", "262144").toLong).toLong)
     val byData =
       if (bytes >= java.lang.Long.MAX_VALUE - 1) Long.MaxValue
       else math.ceil(bytes.toDouble / math.max(1L, target)).toLong
@@ -156,8 +173,9 @@ object Tables {
     * table's within small constant factors, which the 256 KiB target
     * absorbs).
     */
-  def fanWidthFor(spark: SparkSession, sfDir: String, name: String = "documents"): Int =
-    fanWidth(spark, pathBytes(spark, s"$sfDir/$name.parquet"))
+  def fanWidthFor(spark: SparkSession, sfDir: String, name: String = "documents",
+                  targetMult: Double = 1.0): Int =
+    fanWidth(spark, pathBytes(spark, s"$sfDir/$name.parquet"), targetMult)
 
   /** Analyzed-relation memo per (session, path, spread). A fresh
     * `spark.read.parquet` pays a footer schema-merge JOB plus a file
@@ -270,8 +288,8 @@ object Tables {
     * more bytes/s per core than text parse or vector math), so its
     * fan-out tasks carry 4× the bytes of the parse-heavy tables.
     */
-  private def spreadTargetMult(name: String): Int =
-    if (name == "lineitem") 4 else 1
+  private def spreadTargetMult(name: String): Double =
+    if (name == "lineitem") 4.0 else 1.0
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
