@@ -55,22 +55,24 @@ object Tables {
     // consumers comes from the data-proportional [[fanWidth]] spread,
     // not from shredding a megabyte scan 32 ways.
     "spark.sql.files.minPartitionNum" -> "1",
-    // Honor file boundaries when packing small files into scan splits
-    // (r18, guide §6): every multi-file layout this engine writes gets
-    // its file count from the data-proportional [[fanWidth]] — for
-    // row formats (JSONL/XML/CSV feeds) that count IS the read-back
-    // parse-parallelism ceiling, and the default 4 MB open cost lets
-    // the planner pack several such files into one split, silently
-    // serializing the parse the write side deliberately fanned out
-    // (measured: intake trio 0.79/0.62/0.56 s packed vs 0.33/0.24/0.26
-    // honoring boundaries; the multi-file parquet fixtures improved
-    // too — media decode 0.18→0.12). 16 MB ≈ "opening a file costs a
-    // split's worth of work below 16 MB", i.e. one task per file for
-    // the sub-16 MB files fanWidth produces. At 100 TB, compacted
-    // 128 MB-1 GB files exceed maxPartitionBytes and split by byte
-    // range — this knob never touches them; pathological millions of
-    // tiny EXTERNAL files remain an upstream-compaction problem
-    // (guide §6) exactly as at the 4 MB default.
+    // Pack far fewer small files per scan split (r18, guide §6): every
+    // multi-file layout this engine writes gets its file count from
+    // the data-proportional [[fanWidth]] — for row formats (JSONL/XML/
+    // CSV feeds) that count IS the read-back parse-parallelism
+    // ceiling, and at the default 4 MB open cost the planner packs
+    // ~30 such sub-MB files into one split (each file is charged only
+    // size+openCost against maxSplitBytes), silently serializing the
+    // parse the write side deliberately fanned out. At 16 MB each
+    // small file charges 16 MB of packing budget, so a 128 MB split
+    // holds at most ~7 of them instead of ~30 (measured: intake trio
+    // 0.79/0.62/0.56 s → 0.33/0.24/0.26 s; media decode 0.18→0.12;
+    // bigram LM 0.41→0.32 — and 128 MB open cost, i.e. strict one-
+    // file-per-task, measured WORSE: 1-file splits over-shard the
+    // parquet fixture dirs). At 100 TB, compacted 128 MB-1 GB files
+    // exceed maxPartitionBytes and split by byte range — this knob
+    // never touches them; pathological millions of tiny EXTERNAL
+    // files remain an upstream-compaction problem (guide §6), 4× more
+    // tasks there than the 4 MB default would mint.
     "spark.sql.files.openCostInBytes" -> "16777216"
   )
 
